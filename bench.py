@@ -1,0 +1,66 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the full physical plan with the `noop` sink
+(executes everything, writes nothing) so timings measure engine work, not
+driver-side collect serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_hybrid_doc_search_spark.plans import registry
+from duckdb_hybrid_doc_search_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # warm the JVM (codegen, shuffle machinery) + parquet footers so the
+    # first timed query doesn't absorb one-time startup cost
+    from pyspark.sql import functions as F
+    warm = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    warm.groupBy("lang").agg(F.count(F.lit(1))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(qs.items()):
+        # first execution compiles the plan (whole-stage codegen); the timed
+        # run measures steady-state engine throughput, which is what scales.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(json.dumps({
+        "metric": "all_registered_queries_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

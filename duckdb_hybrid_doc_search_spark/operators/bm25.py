@@ -1,0 +1,165 @@
+"""BM25 full-text scoring as pure Spark SQL over derived index tables.
+
+Replaces the reference's DuckDB FTS probe
+(`SELECT doc_id, fts_main_documents.match_bm25(doc_id, ?) AS score FROM
+documents ORDER BY score DESC LIMIT ?`, searcher.py:112-120; index DDL
+db.py:143-150 with stemmer/stopwords disabled) with a data-layout design:
+
+    postings(term, doc_id, tf)   — inverted index, derived by explode+groupBy
+    docfreq(term, df)            — document frequency per term
+    docstats(doc_id, dl)         — document length in tokens
+    corpus_stats(n_docs, avgdl)  — scalars, broadcast into the probe plan
+
+Query = filter postings on the (tiny, broadcast) query-term set, join
+docfreq + docstats, evaluate the Okapi BM25 expression JVM-side, partial+final
+hash-aggregate per doc_id, TakeOrderedAndProject top-k. Zero Python in the
+hot path; the probe never touches `content`/`embedding` bytes, so at 100 TB
+the scan is bounded by the postings slice for the query terms (predicate
+pushdown on `term`).
+
+Formula (k1=1.2, b=0.75, config.py):
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn(t,d)= tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score   = sum over distinct query terms of idf * tfn
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BM25_B, BM25_K1, SCORE_ROUND
+from ..functions.text import dd_tokenize, tokenize
+
+
+def tokenize_docs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize(F.col(text_col)).alias("toks"))
+
+
+def build_fts_index(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> dict[str, DataFrame]:
+    """Derive the four FTS index tables (SURVEY.md §4.3 layout)."""
+    toks = tokenize_docs(docs, id_col, text_col)
+    docstats = toks.select("doc_id", F.size("toks").alias("dl"))
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus_stats = docstats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return {
+        "postings": postings,
+        "docfreq": docfreq,
+        "docstats": docstats,
+        "corpus_stats": corpus_stats,
+    }
+
+
+def bm25_scores(index: dict[str, DataFrame], query_terms: list[str]) -> DataFrame:
+    """(doc_id, score) for every doc matching >=1 query term (score desc-able).
+
+    `term.isin(qterms)` is pushed down to the postings scan; docfreq and
+    corpus_stats sides are broadcast (both tiny after the same pushdown).
+    """
+    qterms = sorted(set(query_terms))
+    postings = index["postings"].where(F.col("term").isin(qterms))
+    docfreq = index["docfreq"].where(F.col("term").isin(qterms))
+    scored = (
+        postings
+        .join(F.broadcast(docfreq), "term")
+        .join(index["docstats"], "doc_id")
+        .crossJoin(F.broadcast(index["corpus_stats"]))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "tfn",
+            F.col("tf") * F.lit(BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * F.col("tfn")), SCORE_ROUND).alias("score"))
+    )
+    return scored
+
+
+def bm25_topk(docs: DataFrame, query: str, k: int,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """End-to-end BM25 top-k from a raw document table (Q3 in SURVEY.md §2.3)."""
+    from ..models.tokenizer import tokenize_query
+
+    index = build_fts_index(docs, id_col, text_col)
+    return (
+        bm25_scores(index, tokenize_query(query))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# --- DuckDB oracle SQL ------------------------------------------------------
+
+
+def dd_fts_index_ctes(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Shared CTE block defining the same index tables in DuckDB SQL."""
+    return f"""
+toks AS (
+  SELECT {id_col} AS doc_id, {dd_tokenize(text_col)} AS toks FROM {table}
+),
+docstats AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+corpus_stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docstats
+),
+postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY term, doc_id
+),
+docfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term)
+""".strip()
+
+
+def dd_bm25_scored_cte(query_terms: list[str]) -> str:
+    """CTE `bm25_scored(doc_id, score)` — mirrors :func:`bm25_scores`."""
+    qterms = sorted(set(query_terms))
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in qterms)
+    return f"""
+bm25_scored AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1.0 + (cs.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * {BM25_K1 + 1.0}
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.dl / cs.avgdl))
+         ), {SCORE_ROUND}) AS score
+  FROM postings p
+  JOIN docfreq d USING (term)
+  JOIN docstats ds USING (doc_id)
+  CROSS JOIN corpus_stats cs
+  WHERE p.term IN ({qlist})
+  GROUP BY p.doc_id
+)
+""".strip()
+
+
+def dd_bm25_topk_sql(query_terms: list[str], k: int,
+                     table: str = "documents") -> str:
+    return f"""
+WITH {dd_fts_index_ctes(table)},
+{dd_bm25_scored_cte(query_terms)}
+SELECT doc_id, score FROM bm25_scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()

@@ -1,0 +1,118 @@
+"""Doc-search query registrations (SURVEY.md §2.3 Q1-Q13 + index tables).
+
+Fixed query/k constants make each entry a deterministic, oracle-comparable
+query over the driver's `documents`/`embeddings` parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SCORE_ROUND
+from ..index.catalog import load_table
+from ..models.embedder import hash_embed_text
+from ..models.tokenizer import tokenize_query
+from ..operators import bm25, knn
+from ..search import engine
+from .registry import register
+
+QUERY = "spark vector join fast merge"
+TOP_K = 10
+QTERMS = tokenize_query(QUERY)
+QVEC = hash_embed_text(QUERY)
+FETCH_IDS = [3, 17, 42, 99, 123, 256, 404, 499]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- FTS index tables (S3/S4 build side) ------------------------------------
+
+
+@register(
+    "fts_postings",
+    oracle=f"""
+WITH {bm25.dd_fts_index_ctes()}
+SELECT term, doc_id, tf FROM postings
+""".strip(),
+)
+def fts_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.build_fts_index(_docs(spark, sf_dir))["postings"].select(
+        "term", "doc_id", "tf"
+    )
+
+
+@register(
+    "fts_docfreq",
+    oracle=f"""
+WITH {bm25.dd_fts_index_ctes()}
+SELECT term, df FROM docfreq
+""".strip(),
+)
+def fts_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.build_fts_index(_docs(spark, sf_dir))["docfreq"].select("term", "df")
+
+
+@register(
+    "fts_corpus_stats",
+    oracle=f"""
+WITH {bm25.dd_fts_index_ctes()}
+SELECT n_docs, round(avgdl, {SCORE_ROUND}) AS avgdl FROM corpus_stats
+""".strip(),
+)
+def fts_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = bm25.build_fts_index(_docs(spark, sf_dir))["corpus_stats"]
+    return cs.select("n_docs", F.round("avgdl", SCORE_ROUND).alias("avgdl"))
+
+
+# --- Query-side operators ----------------------------------------------------
+
+
+@register("bm25_topk", oracle=bm25.dd_bm25_topk_sql(QTERMS, TOP_K))
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.bm25_topk(_docs(spark, sf_dir), QUERY, TOP_K)
+
+
+@register("cosine_topk", oracle=knn.dd_cosine_distance_topk_sql(QVEC, TOP_K))
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn.cosine_distance_topk(_emb(spark, sf_dir), QVEC, TOP_K)
+
+
+@register(
+    "hybrid_search_fused",
+    oracle=engine.dd_hybrid_search_sql(QUERY, TOP_K, rerank=False),
+)
+def hybrid_search_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engine.hybrid_search(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), QUERY, TOP_K, rerank=False
+    )
+
+
+@register(
+    "hybrid_search_reranked",
+    oracle=engine.dd_hybrid_search_sql(QUERY, TOP_K, rerank=True),
+)
+def hybrid_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engine.hybrid_search(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), QUERY, TOP_K, rerank=True
+    )
+
+
+@register(
+    "doc_fetch_by_ids",
+    oracle=(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"WHERE doc_id IN ({', '.join(map(str, FETCH_IDS))})"
+    ),
+)
+def doc_fetch_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: IN-list fetch (searcher.py:172-180) — broadcast semi-join shape."""
+    return _docs(spark, sf_dir).where(F.col("doc_id").isin(FETCH_IDS)).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

@@ -1,0 +1,60 @@
+"""Registry of driver-checkable queries.
+
+Every operator the engine claims (SURVEY.md §2 inventory + the LLM-pipeline
+extensions) registers here as a (Spark callable, DuckDB oracle SQL) pair;
+``__spark_entry__.py`` re-exports the registry to the correctness driver.
+Oracle is None only for genuinely non-SQL-expressible ops (the driver then
+records a weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = QueryDef(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    _load_all()
+    return {name: qd.spark_fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {
+        name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None
+    }
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import doc_search_queries  # noqa: F401
+
+    _LOADED = True

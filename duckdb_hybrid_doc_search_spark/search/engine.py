@@ -1,0 +1,110 @@
+"""Hybrid search — the reference's full query lifecycle as ONE Spark plan.
+
+Reference flow (searcher.py:76-322, traced in SURVEY.md §3.2):
+  Q1 tokenize query -> Q2 embed query -> Q3 BM25 top-k -> Q4 cosine top-k ->
+  Q5/Q7 candidate merge -> Q8 fusion -> Q6 fetch display cols ->
+  Q10 sort -> Q11 rerank -> Q12 threshold(0.01) -> Q13 limit(top_k).
+
+Here Q3..Q13 compose into a single lazy DataFrame: Catalyst pushes the
+query-term filter into the postings scan, broadcasts the two <=k-row
+candidate sets, and the display-column fetch is a semi-join against the wide
+`documents` table that touches only the <=2k candidate row groups. The
+driver only computes q_tokens/q_vec (Q1/Q2) — tiny literals bound into the
+plan — and collects <=k rows at the end.
+
+Quirks preserved (SURVEY.md §2.6): raw-scale fusion (BM25 desc vs cosine
+distance asc), NULL = branch-missing, threshold AFTER rerank, per-branch
+top-k AND final top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SCORE_ROUND, SCORE_THRESHOLD, TOP_K_DEFAULT
+from ..functions.fusion import dd_fuse_scores, fuse_scores
+from ..models.embedder import hash_embed_text
+from ..models.reranker import dd_overlap_rerank, overlap_rerank_expr
+from ..models.tokenizer import tokenize_query
+from ..operators.bm25 import (bm25_scores, build_fts_index,
+                              dd_bm25_scored_cte, dd_fts_index_ctes)
+from ..operators.knn import cosine_distance_topk, dd_vss_scored_cte
+
+DISPLAY_COLS = ["lang", "source"]
+
+
+def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
+                  top_k: int = TOP_K_DEFAULT, rerank: bool = False,
+                  threshold: float = SCORE_THRESHOLD) -> DataFrame:
+    """Full hybrid search over (documents, embeddings) driver tables.
+
+    Returns doc_id, score, fts_score, vss_score + display columns, ordered
+    by score desc (doc_id tiebreak), <= top_k rows.
+    """
+    qterms = tokenize_query(query)
+    qvec = hash_embed_text(query)
+
+    index = build_fts_index(docs)
+    fts = (
+        bm25_scores(index, qterms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+        .withColumnRenamed("score", "fts_score")
+    )
+    vss = cosine_distance_topk(embeddings, qvec, top_k)
+
+    fused = (
+        fts.join(vss, "doc_id", "full_outer")
+        .withColumn(
+            "score",
+            F.round(fuse_scores(F.col("fts_score"), F.col("vss_score")),
+                    SCORE_ROUND),
+        )
+    )
+
+    # Q6 fetch: candidate set is <=2k rows -> broadcast semi-join side.
+    out = fused.join(docs, "doc_id", "inner")
+    if rerank:
+        out = out.withColumn(
+            "score",
+            F.round(overlap_rerank_expr(F.col("text"), qterms), SCORE_ROUND),
+        )
+    return (
+        out.where(F.col("score") > F.lit(threshold))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+        .select("doc_id", "score", "fts_score", "vss_score", *DISPLAY_COLS)
+    )
+
+
+def dd_hybrid_search_sql(query: str, top_k: int = TOP_K_DEFAULT,
+                         rerank: bool = False,
+                         threshold: float = SCORE_THRESHOLD) -> str:
+    """DuckDB oracle for :func:`hybrid_search` over the same parquet views."""
+    qterms = tokenize_query(query)
+    qvec = hash_embed_text(query)
+    score_expr = (
+        dd_overlap_rerank("d.text", qterms)
+        if rerank
+        else dd_fuse_scores("m.fts_score", "m.vss_score")
+    )
+    display = ", ".join(f"d.{c}" for c in DISPLAY_COLS)
+    return f"""
+WITH {dd_fts_index_ctes()},
+{dd_bm25_scored_cte(qterms)},
+fts_topk AS (
+  SELECT doc_id, score AS fts_score FROM bm25_scored
+  ORDER BY score DESC, doc_id ASC LIMIT {top_k}
+),
+{dd_vss_scored_cte(qvec, top_k)},
+merged AS (
+  SELECT doc_id, f.fts_score, v.vss_score
+  FROM fts_topk f FULL OUTER JOIN vss_scored v USING (doc_id)
+)
+SELECT m.doc_id, round({score_expr}, {SCORE_ROUND}) AS score,
+       m.fts_score, m.vss_score, {display}
+FROM merged m JOIN documents d USING (doc_id)
+WHERE round({score_expr}, {SCORE_ROUND}) > {threshold}
+ORDER BY score DESC, m.doc_id ASC LIMIT {top_k}
+""".strip()

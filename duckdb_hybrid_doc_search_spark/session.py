@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what the production deployment would set cluster-wide:
+AQE on (runtime re-plan, skew-join splitting), Arrow on (every pandas_udf
+crossing is batched), shuffle partitions sized to cores instead of the 200
+default, UTC session timezone so timestamp results are comparable with the
+DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "hybrid-doc-search", cpus: int | None = None) -> SparkSession:
+    n = cpus or cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        # one shuffle partition per core: local mode has no network shuffle,
+        # 200 partitions on 60k rows is pure overhead, and at cluster scale
+        # this knob is set to ~2-3x total cores by the deployment config.
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # broadcast anything under 32 MB: query-term lists, candidate-id sets,
+        # docfreq slices and dimension tables are all provably tiny.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
