@@ -1,0 +1,373 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+These generalize the reference's parts (tokenizer T7, postings layout Q3)
+into the dedup family a 100 TB corpus pipeline needs (project north-star):
+
+- exact:       hash-groupBy on content fingerprint (one shuffle, partial agg)
+- minhash LSH: shingle -> md5 minhash signature -> banded bucket self-join.
+  Only documents sharing a band bucket are ever paired, so the pair space
+  is bucket-local — THE scale path for near-dup at 100 TB.
+- n-gram Jaccard (exact): inverted-index co-occurrence join — pairs sharing
+  >=1 shingle, |A∩B| from a groupBy, |A∪B| = |A|+|B|-|A∩B|. Never
+  materializes the full N² pair matrix.
+- simhash: per-token signed bit votes -> 32-bit signature per doc; hamming
+  candidates join on signature bands.
+- embedding cosine: exact pairwise above a threshold (test scale); the LSH
+  route for production lives in operators/knn.py + this module's banding.
+
+All hashing is md5-based (functions/hashing.py) so every stage is
+reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SCORE_ROUND
+from ..functions.hashing import dd_h64, h64
+from ..functions.text import dd_shingles, dd_tokenize, shingles, tokenize
+from ..functions.vector import dd_cosine_similarity, cosine_similarity
+
+SHINGLE_N = 3
+MINHASH_NUM = 16
+MINHASH_BANDS = 8  # 8 bands x 2 rows: P(candidate | J=0.5) ~ 0.90
+MINHASH_ROWS = MINHASH_NUM // MINHASH_BANDS
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.4
+SIMHASH_BITS = 32
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): DISTINCT shingles per document."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(tokenize(F.col("text")), SHINGLE_N)).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: fingerprint, group size, kept doc_id.
+
+    One hash shuffle on the fingerprint; map-side partial aggregation makes
+    this linear in corpus size regardless of duplicate skew.
+    """
+    return (
+        docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh): per-seed minhash over distinct shingles."""
+    sh = _doc_shingles(docs)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_NUM - 1))).alias("seed"),
+        F.col("s"),
+    )
+    return (
+        seeded.select(
+            "doc_id",
+            "seed",
+            h64(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("s"))).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH, with the estimated
+    Jaccard (fraction of agreeing minhashes) filtered at JACCARD_THRESHOLD.
+
+    Output: doc_a, doc_b, est_jaccard.
+    """
+    sig = minhash_signatures(docs).cache()
+    bands = (
+        sig.withColumn("band", (F.col("seed") / F.lit(MINHASH_ROWS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("seed"), F.col("mh")))
+                        ),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sig.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.seed") == F.col("sb.seed")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("sa.mh") == F.col("sb.mh"), 1.0).otherwise(0.0)
+                ),
+                SCORE_ROUND,
+            ).alias("est_jaccard")
+        )
+    )
+    return est.where(F.col("est_jaccard") >= F.lit(JACCARD_THRESHOLD))
+
+
+def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs >= JACCARD_THRESHOLD.
+
+    Inverted-index co-occurrence join: only documents sharing a shingle meet,
+    so cost tracks true overlap instead of N².
+    Output: doc_a, doc_b, jaccard.
+    """
+    d = _doc_shingles(docs)
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    co = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        co.join(sizes.withColumnRenamed("n", "na"), co.doc_a == sizes.doc_id)
+        .drop("doc_id")
+        .join(
+            sizes.withColumnRenamed("n", "nb").withColumnRenamed("doc_id", "db2"),
+            F.col("doc_b") == F.col("db2"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), SCORE_ROUND
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit simhash from tf-weighted token-bit votes.
+
+    No explode-per-bit: the 32 bit-sums are wide aggregate expressions over
+    the (doc, term, tf) table — one shuffle, codegen-friendly.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", h64(F.col("term")))
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_embedding_cosine(emb: DataFrame) -> DataFrame:
+    """Exact pairwise embedding near-dups >= COSINE_DUP_THRESHOLD.
+
+    Block-matrix design: one side of the self-join is L2-normalized into a
+    single matrix and broadcast to executors; each Arrow batch of the other
+    side is a numpy GEMM against it (chunk x dim @ dim x N), so per-pair
+    cost is a fused vector op instead of an interpreted expression — the
+    same tiling a 100 TB run uses, with the broadcast side bounded exactly
+    like any broadcast join. Beyond broadcast size, pre-bucket the pair
+    space with minhash/LSH or IVF cells (this module / operators/knn.py)
+    and run the same GEMM per bucket.
+
+    Output: vec_a, vec_b, cos_sim (vec_a < vec_b).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_pairs(batches):
+        b_ids, b_mat = bc.value
+        for chunk in batches:
+            a_ids = chunk["vec_id"].to_numpy()
+            a_mat = np.stack(chunk["embedding"].to_numpy()).astype("float64")
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = np.round(a_mat @ b_mat.T, SCORE_ROUND)
+            ai, bi = np.nonzero(
+                (sims >= COSINE_DUP_THRESHOLD)
+                & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bi],
+                    "cos_sim": sims[ai, bi],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        block_pairs, "vec_a long, vec_b long, cos_sim double"
+    )
+
+
+# --- DuckDB oracle SQL ------------------------------------------------------
+
+
+def dd_doc_shingles_cte(table: str = "documents") -> str:
+    toks = dd_tokenize("text")
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest({dd_shingles(toks, SHINGLE_N)}) AS s FROM {table}
+  )
+)
+""".strip()
+
+
+def dd_dedup_exact_sql(table: str = "documents") -> str:
+    return f"""
+SELECT md5(text) AS fp, count(*)::BIGINT AS cnt, min(doc_id) AS keep_id
+FROM {table} GROUP BY md5(text)
+""".strip()
+
+
+def dd_minhash_sig_cte() -> str:
+    mh_hash = dd_h64("seed::VARCHAR || '#' || s")
+    return f"""
+sig AS (
+  SELECT doc_id, seed, min({mh_hash}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range({MINHASH_NUM})) AS seed)
+  GROUP BY doc_id, seed
+)
+""".strip()
+
+
+def dd_dedup_minhash_lsh_sql(table: str = "documents") -> str:
+    return f"""
+WITH {dd_doc_shingles_cte(table)},
+{dd_minhash_sig_cte()},
+bands AS (
+  SELECT doc_id, (seed // {MINHASH_ROWS})::INT AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bsig
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), {SCORE_ROUND}) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sa.seed = sb.seed
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {JACCARD_THRESHOLD}
+""".strip()
+
+
+def dd_dedup_ngram_jaccard_sql(table: str = "documents") -> str:
+    return f"""
+WITH {dd_doc_shingles_cte(table)},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), {SCORE_ROUND}) AS jaccard
+FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+        JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE round(c * 1.0 / (sa.n + sb.n - c), {SCORE_ROUND}) >= {JACCARD_THRESHOLD}
+""".strip()
+
+
+def dd_simhash_sql(table: str = "documents") -> str:
+    h = dd_h64("term")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, {h} AS h
+  FROM (SELECT doc_id, unnest({dd_tokenize('text')}) AS term FROM {table})
+  GROUP BY doc_id, term
+),
+bit_sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, ({combine}) AS simhash FROM bit_sums
+""".strip()
+
+
+def dd_dedup_embedding_cosine_sql(table: str = "embeddings") -> str:
+    cs = dd_cosine_similarity("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cs}, {SCORE_ROUND}) AS cos_sim
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE round({cs}, {SCORE_ROUND}) >= {COSINE_DUP_THRESHOLD}
+""".strip()

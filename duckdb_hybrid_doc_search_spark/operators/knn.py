@@ -63,7 +63,122 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+CENTROID_MOD = 50  # deterministic centroid pick: vec_id % CENTROID_MOD == 0
+NPROBE = 2
+
+
+def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) for the IVF index.
+
+    Centroids are a deterministic subsample (vec_id % CENTROID_MOD == 0 —
+    a k-means stand-in that keeps the oracle exact); every vector is
+    assigned to its nearest centroid by cosine (tie -> lower centroid id).
+    The centroid set is tiny and broadcast; assignment is one scan.
+    """
+    cent = emb.where(F.col(id_col) % CENTROID_MOD == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    sims = emb.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).crossJoin(F.broadcast(cent)).select(
+        "c_id",
+        "cent_id",
+        F.round(V.cosine_similarity(F.col("c_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("csim"),
+    )
+    w = Window.partitionBy("c_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_id", F.col("cent_id").alias("cell"))
+    )
+    return cent, assign
+
+
+def ivf_topk(emb: DataFrame, k: int, n_queries: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-bucketed ANN: probe the NPROBE nearest cells per query, exact
+    top-k inside the probed cells only — the 100 TB scale path where the
+    full-corpus scan of cosine_distance_topk is replaced by reading ~
+    nprobe/n_cells of the data. Approximate by construction; recall vs the
+    exact scan is a quality metric, not a correctness bug (flagged, not
+    hidden — SURVEY.md §4.1)."""
+    cent, assign = ivf_assign(emb, id_col, vec_col)
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id", "q_vec", "cent_id",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("qsim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("q_id", "q_vec", F.col("cent_id").alias("cell"))
+    )
+    cand = probes.join(assign, "cell").join(
+        emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_id",
+    )
+    scored = cand.select(
+        "q_id", "c_id",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
+                SCORE_ROUND).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+    )
+
+
 # --- DuckDB oracle SQL ------------------------------------------------------
+
+
+def dd_ivf_topk_sql(k: int, n_queries: int = 10, table: str = "embeddings",
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    csim = V.dd_cosine_similarity("e.c_vec", "c.cvec")
+    qsim = V.dd_cosine_similarity("q.q_vec", "c.cvec")
+    sim = V.dd_cosine_similarity("p.q_vec", "e2.c_vec")
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
+  WHERE {id_col} % {CENTROID_MOD} = 0
+),
+e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
+assign AS (
+  SELECT c_id, cent_id AS cell FROM (
+    SELECT e.c_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.c_id
+             ORDER BY round({csim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+      WHERE {id_col} < {n_queries}),
+probes AS (
+  SELECT q_id, q_vec, cent_id AS cell FROM (
+    SELECT q.q_id, q.q_vec, c.cent_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({qsim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT p.q_id, a.c_id, round({sim}, {SCORE_ROUND}) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  JOIN e e2 ON e2.c_id = a.c_id
+)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
 
 
 def dd_cosine_distance_topk_sql(query_vec: Sequence[float], k: int,

@@ -1,0 +1,204 @@
+"""Corpus text-analytics operators (pipeline north-star: language-ID,
+quality scoring, token counting, fingerprinting, term statistics).
+
+All pure Spark SQL expressions — no Python in the data path — with paired
+DuckDB oracle SQL. Built from the same parts as the search engine's FTS
+index (tokenize -> explode -> groupBy), so at 100 TB these share scan and
+shuffle structure with index construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SCORE_ROUND
+from ..functions.text import dd_tokenize, tokenize
+
+# Marker stopwords per language for the n-gram-free language-ID heuristic.
+# Deterministic, tiny, broadcast as literals into the plan.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "que", "y", "es", "un"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+# quality score weights: token diversity, length saturation, alnum ratio
+QW_DIVERSITY = 0.4
+QW_LENGTH = 0.3
+QW_ALNUM = 0.3
+QLEN_SATURATION = 100.0  # n_tokens at which the length component saturates
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counting: whitespace-ish tokens, distinct tokens,
+    average token length, and a BPE-ish subword estimate (chars/4)."""
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks),
+            SCORE_ROUND,
+        ).alias("avg_token_len"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1]:
+    diversity (distinct/total tokens) * 0.4
+    + min(1, n_tokens/100) * 0.3
+    + alnum-char ratio * 0.3, plus a stopword ratio column."""
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n
+    length_score = F.least(F.lit(1.0), n / F.lit(QLEN_SATURATION))
+    alnum = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")) / F.length(
+        "text"
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / n
+    )
+    return docs.select(
+        "doc_id",
+        F.round(
+            diversity * QW_DIVERSITY
+            + length_score * QW_LENGTH
+            + alnum * QW_ALNUM,
+            SCORE_ROUND,
+        ).alias("quality"),
+        F.round(stop_ratio, SCORE_ROUND).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-stopword-voting language ID: score per language = fraction of
+    tokens in that language's marker list; argmax, alphabetical tiebreak."""
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.round(
+                F.size(F.filter(toks, lambda t: t.isin(ws))) / n, SCORE_ROUND
+            ).alias(f"score_{lang}")
+            for lang, ws in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    return scored.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        best.alias("lang_score"),
+        *[f"score_{lg}" for lg in langs],
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Normalized content fingerprint: md5 over the token stream (so
+    whitespace/punctuation variations collapse — unlike dedup_exact's
+    raw-text fingerprint)."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(tokenize(F.col("text")), " ")).alias("fingerprint"),
+    )
+
+
+def term_frequencies(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Global top-N terms: corpus analytics from the postings layout."""
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
+# --- DuckDB oracle SQL ------------------------------------------------------
+
+
+def _dd_toks() -> str:
+    return dd_tokenize("text")
+
+
+def dd_token_stats_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_dd_toks()} AS toks FROM {table})
+SELECT doc_id,
+       len(toks)::INT AS n_tokens,
+       len(list_distinct(toks))::INT AS n_distinct,
+       round(list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks),
+             {SCORE_ROUND}) AS avg_token_len,
+       ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens
+FROM t
+""".strip()
+
+
+def dd_quality_scores_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, text, {_dd_toks()} AS toks FROM {table})
+SELECT doc_id,
+       round(
+         (len(list_distinct(toks)) * 1.0 / len(toks)) * {QW_DIVERSITY}
+         + least(1.0, len(toks) / {QLEN_SATURATION}) * {QW_LENGTH}
+         + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
+            / length(text)) * {QW_ALNUM},
+         {SCORE_ROUND}) AS quality,
+       round(len(list_filter(toks, x -> x IN ({stop_list}))) * 1.0 / len(toks),
+             {SCORE_ROUND}) AS stopword_ratio
+FROM t
+""".strip()
+
+
+def dd_language_id_sql(table: str = "documents") -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        f"round(len(list_filter(toks, x -> x IN "
+        f"({', '.join(repr(w) for w in LANG_MARKERS[lg])}))) * 1.0 / len(toks),"
+        f" {SCORE_ROUND}) AS score_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, {_dd_toks()} AS toks FROM {table}),
+scored AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM t
+)
+SELECT doc_id, {pred} AS predicted_lang, {best} AS lang_score,
+       {', '.join(f'score_{lg}' for lg in langs)}
+FROM scored
+""".strip()
+
+
+def dd_doc_fingerprints_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id, md5(array_to_string({_dd_toks()}, ' ')) AS fingerprint
+FROM {table}
+""".strip()
+
+
+def dd_term_frequencies_sql(top_n: int = 50, table: str = "documents") -> str:
+    return f"""
+SELECT term, count(*)::BIGINT AS cnt
+FROM (SELECT unnest({_dd_toks()}) AS term FROM {table})
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {top_n}
+""".strip()

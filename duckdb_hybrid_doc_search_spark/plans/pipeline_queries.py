@@ -1,0 +1,109 @@
+"""LLM-data-pipeline operator registrations: dedup family, text analytics,
+similarity search (brute-force + IVF) — the north-star extensions beyond the
+reference's own surface, each gated against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.catalog import load_table
+from ..operators import dedup, knn, textstats
+from .registry import register
+
+ANN_K = 5
+ANN_N_QUERIES = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- dedup family ------------------------------------------------------------
+
+
+@register("dedup_exact", oracle=dedup.dd_dedup_exact_sql())
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh", oracle=dedup.dd_dedup_minhash_lsh_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_minhash_lsh(_docs(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard", oracle=dedup.dd_dedup_ngram_jaccard_sql())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash", oracle=dedup.dd_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+@register("dedup_embedding_cosine", oracle=dedup.dd_dedup_embedding_cosine_sql())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_embedding_cosine(_emb(spark, sf_dir))
+
+
+# --- text analytics ----------------------------------------------------------
+
+
+@register("text_token_stats", oracle=textstats.dd_token_stats_sql())
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+@register("text_quality_scores", oracle=textstats.dd_quality_scores_sql())
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+@register("text_language_id", oracle=textstats.dd_language_id_sql())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+@register("text_fingerprints", oracle=textstats.dd_doc_fingerprints_sql())
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprints(_docs(spark, sf_dir))
+
+
+@register("text_term_frequencies", oracle=textstats.dd_term_frequencies_sql())
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.term_frequencies(_docs(spark, sf_dir))
+
+
+# --- similarity search -------------------------------------------------------
+
+
+_KNN_QUERIES_SQL = (
+    f"SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings "
+    f"WHERE vec_id < {ANN_N_QUERIES}"
+)
+
+
+@register(
+    "ann_brute_topk",
+    oracle=knn.dd_knn_join_sql(ANN_K, _KNN_QUERIES_SQL),
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return knn.knn_join(queries, corpus, ANN_K)
+
+
+@register("ann_ivf_topk", oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn.ivf_topk(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
