@@ -1,0 +1,153 @@
+"""Event-stream operators: sessionization, tumbling-window aggregation,
+pivot, JSON extraction.
+
+Batch definitions live here (oracle-gated); the Structured Streaming
+equivalents (watermark + window) are in streaming/events.py, with tests
+asserting stream output == these batch results — Spark's unified batch/
+stream semantics make the batch query the specification.
+
+All timestamps are carried as epoch MICROSECOND longs — the one
+representation both engines agree on bit-exactly. The parquet `ts` column is
+nanosecond-precision, which Spark reads as a nanos LONG (see session.py
+`nanosAsLong`); `ts div 1000` truncates to micros exactly like DuckDB's
+ns->us conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
+WINDOW_SECONDS = 86_400  # 1-day tumbling windows
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+VALUE_ROUND = 6
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization: lag -> new-session flag -> running sum as
+    session number -> per-session aggregates. Two window passes over the
+    same (user_id, ts) partitioning — one shuffle, reused by both."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    e = events.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "value"
+    )
+    flagged = e.withColumn(
+        "brk",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(
+            F.when(F.lag("us").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    sess = flagged.withColumn("session_no", F.sum("brk").over(wrun))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), VALUE_ROUND).alias("sum_value"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+    )
+
+
+def dd_sessionize_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(us) OVER w IS NULL THEN 1
+         WHEN us - lag(us) OVER w > {SESSION_GAP_US} THEN 1
+         ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+       round(sum(value), {VALUE_ROUND}) AS sum_value,
+       min(us) AS start_us, max(us) AS end_us
+FROM sess GROUP BY user_id, session_no
+""".strip()
+
+
+def windowed_agg(events: DataFrame) -> DataFrame:
+    """1-day tumbling-window counts/sums per event_type (batch form of the
+    streaming query in streaming/events.py)."""
+    wstart = F.expr(
+        f"ts div 1000 div 1000000 div {WINDOW_SECONDS} * {WINDOW_SECONDS}"
+    )
+    return (
+        events.groupBy(
+            wstart.alias("window_start"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), VALUE_ROUND).alias("sum_value"),
+        )
+    )
+
+
+def dd_windowed_agg_sql() -> str:
+    return f"""
+SELECT (epoch_us(ts) // 1000000) // {WINDOW_SECONDS} * {WINDOW_SECONDS} AS window_start,
+       event_type, count(*)::BIGINT AS n,
+       round(sum(value), {VALUE_ROUND}) AS sum_value
+FROM events GROUP BY 1, 2
+""".strip()
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Per-user event-type counts as columns (pivot with a FIXED value list
+    — unbounded pivots don't scale; the set is part of the schema)."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+def dd_event_type_pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"count(*) FILTER (event_type = '{t}')::BIGINT AS \"{t}\""
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id ORDER BY user_id
+""".strip()
+
+
+def props_json_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull props.k (JSON) and aggregate."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def dd_props_json_stats_sql() -> str:
+    return """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()

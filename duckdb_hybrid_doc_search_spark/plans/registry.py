@@ -55,6 +55,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import doc_search_queries, pipeline_queries  # noqa: F401
+    from . import (doc_search_queries, pipeline_queries,  # noqa: F401
+                   relational_queries)
 
     _LOADED = True

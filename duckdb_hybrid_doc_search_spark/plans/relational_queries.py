@@ -1,0 +1,92 @@
+"""Relational + event-stream query registrations (star schema, SURVEY.md
+§2.4 general-operator surface + streaming north-star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..index.catalog import load_table
+from ..operators import events, relational
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register("tpch_q1_pricing_summary", oracle=relational.dd_tpch_q1_sql())
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q1(_t(spark, sf_dir, "lineitem"))
+
+
+@register("tpch_q3_shipping_priority", oracle=relational.dd_tpch_q3_sql())
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q3(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("tpch_q5_region_revenue", oracle=relational.dd_tpch_q5_sql())
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q5(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle=relational.dd_top_orders_per_customer_sql(),
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_per_customer(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "customer_nation_stats", oracle=relational.dd_customer_nation_stats_sql()
+)
+def customer_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_nation_stats(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+    )
+
+
+@register("lineitem_rollup", oracle=relational.dd_lineitem_rollup_sql())
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.lineitem_rollup(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "orders_running_revenue",
+    oracle=relational.dd_orders_running_revenue_sql(),
+)
+def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.orders_running_revenue(_t(spark, sf_dir, "orders"))
+
+
+@register("events_sessionization", oracle=events.dd_sessionize_sql())
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(_t(spark, sf_dir, "events"))
+
+
+@register("events_windowed_agg", oracle=events.dd_windowed_agg_sql())
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.windowed_agg(_t(spark, sf_dir, "events"))
+
+
+@register("events_type_pivot", oracle=events.dd_event_type_pivot_sql())
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.event_type_pivot(_t(spark, sf_dir, "events"))
+
+
+@register("events_props_json_stats", oracle=events.dd_props_json_stats_sql())
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.props_json_stats(_t(spark, sf_dir, "events"))

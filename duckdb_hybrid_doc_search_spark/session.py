@@ -36,6 +36,10 @@ def get_spark(app_name: str = "hybrid-doc-search", cpus: int | None = None) -> S
         # broadcast anything under 32 MB: query-term lists, candidate-id sets,
         # docfreq slices and dimension tables are all provably tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # the events table carries nanosecond timestamps, which Spark's
+        # parquet reader rejects by default; read them as (nanos) longs and
+        # convert explicitly (operators/events.py works in epoch micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
