@@ -55,7 +55,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import (doc_search_queries, pipeline_queries,  # noqa: F401
-                   relational_queries)
+    from . import (chunker_queries, doc_search_queries,  # noqa: F401
+                   pipeline_queries, relational_queries)
 
     _LOADED = True

@@ -1,0 +1,142 @@
+"""Search over a BUILT index directory — the reference's full search
+lifecycle (searcher.py:76-322) against the Parquet index tables.
+
+This is the product surface a reference user lands on: open an index,
+issue a query string, get ranked result dicts with the exact field set of
+searcher.py:243-255 (doc_id, file_path, header_path, line_start, line_end,
+content, score, fts_score, vss_score). All of Q3..Q13 composes into one
+lazy plan per query; the index DataFrames persist across queries in the
+session (the Spark analogue of the reference's long-lived read-only
+connection, cli.py:325).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SCORE_ROUND, SCORE_THRESHOLD, TOP_K_DEFAULT
+from ..functions.fusion import fuse_scores
+from ..functions.vector import cosine_distance, lit_vector
+from ..models.embedder import hash_embed_text
+from ..models.reranker import cross_encoder_scores
+from ..models.tokenizer import tokenize_query
+from ..operators.bm25 import bm25_scores
+from ..operators.chunker_core import add_path_prefix, trim_path_prefix
+from .engine import DISPLAY_COLS  # noqa: F401  (kept for API symmetry)
+
+RESULT_FIELDS = ("doc_id", "file_path", "header_path", "line_start",
+                 "line_end", "content", "score", "fts_score", "vss_score")
+
+
+class DocSearchEngine:
+    """Long-lived engine over one index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 embedding_model: str | None = None):
+        from ..index.builder import read_meta, resolve_model
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = read_meta(index_dir)
+        self.model, self.backend, self.dim = resolve_model(
+            index_dir, embedding_model
+        )
+        load = lambda t: spark.read.parquet(f"{index_dir}/{t}")  # noqa: E731
+        self.documents = load("documents").persist()
+        self.embeddings = load("embeddings").persist()
+        self.index = {
+            "postings": load("postings").persist(),
+            "docfreq": load("docfreq").persist(),
+            "docstats": load("docstats").persist(),
+            "corpus_stats": load("corpus_stats").persist(),
+        }
+
+    def _embed_query(self, query: str) -> list[float]:
+        if self.backend == "hash":
+            return hash_embed_text(query, self.dim)
+        from ..models.embedder import _ST_MODELS  # executor/driver cache
+
+        try:  # real model on the driver (Q2, searcher.py:109)
+            from sentence_transformers import SentenceTransformer
+
+            m = _ST_MODELS.get(self.model)
+            if m is None:
+                m = _ST_MODELS[self.model] = SentenceTransformer(self.model)
+            return [float(x) for x in m.encode([query])[0]]
+        except ImportError:
+            return hash_embed_text(query, self.dim)
+
+    def search(self, query: str, top_k: int = TOP_K_DEFAULT,
+               rerank: bool = True,
+               add_prefix: str | None = None,
+               remove_prefix: str | None = None) -> list[dict[str, Any]]:
+        qterms = tokenize_query(query, backend=self.meta.get("tokenizer",
+                                                            "jp_heuristic"))
+        qvec = self._embed_query(query)
+
+        fts = (
+            bm25_scores(self.index, qterms)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
+            .withColumnRenamed("score", "fts_score")
+        )
+        vss = (
+            self.embeddings.select(
+                "doc_id",
+                F.round(
+                    cosine_distance(F.col("embedding"), lit_vector(qvec)),
+                    SCORE_ROUND,
+                ).alias("vss_score"),
+            )
+            .orderBy(F.asc("vss_score"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+        fused = fts.join(vss, "doc_id", "full_outer").withColumn(
+            "score",
+            F.round(fuse_scores(F.col("fts_score"), F.col("vss_score")),
+                    SCORE_ROUND),
+        )
+        rows = [
+            r.asDict()
+            for r in fused.join(self.documents, "doc_id").select(
+                *[c for c in RESULT_FIELDS if c not in ("score",)],
+                "score",
+            ).collect()
+        ]
+
+        if rerank and rows:
+            rows = self._rerank(query, qterms, rows)
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        rows = [r for r in rows if r["score"] > SCORE_THRESHOLD][:top_k]
+        for r in rows:
+            p = trim_path_prefix(r["file_path"], remove_prefix)
+            r["file_path"] = add_path_prefix(p, add_prefix)
+        return [{k: r[k] for k in RESULT_FIELDS} for r in rows]
+
+    def _rerank(self, query: str, qterms: list[str],
+                rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        """Q11 with the reference's fallback ladder (searcher.py:261-310):
+        CrossEncoder if available, else deterministic token overlap; any
+        failure keeps the original fused scores."""
+        scores = None
+        if self.backend == "sentence-transformers":
+            scores = cross_encoder_scores(
+                query, [r["content"] for r in rows], self.model
+            )
+        if scores is None:  # deterministic overlap reranker (FIXTURES.md §C)
+            qset = set(qterms)
+            if not qset:
+                return rows
+            tok = self.meta.get("tokenizer", "jp_heuristic")
+            scores = [
+                len(qset & set(tokenize_query(r["content"][:2048], tok)))
+                / len(qset)
+                for r in rows
+            ]
+        for r, s in zip(rows, scores):
+            r["original_score"] = r["score"]
+            r["score"] = round(float(s), SCORE_ROUND)
+        return rows

@@ -1,0 +1,63 @@
+"""MCP server veneer (reference server.py:15-103).
+
+The tool handler closes over a long-lived DocSearchEngine (persisted index
+DataFrames) and returns {"results": [...]} exactly like the reference
+(server.py:95). FastMCP is not installed in this container, so the server
+is gated behind an import-try: without it, `serve` exits with a clear
+message instead of a stack trace; the handler itself is importable and
+tested directly.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any
+
+
+def make_search_tool(engine, add_path_prefix=None, remove_path_prefix=None):
+    """The MCP tool body, independent of the transport (server.py:70-95)."""
+
+    def search_documents(query: str, top_k: int = 5) -> dict[str, Any]:
+        top_k = max(1, min(100, int(top_k)))  # server.py:74 bounds
+        results = engine.search(
+            query, top_k=top_k, rerank=True,
+            add_prefix=add_path_prefix, remove_prefix=remove_path_prefix,
+        )
+        return {"results": results}
+
+    return search_documents
+
+
+def run_server(db: str, transport: str = "stdio", host: str = "0.0.0.0",
+               port: int = 8765, path: str = "/mcp",
+               tool_name: str = "search_documents",
+               tool_description: str = "",
+               add_path_prefix: str | None = None,
+               remove_path_prefix: str | None = None,
+               embedding_model: str | None = None) -> int:
+    try:
+        from mcp.server.fastmcp import FastMCP  # type: ignore
+    except ImportError:
+        print(
+            "MCP server requires the 'mcp' package (not installed in this "
+            "environment). The search engine itself is fully functional — "
+            "use the `search` command or the Python API "
+            "(search.doc_engine.DocSearchEngine).",
+            file=sys.stderr,
+        )
+        return 2
+
+    from .search.doc_engine import DocSearchEngine
+    from .session import get_spark
+
+    engine = DocSearchEngine(get_spark("mcp-server"), db, embedding_model)
+    mcp = (
+        FastMCP(name="hybrid-doc-search", host=host, port=port,
+                streamable_http_path=path)
+        if transport == "streamable-http"
+        else FastMCP(name="hybrid-doc-search")
+    )
+    tool = make_search_tool(engine, add_path_prefix, remove_path_prefix)
+    mcp.tool(name=tool_name, description=tool_description)(tool)
+    mcp.run(transport="stdio" if transport == "stdio" else "streamable-http")
+    return 0
