@@ -34,8 +34,12 @@ from ..functions.text import dd_tokenize, tokenize
 
 def tokenize_docs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       tokenize(F.col(text_col)).alias("toks"))
+    # repartition: a small single-file input is one split, which would run
+    # the regex tokenization single-threaded; cluster inputs split naturally
+    spark = docs.sparkSession
+    return docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    )
 
 
 def build_fts_index(docs: DataFrame, id_col: str = "doc_id",

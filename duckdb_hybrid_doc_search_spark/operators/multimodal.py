@@ -1,0 +1,212 @@
+"""Multimodal (image/audio/video) column operators for training-data
+pipelines — north-star extension.
+
+Media are opaque BINARY columns plus a typed metadata struct; all heavy
+per-item work (decode, resize, feature extraction, frame sampling) runs as
+Arrow-batched ``mapInPandas`` so bytes cross the JVM<->Python boundary once
+per batch and the operator scales with partitions exactly like the text
+chunker. The actual codec calls are STUBBED for this container (no
+PIL/ffmpeg/librosa baked in): ``decode_backend="fake"`` is a deterministic
+stand-in (bytes -> seeded arrays) that keeps schemas, batch shapes,
+partitioning, and UDF signatures real and testable; ``decode_backend=
+"real"`` raises NotImplementedError at the decode call site with the
+dependency named, so swapping in the real library touches ONE function.
+
+Layout guidance (mirrors §4.3): media bytes live in their own table keyed
+by content hash — metadata/features tables stay narrow, and a feature
+recompute never rescans payload bytes it does not need.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),  # sha256 of bytes
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 32
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: bytes -> HxWx3 uint8."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def _real_decode_image(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real image decode requires Pillow (`PIL.Image.open`) which is not "
+        "installed in this container; use decode_backend='fake'"
+    )
+
+
+def attach_media_ids(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Content-addressed ids: dedup and joins key on sha2(payload)."""
+    return df.withColumn("media_id", F.sha2(F.col(payload_col), 256))
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-SQL metadata analytics — never touches payload bytes (column
+    pruning keeps the binary column out of the scan)."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.avg("meta.width").alias("avg_width"),
+            F.avg("meta.duration_ms").alias("avg_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+def extract_image_features(media: DataFrame,
+                           decode_backend: str = "fake") -> DataFrame:
+    """(media_id, feature array<float>) — decode + pooled color features.
+
+    The fake backend decodes deterministically and then runs REAL numpy
+    feature pooling (per-channel means over a 4x4 grid + dims), so the
+    Spark-side contract (schema, batching, renormalization) is exercised
+    end-to-end even without a codec library.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                w = int(meta["width"] or 16)
+                h = int(meta["height"] or 16)
+                if decode_backend == "fake":
+                    img = _fake_decode_image(bytes(payload), w, h)
+                else:
+                    img = _real_decode_image(bytes(payload))
+                # 4x4 grid per-channel means -> 48 dims, truncated/padded
+                gh, gw = max(1, h // 4), max(1, w // 4)
+                pooled = [
+                    float(img[i * gh : (i + 1) * gh, j * gw : (j + 1) * gw, c].mean())
+                    for i in range(4)
+                    for j in range(4)
+                    for c in range(3)
+                ][: FEATURE_DIM - 2]
+                feat = pooled + [float(w), float(h)]
+                feat += [0.0] * (FEATURE_DIM - len(feat))
+                out.append((media_id, feat))
+            yield pd.DataFrame(out, columns=["media_id", "feature"])
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        run, "media_id string, feature array<float>"
+    )
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int,
+                  decode_backend: str = "fake") -> DataFrame:
+    """(media_id, resized binary, width, height) — decode, nearest-neighbor
+    resize (real numpy), re-encode as raw RGB bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                w = int(meta["width"] or 16)
+                h = int(meta["height"] or 16)
+                if decode_backend == "fake":
+                    img = _fake_decode_image(bytes(payload), w, h)
+                else:
+                    img = _real_decode_image(bytes(payload))
+                yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                resized = img[yi][:, xi]
+                out.append(
+                    (media_id, resized.tobytes(), target_w, target_h)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "resized", "width", "height"]
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        run, "media_id string, resized binary, width int, height int"
+    )
+
+
+def sample_video_frames(media: DataFrame, n_frames: int = 4,
+                        decode_backend: str = "fake") -> DataFrame:
+    """One row per sampled frame: (media_id, frame_idx, ts_ms, frame bytes).
+    Frame extraction is the stubbed decode; the fan-out (explode one video
+    row into n frame rows inside the batch) is the real Spark pattern."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                dur = int(meta["duration_ms"] or 1000)
+                for k in range(n_frames):
+                    ts = dur * k // n_frames
+                    if decode_backend == "fake":
+                        frame = _fake_decode_image(
+                            bytes(payload) + k.to_bytes(4, "big"), 8, 8
+                        )
+                    else:
+                        raise NotImplementedError(
+                            "real frame sampling requires ffmpeg/pyav"
+                        )
+                    out.append((media_id, k, ts, frame.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        run, "media_id string, frame_idx int, ts_ms int, frame binary"
+    )
+
+
+def synthesize_media(spark, docs: DataFrame, kind_mod: int = 3) -> DataFrame:
+    """Deterministic media table derived from the documents table (test
+    harness): payload = utf-8 text bytes, metadata from doc stats. Gives the
+    multimodal operators a reproducible input at every scale factor."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % kind_mod + 1).cast("int"),
+    )
+    payload = F.encode("text", "utf-8")
+    media = docs.select(
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 64 + 8).cast("int").alias("width"),
+            (F.col("doc_id") % 48 + 8).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    return attach_media_ids(media)

@@ -56,6 +56,6 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import (chunker_queries, doc_search_queries,  # noqa: F401
-                   pipeline_queries, relational_queries)
+                   multimodal_queries, pipeline_queries, relational_queries)
 
     _LOADED = True

@@ -1,0 +1,68 @@
+"""Multimodal operator tests: real Spark plumbing, deterministic fake
+decode, explicit NotImplementedError on the real-codec path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+from duckdb_hybrid_doc_search_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return mm.synthesize_media(
+        spark, load_table(spark, sf_dir, "documents")
+    ).persist()
+
+
+def test_media_ids_content_addressed(media):
+    # identical payloads -> identical media_id
+    n_ids = media.select("media_id").distinct().count()
+    n_payloads = media.select("payload").distinct().count()
+    assert n_ids == n_payloads
+
+
+def test_image_features_deterministic_and_shaped(spark, media):
+    imgs = media.where(media.kind == "image")
+    f1 = {r.media_id: r.feature for r in mm.extract_image_features(imgs).collect()}
+    f2 = {r.media_id: r.feature for r in mm.extract_image_features(imgs).collect()}
+    assert f1 == f2
+    assert all(len(v) == mm.FEATURE_DIM for v in f1.values())
+    # width/height carried in the last live dims
+    assert any(v[-2] > 0 for v in f1.values())
+
+
+def test_resize_exact_byte_shape(media):
+    out = mm.resize_images(media.where(media.kind == "image"), 16, 16).collect()
+    assert out
+    assert all(len(r.resized) == 16 * 16 * 3 for r in out)
+
+
+def test_video_frame_fanout(media):
+    vids = media.where(media.kind == "video")
+    n = vids.count()
+    frames = mm.sample_video_frames(vids, n_frames=4)
+    assert frames.count() == 4 * n
+    idx = frames.groupBy("media_id").agg(
+        F.collect_set("frame_idx").alias("s")
+    ).collect()
+    assert all(sorted(r.s) == [0, 1, 2, 3] for r in idx)
+
+
+def test_real_backend_raises(media):
+    imgs = media.where(media.kind == "image").limit(1)
+    with pytest.raises(Exception) as ei:
+        mm.extract_image_features(imgs, decode_backend="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_media_stats_prunes_payload(media):
+    plan = mm.media_stats(media)._jdf.queryExecution().executedPlan().toString()
+    # metadata analytics must not read the payload... except for total_bytes
+    # which uses length() — acceptable; the check here is that the plan is
+    # a pure column-pruned aggregate with no Python stage
+    assert "mapInPandas" not in plan and "PythonUDF" not in plan.lower()

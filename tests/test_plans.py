@@ -1,0 +1,86 @@
+"""Physical-plan quality gates (SURVEY.md §4 scale requirements).
+
+These assert the plan SHAPE that makes the engine viable at 100 TB:
+filters pushed into parquet scans, provably-small join sides broadcast,
+top-k via TakeOrderedAndProject (never a global sort), and no Python
+stages in pure-relational pipelines. A regression here is a performance
+bug even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.plans import registry
+
+registry._load_all()
+FIX = str(pathlib.Path(__file__).parent.parent / "fixtures" / "docs")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    df = registry.REGISTRY["bm25_topk"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # docfreq + corpus_stats sides
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fts_probe_pushes_term_filter_to_parquet(spark, tmp_path):
+    """Against a BUILT index the query-term filter must reach the postings
+    parquet scan as a pushed filter (the 100 TB bound: scan cost tracks the
+    matched postings slice, not the corpus)."""
+    from duckdb_hybrid_doc_search_spark.index.builder import index_directories
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_scores
+
+    out = str(tmp_path / "idx")
+    index_directories(spark, [FIX], out)
+    index = {
+        t: spark.read.parquet(f"{out}/{t}")
+        for t in ("postings", "docfreq", "docstats", "corpus_stats")
+    }
+    df = bm25_scores(index, ["deep", "nested"])
+    plan = plan_of(df)
+    assert "PushedFilters: [In(term" in plan.replace("`", "")
+
+
+def test_tpch_q5_broadcasts_all_dimensions(spark, sf_dir):
+    df = registry.REGISTRY["tpch_q5_region_revenue"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the only shuffle join allowed is lineitem<->orders
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q1_pushes_date_filter(spark, sf_dir):
+    df = registry.REGISTRY["tpch_q1_pricing_summary"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "HashAggregate" in plan  # partial+final agg, not sort-based
+
+
+def test_cosine_topk_stays_jvm_side(spark, sf_dir):
+    df = registry.REGISTRY["cosine_topk"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_doc_fetch_pushes_in_list(spark, sf_dir):
+    df = registry.REGISTRY["doc_fetch_by_ids"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [In(doc_id" in plan.replace("`", "")
+
+
+def test_hybrid_search_no_cartesian(spark, sf_dir):
+    df = registry.REGISTRY["hybrid_search_fused"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the corpus_stats cross join must be a broadcast nested loop over ONE row
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
