@@ -127,6 +127,63 @@ FROM events GROUP BY user_id ORDER BY user_id
 """.strip()
 
 
+def asof_click_before_purchase(events: DataFrame) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase, the most
+    recent click by the same user at or before the purchase time.
+
+    Implemented as the union-and-carry pattern: tag both streams, sort by
+    (time, tag) inside each user partition — clicks sort before purchases
+    at equal timestamps — and carry the last click time forward with a
+    running `last(..., ignoreNulls)` window. One shuffle on user_id, no
+    range join explosion; equivalent to `pd.merge_asof` per group but
+    stays JVM-side.
+
+    Output: user_id, event_id (purchase), purchase_us, last_click_us
+    (NULL if no prior click), gap_us.
+    """
+    e = events.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"),
+        "event_type",
+    ).where(F.col("event_type").isin("click", "purchase"))
+    tagged = e.withColumn(
+        "kind", F.when(F.col("event_type") == "click", 0).otherwise(1)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "last_click_us",
+        F.last(F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.where(F.col("kind") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("us").alias("purchase_us"),
+            "last_click_us",
+            (F.col("us") - F.col("last_click_us")).alias("gap_us"),
+        )
+    )
+
+
+def dd_asof_click_before_purchase_sql() -> str:
+    return """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+           FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT p.user_id, p.event_id, p.us AS purchase_us,
+       (SELECT max(c.us) FROM e c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.us <= p.us) AS last_click_us,
+       p.us - (SELECT max(c.us) FROM e c
+               WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                 AND c.us <= p.us) AS gap_us
+FROM e p WHERE p.event_type = 'purchase'
+""".strip()
+
+
 def props_json_stats(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: pull props.k (JSON) and aggregate."""
     k = F.get_json_object("props", "$.k").cast("long")

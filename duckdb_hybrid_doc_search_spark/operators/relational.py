@@ -256,6 +256,243 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """.strip()
 
 
+Q4_DATE_FROM = "1996-01-01"
+Q4_DATE_TO = "1996-07-01"
+Q4_DISCOUNT = 0.05
+
+
+def tpch_q4_order_priority(orders: DataFrame,
+                           lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery -> LEFT SEMI join, count per
+    priority. The semi join never materializes matched lineitem rows."""
+    discounted = lineitem.where(F.col("l_discount") > Q4_DISCOUNT).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(Q4_DATE_FROM))
+            & (F.col("o_orderdate") < F.lit(Q4_DATE_TO))
+        )
+        .join(discounted, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def dd_tpch_q4_sql() -> str:
+    return f"""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_FROM}'
+  AND o_orderdate < TIMESTAMP '{Q4_DATE_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > {Q4_DISCOUNT})
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""".strip()
+
+
+Q6_DATE_FROM = "1997-01-01"
+Q6_DATE_TO = "1998-01-01"
+
+
+def tpch_q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate; every predicate pushes to the
+    parquet scan, zero joins, one-row result."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(Q6_DATE_FROM))
+            & (F.col("l_shipdate") < F.lit(Q6_DATE_TO))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                MONEY_ROUND,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def dd_tpch_q6_sql() -> str:
+    return f"""
+SELECT round(sum(l_extendedprice * l_discount), {MONEY_ROUND}) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_FROM}'
+  AND l_shipdate < TIMESTAMP '{Q6_DATE_TO}'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""".strip()
+
+
+Q12_DATE_FROM = "1996-01-01"
+Q12_DATE_TO = "1997-01-01"
+
+
+def tpch_q12_shipmode(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation, keyed on
+    return flag since this schema has no ship mode."""
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(Q12_DATE_FROM))
+            & (F.col("l_shipdate") < F.lit(Q12_DATE_TO))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def dd_tpch_q12_sql() -> str:
+    return f"""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_DATE_FROM}'
+  AND l_shipdate < TIMESTAMP '{Q12_DATE_TO}'
+GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip()
+
+
+Q18_QTY = 150.0
+
+
+def tpch_q18_large_orders(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped fact, then joins back to
+    dimensions; the HAVING runs BEFORE the joins so only qualifying
+    orders flow on."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), MONEY_ROUND).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            F.round("o_totalprice", MONEY_ROUND).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def dd_tpch_q18_sql() -> str:
+    return f"""
+SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       round(o_totalprice, {MONEY_ROUND}) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), {MONEY_ROUND}) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), {MONEY_ROUND}) > {Q18_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+""".strip()
+
+
+def lineitem_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE grouping sets (all subtotal combinations)."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), MONEY_ROUND).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def dd_lineitem_cube_sql() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), {MONEY_ROUND}) AS sum_price,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""".strip()
+
+
+def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set-operator surface: customers with orders INTERSECT high-balance,
+    UNION low-balance EXCEPT orderless — exercised as one query returning
+    tagged members."""
+    with_orders = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey")
+    high_bal = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    low_bal = customer.where(F.col("c_acctbal") < 0).select("c_custkey")
+    both = with_orders.intersect(high_bal).withColumn("tag", F.lit("active_rich"))
+    neg_no_orders = low_bal.exceptAll(with_orders).withColumn(
+        "tag", F.lit("negative_inactive")
+    )
+    return both.unionByName(neg_no_orders).orderBy("tag", "c_custkey")
+
+
+def dd_customer_set_ops_sql() -> str:
+    return """
+WITH with_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+high_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+low_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+SELECT c_custkey, 'active_rich' AS tag
+FROM (SELECT c_custkey FROM customer WHERE c_custkey IN
+        (SELECT c_custkey FROM with_orders)
+      INTERSECT SELECT c_custkey FROM high_bal)
+UNION ALL
+SELECT c_custkey, 'negative_inactive' AS tag
+FROM (SELECT c_custkey FROM low_bal
+      EXCEPT ALL SELECT c_custkey FROM with_orders)
+ORDER BY tag, c_custkey
+""".strip()
+
+
+def lineitem_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact percentiles per return flag (not approx — oracle-comparable;
+    at 100 TB swap to percentile_approx and drop the oracle to rows-only)."""
+    pcts = [0.25, 0.5, 0.75, 0.95]
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(l_extendedprice, {p})"), AVG_ROUND
+                ).alias(f"p{int(p * 100)}")
+                for p in pcts
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def dd_lineitem_quantiles_sql() -> str:
+    cols = ",\n       ".join(
+        f"round(quantile_cont(l_extendedprice, {p}), {AVG_ROUND}) AS p{int(p*100)}"
+        for p in [0.25, 0.5, 0.75, 0.95]
+    )
+    return f"""
+SELECT l_returnflag,
+       {cols}
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip()
+
+
 def orders_running_revenue(orders: DataFrame) -> DataFrame:
     """Running per-customer revenue — cumulative window frame."""
     w = (

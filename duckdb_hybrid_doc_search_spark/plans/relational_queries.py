@@ -72,6 +72,59 @@ def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.orders_running_revenue(_t(spark, sf_dir, "orders"))
 
 
+@register("tpch_q4_order_priority", oracle=relational.dd_tpch_q4_sql())
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q4_order_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register("tpch_q6_forecast_revenue", oracle=relational.dd_tpch_q6_sql())
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q6_forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@register("tpch_q12_shipmode", oracle=relational.dd_tpch_q12_sql())
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q12_shipmode(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register("tpch_q18_large_orders", oracle=relational.dd_tpch_q18_sql())
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q18_large_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("lineitem_cube", oracle=relational.dd_lineitem_cube_sql())
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.lineitem_cube(_t(spark, sf_dir, "lineitem"))
+
+
+@register("customer_set_ops", oracle=relational.dd_customer_set_ops_sql())
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_set_ops(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register("lineitem_quantiles", oracle=relational.dd_lineitem_quantiles_sql())
+def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.lineitem_quantiles(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "events_asof_click_purchase",
+    oracle=events.dd_asof_click_before_purchase_sql(),
+)
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.asof_click_before_purchase(_t(spark, sf_dir, "events"))
+
+
 @register("events_sessionization", oracle=events.dd_sessionize_sql())
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(_t(spark, sf_dir, "events"))

@@ -65,6 +65,101 @@ def streaming_windowed_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sessionize(events: DataFrame,
+                         timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization as an
+    ``applyInPandasWithState`` streaming query (the reference has no
+    streaming surface at all; batch form in operators/events.py is the
+    specification).
+
+    State per user = the open session (start_us, last_us, n_events,
+    sum_value). Each micro-batch's events extend or close sessions; closed
+    sessions are emitted append-mode; the open one stays in state and, when
+    ``timeout_ms`` is set, is flushed by a processing-time timeout (a
+    production stream keeps timeouts ON; bounded availableNow runs keep
+    them OFF — a registered timeout keeps scheduling micro-batches and the
+    query never reaches termination). State is O(active users).
+    """
+    import pandas as pd
+
+    from ..operators.events import SESSION_GAP_US
+
+    out_schema = (
+        "user_id long, n_events long, sum_value double, "
+        "start_us long, end_us long"
+    )
+    state_schema = "start_us long, last_us long, n long, total double"
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n, total = state.get
+                closed.append((user_id, n, round(total, VALUE_ROUND), s, last))
+                state.remove()
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "n_events", "sum_value", "start_us",
+                         "end_us"],
+            )
+            return
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["us", "event_id"])
+        cur = list(state.get) if state.exists else None
+        for us, value in zip(rows["us"], rows["value"]):
+            us = int(us)
+            if cur is None:
+                cur = [us, us, 0, 0.0]
+            elif us - cur[1] > SESSION_GAP_US:
+                closed.append(
+                    (user_id, cur[2], round(cur[3], VALUE_ROUND), cur[0],
+                     cur[1])
+                )
+                cur = [us, us, 0, 0.0]
+            cur[1] = us
+            cur[2] += 1
+            cur[3] += float(value)
+        if cur is not None:
+            state.update(tuple(cur))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "n_events", "sum_value", "start_us",
+                     "end_us"],
+        )
+
+    prepared = events.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "value"
+    )
+    timeout_conf = (
+        "ProcessingTimeTimeout" if timeout_ms is not None else "NoTimeout"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout_conf
+    )
+
+
+def run_streaming_sessionize(spark: SparkSession, sf_dir: str,
+                             query_name: str = "ev_sess") -> DataFrame:
+    """Drive the stateful sessionizer over the bounded source; returns the
+    CLOSED sessions (the final open session per user stays in state —
+    tests compare against the batch spec minus each user's last session)."""
+    stream = streaming_sessionize(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_streaming_windowed_agg(spark: SparkSession, sf_dir: str,
                                query_name: str = "ev_win") -> DataFrame:
     """Drive the stream to completion on the bounded source and return the

@@ -9,6 +9,35 @@ from duckdb_hybrid_doc_search_spark.streaming.events import (
 )
 
 
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, sf_dir):
+    """applyInPandasWithState sessionizer == batch spec for every CLOSED
+    session (the last open session per user stays in state)."""
+    from duckdb_hybrid_doc_search_spark.operators.events import sessionize
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        run_streaming_sessionize,
+    )
+
+    batch_rows = sessionize(load_table(spark, sf_dir, "events")).collect()
+    # drop each user's LAST session (still open in the streaming state)
+    last_start = {}
+    for r in batch_rows:
+        last_start[r.user_id] = max(
+            last_start.get(r.user_id, -1), r.start_us
+        )
+    batch_closed = {
+        (r.user_id, r.n_events, r.sum_value, r.start_us, r.end_us)
+        for r in batch_rows
+        if r.start_us != last_start[r.user_id]
+    }
+    stream_rows = run_streaming_sessionize(spark, sf_dir).collect()
+    stream_set = {
+        (r.user_id, r.n_events, r.sum_value, r.start_us, r.end_us)
+        for r in stream_rows
+    }
+    assert stream_set == batch_closed
+    assert len(stream_set) > 0
+
+
 def test_streaming_windowed_agg_matches_batch(spark, sf_dir):
     batch = {
         tuple(r)
