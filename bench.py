@@ -30,7 +30,7 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark("bench")
-    qs = registry.queries()
+    qs = registry.bench_queries()
 
     # warm the JVM (codegen, shuffle machinery) + parquet footers so the
     # first timed query doesn't absorb one-time startup cost

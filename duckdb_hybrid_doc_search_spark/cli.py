@@ -87,6 +87,29 @@ def cmd_serve(args: argparse.Namespace) -> int:
     )
 
 
+def cmd_download_models(args: argparse.Namespace) -> int:
+    """Warm the model caches so executors don't all hit the network on
+    first use (reference cli.py:400-434)."""
+    if args.embedding_model in (None, "hash-embedder"):
+        print("hash-embedder needs no download (deterministic, local)")
+        return 0
+    try:
+        from sentence_transformers import CrossEncoder, SentenceTransformer
+    except ImportError:
+        print(
+            "sentence-transformers is not installed in this environment; "
+            "real models unavailable — the deterministic hash-embedder "
+            "backend works without downloads.",
+            file=sys.stderr,
+        )
+        return 2
+    SentenceTransformer(args.embedding_model)  # pragma: no cover
+    if args.rerank_model:  # pragma: no cover
+        CrossEncoder(args.rerank_model)
+    print("models cached")  # pragma: no cover
+    return 0  # pragma: no cover
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hybrid-doc-search-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -135,6 +158,16 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--remove-path-prefix", default=None)
     pv.add_argument("--embedding-model", default=None)
     pv.set_defaults(fn=cmd_serve)
+
+    pd = sub.add_parser(
+        "download-models",
+        help="pre-warm embedding/rerank model caches (reference "
+        "cli.py:400-434); no-op with a clear message when "
+        "sentence-transformers is absent",
+    )
+    pd.add_argument("--embedding-model", default="hash-embedder")
+    pd.add_argument("--rerank-model", default=None)
+    pd.set_defaults(fn=cmd_download_models)
 
     pver = sub.add_parser("version")
     pver.set_defaults(fn=lambda a: (print(__version__), 0)[1])

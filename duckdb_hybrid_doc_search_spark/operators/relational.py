@@ -467,18 +467,20 @@ def lineitem_quantiles(lineitem: DataFrame) -> DataFrame:
     """Exact percentiles per return flag (not approx — oracle-comparable;
     at 100 TB swap to percentile_approx and drop the oracle to rows-only)."""
     pcts = [0.25, 0.5, 0.75, 0.95]
-    return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            *[
-                F.round(
-                    F.expr(f"percentile(l_extendedprice, {p})"), AVG_ROUND
-                ).alias(f"p{int(p * 100)}")
-                for p in pcts
-            ]
-        )
-        .orderBy("l_returnflag")
+    # ONE percentile aggregate over the full probability array: a separate
+    # percentile() per column re-accumulates the value multiset 4x (48s vs
+    # ~2s at sf0.1)
+    arr = F.expr(
+        f"percentile(l_extendedprice, array({', '.join(map(str, pcts))}))"
     )
+    agg = lineitem.groupBy("l_returnflag").agg(arr.alias("ps"))
+    return agg.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("ps")[i], AVG_ROUND).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(pcts)
+        ],
+    ).orderBy("l_returnflag")
 
 
 def dd_lineitem_quantiles_sql() -> str:

@@ -22,17 +22,26 @@ class QueryDef:
     name: str
     spark_fn: SparkQuery
     oracle: str | None
+    bench: bool = True  # include in bench.py's timed loop
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, bench: bool = True):
     def deco(fn: SparkQuery) -> SparkQuery:
-        REGISTRY[name] = QueryDef(name, fn, oracle)
+        REGISTRY[name] = QueryDef(name, fn, oracle, bench)
         return fn
 
     return deco
+
+
+def bench_queries() -> dict[str, SparkQuery]:
+    """Queries included in the timed benchmark loop (excludes wrappers
+    whose cost is dominated by third-party internals, e.g. MLlib
+    approxSimilarityJoin — their correctness/recall is still tested)."""
+    _load_all()
+    return {n: qd.spark_fn for n, qd in REGISTRY.items() if qd.bench}
 
 
 def queries() -> dict[str, SparkQuery]:
@@ -56,6 +65,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import (chunker_queries, doc_search_queries,  # noqa: F401
-                   multimodal_queries, pipeline_queries, relational_queries)
+                   mllib_queries, multimodal_queries, pipeline_queries,
+                   relational_queries)
 
     _LOADED = True
