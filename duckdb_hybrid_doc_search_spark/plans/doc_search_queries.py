@@ -104,6 +104,51 @@ def hybrid_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PART_QUERY = "large steel widget"
+PART_TOP_K = 10
+
+
+@register(
+    "part_name_bm25",
+    oracle=bm25.dd_bm25_topk_sql(
+        tokenize_query(PART_QUERY), PART_TOP_K, table="part_docs"
+    ).replace(
+        "FROM part_docs",
+        "FROM (SELECT p_partkey AS doc_id, p_name AS text FROM part)",
+    ),
+)
+def part_name_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 operator is table-generic: the same build+probe over the
+    part names column (full-text search over any string column)."""
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    return bm25.bm25_topk(parts, PART_QUERY, PART_TOP_K)
+
+
+@register(
+    "part_brand_type_stats",
+    oracle="""
+SELECT p_brand, p_type, count(*)::BIGINT AS n,
+       round(avg(p_retailprice), 6) AS avg_price,
+       min(p_size)::INT AS min_size, max(p_size)::INT AS max_size
+FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type
+""".strip(),
+)
+def part_brand_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand", "p_type")
+    )
+
+
 @register(
     "doc_fetch_by_ids",
     oracle=(
