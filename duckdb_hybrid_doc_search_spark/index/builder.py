@@ -116,6 +116,78 @@ def index_directories(
     return counts
 
 
+def index_incremental(
+    spark: SparkSession,
+    dirs: list[str],
+    out_dir: str,
+    **kwargs,
+) -> dict[str, int]:
+    """Re-index only what changed. Deterministic chunk ids (sha2 over
+    file/line/content — T9) turn incremental indexing into set algebra:
+    chunks whose id already exists keep their stored EMBEDDING (the
+    expensive stage); only genuinely new/changed chunks are embedded.
+    Derived FTS tables are recomputed from the merged corpus (cheap
+    relative to embedding; and df/avgdl are global, so they must be).
+
+    Tables are written to a temp subdir then swapped in, so the build
+    never overwrites parquet it is still lazily reading.
+
+    Returns counts: added, kept, removed, plus per-table row counts.
+    """
+    import shutil
+
+    meta = read_meta(out_dir)
+    chunk_size = int(meta["chunk_size"])
+    chunk_overlap = int(meta["chunk_overlap"])
+    strategy = meta["strategy"]
+    tokenizer = meta["tokenizer"]
+    backend = meta["embedding_backend"]
+    model = meta["embedding_model"]
+    dim = int(meta["embedding_dim"])
+
+    files = read_markdown_dirs(spark, dirs)
+    chunks = with_doc_ids(
+        chunk_documents(files, chunk_size, chunk_overlap, strategy, tokenizer)
+    ).persist()
+
+    old_docs = spark.read.parquet(os.path.join(out_dir, "documents"))
+    old_emb = spark.read.parquet(os.path.join(out_dir, "embeddings"))
+
+    ids = chunks.select("doc_id")
+    kept_emb = old_emb.join(ids, "doc_id", "left_semi")
+    new_chunks = chunks.join(old_docs.select("doc_id"), "doc_id", "left_anti")
+    new_emb = new_chunks.select(
+        "doc_id",
+        embed_udf(backend, model, dim)(F.col("content")).alias("embedding"),
+    )
+    n_added = new_chunks.count()
+    n_kept = kept_emb.count()
+    n_removed = old_docs.join(ids, "doc_id", "left_anti").count()
+
+    docs = chunks.select(
+        "doc_id", "file_path", "header_path", "line_start", "line_end",
+        "content", "tokens",
+    )
+    emb = kept_emb.unionByName(new_emb)
+    fts = build_fts_index_from_tokens(docs)
+
+    tmp = os.path.join(out_dir, "_incremental_tmp")
+    counts: dict[str, int] = {
+        "added": n_added, "kept": n_kept, "removed": n_removed
+    }
+    writes = {"documents": docs, "embeddings": emb, **fts}
+    for name, df in writes.items():
+        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+    chunks.unpersist()
+    for name in writes:
+        final = os.path.join(out_dir, name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(os.path.join(tmp, name), final)
+        counts[name] = spark.read.parquet(final).count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return counts
+
+
 def read_meta(index_dir: str) -> dict[str, str]:
     with open(os.path.join(index_dir, "meta.json")) as f:
         return json.load(f)

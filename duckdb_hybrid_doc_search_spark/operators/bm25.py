@@ -114,6 +114,66 @@ def bm25_topk(docs: DataFrame, query: str, k: int,
     )
 
 
+def bm25_batch_topk(docs: DataFrame, queries: list[str], k: int,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Score MANY queries against the corpus in ONE plan — the bulk path
+    the reference cannot express (it loops one DuckDB probe per query).
+
+    The query set becomes a tiny broadcast (query_id, term) table joined
+    into postings; one groupBy (query_id, doc_id) scores everything, one
+    window takes each query's top-k. Per-query cost amortizes: the
+    postings scan happens once for the whole batch, so scoring 10k
+    queries against 100 TB reads the posting lists once, not 10k times.
+
+    Output: query_id, doc_id, score, rank.
+    """
+    from pyspark.sql import Window
+
+    from ..models.tokenizer import tokenize_query
+
+    spark = docs.sparkSession
+    qrows = [
+        (qi, t)
+        for qi, q in enumerate(queries)
+        for t in sorted(set(tokenize_query(q)))
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    all_terms = sorted({t for _, t in qrows})
+
+    index = build_fts_index(docs, id_col, text_col)
+    postings = index["postings"].where(F.col("term").isin(all_terms))
+    docfreq = index["docfreq"].where(F.col("term").isin(all_terms))
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(docfreq), "term")
+        .join(index["docstats"], "doc_id")
+        .crossJoin(F.broadcast(index["corpus_stats"]))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("tf") * F.lit(BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_ROUND).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 # --- DuckDB oracle SQL ------------------------------------------------------
 
 
@@ -166,4 +226,40 @@ WITH {dd_fts_index_ctes(table)},
 {dd_bm25_scored_cte(query_terms)}
 SELECT doc_id, score FROM bm25_scored
 ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def dd_bm25_batch_topk_sql(queries: list[str], k: int,
+                           table: str = "documents") -> str:
+    """Oracle for :func:`bm25_batch_topk`."""
+    from ..models.tokenizer import tokenize_query
+
+    qvals = ", ".join(
+        f"({qi}, '" + t.replace("'", "''") + "')"
+        for qi, q in enumerate(queries)
+        for t in sorted(set(tokenize_query(q)))
+    )
+    return f"""
+WITH {dd_fts_index_ctes(table)},
+qterms(query_id, term) AS (VALUES {qvals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(
+           ln(1.0 + (cs.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * {BM25_K1 + 1.0}
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.dl / cs.avgdl))
+         ), {SCORE_ROUND}) AS score
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN docfreq d USING (term)
+  JOIN docstats ds USING (doc_id)
+  CROSS JOIN corpus_stats cs
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
 """.strip()

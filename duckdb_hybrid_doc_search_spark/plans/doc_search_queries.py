@@ -104,6 +104,24 @@ def hybrid_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_QUERIES = [
+    "spark vector join fast merge",
+    "slow filter customer line",
+    "window agg sort batch",
+    "hash scan table stream",
+    "dup big value key order",
+]
+
+
+@register(
+    "bm25_batch_topk",
+    oracle=bm25.dd_bm25_batch_topk_sql(BATCH_QUERIES, TOP_K),
+)
+def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk multi-query BM25: 5 queries, one plan, one postings scan."""
+    return bm25.bm25_batch_topk(_docs(spark, sf_dir), BATCH_QUERIES, TOP_K)
+
+
 PART_QUERY = "large steel widget"
 PART_TOP_K = 10
 
