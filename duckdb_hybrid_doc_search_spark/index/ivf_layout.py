@@ -1,0 +1,77 @@
+"""IVF cells as write-time partitions — the storage half of the ANN story.
+
+operators/knn.ivf_topk computes cell assignment at query time (oracle-
+exact); at 100 TB the assignment happens ONCE at write time and the cell
+becomes a parquet partition column. A probe then reads only its nprobe
+cell directories — partition PRUNING, visible in the scan's
+PartitionFilters, so scan cost is nprobe/n_cells of the corpus by
+construction. tests/test_ivf_layout.py asserts both the pruned plan and
+result equality with the query-time operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.knn import NPROBE, ivf_assign
+
+
+def write_ivf_partitioned(emb: DataFrame, out_dir: str) -> None:
+    """embeddings + cell assignment, partitioned by cell on disk."""
+    _, assign = ivf_assign(emb)
+    emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
+        "vec_id", "embedding", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+
+
+def probe_cells(spark: SparkSession, out_dir: str,
+                cells: list[int]) -> DataFrame:
+    """Read ONLY the probed cell partitions (pruned scan)."""
+    return spark.read.parquet(out_dir).where(F.col("cell").isin(cells))
+
+
+def ivf_partitioned_topk(spark: SparkSession, out_dir: str,
+                         emb: DataFrame, k: int,
+                         n_queries: int = 10) -> DataFrame:
+    """Same semantics as operators/knn.ivf_topk, but candidates come from
+    the pruned partition scan instead of an in-plan assignment join."""
+    from pyspark.sql import Window
+
+    from ..config import SCORE_ROUND
+    from ..functions import vector as V
+
+    cent, _ = ivf_assign(emb)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id", "q_vec", "cent_id",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("qsim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("q_id", "q_vec", F.col("cent_id").alias("cell"))
+    )
+    probe_cell_ids = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+    cand = probes.join(
+        probe_cells(spark, out_dir, probe_cell_ids), "cell"
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("embedding")),
+                SCORE_ROUND).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+    )
