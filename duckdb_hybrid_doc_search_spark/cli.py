@@ -48,8 +48,25 @@ def cmd_search(args: argparse.Namespace) -> int:
     from .search.doc_engine import DocSearchEngine
 
     engine = DocSearchEngine(_spark(), args.db, args.embedding_model)
+    if len(args.query) > 1:
+        # bulk mode: all queries in one pair of Spark plans
+        batches = engine.search_batch(
+            args.query, top_k=args.top_k, rerank=not args.no_rerank
+        )
+        print(
+            json.dumps(
+                {
+                    "batches": [
+                        {"query": q, "results": res}
+                        for q, res in zip(args.query, batches)
+                    ]
+                },
+                ensure_ascii=False,
+            )
+        )
+        return 0
     results = engine.search(
-        args.query,
+        args.query[0],
         top_k=args.top_k,
         rerank=not args.no_rerank,
         add_prefix=args.add_path_prefix,
@@ -134,7 +151,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     ps = sub.add_parser("search", help="query an index")
     ps.add_argument("--db", required=True)
-    ps.add_argument("--query", "-q", required=True)
+    ps.add_argument("--query", "-q", required=True, action="append",
+                    help="repeat for bulk search (one batched plan)")
     ps.add_argument("--top-k", type=int, default=TOP_K_DEFAULT,
                     choices=range(1, 101), metavar="[1-100]")
     ps.add_argument("--no-rerank", action="store_true")

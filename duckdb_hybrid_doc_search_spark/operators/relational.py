@@ -24,6 +24,24 @@ from pyspark.sql import functions as F
 MONEY_ROUND = 2
 AVG_ROUND = 6
 
+# Money sums run in DECIMAL, not double. Two failure modes of double sums
+# against the oracle, both observed: (a) summation order varies across
+# engines/partitions; (b) worse, exact sums of fixed-decimal data (prices
+# have 2-4 dp) frequently land ON a .xx5 rounding boundary, where Spark
+# rounds the shortest decimal repr (HALF_UP -> .xx+1) while DuckDB rounds
+# the binary double (usually just below -> .xx). DECIMAL(30,8) sums are
+# exact and associative, so both engines agree bit-for-bit; the final
+# round+cast back to double is then deterministic.
+DEC = "decimal(30,8)"
+
+
+def money_sum(col, nd: int = MONEY_ROUND):
+    return F.round(F.sum(col.cast(DEC)), nd).cast("double")
+
+
+def dd_money_sum(expr: str, nd: int = MONEY_ROUND) -> str:
+    return f"round(sum(CAST(({expr}) AS DECIMAL(30,8))), {nd})::DOUBLE"
+
 Q1_CUTOFF = "1998-09-02"
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1995-03-15"
@@ -41,10 +59,10 @@ def tpch_q1(lineitem: DataFrame) -> DataFrame:
         lineitem.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), MONEY_ROUND).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), MONEY_ROUND).alias("sum_base_price"),
-            F.round(F.sum(disc_price), MONEY_ROUND).alias("sum_disc_price"),
-            F.round(F.sum(charge), MONEY_ROUND).alias("sum_charge"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
             F.round(F.avg("l_quantity"), AVG_ROUND).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), AVG_ROUND).alias("avg_price"),
             F.round(F.avg("l_discount"), AVG_ROUND).alias("avg_disc"),
@@ -57,10 +75,10 @@ def tpch_q1(lineitem: DataFrame) -> DataFrame:
 def dd_tpch_q1_sql() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), {MONEY_ROUND}) AS sum_qty,
-       round(sum(l_extendedprice), {MONEY_ROUND}) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), {MONEY_ROUND}) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {MONEY_ROUND}) AS sum_charge,
+       {dd_money_sum('l_quantity')} AS sum_qty,
+       {dd_money_sum('l_extendedprice')} AS sum_base_price,
+       {dd_money_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dd_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        round(avg(l_quantity), {AVG_ROUND}) AS avg_qty,
        round(avg(l_extendedprice), {AVG_ROUND}) AS avg_price,
        round(avg(l_discount), {AVG_ROUND}) AS avg_disc,
@@ -76,9 +94,7 @@ def tpch_q3(customer: DataFrame, orders: DataFrame,
             lineitem: DataFrame) -> DataFrame:
     """TPC-H Q3 shipping priority: two broadcast-able dim joins into the
     fact, group on order, top-10 by revenue."""
-    revenue = F.sum(
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.where(F.col("l_shipdate") > F.lit(Q3_DATE))
         .join(
@@ -92,7 +108,7 @@ def tpch_q3(customer: DataFrame, orders: DataFrame,
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(revenue, MONEY_ROUND).alias("revenue"))
+        .agg(money_sum(revenue).alias("revenue"))
         .select(
             "l_orderkey",
             F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
@@ -107,7 +123,7 @@ def tpch_q3(customer: DataFrame, orders: DataFrame,
 def dd_tpch_q3_sql() -> str:
     return f"""
 SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), {MONEY_ROUND}) AS revenue
+       {dd_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -146,9 +162,8 @@ def tpch_q5(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                MONEY_ROUND,
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -158,7 +173,7 @@ def tpch_q5(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
 def dd_tpch_q5_sql() -> str:
     return f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), {MONEY_ROUND}) AS revenue
+       {dd_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -214,7 +229,7 @@ def customer_nation_stats(customer: DataFrame, nation: DataFrame,
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), MONEY_ROUND).alias("total_revenue"),
+            money_sum(F.col("o_totalprice")).alias("total_revenue"),
             F.round(F.avg("c_acctbal"), AVG_ROUND).alias("avg_acctbal"),
         )
         .orderBy("n_name")
@@ -226,7 +241,7 @@ def dd_customer_nation_stats_sql() -> str:
 SELECT n_name,
        count(DISTINCT c_custkey)::BIGINT AS n_customers,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), {MONEY_ROUND}) AS total_revenue,
+       {dd_money_sum('o_totalprice')} AS total_revenue,
        round(avg(c_acctbal), {AVG_ROUND}) AS avg_acctbal
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -240,7 +255,7 @@ def lineitem_rollup(lineitem: DataFrame) -> DataFrame:
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), MONEY_ROUND).alias("sum_qty"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -249,7 +264,7 @@ def lineitem_rollup(lineitem: DataFrame) -> DataFrame:
 def dd_lineitem_rollup_sql() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), {MONEY_ROUND}) AS sum_qty,
+       {dd_money_sum('l_quantity')} AS sum_qty,
        count(*)::BIGINT AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -308,9 +323,8 @@ def tpch_q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")),
-                MONEY_ROUND,
+            money_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -319,7 +333,7 @@ def tpch_q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
 
 def dd_tpch_q6_sql() -> str:
     return f"""
-SELECT round(sum(l_extendedprice * l_discount), {MONEY_ROUND}) AS revenue,
+SELECT {dd_money_sum('l_extendedprice * l_discount')} AS revenue,
        count(*)::BIGINT AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_FROM}'
@@ -377,7 +391,7 @@ def tpch_q18_large_orders(customer: DataFrame, orders: DataFrame,
     orders flow on."""
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), MONEY_ROUND).alias("total_qty"))
+        .agg(money_sum(F.col("l_quantity")).alias("total_qty"))
         .where(F.col("total_qty") > Q18_QTY)
     )
     return (
@@ -401,9 +415,9 @@ def dd_tpch_q18_sql() -> str:
 SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
        round(o_totalprice, {MONEY_ROUND}) AS o_totalprice, total_qty
 FROM (
-  SELECT l_orderkey, round(sum(l_quantity), {MONEY_ROUND}) AS total_qty
+  SELECT l_orderkey, {dd_money_sum('l_quantity')} AS total_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING round(sum(l_quantity), {MONEY_ROUND}) > {Q18_QTY}
+  HAVING {dd_money_sum('l_quantity')} > {Q18_QTY}
 )
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -414,7 +428,7 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 def lineitem_cube(lineitem: DataFrame) -> DataFrame:
     """CUBE grouping sets (all subtotal combinations)."""
     return lineitem.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), MONEY_ROUND).alias("sum_price"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -422,7 +436,7 @@ def lineitem_cube(lineitem: DataFrame) -> DataFrame:
 def dd_lineitem_cube_sql() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), {MONEY_ROUND}) AS sum_price,
+       {dd_money_sum('l_extendedprice')} AS sum_price,
        count(*)::BIGINT AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """.strip()
@@ -495,6 +509,171 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """.strip()
 
 
+Q10_DATE_FROM = "1996-01-01"
+Q10_DATE_TO = "1996-04-01"
+
+
+def tpch_q10_returned_items(customer: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame,
+                            nation: DataFrame) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(Q10_DATE_FROM))
+                & (F.col("o_orderdate") < F.lit(Q10_DATE_TO))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def dd_tpch_q10_sql() -> str:
+    return f"""
+SELECT c_custkey, c_name, n_name,
+       {dd_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_DATE_FROM}'
+  AND o_orderdate < TIMESTAMP '{Q10_DATE_TO}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""".strip()
+
+
+Q14_DATE_FROM = "1996-01-01"
+Q14_DATE_TO = "1997-01-01"
+
+
+def tpch_q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: CASE-conditional revenue ratio (promo share)."""
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(Q14_DATE_FROM))
+            & (F.col("l_shipdate") < F.lit(Q14_DATE_TO))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast(DEC)).cast("double")
+                / F.sum(disc.cast(DEC)).cast("double"),
+                AVG_ROUND,
+            ).alias("promo_revenue_pct"),
+            money_sum(disc).alias("total_revenue"),
+        )
+    )
+
+
+def dd_tpch_q14_sql() -> str:
+    return f"""
+SELECT round(100.0 * sum(CAST((CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DECIMAL(30,8)))::DOUBLE
+             / sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,8)))::DOUBLE, {AVG_ROUND})
+         AS promo_revenue_pct,
+       {dd_money_sum('l_extendedprice * (1 - l_discount)')}
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_DATE_FROM}'
+  AND l_shipdate < TIMESTAMP '{Q14_DATE_TO}'
+""".strip()
+
+
+def tpch_q16_supplier_variety(lineitem: DataFrame, part: DataFrame,
+                              supplier: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    (adapted: no partsupp table — supply facts come from lineitem)."""
+    return (
+        lineitem
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("s_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+    )
+
+
+def dd_tpch_q16_sql() -> str:
+    return """
+SELECT p_brand, p_type, count(DISTINCT s_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+""".strip()
+
+
+def scalar_function_showcase(orders: DataFrame) -> DataFrame:
+    """The scalar-function surface in one oracle-gated query (SURVEY.md
+    §2.5): string ops, date extraction, math, conditionals — every
+    expression must agree with DuckDB bit-for-bit after rounding."""
+    return orders.select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate")).alias("order_year"),
+        F.month(F.col("o_orderdate")).alias("order_month"),
+        F.dayofmonth(F.col("o_orderdate")).alias("order_day"),
+        F.quarter(F.col("o_orderdate")).alias("order_quarter"),
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderstatus")).alias("status_len"),
+        F.concat_ws("#", F.col("o_orderstatus"),
+                    F.col("o_orderkey").cast("string")).alias("status_key"),
+        F.regexp_replace(F.col("o_orderpriority"), "[0-9]-", "").alias(
+            "prio_word"
+        ),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias(
+            "price_dev"
+        ),
+        F.round(F.sqrt(F.col("o_totalprice")), 6).alias("price_sqrt"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.greatest(F.col("o_custkey"), F.col("o_orderkey")).alias("gkey"),
+    )
+
+
+def dd_scalar_function_showcase_sql() -> str:
+    return """
+SELECT o_orderkey,
+       year(o_orderdate)::INT AS order_year,
+       month(o_orderdate)::INT AS order_month,
+       day(o_orderdate)::INT AS order_day,
+       quarter(o_orderdate)::INT AS order_quarter,
+       upper(o_orderpriority) AS prio_upper,
+       substr(o_orderpriority, 1, 1) AS prio_code,
+       length(o_orderstatus)::INT AS status_len,
+       o_orderstatus || '#' || o_orderkey::VARCHAR AS status_key,
+       regexp_replace(o_orderpriority, '[0-9]-', '') AS prio_word,
+       round(abs(o_totalprice - 100000.0), 2) AS price_dev,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       (o_orderkey % 7) AS key_mod7,
+       greatest(o_custkey, o_orderkey) AS gkey
+FROM orders
+""".strip()
+
+
 def orders_running_revenue(orders: DataFrame) -> DataFrame:
     """Running per-customer revenue — cumulative window frame."""
     w = (
@@ -506,15 +685,16 @@ def orders_running_revenue(orders: DataFrame) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
-        F.round(F.sum("o_totalprice").over(w), MONEY_ROUND).alias("running_total"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w),
+                MONEY_ROUND).cast("double").alias("running_total"),
     )
 
 
 def dd_orders_running_revenue_sql() -> str:
     return f"""
 SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER (PARTITION BY o_custkey
          ORDER BY o_orderdate ASC, o_orderkey ASC
-         ROWS UNBOUNDED PRECEDING), {MONEY_ROUND}) AS running_total
+         ROWS UNBOUNDED PRECEDING), {MONEY_ROUND})::DOUBLE AS running_total
 FROM orders
 """.strip()

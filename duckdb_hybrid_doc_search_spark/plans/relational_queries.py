@@ -117,6 +117,40 @@ def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.lineitem_quantiles(_t(spark, sf_dir, "lineitem"))
 
 
+@register("tpch_q10_returned_items", oracle=relational.dd_tpch_q10_sql())
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q10_returned_items(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("tpch_q14_promo_revenue", oracle=relational.dd_tpch_q14_sql())
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q14_promo_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register("tpch_q16_supplier_variety", oracle=relational.dd_tpch_q16_sql())
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q16_supplier_variety(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "scalar_function_showcase",
+    oracle=relational.dd_scalar_function_showcase_sql(),
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.scalar_function_showcase(_t(spark, sf_dir, "orders"))
+
+
 @register(
     "events_asof_click_purchase",
     oracle=events.dd_asof_click_before_purchase_sql(),

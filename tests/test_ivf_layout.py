@@ -32,3 +32,33 @@ def test_ivf_partition_pruning_and_equality(spark, sf_dir, tmp_path):
         for r in ivf_partitioned_topk(spark, out, emb, 5, 10).collect()
     )
     assert got == want
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """Measured recall of the IVF probe against the exact scan — the
+    approximation is a number, not a hope (SURVEY.md §4.1)."""
+    from duckdb_hybrid_doc_search_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, nq = 5, 10
+    queries = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    exact = {}
+    for r in knn_join(queries, corpus, k).collect():
+        exact.setdefault(r.q_id, set()).add(r.c_id)
+    approx = {}
+    for r in ivf_topk(emb, k, nq).collect():
+        approx.setdefault(r.q_id, set()).add(r.c_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / k for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe=2 of ~10 cells on random vectors: recall is far from 1.0 by
+    # design; the gate is that the self-match (rank-1) is never lost and
+    # recall clears a sanity floor
+    assert all(q in approx and q in approx[q] for q in exact)
+    assert mean_recall >= 0.3, f"mean IVF recall {mean_recall:.2f}"
