@@ -44,13 +44,23 @@ def tokenize_docs(docs: DataFrame, id_col: str = "doc_id",
 
 def build_fts_index(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> dict[str, DataFrame]:
-    """Derive the four FTS index tables (SURVEY.md §4.3 layout)."""
+    """Derive the four FTS index tables (SURVEY.md §4.3 layout).
+
+    The derived tables are persisted: every probe (single-query, hybrid's
+    FTS branch, the batched multi-query probe) reuses the same cached
+    index instead of re-tokenizing the corpus — Spark's CacheManager
+    matches the identical analyzed plans across calls, so a session's
+    first probe builds the index and the rest hit memory, mirroring how a
+    long-lived engine keeps its index hot (DocSearchEngine persists the
+    on-disk tables the same way).
+    """
     toks = tokenize_docs(docs, id_col, text_col)
-    docstats = toks.select("doc_id", F.size("toks").alias("dl"))
+    docstats = toks.select("doc_id", F.size("toks").alias("dl")).persist()
     postings = (
         toks.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus_stats = docstats.agg(
