@@ -71,7 +71,7 @@ def mllib_brp_neighbors(embeddings: DataFrame, query_vec: list[float],
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.linalg import Vectors
 
-    from ..functions.vector import dot, lit_vector, norm
+    from ..functions.vector import norm
 
     normed = embeddings.select(
         F.col("vec_id").alias("doc_id"),
