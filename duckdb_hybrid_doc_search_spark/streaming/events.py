@@ -160,6 +160,41 @@ def run_streaming_sessionize(spark: SparkSession, sf_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def streaming_dedup(events: DataFrame,
+                    keys: list[str] | None = None) -> DataFrame:
+    """Exactly-once event intake: drop replayed duplicates by key within
+    the event-time watermark — the streaming face of the dedup family
+    (operators/dedup.py handles the batch corpus; this bounds state for
+    at-least-once sources by expiring keys older than the watermark).
+    """
+    keys = keys or ["event_id"]
+    with_ts = events.withColumn(
+        "tse", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        with_ts.withWatermark("tse", WATERMARK)
+        .dropDuplicatesWithinWatermark(keys)
+        .select("event_id", "user_id", "event_type", "value",
+                F.unix_micros("tse").alias("us"))
+    )
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str,
+                        query_name: str = "ev_dedup") -> DataFrame:
+    stream = streaming_dedup(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_streaming_windowed_agg(spark: SparkSession, sf_dir: str,
                                query_name: str = "ev_win") -> DataFrame:
     """Drive the stream to completion on the bounded source and return the

@@ -38,6 +38,40 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, sf_dir):
     assert len(stream_set) > 0
 
 
+def test_streaming_dedup_exactly_once(spark, sf_dir, tmp_path):
+    """Replayed input (every event file twice) -> each event_id exactly once."""
+    import shutil
+
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        run_streaming_dedup,
+    )
+
+    src = tmp_path / "replayed"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events_replay.parquet")
+    # point the bounded stream at the replayed dir (glob matches both files)
+    import duckdb_hybrid_doc_search_spark.streaming.events as se
+
+    orig = se.read_events_stream
+
+    def patched(spark_, sf_dir_):
+        schema = spark_.read.parquet(str(src / "events.parquet")).schema
+        return (
+            spark_.readStream.schema(schema).format("parquet")
+            .option("pathGlobFilter", "*.parquet").load(str(src))
+        )
+
+    se.read_events_stream = patched
+    try:
+        out = run_streaming_dedup(spark, str(src), query_name="ev_dedup_t")
+        n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert out.count() == n_unique
+        assert out.select("event_id").distinct().count() == n_unique
+    finally:
+        se.read_events_stream = orig
+
+
 def test_streaming_windowed_agg_matches_batch(spark, sf_dir):
     batch = {
         tuple(r)
