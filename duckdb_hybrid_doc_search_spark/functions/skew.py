@@ -22,7 +22,20 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     via monotonically_increasing_id is not deterministic across runs —
     pmod of a content hash is), small rows are replicated once per salt.
     Result columns = big's + small's (minus the duplicate key).
+
+    Result-identical to the plain join only for join types where an
+    unmatched SMALL-side row produces no output: the small side is
+    exploded num_salts times, so right/full outer would emit each
+    unmatched small row once per salt — those types are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would duplicate unmatched rows under right/full "
+            "outer joins"
+        )
     salt_col = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)
     ).cast("int")

@@ -47,16 +47,19 @@ def build_fts_index_from_tokens(docs: DataFrame) -> dict[str, DataFrame]:
 
 
 def trim_prefix_expr(col, prefix: str | None):
-    """T10 path trim as a pure SQL expression (reference indexer.py:112-136)."""
+    """T10 path trim as a pure SQL expression (reference indexer.py:112-136).
+
+    Built entirely from the passed Column (no hardcoded column name), and
+    the prefix is normpath'd to mirror the reference's normalize-both
+    behavior; the path side is produced normalized by the markdown source.
+    """
     if not prefix:
         return col
     norm = os.path.normpath(prefix)
-    return F.when(
-        col.startswith(norm),
-        F.regexp_replace(
-            F.expr(f"substring(file_path, {len(norm) + 1})"), "^/+", ""
-        ),
-    ).otherwise(col)
+    trimmed = F.regexp_replace(
+        F.substring(col, len(norm) + 1, 2**31 - 1), "^/+", ""
+    )
+    return F.when(col.startswith(norm), trimmed).otherwise(col)
 
 
 def index_directories(

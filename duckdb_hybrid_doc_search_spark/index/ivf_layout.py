@@ -27,6 +27,25 @@ def write_ivf_partitioned(emb: DataFrame, out_dir: str) -> None:
     ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
 
 
+def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
+                      sf_dir: str, root: str | None = None) -> str:
+    """Build (once) and return the cell-partitioned layout dir for sf_dir.
+
+    Write-time index construction, amortized across every subsequent probe
+    — the parquet `_SUCCESS` marker gates rebuilds. Layout lives under the
+    repo's spark-warehouse keyed by the data dir's basename, so sf0.01
+    (correctness) and sf0.1 (bench) each get their own layout.
+    """
+    if root is None:
+        root = os.path.join(os.getcwd(), "spark-warehouse", "ivf_layout")
+    out_dir = os.path.join(
+        root, os.path.basename(os.path.normpath(sf_dir)) or "default"
+    )
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        write_ivf_partitioned(emb, out_dir)
+    return out_dir
+
+
 def probe_cells(spark: SparkSession, out_dir: str,
                 cells: list[int]) -> DataFrame:
     """Read ONLY the probed cell partitions (pruned scan)."""

@@ -24,6 +24,10 @@ _CE_MODELS: dict[str, object] = {}
 def overlap_rerank_expr(text_col: Column, query_terms: list[str]) -> Column:
     """Token-overlap rerank score over the 2048-char-truncated text."""
     qterms = sorted(set(query_terms))
+    if not qterms:
+        # mirror doc_engine._rerank's `if not qset` guard: an empty query
+        # scores 0.0 instead of NULL (Spark x/0) / inf (DuckDB x/0.0)
+        return F.lit(0.0)
     truncated = F.substring(text_col, 1, RERANK_TRUNCATE_CHARS)
     inter = F.array_intersect(
         F.array_distinct(tokenize(truncated)),
@@ -34,6 +38,8 @@ def overlap_rerank_expr(text_col: Column, query_terms: list[str]) -> Column:
 
 def dd_overlap_rerank(text_expr: str, query_terms: list[str]) -> str:
     qterms = sorted(set(query_terms))
+    if not qterms:
+        return "0.0"
     qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in qterms)
     truncated = f"substr({text_expr}, 1, {RERANK_TRUNCATE_CHARS})"
     toks = dd_tokenize(truncated)

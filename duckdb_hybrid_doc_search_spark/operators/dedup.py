@@ -172,36 +172,39 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     return est.where(F.col("est_jaccard") >= F.lit(JACCARD_THRESHOLD))
 
 
-def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
-    """EXACT shingle-Jaccard near-dup pairs >= JACCARD_THRESHOLD, via
-    prefix-filtered set-similarity join (ppjoin-style).
+def dedup_ngram_jaccard(docs: DataFrame,
+                        strategy: str = "naive") -> DataFrame:
+    """EXACT shingle-Jaccard near-dup pairs >= JACCARD_THRESHOLD.
 
-    A naive inverted-index co-occurrence join pays sum(df²) over ALL
-    shingles — hot shingles dominate and the intermediate explodes. Prefix
-    filtering keeps exactness: order each document's shingles by global
-    rarity; any pair with J >= t must collide inside the first
-    n - ceil(t*n) + 1 (rarest) shingles of both documents, so candidate
-    generation joins only those prefixes — the hot (frequent) shingles
-    land at the END of prefixes and rarely participate. Candidates are then
-    verified with a full intersection count. Output identical to the naive
-    join (the DuckDB oracle runs the naive form); cost tracks the rare-
-    shingle collision count instead of sum(df²).
+    Two result-identical strategies (equality is property-tested in
+    tests/test_dedup_strategies.py):
+
+    - ``"naive"`` (default, what the registered query runs): inverted-index
+      co-occurrence join — pairs sharing >= 1 shingle, intersection size
+      from one groupBy, |A∪B| = |A|+|B|-|A∩B|. Cost is sum(df²) over
+      shingles; on this corpus the hottest shingle has df≈25 (≈2.8M
+      intermediate rows), which profiles 2-3x FASTER than prefix
+      filtering's verify re-expansion.
+    - ``"prefix"`` (the 100 TB path for heavy-tailed shingle
+      distributions — real web text with boilerplate shingles at df in the
+      millions): ppjoin-style prefix filter. J >= t forces intersection
+      c >= ceil(t*n) for each side, so two qualifying docs must collide
+      within their n - ceil(t*n) + 1 globally-RAREST shingles; candidate
+      generation joins only those prefixes (hot shingles sort to the end
+      and never generate candidates), then an exact intersection count
+      verifies each candidate. Cost tracks rare-shingle collisions
+      instead of sum(df²).
 
     Output: doc_a, doc_b, jaccard.
     """
+    if strategy == "prefix":
+        return _ngram_jaccard_prefix(docs)
+    if strategy != "naive":
+        raise ValueError(f"unknown strategy {strategy!r}")
     # the shingle table feeds three subtrees (sizes + both join sides);
     # persist it once instead of re-running tokenize+explode+distinct each
     d = _doc_shingles(docs).persist()
     sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # co-occurrence counts in ONE join+aggregate: intersection size c per
-    # pair sharing >= 1 shingle. Measured on this corpus the hottest
-    # shingle has df≈25, so sum(df²) ≈ 2.8M intermediate rows — cheaper
-    # than ppjoin-style prefix filtering, whose separate verify join
-    # re-expands every candidate by its full shingle set (profiled 2-3x
-    # slower here). For heavy-tailed shingle distributions (real web text,
-    # hot boilerplate shingles with df in the millions) flip to prefix
-    # filtering or cap df by dropping ubiquitous shingles from BOTH sides
-    # of the oracle and the engine.
     inter = (
         d.alias("a")
         .join(
@@ -216,6 +219,82 @@ def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
     )
     return (
         inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")),
+                SCORE_ROUND,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+    )
+
+
+def _ngram_jaccard_prefix(docs: DataFrame) -> DataFrame:
+    """ppjoin-style prefix-filtered exact Jaccard join (see
+    dedup_ngram_jaccard docstring). Result-identical to the naive form.
+
+    Bound used: J(A,B) >= t implies c = |A∩B| >= t*(|A|+|B|-c) and
+    c <= min(|A|,|B|), hence c >= t*|A| and c >= t*|B|; a qualifying pair
+    must therefore share a shingle within each side's first
+    n - ceil(t*n) + 1 shingles under ANY fixed global order. Ordering by
+    ascending document frequency puts the hot shingles at the tail, so
+    they never enter the candidate join.
+    """
+    from pyspark.sql import Window
+
+    t = JACCARD_THRESHOLD
+    d = _doc_shingles(docs).persist()
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_tbl = d.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    ranked = (
+        d.join(df_tbl, "s")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc_id", "s", "n")
+    # length filter: J >= t also forces t*max(na,nb) <= min(na,nb)
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(d.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            d.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        verified.join(
             sizes.select(F.col("doc_id").alias("doc_a"),
                          F.col("n").alias("na")),
             "doc_a",
@@ -271,51 +350,82 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", sim.alias("simhash"))
 
 
-def dedup_embedding_cosine(emb: DataFrame) -> DataFrame:
+def dedup_embedding_cosine(emb: DataFrame, num_blocks: int = 8) -> DataFrame:
     """Exact pairwise embedding near-dups >= COSINE_DUP_THRESHOLD.
 
-    Block-matrix design: one side of the self-join is L2-normalized into a
-    single matrix and broadcast to executors; each Arrow batch of the other
-    side is a numpy GEMM against it (chunk x dim @ dim x N), so per-pair
-    cost is a fused vector op instead of an interpreted expression — the
-    same tiling a 100 TB run uses, with the broadcast side bounded exactly
-    like any broadcast join. Beyond broadcast size, pre-bucket the pair
-    space with minhash/LSH or IVF cells (this module / operators/knn.py)
-    and run the same GEMM per bucket.
+    Distributed block-matrix self-join — NO driver-side materialization:
+    vectors are hashed into ``num_blocks`` blocks, every unordered block
+    pair (bi <= bj) becomes one ``applyInPandas`` group, and the group body
+    is a numpy GEMM between the two blocks' L2-normalized matrices. Each
+    vector is shuffled to its (num_blocks + 1) partner groups, so shuffle
+    volume is O(N * B) while the (inherent, exact) N^2/2 pair compute is
+    spread over B(B+1)/2 independent tasks. At 100 TB, raise ``num_blocks``
+    so a block fits executor memory, or pre-bucket the pair space with
+    minhash/LSH bands (this module) or IVF cells (operators/knn.py) and run
+    the same GEMM per bucket for the approximate/cheaper path.
 
     Output: vec_a, vec_b, cos_sim (vec_a < vec_b).
     """
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    B = num_blocks
+    blk = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    base = emb.select("vec_id", "embedding", blk.alias("blk"))
+    # side "a" owns groups (blk, j>=blk); side "b" owns (i<=blk, blk).
+    # Every cross-block pair lands in exactly one group; within-block pairs
+    # land once via the a-side with the vec_a < vec_b guard below.
+    side_a = base.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        F.lit("a").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    side_b = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("b").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    both = side_a.unionByName(side_b)
 
-    def block_pairs(batches):
-        b_ids, b_mat = bc.value
-        for chunk in batches:
-            a_ids = chunk["vec_id"].to_numpy()
-            a_mat = np.stack(chunk["embedding"].to_numpy()).astype("float64")
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = np.round(a_mat @ b_mat.T, SCORE_ROUND)
-            ai, bi = np.nonzero(
-                (sims >= COSINE_DUP_THRESHOLD)
-                & (a_ids[:, None] < b_ids[None, :])
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        a = pdf[pdf["side"] == "a"]
+        if bi == bj:
+            # the block's vectors appear on both sides — use one copy and
+            # keep each unordered pair once via the a_id < b_id mask
+            b = a
+        else:
+            b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
             )
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cos_sim": sims[ai, bi],
-                }
-            )
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        a_mat = np.stack(a["embedding"].to_numpy()).astype("float64")
+        b_mat = np.stack(b["embedding"].to_numpy()).astype("float64")
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = np.round(a_mat @ b_mat.T, SCORE_ROUND)
+        mask = sims >= COSINE_DUP_THRESHOLD
+        if bi == bj:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bix = np.nonzero(mask)
+        lo = np.minimum(a_ids[ai], b_ids[bix])
+        hi = np.maximum(a_ids[ai], b_ids[bix])
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cos_sim": sims[ai, bix]}
+        )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        block_pairs, "vec_a long, vec_b long, cos_sim double"
+    return both.groupBy("bi", "bj").applyInPandas(
+        gemm, "vec_a long, vec_b long, cos_sim double"
     )
 
 

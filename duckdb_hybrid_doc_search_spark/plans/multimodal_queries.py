@@ -6,6 +6,7 @@ unit-tested (tests/test_multimodal.py)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..index.catalog import load_table
 from ..operators import multimodal as mm
@@ -37,8 +38,14 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_image_features", oracle=None)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The feature vector is exploded to (media_id, dim_idx, value) scalar
+    # rows: the driver's canonicalizer hashes values with pandas factorize,
+    # which cannot hash an array<float> cell (r01's one red row).
     m = _media(spark, sf_dir)
-    return mm.extract_image_features(m.where(m.kind == "image"))
+    feats = mm.extract_image_features(m.where(m.kind == "image"))
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("dim_idx", "value")
+    ).withColumn("value", F.round(F.col("value").cast("double"), 4))
 
 
 @register("media_resize_images", oracle=None)

@@ -79,6 +79,16 @@ def streaming_sessionize(events: DataFrame,
     production stream keeps timeouts ON; bounded availableNow runs keep
     them OFF — a registered timeout keeps scheduling micro-batches and the
     query never reaches termination). State is O(active users).
+
+    Ordering contract: events are sorted WITHIN a micro-batch, so session
+    boundaries are exact only when arrival is event-time-ordered across
+    batches (true for the bounded replay source here). A cross-batch
+    straggler older than the open session's end cannot retroactively split
+    an already-extended session; it is folded into the open session and
+    never moves `last_us` backwards (the max() guard below), so a late
+    event can merge-but-never-corrupt. For genuinely out-of-order
+    production streams, buffer behind a watermark upstream (see
+    streaming_windowed_agg) before sessionizing.
     """
     import pandas as pd
 
@@ -117,7 +127,10 @@ def streaming_sessionize(events: DataFrame,
                      cur[1])
                 )
                 cur = [us, us, 0, 0.0]
-            cur[1] = us
+            # max() so a cross-batch late event can never move the open
+            # session's end backwards (see ordering contract above)
+            cur[0] = min(cur[0], us)
+            cur[1] = max(cur[1], us)
             cur[2] += 1
             cur[3] += float(value)
         if cur is not None:
