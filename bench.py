@@ -10,8 +10,10 @@ driver-side collect serialization.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -19,6 +21,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from duckdb_hybrid_doc_search_spark.plans import registry
 from duckdb_hybrid_doc_search_spark.session import get_spark
+
+
+def _prior_round_timings(here: str) -> tuple[int | None, dict[str, float]]:
+    """Per-query timings of the newest BENCH_r{N}.json, for the regression
+    diff — so each round's judging can quote which queries moved."""
+    best_n, timings = None, {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is not None and n <= best_n:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            qs = parsed.get("queries") or {}
+            if qs:
+                best_n, timings = n, qs
+        except (json.JSONDecodeError, OSError):
+            continue
+    return best_n, timings
 
 
 def main() -> None:
@@ -55,13 +79,28 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += best
 
-    print(json.dumps({
+    out = {
         "metric": "all_registered_queries_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    prior_round, prior = _prior_round_timings(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    if prior:
+        # >=1.5x AND >=0.25s absolute so sub-second jitter doesn't read
+        # as a regression; "new" queries have no prior to diff against
+        out["vs_round"] = prior_round
+        out["regressions"] = {
+            n: {"prev": prior[n], "now": t, "ratio": round(t / prior[n], 2)}
+            for n, t in timings.items()
+            if n in prior and prior[n] > 0
+            and t >= prior[n] * 1.5 and t - prior[n] >= 0.25
+        }
+        out["new_queries"] = sorted(set(timings) - set(prior))
+    print(json.dumps(out))
     spark.stop()
 
 

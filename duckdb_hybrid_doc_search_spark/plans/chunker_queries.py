@@ -45,9 +45,15 @@ def front_matter_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("markdown_chunk_fixtures", oracle=None)
+from .chunker_oracle import fixtures_oracle_sql  # noqa: E402
+
+
+@register("markdown_chunk_fixtures", oracle=fixtures_oracle_sql(FIXTURES_DIR))
 def markdown_chunk_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk the bundled fixture corpus end-to-end (rows-only check)."""
+    """Chunk the bundled fixture corpus end-to-end. The oracle is a VALUES
+    literal produced by an INDEPENDENT pure-Python re-derivation of the
+    chunking spec (plans/chunker_oracle.py) — a real cross-engine check on
+    chunk boundaries, header paths, line spans, and deterministic ids."""
     files = read_markdown_dirs(spark, [FIXTURES_DIR])
     return with_doc_ids(chunk_documents(files)).select(
         "doc_id", "file_path", "header_path", "line_start", "line_end",

@@ -33,3 +33,49 @@ def mllib_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mllib_ann.mllib_tfidf_top_terms(
         load_table(spark, sf_dir, "documents"), 50
     )
+
+
+@register("mllib_brp_recall", oracle=None, bench=False)
+def mllib_brp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation quality of the MLlib BRP-LSH path, recorded in the
+    driver artifacts each round (rows-only: seeded-random hash family):
+    one row (k, n_hit, recall_at_k) vs the exact cosine top-k for _QVEC."""
+    from pyspark.sql import functions as F
+
+    from ..operators import knn
+
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn.cosine_distance_topk(emb, _QVEC, k).select("doc_id")
+    approx = mllib_ann.mllib_brp_neighbors(emb, _QVEC, k).select("doc_id")
+    n_hit = exact.join(approx, "doc_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(k, n_hit, round(n_hit / k, 6))],
+        "k int, n_hit int, recall_at_k double",
+    )
+
+
+@register("mllib_minhash_recall", oracle=None, bench=False)
+def mllib_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair recall of MLlib MinHashLSH against the EXACT
+    shingle-Jaccard join at the same 0.5 threshold (rows-only): one row
+    (n_exact, n_candidates, n_hit, recall). Token-set granularities differ
+    (tokens vs 3-shingles), so this measures the pipeline as users run it:
+    did the approximate path surface the true near-dup pairs?"""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.dedup_ngram_jaccard(docs).select("doc_a", "doc_b")
+    approx = mllib_ann.mllib_minhash_pairs(docs, 0.5).select(
+        "doc_a", "doc_b"
+    )
+    n_exact = exact.count()
+    n_cand = approx.count()
+    n_hit = exact.join(approx, ["doc_a", "doc_b"], "left_semi").count()
+    recall = round(n_hit / n_exact, 6) if n_exact else 1.0
+    return spark.createDataFrame(
+        [(n_exact, n_cand, n_hit, recall)],
+        "n_exact long, n_candidates long, n_hit long, recall double",
+    )

@@ -104,6 +104,48 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_join(queries, corpus, ANN_K)
 
 
+_IVF_RECALL_ORACLE = f"""
+WITH ivf_res AS ({knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES)}),
+brute_res AS ({knn.dd_knn_join_sql(ANN_K, _KNN_QUERIES_SQL)}),
+hits AS (
+  SELECT b.q_id, count(*)::BIGINT AS n_hit
+  FROM brute_res b JOIN ivf_res i ON b.q_id = i.q_id AND b.c_id = i.c_id
+  GROUP BY b.q_id
+),
+qids AS (SELECT DISTINCT q_id FROM brute_res)
+SELECT q.q_id,
+       round(coalesce(h.n_hit, 0) * 1.0 / {ANN_K}, 6) AS recall_at_k
+FROM qids q LEFT JOIN hits h ON q.q_id = h.q_id
+""".strip()
+
+
+@register("ann_ivf_recall", oracle=_IVF_RECALL_ORACLE)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation quality as a first-class, driver-recorded metric:
+    recall@k of the IVF probe against the exact brute-force top-k, per
+    query. Both inputs are deterministic, so the recall itself is
+    oracle-gated, not just eyeballed in tests."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    brute = knn.knn_join(queries, corpus, ANN_K).select("q_id", "c_id")
+    ivf = knn.ivf_topk(emb, ANN_K, ANN_N_QUERIES).select("q_id", "c_id")
+    hits = brute.join(ivf, ["q_id", "c_id"], "left_semi").groupBy(
+        "q_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    qids = brute.select("q_id").distinct()
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(ANN_K), 6
+        ).alias("recall_at_k"),
+    )
+
+
 @register("ann_ivf_topk", oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probes the PERSISTED cell-partitioned layout (built once per sf_dir,

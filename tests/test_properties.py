@@ -97,3 +97,32 @@ def test_jp_tokenizer_total(text):
     """The CJK-bigram tokenizer never crashes and never emits empties."""
     toks = jp_heuristic_tokenize(text)
     assert all(t for t in toks)
+
+
+# --- chunker cross-implementation equivalence --------------------------------
+
+_md_line = st.one_of(
+    st.text(alphabet="ab #`~-\t", max_size=12),
+    st.sampled_from([
+        "# H1", "## H2", "### H3 ###", "#### deep", "```", "~~~", "---",
+        "", "text body", "  indented", "#not a header", "# ", "para one",
+    ]),
+)
+
+
+@given(st.lists(_md_line, max_size=40))
+def test_chunker_oracle_matches_engine_chunker(lines):
+    """The independent oracle chunker (plans/chunker_oracle.py — backward
+    scans, line masks) and the engine chunker (operators/chunker_core.py —
+    forward stack, regexes) must agree on arbitrary markdown."""
+    from duckdb_hybrid_doc_search_spark.operators.chunker_core import (
+        split_markdown)
+    from duckdb_hybrid_doc_search_spark.plans.chunker_oracle import chunk_file
+
+    content = "\n".join(lines)
+    engine = [
+        (c.header_path, c.line_start, c.line_end, c.content)
+        for c in split_markdown("/f.md", content)
+    ]
+    oracle = [(r[2], r[3], r[4], r[5]) for r in chunk_file("/f.md", content)]
+    assert engine == oracle
