@@ -537,3 +537,101 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
 WHERE round({cs}, {SCORE_ROUND}) >= {COSINE_DUP_THRESHOLD}
 """.strip()
+
+
+# --- duplicate-group resolution (connected components) -----------------------
+
+
+def dedup_components(docs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    over the minhash-LSH candidate graph, by iterative min-label
+    propagation (the keep-one-per-group primitive every dedup pipeline
+    ends with).
+
+    Each iteration is one join + min-aggregate — the Pregel message
+    pattern on DataFrames; the loop exits as soon as no label improves.
+    Iterations are bounded by the component diameter, which for near-dup
+    clusters is tiny (dup groups are dense). At extreme scale swap the
+    propagation for the large-star/small-star algorithm (same API); the
+    driver only ever sees the per-round convergence COUNT, never rows.
+
+    Output: doc_id, component_id (= min doc_id reachable), for every doc
+    that appears in at least one near-dup pair.
+    """
+    pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # Two iterative-loop disciplines, both essential:
+    # 1. localCheckpoint truncates LINEAGE each round — the round-N logical
+    #    plan otherwise contains 4 copies of round N-1 (union of labels +
+    #    msgs(labels) + jump(labels, labels)), and Catalyst re-analysis
+    #    goes exponential (measured: round 1 alone cost 8.8s at sf0.1).
+    # 2. partitioning sized to the PAIR GRAPH, which LSH keeps orders of
+    #    magnitude smaller than the corpus — not the corpus-shaped default.
+    edges = sym.localCheckpoint()
+    n_edges = edges.count()
+    npart = max(1, min(200, n_edges // 100_000 + 1))
+    edges = edges.repartition(npart, "src")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        # pointer jumping (label <- label's label) halves the remaining
+        # diameter each round: O(log D) rounds instead of O(D)
+        jump = labels.alias("x").join(
+            labels.select(
+                F.col("node").alias("jn"), F.col("label").alias("jl")
+            ),
+            F.col("x.label") == F.col("jn"),
+        ).select(F.col("x.node").alias("node"), F.col("jl").alias("label"))
+        new_labels = (
+            labels.unionByName(msgs)
+            .unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .repartition(npart, "node")
+            .localCheckpoint()
+        )
+        improved = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if improved == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def dd_dedup_components_sql(table: str = "documents") -> str:
+    """Recursive-CTE transitive closure: min reachable id per node —
+    exactly the fixpoint the Spark propagation converges to."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {dd_dedup_minhash_lsh_sql(table)}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node
+""".strip()

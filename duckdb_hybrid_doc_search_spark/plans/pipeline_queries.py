@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.catalog import load_table
-from ..operators import dedup, knn, textstats
+from ..operators import curation, dedup, knn, textstats
 from .registry import register
 
 ANN_K = 5
@@ -50,6 +50,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_embedding_cosine", oracle=dedup.dd_dedup_embedding_cosine_sql())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_embedding_cosine(_emb(spark, sf_dir))
+
+
+@register("dedup_components", oracle=dedup.dd_dedup_components_sql())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_components(_docs(spark, sf_dir))
+
+
+# --- corpus curation ---------------------------------------------------------
+
+
+@register("corpus_sample_stratified",
+          oracle=curation.dd_stratified_sample_sql())
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.stratified_sample(_docs(spark, sf_dir))
+
+
+@register("corpus_curation_pipeline",
+          oracle=curation.dd_curation_pipeline_sql())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.curation_pipeline(_docs(spark, sf_dir))
 
 
 # --- text analytics ----------------------------------------------------------

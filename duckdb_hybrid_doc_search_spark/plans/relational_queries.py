@@ -177,3 +177,77 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_props_json_stats", oracle=events.dd_props_json_stats_sql())
 def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.props_json_stats(_t(spark, sf_dir, "events"))
+
+
+# --- round 2: remaining TPC-H shapes -----------------------------------------
+
+
+@register("tpch_q7_volume_shipping", oracle=relational.dd_tpch_q7_sql())
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q7_volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("tpch_q8_market_share", oracle=relational.dd_tpch_q8_sql())
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q8_market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register("tpch_q13_customer_distribution",
+          oracle=relational.dd_tpch_q13_sql())
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q13_customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register("tpch_q15_top_supplier", oracle=relational.dd_tpch_q15_sql())
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q15_top_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+@register("tpch_q17_small_qty_revenue", oracle=relational.dd_tpch_q17_sql())
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q17_small_qty_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register("tpch_q19_discounted_revenue", oracle=relational.dd_tpch_q19_sql())
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q19_discounted_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register("tpch_q21_waiting_suppliers", oracle=relational.dd_tpch_q21_sql())
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q21_waiting_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("tpch_q22_global_sales_opportunity",
+          oracle=relational.dd_tpch_q22_sql())
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q22_global_sales_opportunity(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )

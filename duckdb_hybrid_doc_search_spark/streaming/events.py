@@ -224,3 +224,87 @@ def run_streaming_windowed_agg(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_asof_click_purchase(events: DataFrame,
+                                  timeout_ms: int | None = None) -> DataFrame:
+    """Streaming twin of operators/events.asof_click_before_purchase (the
+    as-of join): state per user is ONE value — the latest click timestamp —
+    and each purchase emits immediately with that carried click. This is
+    the stateful-stream form of an as-of join, which stream-stream interval
+    joins cannot express (they emit ALL clicks in the range, not the
+    latest). State is O(active users) x 8 bytes.
+
+    Same ordering contract as streaming_sessionize: exact for event-time-
+    ordered arrival; a late click can only move the carried click FORWARD
+    (max guard), never corrupt an emitted purchase row.
+
+    Output matches the batch spec: user_id, event_id (purchase),
+    purchase_us, last_click_us (NULL when no prior click), gap_us.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "user_id long, event_id long, purchase_us long, "
+        "last_click_us long, gap_us long"
+    )
+    state_schema = "last_click_us long"
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        cols = ["user_id", "event_id", "purchase_us", "last_click_us",
+                "gap_us"]
+        if state.hasTimedOut:
+            yield pd.DataFrame([], columns=cols)
+            return
+        rows = pd.concat(list(pdf_iter))
+        # clicks sort before purchases at equal timestamps — the batch
+        # window's (us, kind, event_id) order
+        rows = rows.sort_values(["us", "kind", "event_id"])
+        last = state.get[0] if state.exists else None
+        out = []
+        for event_id, us, kind in zip(rows["event_id"], rows["us"],
+                                      rows["kind"]):
+            us = int(us)
+            if kind == 0:
+                last = us if last is None else max(last, us)
+            else:
+                gap = None if last is None else us - last
+                out.append((user_id, int(event_id), us, last, gap))
+        if last is not None:
+            state.update((last,))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    prepared = events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("us"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    timeout_conf = (
+        "ProcessingTimeTimeout" if timeout_ms is not None else "NoTimeout"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout_conf
+    )
+
+
+def run_streaming_asof_click_purchase(
+        spark: SparkSession, sf_dir: str,
+        query_name: str = "ev_asof") -> DataFrame:
+    stream = streaming_asof_click_purchase(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

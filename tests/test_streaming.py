@@ -82,3 +82,27 @@ def test_streaming_windowed_agg_matches_batch(spark, sf_dir):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_streaming_asof_matches_batch(spark, sf_dir):
+    """Stateful as-of twin == batch spec EXACTLY (purchases emit
+    immediately, so unlike the sessionizer nothing is held back)."""
+    from duckdb_hybrid_doc_search_spark.operators.events import (
+        asof_click_before_purchase,
+    )
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        run_streaming_asof_click_purchase,
+    )
+
+    batch = {
+        tuple(r)
+        for r in asof_click_before_purchase(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in run_streaming_asof_click_purchase(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
