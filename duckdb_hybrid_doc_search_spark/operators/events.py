@@ -208,3 +208,101 @@ SELECT event_type, count(*)::BIGINT AS n,
        max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """.strip()
+
+
+def user_lag_deltas(events: DataFrame) -> DataFrame:
+    """lead/lag + ntile window surface: per-user inter-event gap and its
+    within-user quartile. Bounded partitions (per user), no global sort."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = events.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    with_delta = e.withColumn(
+        "delta_us", F.col("us") - F.lag("us").over(w)
+    ).where(F.col("delta_us").isNotNull())
+    wq = Window.partitionBy("user_id").orderBy("delta_us", "event_id")
+    return with_delta.withColumn("quartile", F.ntile(4).over(wq)).select(
+        "user_id", "event_id", "delta_us", "quartile"
+    )
+
+
+def dd_user_lag_deltas_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+d AS (
+  SELECT user_id, event_id,
+         us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS delta_us
+  FROM e
+)
+SELECT user_id, event_id, delta_us,
+       ntile(4) OVER (PARTITION BY user_id
+                      ORDER BY delta_us, event_id)::INT AS quartile
+FROM d WHERE delta_us IS NOT NULL
+""".strip()
+
+
+GRANULARITIES = ("hour", "day")
+
+
+def multi_granularity_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: the same counters at
+    several time granularities in one pass — a union of date_trunc
+    groupings, each a partial-agg + one shuffle (at scale these become
+    incremental materialized rollups; the grouping shape is identical)."""
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    parts = []
+    for g in GRANULARITIES:
+        parts.append(
+            events.select(
+                F.lit(g).alias("granularity"),
+                F.unix_micros(F.date_trunc(g, ts)).alias("bucket_us"),
+                "event_type",
+                "value",
+            )
+            .groupBy("granularity", "bucket_us", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), VALUE_ROUND).alias("sum_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("granularity", "bucket_us", "event_type")
+
+
+def dd_multi_granularity_rollup_sql() -> str:
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT '{g}' AS granularity,
+       epoch_us(date_trunc('{g}', make_timestamp(epoch_us(ts)))) AS bucket_us,
+       event_type, count(*)::BIGINT AS n,
+       round(sum(value), {VALUE_ROUND}) AS sum_value
+FROM events GROUP BY granularity, bucket_us, event_type"""
+        for g in GRANULARITIES
+    )
+    return f"""
+SELECT * FROM (
+{selects}
+) ORDER BY granularity, bucket_us, event_type
+""".strip()
+
+
+def approx_distinct_users_error(events: DataFrame) -> DataFrame:
+    """Sketch-quality metric (rows-only: Spark HLL++ and DuckDB's HLL are
+    different sketches): exact vs approx distinct users + relative error.
+    At 100 TB the approx path is the only affordable one; the recorded
+    error is what justifies it."""
+    row = events.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    )
+    return row.select(
+        "exact",
+        "approx",
+        F.round(
+            F.abs(F.col("approx") - F.col("exact")) / F.col("exact"), 6
+        ).alias("rel_err"),
+    )

@@ -1159,3 +1159,72 @@ WHERE CAST(c_acctbal AS DECIMAL(30,8)) > (
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey ORDER BY c_nationkey
 """.strip()
+
+
+def lineitem_unpivot_measures(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT surface: wide measure columns -> long (measure, value) rows
+    via stack() (stays in whole-stage codegen; no shuffle until the agg),
+    then per-measure totals."""
+    long = lineitem.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) AS (measure, value)"
+        ),
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            money_sum(F.col("value")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+def dd_lineitem_unpivot_sql() -> str:
+    return f"""
+SELECT l_returnflag, measure, {dd_money_sum('value')} AS total,
+       count(*)::BIGINT AS n
+FROM (
+  SELECT l_returnflag, 'qty' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+)
+GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure
+""".strip()
+
+
+HIST_LO = 1
+HIST_STEP = 5
+HIST_BUCKETS = 10
+
+
+def part_size_histogram(part: DataFrame) -> DataFrame:
+    """Fixed-width histogram with closed-form bucket arithmetic (no
+    width_bucket dependency — identical integer math on both engines)."""
+    b = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.floor((F.col("p_size") - HIST_LO) / HIST_STEP),
+    ).cast("int")
+    return (
+        part.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), AVG_ROUND).alias("avg_price"),
+        )
+        .withColumn("size_from", F.col("bucket") * HIST_STEP + HIST_LO)
+        .orderBy("bucket")
+    )
+
+
+def dd_part_size_histogram_sql() -> str:
+    b = f"least({HIST_BUCKETS - 1}, floor((p_size - {HIST_LO}) / {HIST_STEP}))::INT"
+    return f"""
+SELECT {b} AS bucket, count(*)::BIGINT AS n,
+       round(avg(p_retailprice), {AVG_ROUND}) AS avg_price,
+       ({b} * {HIST_STEP} + {HIST_LO})::INT AS size_from
+FROM part GROUP BY bucket ORDER BY bucket
+""".strip()

@@ -179,3 +179,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     out_dir = ensure_ivf_layout(spark, emb, sf_dir)
     return ivf_partitioned_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
+
+
+# --- JSONL source ------------------------------------------------------------
+
+_JSONL_PATH = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "jsonl" / "docs.jsonl"
+
+
+@register(
+    "jsonl_documents_scan",
+    oracle=f"""
+SELECT id, text, meta.source AS source, meta.lang AS lang,
+       round(score, 6) AS score,
+       len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+FROM read_json('{_JSONL_PATH}',
+               columns={{'id': 'BIGINT', 'text': 'VARCHAR',
+                         'meta': 'STRUCT(source VARCHAR, lang VARCHAR)',
+                         'score': 'DOUBLE'}})
+ORDER BY id
+""".strip(),
+)
+def jsonl_documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL training-corpus source: schema-pinned scan + nested-field
+    projection + a derived token count (sources/jsonl.py)."""
+    from ..sources.jsonl import read_jsonl
+
+    df = read_jsonl(spark, str(_JSONL_PATH))
+    return df.select(
+        "id",
+        "text",
+        F.col("meta.source").alias("source"),
+        F.col("meta.lang").alias("lang"),
+        F.round("score", 6).alias("score"),
+        F.size(F.split(F.trim("text"), " +")).alias("n_tokens"),
+    ).orderBy("id")

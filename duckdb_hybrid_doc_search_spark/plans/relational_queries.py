@@ -251,3 +251,35 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.tpch_q22_global_sales_opportunity(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
+
+
+# --- round 2: operator-breadth surface (unpivot, histogram, lag/ntile,
+# multi-granularity rollup, sketch-quality) -----------------------------------
+
+
+@register("lineitem_unpivot_measures",
+          oracle=relational.dd_lineitem_unpivot_sql())
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.lineitem_unpivot_measures(_t(spark, sf_dir, "lineitem"))
+
+
+@register("part_size_histogram",
+          oracle=relational.dd_part_size_histogram_sql())
+def part_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.part_size_histogram(_t(spark, sf_dir, "part"))
+
+
+@register("events_user_lag_deltas", oracle=events.dd_user_lag_deltas_sql())
+def events_user_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.user_lag_deltas(_t(spark, sf_dir, "events"))
+
+
+@register("events_multi_granularity_rollup",
+          oracle=events.dd_multi_granularity_rollup_sql())
+def events_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.multi_granularity_rollup(_t(spark, sf_dir, "events"))
+
+
+@register("events_approx_distinct_users", oracle=None, bench=True)
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.approx_distinct_users_error(_t(spark, sf_dir, "events"))
