@@ -84,3 +84,56 @@ def test_hybrid_search_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the corpus_stats cross join must be a broadcast nested loop over ONE row
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_new_tpch_dimensions_broadcast(spark, sf_dir):
+    """Round-2 TPC-H queries: every dimension side broadcasts; the fact
+    table is never on a broadcast build side by plan construction."""
+    for name, min_bhj in [
+        ("tpch_q7_volume_shipping", 5),
+        ("tpch_q8_market_share", 6),
+        ("tpch_q17_small_qty_revenue", 2),
+        ("tpch_q19_discounted_revenue", 1),
+    ]:
+        plan = plan_of(registry.REGISTRY[name].spark_fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert plan.count("SortMergeJoin") == 0, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q13_left_join_preserves_zero_order_customers(spark, sf_dir):
+    """Q13's left outer must not degrade to inner (the zero-order bucket
+    is the point of the query)."""
+    df = registry.REGISTRY["tpch_q13_customer_distribution"].spark_fn(
+        spark, sf_dir
+    )
+    rows = {r.c_count: r.custdist for r in df.collect()}
+    assert 0 in rows or min(rows) >= 1  # zero bucket present unless all order
+
+
+def test_curation_pipeline_no_python_stages(spark, sf_dir):
+    """The composed curation keep-set is pure relational — no Python
+    workers anywhere in the plan."""
+    df = registry.REGISTRY["corpus_curation_pipeline"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Python" not in plan and "mapInPandas" not in plan
+
+
+def test_jsonl_scan_prunes_columns(spark, sf_dir):
+    """Projection pruning must reach the JSON scan: reading (id, score)
+    only must not carry text/meta in the scan's ReadSchema."""
+    from duckdb_hybrid_doc_search_spark.plans import pipeline_queries as pq
+    from duckdb_hybrid_doc_search_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(spark, str(pq._JSONL_PATH)).select("id", "score")
+    plan = plan_of(df)
+    scan = plan[plan.index("FileScan"):].split("\n")[0]
+    assert "text" not in scan
+
+
+def test_embedding_dedup_single_shuffle_stage_shape(spark, sf_dir):
+    """Block-pair GEMM: exactly one FlatMapGroupsInPandas (the per-block
+    GEMM), no driver-side broadcast of the corpus in the plan."""
+    df = registry.REGISTRY["dedup_embedding_cosine"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1
