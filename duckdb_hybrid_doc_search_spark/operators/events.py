@@ -306,3 +306,49 @@ def approx_distinct_users_error(events: DataFrame) -> DataFrame:
             F.abs(F.col("approx") - F.col("exact")) / F.col("exact"), 6
         ).alias("rel_err"),
     )
+
+
+def session_event_stats(events: DataFrame) -> DataFrame:
+    """Range join events back into their gap-sessions: per session, the
+    count and max value of the events inside [start_us, end_us].
+
+    The range predicate rides on the user_id EQUI key, so the plan is an
+    ordinary keyed join with the BETWEEN as a post-filter — no interval
+    explosion; shuffle is one user_id exchange reused from sessionize.
+    (A range join with NO equi key should be binned: equi-join on a
+    time-bucket column, then exact-filter — same pattern as IVF cells.)
+    """
+    sessions = sessionize(events)
+    e = events.select(
+        F.col("user_id").alias("e_user"),
+        F.expr("ts div 1000").alias("e_us"),
+        "value",
+    )
+    return (
+        sessions.join(
+            e,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_us") >= F.col("start_us"))
+            & (F.col("e_us") <= F.col("end_us")),
+        )
+        .groupBy("user_id", "start_us", "end_us", "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_range"),
+            F.round(F.max("value"), VALUE_ROUND).alias("max_value"),
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+def dd_session_event_stats_sql() -> str:
+    return f"""
+WITH sess AS ({dd_sessionize_sql()}),
+e AS (SELECT user_id AS e_user, epoch_us(ts) AS e_us, value FROM events)
+SELECT s.user_id, s.start_us, s.end_us, s.n_events,
+       count(*)::BIGINT AS n_in_range,
+       round(max(e.value), {VALUE_ROUND}) AS max_value
+FROM sess s JOIN e
+  ON s.user_id = e.e_user AND e.e_us BETWEEN s.start_us AND s.end_us
+GROUP BY s.user_id, s.start_us, s.end_us, s.n_events
+ORDER BY s.user_id, s.start_us
+""".strip()

@@ -28,7 +28,33 @@ def mllib_brp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mllib_tfidf_top_terms", oracle=None, bench=False)
+def _dd_tfidf_oracle(top_n: int = 50) -> str:
+    """MLlib's CountVectorizer+IDF reduces to closed form per term:
+    sum over docs of tf*idf = idf * total_tf, with Spark's
+    idf = ln((m+1)/(df+1)) — so even the MLlib wrapper is exactly
+    oracle-checkable (vocab is untruncated at this corpus size)."""
+    from ..functions.text import dd_tokenize
+
+    toks = dd_tokenize("text")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+m AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+stats AS (
+  SELECT term, sum(tf)::BIGINT AS total_tf, count(*)::BIGINT AS df
+  FROM tf GROUP BY term
+)
+SELECT term,
+       round(ln((n_docs + 1.0) / (df + 1.0)) * total_tf, 6) AS tfidf_sum
+FROM stats, m
+ORDER BY tfidf_sum DESC, term ASC LIMIT {top_n}
+""".strip()
+
+
+@register("mllib_tfidf_top_terms", oracle=_dd_tfidf_oracle(50), bench=False)
 def mllib_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mllib_ann.mllib_tfidf_top_terms(
         load_table(spark, sf_dir, "documents"), 50

@@ -283,3 +283,9 @@ def events_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_approx_distinct_users", oracle=None, bench=True)
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.approx_distinct_users_error(_t(spark, sf_dir, "events"))
+
+
+@register("events_session_range_join",
+          oracle=events.dd_session_event_stats_sql())
+def events_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.session_event_stats(_t(spark, sf_dir, "events"))
