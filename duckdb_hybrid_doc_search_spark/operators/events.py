@@ -352,3 +352,54 @@ FROM sess s JOIN e
 GROUP BY s.user_id, s.start_us, s.end_us, s.n_events
 ORDER BY s.user_id, s.start_us
 """.strip()
+
+
+def funnel_view_click_purchase(events: DataFrame) -> DataFrame:
+    """Funnel analysis: per-user first view -> first subsequent click ->
+    first subsequent purchase, reduced to stage conversion counts. One
+    shuffle (conditional min-aggregates per user), then a single-row
+    reduce — the standard product-analytics shape, scale-bound by
+    |users|."""
+    e = events.select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_type"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "first_purchase"
+        ),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after_click"),
+    )
+
+
+def dd_funnel_sql() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(CASE WHEN first_view IS NOT NULL THEN 1 END)::BIGINT AS n_viewed,
+       count(CASE WHEN first_view IS NOT NULL
+                   AND first_click > first_view THEN 1 END)::BIGINT
+         AS n_clicked_after_view,
+       count(CASE WHEN first_view IS NOT NULL
+                   AND first_click > first_view
+                   AND first_purchase > first_click THEN 1 END)::BIGINT
+         AS n_purchased_after_click
+FROM per_user
+""".strip()

@@ -202,3 +202,49 @@ SELECT term, count(*)::BIGINT AS cnt
 FROM (SELECT unnest({_dd_toks()}) AS term FROM {table})
 GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {top_n}
 """.strip()
+
+
+def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Language-model quality signal: average unigram log-probability of
+    each document under the corpus's own unigram distribution (higher =
+    more typical text; extreme-low = boilerplate/garbage — a standard
+    training-data filter signal).
+
+    Two aggregations over one token explode: corpus term totals (tiny,
+    broadcast back), then a per-doc mean of ln(tf_corpus/total). All
+    JVM-side arithmetic; the token pass is the same explode the FTS build
+    uses."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    term_tot = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    total = term_tot.agg(F.sum("ct").alias("total"))
+    scored = (
+        toks.join(F.broadcast(term_tot), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.log(F.col("ct") / F.col("total"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), SCORE_ROUND).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+def dd_unigram_logprob_sql(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_dd_toks()}) AS term FROM {table}
+),
+term_tot AS (SELECT term, count(*)::BIGINT AS ct FROM toks GROUP BY term),
+total AS (SELECT sum(ct)::BIGINT AS total FROM term_tot)
+SELECT doc_id, round(avg(ln(ct * 1.0 / total)), {SCORE_ROUND}) AS avg_logprob,
+       count(*)::BIGINT AS n_tokens
+FROM toks JOIN term_tot USING (term) CROSS JOIN total
+GROUP BY doc_id
+""".strip()

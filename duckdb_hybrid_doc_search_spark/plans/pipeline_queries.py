@@ -214,3 +214,8 @@ def jsonl_documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.size(F.split(F.trim("text"), " +")).alias("n_tokens"),
     ).orderBy("id")
+
+
+@register("text_unigram_logprob", oracle=textstats.dd_unigram_logprob_sql())
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.unigram_logprob_scores(_docs(spark, sf_dir))

@@ -289,3 +289,8 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=events.dd_session_event_stats_sql())
 def events_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.session_event_stats(_t(spark, sf_dir, "events"))
+
+
+@register("events_funnel", oracle=events.dd_funnel_sql())
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.funnel_view_click_purchase(_t(spark, sf_dir, "events"))
