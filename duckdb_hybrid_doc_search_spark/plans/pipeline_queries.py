@@ -152,8 +152,13 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
+    from ..index.ivf_layout import ensure_ivf_layout, ivf_partitioned_topk
+
     brute = knn.knn_join(queries, corpus, ANN_K).select("q_id", "c_id")
-    ivf = knn.ivf_topk(emb, ANN_K, ANN_N_QUERIES).select("q_id", "c_id")
+    out_dir = ensure_ivf_layout(spark, emb, sf_dir)
+    ivf = ivf_partitioned_topk(
+        spark, out_dir, emb, ANN_K, ANN_N_QUERIES
+    ).select("q_id", "c_id")
     hits = brute.join(ivf, ["q_id", "c_id"], "left_semi").groupBy(
         "q_id"
     ).agg(F.count(F.lit(1)).alias("n_hit"))
@@ -219,3 +224,28 @@ def jsonl_documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_unigram_logprob", oracle=textstats.dd_unigram_logprob_sql())
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob_scores(_docs(spark, sf_dir))
+
+
+@register("documents_embed_hash", oracle=None)
+def documents_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk embedding generation as a first-class registered query (the
+    north-star claim: embedding runs executor-parallel, not in a driver
+    loop). Hash backend (seeded-RNG, deterministic but not
+    SQL-expressible -> rows-only); emits per-doc norm + a content-coupled
+    checksum so the driver artifact pins the exact vectors each round."""
+    from ..models.embedder import embed_udf
+
+    docs = _docs(spark, sf_dir)
+    emb = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "doc_id", embed_udf("hash")(F.col("text")).alias("v")
+    )
+    return emb.select(
+        "doc_id",
+        F.round(
+            F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("norm"),
+        F.round(F.element_at("v", 1).cast("double"), 6).alias("v0"),
+        F.round(F.element_at("v", 2).cast("double"), 6).alias("v1"),
+    )

@@ -294,3 +294,41 @@ def events_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_funnel", oracle=events.dd_funnel_sql())
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.funnel_view_click_purchase(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "lineitem_salted_join",
+    oracle="""
+SELECT o_orderpriority, count(*)::BIGINT AS n,
+       round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2)::DOUBLE
+         AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""".strip(),
+)
+def lineitem_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation as a registered, oracle-gated query: the salted
+    fact-dim join must be result-identical to the plain join (the oracle
+    IS the plain join). At scale this is the explicit answer to a
+    known-hot key; AQE skew-join covers the unknown ones."""
+    from pyspark.sql import functions as F
+
+    from ..functions.skew import salted_join
+    from ..operators.relational import money_sum
+
+    joined = salted_join(
+        _t(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+        num_salts=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
