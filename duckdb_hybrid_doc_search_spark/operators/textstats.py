@@ -57,25 +57,45 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     diversity (distinct/total tokens) * 0.4
     + min(1, n_tokens/100) * 0.3
     + alnum-char ratio * 0.3, plus a stopword ratio column."""
+    # EXACT integer arithmetic end-to-end: with d=|distinct|, n=|tokens|,
+    # a=|alnum chars|, L=|chars|, the score is the rational
+    #   (400*d*L + 3*min(n,100)*n*L + 300*a*n) / (1000*n*L)
+    # and round-half-up to 6 dp is the integer division
+    #   (2e6*num + den) div (2*den).
+    # Doubles are only used for the final /1e6 (exact same double both
+    # engines). Found at sf0.1: a doc whose true score is EXACTLY
+    # 0.5844375 — Spark (half-up on shortest double repr) and DuckDB
+    # (round on the binary double) disagreed on the last digit.
     toks = tokenize(F.col("text"))
-    n = F.size(toks)
-    diversity = F.size(F.array_distinct(toks)) / n
-    length_score = F.least(F.lit(1.0), n / F.lit(QLEN_SATURATION))
-    alnum = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")) / F.length(
-        "text"
-    )
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / n
-    )
-    return docs.select(
+    n = F.size(toks).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
+    a = F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
+    ).cast("long")
+    ln = F.length("text").cast("long")
+    k = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    base = docs.select(
         "doc_id",
-        F.round(
-            diversity * QW_DIVERSITY
-            + length_score * QW_LENGTH
-            + alnum * QW_ALNUM,
-            SCORE_ROUND,
+        (
+            F.lit(400) * d * ln
+            + F.lit(3) * F.least(n, F.lit(100).cast("long")) * n * ln
+            + F.lit(300) * a * n
+        ).alias("q_num"),
+        (F.lit(1000) * n * ln).alias("q_den"),
+        k.alias("k"),
+        n.alias("n"),
+    )
+    return base.select(
+        "doc_id",
+        # `div` is 64-bit integer division — exact; a double floor() would
+        # lose bits past 2^53
+        (
+            F.expr("(2000000 * q_num + q_den) div (2 * q_den)")
+            / F.lit(1_000_000.0)
         ).alias("quality"),
-        F.round(stop_ratio, SCORE_ROUND).alias("stopword_ratio"),
+        (
+            F.expr("(2000000 * k + n) div (2 * n)") / F.lit(1_000_000.0)
+        ).alias("stopword_ratio"),
     )
 
 
@@ -150,17 +170,27 @@ FROM t
 def dd_quality_scores_sql(table: str = "documents") -> str:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""
-WITH t AS (SELECT doc_id, text, {_dd_toks()} AS toks FROM {table})
+WITH t AS (SELECT doc_id, text, {_dd_toks()} AS toks FROM {table}),
+ints AS (
+  SELECT doc_id,
+         len(list_distinct(toks))::BIGINT AS d,
+         len(toks)::BIGINT AS n,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS a,
+         length(text)::BIGINT AS ln,
+         len(list_filter(toks, x -> x IN ({stop_list})))::BIGINT AS k
+  FROM t
+),
+frac AS (
+  SELECT doc_id,
+         400 * d * ln + 3 * least(n, 100) * n * ln + 300 * a * n AS q_num,
+         1000 * n * ln AS q_den,
+         k, n
+  FROM ints
+)
 SELECT doc_id,
-       round(
-         (len(list_distinct(toks)) * 1.0 / len(toks)) * {QW_DIVERSITY}
-         + least(1.0, len(toks) / {QLEN_SATURATION}) * {QW_LENGTH}
-         + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
-            / length(text)) * {QW_ALNUM},
-         {SCORE_ROUND}) AS quality,
-       round(len(list_filter(toks, x -> x IN ({stop_list}))) * 1.0 / len(toks),
-             {SCORE_ROUND}) AS stopword_ratio
-FROM t
+       ((2000000 * q_num + q_den) // (2 * q_den)) / 1000000.0 AS quality,
+       ((2000000 * k + n) // (2 * n)) / 1000000.0 AS stopword_ratio
+FROM frac
 """.strip()
 
 
