@@ -278,3 +278,148 @@ SELECT doc_id, round(avg(ln(ct * 1.0 / total)), {SCORE_ROUND}) AS avg_logprob,
 FROM toks JOIN term_tot USING (term) CROSS JOIN total
 GROUP BY doc_id
 """.strip()
+
+
+# --- C4/Gopher-style corpus-cleaning signals (round 2) -----------------------
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """C4/Gopher-style within-document repetition signals: line counts,
+    duplicate-line count, and the fraction of characters inside duplicated
+    lines — the standard boilerplate detector for web-scale corpora. One
+    explode + two aggregations, all JVM-side."""
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.split("text", "\n")).alias("line"),
+    ).where(F.length(F.trim("line")) > 0)
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).alias("cnt"), F.length("line").alias("chars")
+    )
+    return (
+        per_line.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))).alias("dup_raw"),
+            F.sum(F.col("cnt") * F.col("chars")).alias("total_chars"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("chars"))
+            ).alias("dup_chars_raw"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("dup_raw"), F.lit(0)).alias("n_dup_lines"),
+            # exact integer half-up division (see quality_scores)
+            (
+                F.expr(
+                    "(2000000 * coalesce(dup_chars_raw, 0) + total_chars) "
+                    "div (2 * total_chars)"
+                )
+                / F.lit(1_000_000.0)
+            ).alias("dup_char_ratio"),
+        )
+    )
+
+
+def dd_repetition_stats_sql(table: str = "documents") -> str:
+    return f"""
+WITH lines AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM {table}
+  ) WHERE length(trim(line)) > 0
+),
+per_line AS (
+  SELECT doc_id, line, count(*)::BIGINT AS cnt,
+         length(line)::BIGINT AS chars
+  FROM lines GROUP BY doc_id, line
+),
+agg AS (
+  SELECT doc_id,
+         sum(cnt)::BIGINT AS n_lines,
+         coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0)::BIGINT
+           AS n_dup_lines,
+         sum(cnt * chars)::BIGINT AS total_chars,
+         coalesce(sum(CASE WHEN cnt > 1 THEN cnt * chars END), 0)::BIGINT
+           AS dup_chars
+  FROM per_line GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_dup_lines,
+       ((2000000 * dup_chars + total_chars) // (2 * total_chars))
+         / 1000000.0 AS dup_char_ratio
+FROM agg
+""".strip()
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (the sub-document
+    granularity real pipelines dedup at — boilerplate paragraphs recur
+    across distinct pages). Output: one row per paragraph occurring in
+    more than one document: md5, occurrence count, keeper doc."""
+    paras = docs.select(
+        "doc_id",
+        F.explode(F.split("text", "\n\n")).alias("para"),
+    ).where(F.length(F.trim("para")) > 0)
+    return (
+        paras.select("doc_id", F.md5(F.trim("para")).alias("para_md5"))
+        .distinct()
+        .groupBy("para_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dd_paragraph_dedup_sql(table: str = "documents") -> str:
+    return f"""
+WITH paras AS (
+  SELECT DISTINCT doc_id, md5(trim(para)) AS para_md5 FROM (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10) || chr(10))) AS para
+    FROM {table}
+  ) WHERE length(trim(para)) > 0
+)
+SELECT para_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc
+FROM paras GROUP BY para_md5 HAVING count(*) > 1
+""".strip()
+
+
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_DIGITS_RE = "[0-9]{6,}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing: redact email addresses and long digit runs (the
+    minimum-viable pass every released training corpus runs), with
+    per-doc redaction counts. Stateless map — no shuffle at any scale."""
+    emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE)))
+    scrubbed1 = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    digits = F.size(
+        F.regexp_extract_all(scrubbed1, F.lit(PII_DIGITS_RE))
+    )
+    clean = F.regexp_replace(scrubbed1, PII_DIGITS_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        digits.alias("n_long_numbers"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def dd_redact_pii_sql(table: str = "documents") -> str:
+    em, dg = PII_EMAIL_RE, PII_DIGITS_RE
+    return f"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{em}'))::INT AS n_emails,
+         regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t1
+  FROM {table}
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '{dg}'))::INT AS n_long_numbers,
+       length(regexp_replace(t1, '{dg}', '<NUM>', 'g'))::INT AS clean_len,
+       md5(regexp_replace(t1, '{dg}', '<NUM>', 'g')) AS clean_md5
+FROM s1
+""".strip()

@@ -249,3 +249,18 @@ def documents_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("v", 1).cast("double"), 6).alias("v0"),
         F.round(F.element_at("v", 2).cast("double"), 6).alias("v1"),
     )
+
+
+@register("text_repetition_stats", oracle=textstats.dd_repetition_stats_sql())
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+@register("text_paragraph_dedup", oracle=textstats.dd_paragraph_dedup_sql())
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.paragraph_dedup(_docs(spark, sf_dir))
+
+
+@register("text_redact_pii", oracle=textstats.dd_redact_pii_sql())
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.redact_pii(_docs(spark, sf_dir))
