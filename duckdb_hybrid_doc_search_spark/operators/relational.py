@@ -1228,3 +1228,32 @@ SELECT {b} AS bucket, count(*)::BIGINT AS n,
        ({b} * {HIST_STEP} + {HIST_LO})::INT AS size_from
 FROM part GROUP BY bucket ORDER BY bucket
 """.strip()
+
+
+def lineitem_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube): exactly
+    the flag-only, status-only, and pair subtotals — no grand total, which
+    neither rollup nor cube can express alone. Declared via Spark SQL on a
+    temp view; Catalyst plans it as one Expand + hash aggregate."""
+    lineitem.createOrReplaceTempView("_li_gs")
+    return lineitem.sparkSession.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(CAST(l_quantity AS {DEC})), {MONEY_ROUND})
+                 AS sum_qty,
+               count(*) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag, l_linestatus
+    """).withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+def dd_lineitem_grouping_sets_sql() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       {dd_money_sum('l_quantity')} AS sum_qty, count(*)::BIGINT AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+ORDER BY l_returnflag, l_linestatus
+""".strip()

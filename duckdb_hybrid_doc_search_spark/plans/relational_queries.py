@@ -332,3 +332,9 @@ def lineitem_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register("lineitem_grouping_sets",
+          oracle=relational.dd_lineitem_grouping_sets_sql())
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.lineitem_grouping_sets(_t(spark, sf_dir, "lineitem"))

@@ -308,3 +308,30 @@ def run_streaming_asof_click_purchase(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_streaming_foreach_batch_parquet(
+        spark: SparkSession, sf_dir: str, out_dir: str,
+        query_name: str = "ev_fb") -> None:
+    """foreachBatch parquet sink: each micro-batch of the deduplicated
+    stream is appended with its batch id in the path — the idempotent-
+    writer pattern (a replayed batch overwrites its own directory instead
+    of double-appending), which is how a production stream gets
+    end-to-end exactly-once into a table without a transactional sink."""
+    stream = streaming_dedup(read_events_stream(spark, sf_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

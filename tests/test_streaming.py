@@ -106,3 +106,21 @@ def test_streaming_asof_matches_batch(spark, sf_dir):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_foreach_batch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch idempotent parquet sink: the written table holds each
+    event exactly once, equal to the batch distinct set."""
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        run_streaming_foreach_batch_parquet,
+    )
+
+    out = str(tmp_path / "fb_out")
+    run_streaming_foreach_batch_parquet(spark, sf_dir, out)
+    written = spark.read.parquet(out)
+    n_unique = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id").distinct().count()
+    )
+    assert written.count() == n_unique
+    assert written.select("event_id").distinct().count() == n_unique
