@@ -76,3 +76,43 @@ def test_stored_model_wins(spark, index_dir, recwarn):
     model, backend, dim = resolve_model(index_dir, "some-other-model")
     assert model == "hash-embedder" and backend == "hash"
     assert any("stored model wins" in str(w.message) for w in recwarn)
+
+
+def test_search_empty_query_returns_vss_results(spark, index_dir):
+    """An empty / non-tokenizable query must not crash: the BM25 branch is
+    empty, the vector branch still returns, rerank short-circuits to 0.0
+    (the round-2 guard) instead of NULL/inf."""
+    from duckdb_hybrid_doc_search_spark.search.doc_engine import (
+        DocSearchEngine,
+    )
+
+    engine = DocSearchEngine(spark, index_dir)
+    for q in ["", "   ", "!!! ???"]:
+        results = engine.search(q, top_k=3, rerank=True)
+        assert isinstance(results, list)
+        for r in results:
+            assert r["score"] is not None
+
+
+def test_search_top_k_extremes(spark, index_dir):
+    from duckdb_hybrid_doc_search_spark.search.doc_engine import (
+        DocSearchEngine,
+    )
+
+    engine = DocSearchEngine(spark, index_dir)
+    one = engine.search("deep nested", top_k=1)
+    assert len(one) <= 1
+    many = engine.search("deep nested", top_k=100)
+    assert len(many) <= 100
+    assert len(many) >= len(one)
+
+
+def test_search_nonexistent_index_raises(spark, tmp_path):
+    import pytest
+
+    from duckdb_hybrid_doc_search_spark.search.doc_engine import (
+        DocSearchEngine,
+    )
+
+    with pytest.raises(Exception):
+        DocSearchEngine(spark, str(tmp_path / "no_such_index")).search("x")
