@@ -30,13 +30,22 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     pandas.merge_asof(allow_exact_matches=True).
     """
     lcols = left.columns
+    # Right-side values ride in ONE struct: last(ignorenulls) then skips
+    # only the left-row placeholders, never a genuinely-NULL field inside
+    # a right row, and all carried columns come from the SAME right row
+    # (per-column carries could stitch together a row that never existed).
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*lcols).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    *[F.col(c) for c in value_cols]
+                ).alias("s")
+            ).schema["s"].dataType
+        ).alias("__rvals"),
     )
     r_tag = right.select(
         F.col(key).alias("__k"),
@@ -45,24 +54,23 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
         F.lit(None).cast(
             l_tag.schema["__lrow"].dataType
         ).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rvals"),
     )
+    # __rvals as the final sort key makes ties on (ts, side) total and
+    # deterministic: among right rows at the same timestamp the
+    # lexicographically greatest value tuple wins — matching
+    # pandas.merge_asof on right input sorted by (ts, value_cols)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__rvals")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l_tag.unionByName(r_tag).select(
         "__side",
         "__lrow",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(
-                f"__c_{c}"
-            )
-            for c in value_cols
-        ],
+        F.last("__rvals", ignorenulls=True).over(w).alias("__c"),
     )
     return carried.where(F.col("__side") == 1).select(
         *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
-        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__c.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )

@@ -31,16 +31,28 @@ def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
                       sf_dir: str, root: str | None = None) -> str:
     """Build (once) and return the cell-partitioned layout dir for sf_dir.
 
-    Write-time index construction, amortized across every subsequent probe
-    — the parquet `_SUCCESS` marker gates rebuilds. Layout lives under the
-    repo's spark-warehouse keyed by the data dir's basename, so sf0.01
-    (correctness) and sf0.1 (bench) each get their own layout.
+    Write-time index construction, amortized across every subsequent
+    probe. The cache key is the data dir's basename PLUS a content
+    fingerprint (row count + vec_id checksum — one cheap aggregate scan),
+    so regenerated testdata or a different data root with a colliding
+    basename rebuilds instead of silently probing stale vectors. Rooted
+    at the repo directory, not the process CWD.
     """
+    from pyspark.sql import functions as F
+
     if root is None:
-        root = os.path.join(os.getcwd(), "spark-warehouse", "ivf_layout")
-    out_dir = os.path.join(
-        root, os.path.basename(os.path.normpath(sf_dir)) or "default"
+        repo_dir = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ))
+        root = os.path.join(repo_dir, "spark-warehouse", "ivf_layout")
+    fp = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s")
+    ).collect()[0]
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{fp['n']}-{fp['s']}"
     )
+    out_dir = os.path.join(root, key)
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         write_ivf_partitioned(emb, out_dir)
     return out_dir

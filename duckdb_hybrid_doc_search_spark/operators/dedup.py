@@ -253,7 +253,12 @@ def _ngram_jaccard_prefix(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    t = JACCARD_THRESHOLD
+    # Slack below the nominal threshold: the FINAL filter (like naive's)
+    # accepts round(J, SCORE_ROUND) >= t, which admits true J down to
+    # t - 0.5*10^-SCORE_ROUND; the candidate bounds must therefore be
+    # derived from that looser t', or a boundary pair naive keeps could
+    # never become a candidate here.
+    t = JACCARD_THRESHOLD - 0.5 * 10 ** (-SCORE_ROUND)
     d = _doc_shingles(docs).persist()
     sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_tbl = d.groupBy("s").agg(F.count(F.lit(1)).alias("df"))

@@ -87,14 +87,22 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
     return base.select(
         "doc_id",
-        # `div` is 64-bit integer division — exact; a double floor() would
-        # lose bits past 2^53
+        # exact integer division, widened to DECIMAL(38,0): 2e6 * q_num
+        # would overflow int64 for multi-MB documents (q_num ~ 400*d*L);
+        # a double floor() would lose bits past 2^53
         (
-            F.expr("(2000000 * q_num + q_den) div (2 * q_den)")
+            F.expr(
+                "(CAST(2000000 AS DECIMAL(38,0)) * q_num + q_den) "
+                "div (CAST(2 AS DECIMAL(38,0)) * q_den)"
+            )
             / F.lit(1_000_000.0)
         ).alias("quality"),
         (
-            F.expr("(2000000 * k + n) div (2 * n)") / F.lit(1_000_000.0)
+            F.expr(
+                "(CAST(2000000 AS DECIMAL(38,0)) * k + n) "
+                "div (CAST(2 AS DECIMAL(38,0)) * n)"
+            )
+            / F.lit(1_000_000.0)
         ).alias("stopword_ratio"),
     )
 
@@ -188,8 +196,10 @@ frac AS (
   FROM ints
 )
 SELECT doc_id,
-       ((2000000 * q_num + q_den) // (2 * q_den)) / 1000000.0 AS quality,
-       ((2000000 * k + n) // (2 * n)) / 1000000.0 AS stopword_ratio
+       ((2000000::HUGEINT * q_num + q_den) // (2::HUGEINT * q_den))
+         / 1000000.0 AS quality,
+       ((2000000::HUGEINT * k + n) // (2::HUGEINT * n))
+         / 1000000.0 AS stopword_ratio
 FROM frac
 """.strip()
 
@@ -309,11 +319,13 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             "doc_id",
             "n_lines",
             F.coalesce(F.col("dup_raw"), F.lit(0)).alias("n_dup_lines"),
-            # exact integer half-up division (see quality_scores)
+            # exact integer half-up division, DECIMAL-widened against
+            # int64 overflow (see quality_scores)
             (
                 F.expr(
-                    "(2000000 * coalesce(dup_chars_raw, 0) + total_chars) "
-                    "div (2 * total_chars)"
+                    "(CAST(2000000 AS DECIMAL(38,0)) "
+                    "* coalesce(dup_chars_raw, 0) + total_chars) "
+                    "div (CAST(2 AS DECIMAL(38,0)) * total_chars)"
                 )
                 / F.lit(1_000_000.0)
             ).alias("dup_char_ratio"),
@@ -344,8 +356,8 @@ agg AS (
   FROM per_line GROUP BY doc_id
 )
 SELECT doc_id, n_lines, n_dup_lines,
-       ((2000000 * dup_chars + total_chars) // (2 * total_chars))
-         / 1000000.0 AS dup_char_ratio
+       ((2000000::HUGEINT * dup_chars + total_chars)
+         // (2::HUGEINT * total_chars)) / 1000000.0 AS dup_char_ratio
 FROM agg
 """.strip()
 

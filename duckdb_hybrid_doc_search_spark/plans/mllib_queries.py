@@ -66,7 +66,6 @@ def mllib_brp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximation quality of the MLlib BRP-LSH path, recorded in the
     driver artifacts each round (rows-only: seeded-random hash family):
     one row (k, n_hit, recall_at_k) vs the exact cosine top-k for _QVEC."""
-    from pyspark.sql import functions as F
 
     from ..operators import knn
 
@@ -88,7 +87,6 @@ def mllib_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_exact, n_candidates, n_hit, recall). Token-set granularities differ
     (tokens vs 3-shingles), so this measures the pipeline as users run it:
     did the approximate path surface the true near-dup pairs?"""
-    from pyspark.sql import functions as F
 
     from ..operators import dedup
 

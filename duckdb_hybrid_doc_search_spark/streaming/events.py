@@ -255,6 +255,11 @@ def streaming_asof_click_purchase(events: DataFrame,
         cols = ["user_id", "event_id", "purchase_us", "last_click_us",
                 "gap_us"]
         if state.hasTimedOut:
+            # expire the carried click: without remove() every user ever
+            # seen would stay in the store forever (purchases emit
+            # immediately, so nothing is lost by dropping the state)
+            if state.exists:
+                state.remove()
             yield pd.DataFrame([], columns=cols)
             return
         rows = pd.concat(list(pdf_iter))

@@ -104,11 +104,22 @@ def test_new_tpch_dimensions_broadcast(spark, sf_dir):
 def test_q13_left_join_preserves_zero_order_customers(spark, sf_dir):
     """Q13's left outer must not degrade to inner (the zero-order bucket
     is the point of the query)."""
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+
     df = registry.REGISTRY["tpch_q13_customer_distribution"].spark_fn(
         spark, sf_dir
     )
     rows = {r.c_count: r.custdist for r in df.collect()}
-    assert 0 in rows or min(rows) >= 1  # zero bucket present unless all order
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    n_zero = customer.join(
+        orders.select("o_custkey").distinct(),
+        customer["c_custkey"] == orders["o_custkey"],
+        "left_anti",
+    ).count()
+    # the inner-join degradation drops exactly this bucket
+    assert rows.get(0, 0) == n_zero
+    assert sum(rows.values()) == customer.count()
 
 
 def test_curation_pipeline_no_python_stages(spark, sf_dir):
