@@ -68,3 +68,55 @@ def test_embedding_cosine_block_invariance(spark, sf_dir):
     r1 = _rows(dedup.dedup_embedding_cosine(emb, num_blocks=1))
     assert r4 == r8 == r1
     assert len(r4) > 0
+
+
+def test_quality_scores_survive_multi_mb_document(spark):
+    """The exact-integer score path must not overflow int64 on huge docs
+    (2e6 * num wraps silently in non-ANSI Spark without the DECIMAL
+    widening): a ~2 MB document still yields a sane in-range score and
+    matches the DuckDB HUGEINT oracle."""
+    import duckdb
+
+    from duckdb_hybrid_doc_search_spark.operators.textstats import (
+        dd_quality_scores_sql, quality_scores, repetition_stats,
+        dd_repetition_stats_sql)
+
+    words = " ".join(f"w{i % 5000}" for i in range(300_000))  # ~2 MB
+    big = words + "\nrepeated line\nrepeated line\n"
+    docs = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    got_q = quality_scores(docs).collect()[0]
+    assert 0.0 <= got_q.quality <= 1.0
+    got_r = repetition_stats(docs).collect()[0]
+    assert 0.0 <= got_r.dup_char_ratio <= 1.0
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [1], "text": [big]}))
+    oq = con.execute(dd_quality_scores_sql()).fetchone()
+    orr = con.execute(dd_repetition_stats_sql()).fetchone()
+    assert (got_q.quality, got_q.stopword_ratio) == (oq[1], oq[2])
+    assert got_r.dup_char_ratio == orr[3]
+
+
+def test_ivf_layout_rebuilds_on_content_change(spark, tmp_path):
+    """The layout cache key includes a content fingerprint: same basename,
+    different embeddings -> a different layout dir (no stale probing)."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        ensure_ivf_layout)
+
+    # id+1 so no vector is all-zeros (cosine needs a nonzero norm)
+    emb1 = spark.range(20).selectExpr(
+        "id AS vec_id",
+        "array_repeat(cast(id + 1 as float), 4) AS embedding",
+    )
+    emb2 = spark.range(30).selectExpr(
+        "id AS vec_id",
+        "array_repeat(cast(id + 1 as float), 4) AS embedding",
+    )
+    root = str(tmp_path / "ivf")
+    d1 = ensure_ivf_layout(spark, emb1, "/data/sfX", root=root)
+    d2 = ensure_ivf_layout(spark, emb2, "/data/sfX", root=root)
+    assert d1 != d2
+    d1_again = ensure_ivf_layout(spark, emb1, "/data/sfX", root=root)
+    assert d1_again == d1
