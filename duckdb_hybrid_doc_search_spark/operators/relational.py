@@ -1257,3 +1257,111 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                         (l_returnflag, l_linestatus))
 ORDER BY l_returnflag, l_linestatus
 """.strip()
+
+
+RFM_ASOF = "2001-09-01"
+
+
+def customer_rfm_segments(customer: DataFrame,
+                          orders: DataFrame) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) with ntile
+    quartiles per dimension — the standard customer-analytics rollup.
+    One orders aggregation, three global window passes over the small
+    per-customer table (|customers| rows, not |orders|)."""
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            money_sum(F.col("o_totalprice")).alias("monetary"),
+        )
+        .withColumn(
+            "recency_days",
+            F.datediff(F.lit(RFM_ASOF), F.col("last_order")),
+        )
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        per_cust.withColumn("r_quartile", F.ntile(4).over(wr))
+        .withColumn("f_quartile", F.ntile(4).over(wf))
+        .withColumn("m_quartile", F.ntile(4).over(wm))
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(F.col("monetary")).alias("segment_revenue"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
+def dd_customer_rfm_sql() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*)::BIGINT AS frequency,
+         {dd_money_sum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+    datediff('day', last_order, TIMESTAMP '{RFM_ASOF}') AS recency_days
+  FROM per_cust
+),
+q AS (
+  SELECT *,
+    ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)::INT
+      AS r_quartile,
+    ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)::INT
+      AS f_quartile,
+    ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)::INT
+      AS m_quartile
+  FROM scored
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       count(*)::BIGINT AS n_customers,
+       {dd_money_sum('monetary')} AS segment_revenue
+FROM q GROUP BY r_quartile, f_quartile, m_quartile
+ORDER BY r_quartile, f_quartile, m_quartile
+""".strip()
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def supplier_balance_outliers(supplier: DataFrame) -> DataFrame:
+    """Z-score anomaly detection over account balances: |z| >= 3 against
+    the population mean/stddev. Stats in exact DECIMAL (mean) + one pass;
+    z itself rounds after a single double division per row."""
+    stats = supplier.agg(
+        F.avg("s_acctbal").alias("mu"),
+        F.stddev_pop("s_acctbal").alias("sigma"),
+    )
+    return (
+        supplier.crossJoin(F.broadcast(stats))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", MONEY_ROUND).alias("s_acctbal"),
+            F.round(
+                (F.col("s_acctbal") - F.col("mu")) / F.col("sigma"),
+                AVG_ROUND,
+            ).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= ZSCORE_THRESHOLD)
+        .orderBy("s_suppkey")
+    )
+
+
+def dd_supplier_outliers_sql() -> str:
+    return f"""
+WITH stats AS (
+  SELECT avg(s_acctbal) AS mu, stddev_pop(s_acctbal) AS sigma FROM supplier
+)
+SELECT s_suppkey, s_name, round(s_acctbal, {MONEY_ROUND}) AS s_acctbal,
+       round((s_acctbal - mu) / sigma, {AVG_ROUND}) AS z
+FROM supplier CROSS JOIN stats
+WHERE abs(round((s_acctbal - mu) / sigma, {AVG_ROUND})) >= {ZSCORE_THRESHOLD}
+ORDER BY s_suppkey
+""".strip()

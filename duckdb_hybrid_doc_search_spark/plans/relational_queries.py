@@ -338,3 +338,16 @@ def lineitem_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=relational.dd_lineitem_grouping_sets_sql())
 def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.lineitem_grouping_sets(_t(spark, sf_dir, "lineitem"))
+
+
+@register("customer_rfm_segments", oracle=relational.dd_customer_rfm_sql())
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_rfm_segments(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register("supplier_balance_outliers",
+          oracle=relational.dd_supplier_outliers_sql())
+def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.supplier_balance_outliers(_t(spark, sf_dir, "supplier"))
