@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
 WINDOW_SECONDS = 86_400  # 1-day tumbling windows
@@ -402,4 +403,69 @@ SELECT count(CASE WHEN first_view IS NOT NULL THEN 1 END)::BIGINT AS n_viewed,
                    AND first_purchase > first_click THEN 1 END)::BIGINT
          AS n_purchased_after_click
 FROM per_user
+""".strip()
+
+
+def props_map_stats(events: DataFrame) -> DataFrame:
+    """MAP-typed column surface: parse the JSON props into
+    map<string,long>, explode entries, aggregate per key. The map type is
+    the schema-flexible path for property bags whose key set drifts —
+    exactly what from_json(MapType) is for (a struct schema would need a
+    migration per new key)."""
+    m = F.from_json(
+        "props", T.MapType(T.StringType(), T.LongType())
+    )
+    return (
+        events.select(F.explode(m).alias("key", "val"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.sum("val").alias("sum_val"),
+        )
+        .orderBy("key")
+    )
+
+
+def dd_props_map_stats_sql() -> str:
+    # json_keys + per-key extract (this DuckDB build ships json_extract /
+    # json_keys but not the json_each table function)
+    return """
+WITH kv AS (
+  SELECT key, json_extract(props, '$.' || key)::BIGINT AS val
+  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+)
+SELECT key, count(*)::BIGINT AS n,
+       min(val) AS min_val, max(val) AS max_val, sum(val) AS sum_val
+FROM kv GROUP BY key ORDER BY key
+""".strip()
+
+
+def key_skew_stats(orders: DataFrame, key: str = "o_custkey") -> DataFrame:
+    """Skew diagnostic: per-key row counts reduced to the numbers that
+    decide a salting/AQE strategy — key cardinality, max and mean bucket
+    size, and the max/mean skew factor (integer-exact where possible)."""
+    per_key = orders.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.round(F.avg("c"), 6).alias("avg_key_rows"),
+        F.round(
+            F.max("c") / (F.sum("c") / F.count(F.lit(1))), 6
+        ).alias("skew_factor"),
+    )
+
+
+def dd_key_skew_stats_sql(key: str = "o_custkey") -> str:
+    return f"""
+WITH per_key AS (
+  SELECT {key}, count(*)::BIGINT AS c FROM orders GROUP BY {key}
+)
+SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+       max(c)::BIGINT AS max_key_rows,
+       round(avg(c), 6) AS avg_key_rows,
+       round(max(c) / (sum(c) * 1.0 / count(*)), 6) AS skew_factor
+FROM per_key
 """.strip()

@@ -351,3 +351,51 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=relational.dd_supplier_outliers_sql())
 def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.supplier_balance_outliers(_t(spark, sf_dir, "supplier"))
+
+
+@register("events_props_map_stats", oracle=events.dd_props_map_stats_sql())
+def events_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.props_map_stats(_t(spark, sf_dir, "events"))
+
+
+@register("orders_key_skew_stats", oracle=events.dd_key_skew_stats_sql())
+def orders_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.key_skew_stats(_t(spark, sf_dir, "orders"))
+
+
+@register("lineitem_quantile_approx_error", oracle=None, bench=True)
+def lineitem_quantile_approx_error(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Sketch-quality metric for the percentile path (rows-only:
+    approx_percentile's t-digest is engine-specific): exact vs approx p50/
+    p95 of extended price with relative errors — the recorded evidence for
+    swapping to the approx form at 100 TB."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
+            "approx_p50"
+        ),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias(
+            "approx_p95"
+        ),
+    )
+    return row.select(
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("approx_p50", 2).alias("approx_p50"),
+        F.round(
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.col("exact_p50"),
+            6,
+        ).alias("rel_err_p50"),
+        F.round("exact_p95", 2).alias("exact_p95"),
+        F.round("approx_p95", 2).alias("approx_p95"),
+        F.round(
+            F.abs(F.col("approx_p95") - F.col("exact_p95"))
+            / F.col("exact_p95"),
+            6,
+        ).alias("rel_err_p95"),
+    )
