@@ -399,3 +399,64 @@ def lineitem_quantile_approx_error(spark: SparkSession,
             6,
         ).alias("rel_err_p95"),
     )
+
+
+@register("lineitem_bloom_join_prune", oracle=None, bench=True)
+def lineitem_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, measured (rows-only: sketch membership
+    is not SQL-reproducible): build a deterministic md5-based bloom
+    (m=65536 bits, k=4) over the selective side's join keys, broadcast
+    the bit array, pre-filter the fact table BEFORE the join, and record
+    probe-pass count vs the exact semi-join — the false-positive rate is
+    the price of skipping the shuffle for pruned rows. Production Spark
+    injects runtime bloom filters automatically; this makes the pattern
+    and its quality an explicit recorded number (deterministic hashing ->
+    the row is stable across rounds). One Arrow-batched Python crossing
+    for the probe."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    M = 1 << 16
+    K = 4
+
+    def _hashes(key: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % M
+            for i in range(K)
+        ]
+
+    li = _t(spark, sf_dir, "lineitem")
+    sel = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = [r[0] for r in sel.select("o_orderkey").distinct().collect()]
+    bits = np.zeros(M, dtype=bool)
+    for key in keys:
+        bits[_hashes(int(key))] = True
+    bc = spark.sparkContext.broadcast(bits)
+
+    def probe(batches):
+        b = bc.value
+        for pdf in batches:
+            mask = pdf["l_orderkey"].map(
+                lambda key: bool(b[_hashes(int(key))].all())
+            )
+            yield pdf[mask]
+
+    n_bloom = li.select("l_orderkey").mapInPandas(
+        probe, "l_orderkey long"
+    ).count()
+    n_exact = li.join(
+        sel.select("o_orderkey").distinct(),
+        li["l_orderkey"] == sel["o_orderkey"],
+        "left_semi",
+    ).count()
+    n_total = li.count()
+    fp = round((n_bloom - n_exact) / max(1, n_total - n_exact), 6)
+    return spark.createDataFrame(
+        [(n_total, n_exact, n_bloom, fp)],
+        "n_total long, n_exact long, n_bloom_pass long, "
+        "false_pos_rate double",
+    )
