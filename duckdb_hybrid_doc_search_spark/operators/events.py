@@ -469,3 +469,46 @@ SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
        round(max(c) / (sum(c) * 1.0 / count(*)), 6) AS skew_factor
 FROM per_key
 """.strip()
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by the month of their FIRST
+    event; for each (cohort_month, month_offset), the count of cohort
+    members active that month — the standard product-retention rollup.
+    Months are integer-encoded (year*12+month) so the offset arithmetic
+    is exact on both engines. Two aggregations on user_id: the cohort min
+    and the distinct activity months; the matrix join is on the tiny
+    per-user tables, not raw events."""
+    m = (F.year(F.col("tse")) * 12 + F.month(F.col("tse"))).alias("ym")
+    e = events.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tse"),
+    ).select("user_id", m)
+    cohorts = e.groupBy("user_id").agg(F.min("ym").alias("cohort_ym"))
+    activity = e.distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_ym",
+            (F.col("ym") - F.col("cohort_ym")).alias("month_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_ym", "month_offset")
+    )
+
+
+def dd_retention_cohorts_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id,
+         (EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts))::BIGINT AS ym
+  FROM events
+),
+cohorts AS (SELECT user_id, min(ym) AS cohort_ym FROM e GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, ym FROM e)
+SELECT c.cohort_ym, (a.ym - c.cohort_ym) AS month_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_active
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY c.cohort_ym, month_offset
+ORDER BY c.cohort_ym, month_offset
+""".strip()

@@ -460,3 +460,8 @@ def lineitem_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total long, n_exact long, n_bloom_pass long, "
         "false_pos_rate double",
     )
+
+
+@register("events_retention_cohorts", oracle=events.dd_retention_cohorts_sql())
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.retention_cohorts(_t(spark, sf_dir, "events"))
