@@ -1,0 +1,154 @@
+"""FTS index as a WRITTEN, term-ordered parquet layout — build once, probe many.
+
+This is the reference's own architecture (index built at write time,
+ref db.py:143-150; probed read-only at query time, ref searcher.py:112-120)
+expressed as a data layout instead of an in-memory cache:
+
+    <root>/fts_layout/<key>/postings/      term-range-partitioned, term-sorted
+    <root>/fts_layout/<key>/docfreq/
+    <root>/fts_layout/<key>/docstats/
+    <root>/fts_layout/<key>/corpus_stats/  (1 row, avgdl precomputed)
+
+``postings`` is written via repartitionByRange(term) + sortWithinPartitions,
+so every parquet file covers a disjoint term range and carries tight
+min/max stats: a probe's ``term IN (...)`` filter is pushed into the scan
+(PushedFilters) and skips every file/row-group outside the query's term
+slice. At 100 TB the probe reads O(postings-for-query-terms), never the
+corpus — unlike an in-memory ``persist()`` of the index, which (a) pays a
+full corpus tokenize+explode+groupBy materialization per session and
+(b) cannot push the term filter into cached batches.
+
+The layout key is the data dir's basename PLUS a staleness fingerprint
+(``index/fingerprint``: driver-side file stats when the corpus is
+file-backed — zero Spark jobs per probe — else one content-hash scan), so
+regenerated testdata rebuilds instead of silently probing a stale index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fingerprint import layout_fingerprint
+
+# One range partition per ~this many postings rows at build time; at local
+# test scale this yields a handful of term-range files, on a cluster the
+# writer parallelism scales with the corpus.
+POSTINGS_RANGE_PARTITIONS = 16
+
+_TABLES = ("postings", "docfreq", "docstats", "corpus_stats",
+           "postings_scored")
+
+# Bump when the written table set / schema changes: the version is part of
+# the cache key, so layouts written by older code are rebuilt, not misread.
+_LAYOUT_VERSION = 2
+
+
+def _layout_root(root: str | None) -> str:
+    if root is not None:
+        return root
+    repo_dir = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    ))
+    return os.path.join(repo_dir, "spark-warehouse", "fts_layout")
+
+
+def content_fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """Order-independent content hash of (id, text): count + sum(xxhash64).
+
+    Folds the VALUES into the key (not just ids/counts), so edited text
+    with stable ids still rebuilds — the stale-layout failure mode flagged
+    for the IVF layout's id-only fingerprint.
+    """
+    from .fingerprint import content_fingerprint as _cf
+
+    return _cf(docs, id_col, text_col)
+
+
+def write_fts_layout(docs: DataFrame, out_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """Derive the four index tables and write them term-ordered."""
+    from ..operators.bm25 import build_fts_index
+
+    index = build_fts_index(docs, id_col, text_col)
+    (
+        index["postings"]
+        .repartitionByRange(POSTINGS_RANGE_PARTITIONS, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    )
+    (
+        index["docfreq"]
+        .repartitionByRange(POSTINGS_RANGE_PARTITIONS, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "docfreq"))
+    )
+    index["docstats"].write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docstats")
+    )
+    # postings_scored: every BM25 scoring input (tf, df, dl, n_docs, avgdl)
+    # denormalized into the postings row at BUILD time — the impact-list
+    # design. A probe is then ONE term-pruned scan + the Okapi expression:
+    # no joins, no broadcasts, no corpus-stats lookup. The constant-ish
+    # df/n_docs/avgdl columns RLE-compress to ~nothing in parquet.
+    (
+        index["postings"]
+        .join(index["docfreq"], "term")
+        .join(index["docstats"], "doc_id")
+        .crossJoin(F.broadcast(index["corpus_stats"]))
+        .select("term", "doc_id", "tf", "df", "dl", "n_docs", "avgdl")
+        .repartitionByRange(POSTINGS_RANGE_PARTITIONS, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "postings_scored"))
+    )
+    # corpus_stats LAST: its _SUCCESS marker is the layout-complete flag
+    # ensure_fts_layout checks, so a killed build can never look finished.
+    index["corpus_stats"].write.mode("overwrite").parquet(
+        os.path.join(out_dir, "corpus_stats")
+    )
+
+
+def read_fts_layout(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """The index dict every probe operator takes (operators/bm25)."""
+    return {
+        t: spark.read.parquet(os.path.join(out_dir, t)) for t in _TABLES
+    }
+
+
+# Opened-layout memo: repeated probes of the same written layout reuse the
+# resolved DataFrames (no per-probe parquet schema resolution). Keyed by
+# Spark application id so a restarted session never sees stale handles;
+# stale content is impossible because the out_dir embeds the fingerprint.
+_OPEN: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def ensure_fts_layout(spark: SparkSession, docs: DataFrame, sf_dir: str,
+                      name: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text",
+                      root: str | None = None) -> dict[str, DataFrame]:
+    """Build (once per content) and open the written FTS index for `docs`.
+
+    Amortizes index construction across every probe of the same corpus —
+    the registered bm25/hybrid queries call this instead of re-deriving
+    (and re-persisting) the index per session. The freshness check is
+    driver-side file stats for file-backed corpora (no Spark job on the
+    warm path); `name` disambiguates different logical corpora that read
+    the same files (the file fingerprint hashes files, not plans).
+    """
+    fp = layout_fingerprint(docs, id_col, text_col)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{name}-v{_LAYOUT_VERSION}-{fp}"
+    )
+    out_dir = os.path.join(_layout_root(root), key)
+    memo_key = (spark.sparkContext.applicationId, out_dir)
+    if memo_key in _OPEN:
+        return _OPEN[memo_key]
+    if not os.path.exists(os.path.join(out_dir, "corpus_stats", "_SUCCESS")):
+        write_fts_layout(docs, out_dir, id_col, text_col)
+    _OPEN[memo_key] = read_fts_layout(spark, out_dir)
+    return _OPEN[memo_key]

@@ -32,25 +32,24 @@ def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
     """Build (once) and return the cell-partitioned layout dir for sf_dir.
 
     Write-time index construction, amortized across every subsequent
-    probe. The cache key is the data dir's basename PLUS a content
-    fingerprint (row count + vec_id checksum — one cheap aggregate scan),
-    so regenerated testdata or a different data root with a colliding
-    basename rebuilds instead of silently probing stale vectors. Rooted
-    at the repo directory, not the process CWD.
+    probe. The cache key is the data dir's basename PLUS a staleness
+    fingerprint (``index/fingerprint``: driver-side file stats for
+    file-backed embeddings — zero Spark jobs on the warm path — else one
+    content-hash scan over (vec_id, embedding) VALUES), so regenerated
+    testdata with stable vec_ids but different vectors rebuilds instead
+    of silently probing stale cells. Rooted at the repo directory, not
+    the process CWD.
     """
-    from pyspark.sql import functions as F
+    from .fingerprint import layout_fingerprint
 
     if root is None:
         repo_dir = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))
         ))
         root = os.path.join(repo_dir, "spark-warehouse", "ivf_layout")
-    fp = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s")
-    ).collect()[0]
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
-        f"-{fp['n']}-{fp['s']}"
+        f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
     )
     out_dir = os.path.join(root, key)
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):

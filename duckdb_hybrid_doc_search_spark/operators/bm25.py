@@ -44,23 +44,21 @@ def tokenize_docs(docs: DataFrame, id_col: str = "doc_id",
 
 def build_fts_index(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> dict[str, DataFrame]:
-    """Derive the four FTS index tables (SURVEY.md §4.3 layout).
+    """Derive the four FTS index tables (SURVEY.md §4.3 layout), LAZILY.
 
-    The derived tables are persisted: every probe (single-query, hybrid's
-    FTS branch, the batched multi-query probe) reuses the same cached
-    index instead of re-tokenizing the corpus — Spark's CacheManager
-    matches the identical analyzed plans across calls, so a session's
-    first probe builds the index and the rest hit memory, mirroring how a
-    long-lived engine keeps its index hot (DocSearchEngine persists the
-    on-disk tables the same way).
+    No persist here: a one-shot caller gets Catalyst's lazy plan (a probe
+    computes only the slice it needs), and long-lived sessions get reuse
+    from a WRITTEN layout instead — ``index/fts_layout.ensure_fts_layout``
+    builds these tables once on disk, term-ordered, so probes read a
+    pushdown-pruned slice (the 100 TB shape). In-memory persistence lives
+    only inside DocSearchEngine, which owns a session's lifecycle.
     """
     toks = tokenize_docs(docs, id_col, text_col)
-    docstats = toks.select("doc_id", F.size("toks").alias("dl")).persist()
+    docstats = toks.select("doc_id", F.size("toks").alias("dl"))
     postings = (
         toks.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus_stats = docstats.agg(
@@ -74,6 +72,47 @@ def build_fts_index(docs: DataFrame, id_col: str = "doc_id",
     }
 
 
+def okapi_contrib() -> F.Column:
+    """Per-(term, doc) Okapi BM25 contribution over columns
+    (tf, df, dl, n_docs, avgdl) — the ONE scoring expression shared by the
+    joined in-plan path and the denormalized written-layout path, so both
+    produce bit-identical floats from the same inputs."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (
+        F.col("tf") * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return idf * tfn
+
+
+def _matched(index: dict[str, DataFrame], qterms: list[str]) -> DataFrame:
+    """Rows (term, doc_id, tf, df, dl, n_docs, avgdl) matching the query.
+
+    Written layouts carry `postings_scored` — every scoring input
+    denormalized at index-build time (the impact-list design), so a probe
+    is ONE term-pruned scan with zero joins. The in-plan index derives the
+    same rows by joining the normalized tables.
+    """
+    if "postings_scored" in index:
+        return index["postings_scored"].where(F.col("term").isin(qterms))
+    postings = index["postings"].where(F.col("term").isin(qterms))
+    docfreq = index["docfreq"].where(F.col("term").isin(qterms))
+    return (
+        postings
+        .join(F.broadcast(docfreq), "term")
+        .join(index["docstats"], "doc_id")
+        .crossJoin(F.broadcast(index["corpus_stats"]))
+    )
+
+
 def bm25_scores(index: dict[str, DataFrame], query_terms: list[str]) -> DataFrame:
     """(doc_id, score) for every doc matching >=1 query term (score desc-able).
 
@@ -81,42 +120,18 @@ def bm25_scores(index: dict[str, DataFrame], query_terms: list[str]) -> DataFram
     corpus_stats sides are broadcast (both tiny after the same pushdown).
     """
     qterms = sorted(set(query_terms))
-    postings = index["postings"].where(F.col("term").isin(qterms))
-    docfreq = index["docfreq"].where(F.col("term").isin(qterms))
-    scored = (
-        postings
-        .join(F.broadcast(docfreq), "term")
-        .join(index["docstats"], "doc_id")
-        .crossJoin(F.broadcast(index["corpus_stats"]))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "tfn",
-            F.col("tf") * F.lit(BM25_K1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(BM25_K1)
-                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
+    return (
+        _matched(index, qterms)
         .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("idf") * F.col("tfn")), SCORE_ROUND).alias("score"))
+        .agg(F.round(F.sum(okapi_contrib()), SCORE_ROUND).alias("score"))
     )
-    return scored
 
 
-def bm25_topk(docs: DataFrame, query: str, k: int,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """End-to-end BM25 top-k from a raw document table (Q3 in SURVEY.md §2.3)."""
+def bm25_topk_from_index(index: dict[str, DataFrame], query: str,
+                         k: int) -> DataFrame:
+    """BM25 top-k against a prebuilt index dict (in-plan or written layout)."""
     from ..models.tokenizer import tokenize_query
 
-    index = build_fts_index(docs, id_col, text_col)
     return (
         bm25_scores(index, tokenize_query(query))
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -124,8 +139,15 @@ def bm25_topk(docs: DataFrame, query: str, k: int,
     )
 
 
-def bm25_batch_topk(docs: DataFrame, queries: list[str], k: int,
-                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def bm25_topk(docs: DataFrame, query: str, k: int,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """End-to-end BM25 top-k from a raw document table (Q3 in SURVEY.md §2.3)."""
+    return bm25_topk_from_index(build_fts_index(docs, id_col, text_col),
+                                query, k)
+
+
+def bm25_batch_topk_from_index(index: dict[str, DataFrame],
+                               queries: list[str], k: int) -> DataFrame:
     """Score MANY queries against the corpus in ONE plan — the bulk path
     the reference cannot express (it loops one DuckDB probe per query).
 
@@ -141,7 +163,7 @@ def bm25_batch_topk(docs: DataFrame, queries: list[str], k: int,
 
     from ..models.tokenizer import tokenize_query
 
-    spark = docs.sparkSession
+    spark = index["postings"].sparkSession
     qrows = [
         (qi, t)
         for qi, q in enumerate(queries)
@@ -150,30 +172,11 @@ def bm25_batch_topk(docs: DataFrame, queries: list[str], k: int,
     qterms = spark.createDataFrame(qrows, "query_id int, term string")
     all_terms = sorted({t for _, t in qrows})
 
-    index = build_fts_index(docs, id_col, text_col)
-    postings = index["postings"].where(F.col("term").isin(all_terms))
-    docfreq = index["docfreq"].where(F.col("term").isin(all_terms))
     scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(docfreq), "term")
-        .join(index["docstats"], "doc_id")
-        .crossJoin(F.broadcast(index["corpus_stats"]))
-        .withColumn(
-            "contrib",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            )
-            * F.col("tf") * F.lit(BM25_K1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(BM25_K1)
-                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
+        _matched(index, all_terms)
+        .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("contrib"), SCORE_ROUND).alias("score"))
+        .agg(F.round(F.sum(okapi_contrib()), SCORE_ROUND).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -181,6 +184,14 @@ def bm25_batch_topk(docs: DataFrame, queries: list[str], k: int,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def bm25_batch_topk(docs: DataFrame, queries: list[str], k: int,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Batched BM25 from a raw document table (derives the index in-plan)."""
+    return bm25_batch_topk_from_index(
+        build_fts_index(docs, id_col, text_col), queries, k
     )
 
 

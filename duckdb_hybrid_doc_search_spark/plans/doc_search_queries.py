@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..config import SCORE_ROUND
 from ..index.catalog import load_table
+from ..index.fts_layout import ensure_fts_layout
 from ..models.embedder import hash_embed_text
 from ..models.tokenizer import tokenize_query
 from ..operators import bm25, knn
@@ -30,6 +31,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
+
+
+def _fts_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Written, term-ordered FTS layout for the documents corpus — built
+    once per content fingerprint, probed by every bm25/hybrid entry (the
+    write-time-index design the reference itself uses, ref db.py:143-150)."""
+    return ensure_fts_layout(spark, _docs(spark, sf_dir), sf_dir)
 
 
 # --- FTS index tables (S3/S4 build side) ------------------------------------
@@ -76,7 +84,9 @@ def fts_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bm25_topk", oracle=bm25.dd_bm25_topk_sql(QTERMS, TOP_K))
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bm25.bm25_topk(_docs(spark, sf_dir), QUERY, TOP_K)
+    """Probes the written layout: the plan is scan(term-pruned postings)
+    + broadcast joins — no corpus tokenize stage (tests/test_fts_layout)."""
+    return bm25.bm25_topk_from_index(_fts_index(spark, sf_dir), QUERY, TOP_K)
 
 
 @register("cosine_topk", oracle=knn.dd_cosine_distance_topk_sql(QVEC, TOP_K))
@@ -90,7 +100,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hybrid_search_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.hybrid_search(
-        _docs(spark, sf_dir), _emb(spark, sf_dir), QUERY, TOP_K, rerank=False
+        _docs(spark, sf_dir), _emb(spark, sf_dir), QUERY, TOP_K, rerank=False,
+        index=_fts_index(spark, sf_dir),
     )
 
 
@@ -100,7 +111,8 @@ def hybrid_search_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hybrid_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.hybrid_search(
-        _docs(spark, sf_dir), _emb(spark, sf_dir), QUERY, TOP_K, rerank=True
+        _docs(spark, sf_dir), _emb(spark, sf_dir), QUERY, TOP_K, rerank=True,
+        index=_fts_index(spark, sf_dir),
     )
 
 
@@ -118,8 +130,10 @@ BATCH_QUERIES = [
     oracle=bm25.dd_bm25_batch_topk_sql(BATCH_QUERIES, TOP_K),
 )
 def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bulk multi-query BM25: 5 queries, one plan, one postings scan."""
-    return bm25.bm25_batch_topk(_docs(spark, sf_dir), BATCH_QUERIES, TOP_K)
+    """Bulk multi-query BM25: 5 queries, one plan, one pruned postings scan."""
+    return bm25.bm25_batch_topk_from_index(
+        _fts_index(spark, sf_dir), BATCH_QUERIES, TOP_K
+    )
 
 
 PART_QUERY = "large steel widget"
@@ -141,7 +155,8 @@ def part_name_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
     )
-    return bm25.bm25_topk(parts, PART_QUERY, PART_TOP_K)
+    idx = ensure_fts_layout(spark, parts, sf_dir, name="part")
+    return bm25.bm25_topk_from_index(idx, PART_QUERY, PART_TOP_K)
 
 
 @register(

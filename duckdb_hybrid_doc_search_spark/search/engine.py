@@ -36,16 +36,20 @@ DISPLAY_COLS = ["lang", "source"]
 
 def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
                   top_k: int = TOP_K_DEFAULT, rerank: bool = False,
-                  threshold: float = SCORE_THRESHOLD) -> DataFrame:
+                  threshold: float = SCORE_THRESHOLD,
+                  index: dict[str, DataFrame] | None = None) -> DataFrame:
     """Full hybrid search over (documents, embeddings) driver tables.
 
     Returns doc_id, score, fts_score, vss_score + display columns, ordered
-    by score desc (doc_id tiebreak), <= top_k rows.
+    by score desc (doc_id tiebreak), <= top_k rows. Pass `index` (e.g. a
+    written `index/fts_layout` handle) to probe a prebuilt FTS index
+    instead of deriving it in-plan.
     """
     qterms = tokenize_query(query)
     qvec = hash_embed_text(query)
 
-    index = build_fts_index(docs)
+    if index is None:
+        index = build_fts_index(docs)
     fts = (
         bm25_scores(index, qterms)
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -63,8 +67,10 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
         )
     )
 
-    # Q6 fetch: candidate set is <=2k rows -> broadcast semi-join side.
-    out = fused.join(docs, "doc_id", "inner")
+    # Q6 fetch: candidate set is <=2k rows — explicit broadcast guarantees
+    # the BroadcastHashJoin shape at any corpus scale (AQE would convert it
+    # here, but the hint makes the plan contract unconditional).
+    out = F.broadcast(fused).join(docs, "doc_id", "inner")
     if rerank:
         out = out.withColumn(
             "score",

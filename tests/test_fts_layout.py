@@ -1,0 +1,127 @@
+"""Written FTS layout: probe equality with the in-plan index, pushdown
+pruning in the probe plan, and the hybrid fetch's broadcast shape.
+
+The round-2 regression lesson encoded as tests: the registered bm25 probes
+must NOT contain a corpus tokenize/explode stage (that is the build plan,
+paid once at write time), and the term filter must reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+    content_fingerprint, ensure_fts_layout, read_fts_layout,
+    write_fts_layout)
+from duckdb_hybrid_doc_search_spark.operators import bm25
+
+QUERY = "spark vector join fast merge"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_layout_probe_equals_in_plan_index(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = ensure_fts_layout(spark, docs, sf_dir, root=str(tmp_path))
+
+    want = [(r.doc_id, r.score)
+            for r in bm25.bm25_topk(docs, QUERY, 10).collect()]
+    got = [(r.doc_id, r.score)
+           for r in bm25.bm25_topk_from_index(idx, QUERY, 10).collect()]
+    assert got == want
+
+
+def test_probe_plan_is_pruned_scan_no_tokenize(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = ensure_fts_layout(spark, docs, sf_dir, root=str(tmp_path))
+    probe = bm25.bm25_topk_from_index(idx, QUERY, 10)
+    plan = _plan(probe)
+    # term IN (...) pushed into the postings parquet scan
+    assert "PushedFilters" in plan and "In(term" in plan
+    # no corpus tokenize stage: explode compiles to Generate — absent here
+    assert "Generate" not in plan
+    # denormalized postings_scored: the single-query probe is one pruned
+    # scan + expression — no join operator of any kind in the plan
+    assert "Join" not in plan
+    # and the batch probe has the same properties
+    bplan = _plan(bm25.bm25_batch_topk_from_index(idx, [QUERY, "hash scan"], 10))
+    assert "In(term" in bplan and "Generate" not in bplan
+
+
+def test_file_fingerprint_no_spark_jobs_and_tracks_mtime(spark, sf_dir,
+                                                         tmp_path):
+    import os
+    import shutil
+
+    from duckdb_hybrid_doc_search_spark.index.fingerprint import (
+        source_file_fingerprint)
+
+    docs = load_table(spark, sf_dir, "documents")
+    # file-backed table -> stat-based fingerprint available (warm ensure
+    # path pays no corpus scan)
+    fp1 = source_file_fingerprint(docs)
+    assert fp1 is not None
+    # regenerated file (same content, new mtime) -> different key -> rebuild
+    dst = tmp_path / "documents.parquet"
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy(src, dst)
+    copied = spark.read.parquet(str(dst))
+    fpa = source_file_fingerprint(copied)
+    os.utime(dst if os.path.isfile(dst) else next(dst.iterdir()))
+    assert source_file_fingerprint(spark.read.parquet(str(dst))) != fpa
+    # fileless plan -> None (ensure falls back to the content scan)
+    mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert source_file_fingerprint(mem) is None
+
+
+def test_layout_fingerprint_tracks_content(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp1 = content_fingerprint(docs)
+    fp2 = content_fingerprint(
+        docs.withColumn("text", F.concat(F.col("text"), F.lit("x")))
+    )
+    assert fp1 != fp2  # same ids, same count, different text -> rebuild
+
+
+def test_layout_reused_not_rebuilt(spark, sf_dir, tmp_path):
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    ensure_fts_layout(spark, docs, sf_dir, root=str(tmp_path))
+    dirs = sorted(os.listdir(tmp_path))
+    mtime = os.path.getmtime(
+        os.path.join(tmp_path, dirs[0], "corpus_stats", "_SUCCESS")
+    )
+    ensure_fts_layout(spark, docs, sf_dir, root=str(tmp_path))
+    assert sorted(os.listdir(tmp_path)) == dirs
+    assert os.path.getmtime(
+        os.path.join(tmp_path, dirs[0], "corpus_stats", "_SUCCESS")
+    ) == mtime
+
+
+def test_hybrid_fetch_is_broadcast_join(spark, sf_dir, tmp_path):
+    from duckdb_hybrid_doc_search_spark.search import engine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ensure_fts_layout(spark, docs, sf_dir, root=str(tmp_path))
+    df = engine.hybrid_search(docs, emb, QUERY, 10, index=idx)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_write_read_roundtrip_tables(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "fts")
+    write_fts_layout(docs, out)
+    idx = read_fts_layout(spark, out)
+    built = bm25.build_fts_index(docs)
+    for t in ("postings", "docfreq", "docstats"):
+        a = sorted(map(tuple, idx[t].collect()))
+        b = sorted(map(tuple, built[t].collect()))
+        assert a == b, t

@@ -28,7 +28,8 @@ def test_bm25_topk_is_take_ordered(spark, sf_dir):
     df = registry.REGISTRY["bm25_topk"].spark_fn(spark, sf_dir)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan  # docfreq + corpus_stats sides
+    # probes the written postings_scored layout: one pruned scan, no joins
+    assert "Join" not in plan
     assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
 
 
