@@ -7,15 +7,15 @@ asserting stream output == these batch results — Spark's unified batch/
 stream semantics make the batch query the specification.
 
 All timestamps are carried as epoch MICROSECOND longs — the one
-representation both engines agree on bit-exactly. The parquet `ts` column is
-nanosecond-precision, which Spark reads as a nanos LONG (see session.py
-`nanosAsLong`); `ts div 1000` truncates to micros exactly like DuckDB's
-ns->us conversion.
+representation both engines agree on bit-exactly. The generated events
+parquet has shipped `ts` both as nanosecond-precision (which Spark reads
+as a nanos LONG under session.py's `nanosAsLong`) and as timestamp[us];
+``ts_micros`` adapts per schema so every operator sees epoch micros.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -25,6 +25,21 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 VALUE_ROUND = 6
 
 
+def ts_micros(events: DataFrame, col: str = "ts") -> Column:
+    """Event time as epoch microseconds, whatever the physical encoding.
+
+    - nanos LONG (nanosAsLong read of timestamp[ns] parquet): integer-div
+      truncation to micros, exactly DuckDB's ns->us conversion;
+    - timestamp / timestamp_ntz: unix_micros under the enforced UTC
+      session zone (catalog.ensure_session_conf), matching the UTC-naive
+      DuckDB `epoch_us(ts)`.
+    """
+    dt = dict(events.dtypes).get(col)
+    if dt in ("bigint", "long"):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def sessionize(events: DataFrame) -> DataFrame:
     """Gap-based sessionization: lag -> new-session flag -> running sum as
     session number -> per-session aggregates. Two window passes over the
@@ -32,7 +47,7 @@ def sessionize(events: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     e = events.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "value"
+        "user_id", "event_id", ts_micros(events).alias("us"), "value"
     )
     flagged = e.withColumn(
         "brk",
@@ -82,10 +97,13 @@ def windowed_agg(events: DataFrame) -> DataFrame:
     """1-day tumbling-window counts/sums per event_type (batch form of the
     streaming query in streaming/events.py)."""
     wstart = F.expr(
-        f"ts div 1000 div 1000000 div {WINDOW_SECONDS} * {WINDOW_SECONDS}"
+        f"us div 1000000 div {WINDOW_SECONDS} * {WINDOW_SECONDS}"
     )
     return (
-        events.groupBy(
+        events.select(
+            ts_micros(events).alias("us"), "event_type", "value"
+        )
+        .groupBy(
             wstart.alias("window_start"), F.col("event_type")
         )
         .agg(
@@ -143,7 +161,7 @@ def asof_click_before_purchase(events: DataFrame) -> DataFrame:
     (NULL if no prior click), gap_us.
     """
     e = events.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us"),
+        "user_id", "event_id", ts_micros(events).alias("us"),
         "event_type",
     ).where(F.col("event_type").isin("click", "purchase"))
     tagged = e.withColumn(
@@ -216,7 +234,7 @@ def user_lag_deltas(events: DataFrame) -> DataFrame:
     within-user quartile. Bounded partitions (per user), no global sort."""
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     e = events.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+        "user_id", "event_id", ts_micros(events).alias("us")
     )
     with_delta = e.withColumn(
         "delta_us", F.col("us") - F.lag("us").over(w)
@@ -253,7 +271,7 @@ def multi_granularity_rollup(events: DataFrame) -> DataFrame:
     several time granularities in one pass — a union of date_trunc
     groupings, each a partial-agg + one shuffle (at scale these become
     incremental materialized rollups; the grouping shape is identical)."""
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = F.timestamp_micros(ts_micros(events))
     parts = []
     for g in GRANULARITIES:
         parts.append(
@@ -322,7 +340,7 @@ def session_event_stats(events: DataFrame) -> DataFrame:
     sessions = sessionize(events)
     e = events.select(
         F.col("user_id").alias("e_user"),
-        F.expr("ts div 1000").alias("e_us"),
+        ts_micros(events).alias("e_us"),
         "value",
     )
     return (
@@ -362,7 +380,7 @@ def funnel_view_click_purchase(events: DataFrame) -> DataFrame:
     reduce — the standard product-analytics shape, scale-bound by
     |users|."""
     e = events.select(
-        "user_id", F.expr("ts div 1000").alias("us"), "event_type"
+        "user_id", ts_micros(events).alias("us"), "event_type"
     )
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
@@ -411,12 +429,19 @@ def props_map_stats(events: DataFrame) -> DataFrame:
     map<string,long>, explode entries, aggregate per key. The map type is
     the schema-flexible path for property bags whose key set drifts —
     exactly what from_json(MapType) is for (a struct schema would need a
-    migration per new key)."""
+    migration per new key).
+
+    Per-key tolerance: values parse as strings first, then try_cast to
+    long — a single non-numeric value nulls only ITS entry (counted in n,
+    ignored by min/max/sum), instead of from_json(Map<,Long>) nulling the
+    whole row's map. Keys containing quotes are outside the contract
+    (JSON-path quoting differs across engines)."""
     m = F.from_json(
-        "props", T.MapType(T.StringType(), T.LongType())
+        "props", T.MapType(T.StringType(), T.StringType())
     )
     return (
-        events.select(F.explode(m).alias("key", "val"))
+        events.select(F.explode(m).alias("key", "sval"))
+        .select("key", F.col("sval").try_cast(T.LongType()).alias("val"))
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -430,10 +455,13 @@ def props_map_stats(events: DataFrame) -> DataFrame:
 
 def dd_props_map_stats_sql() -> str:
     # json_keys + per-key extract (this DuckDB build ships json_extract /
-    # json_keys but not the json_each table function)
+    # json_keys but not the json_each table function). Path is quoted so
+    # keys containing dots resolve; TRY_CAST mirrors Spark's try_cast.
     return """
 WITH kv AS (
-  SELECT key, json_extract(props, '$.' || key)::BIGINT AS val
+  SELECT key,
+         TRY_CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT)
+           AS val
   FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
 )
 SELECT key, count(*)::BIGINT AS n,
@@ -482,7 +510,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     m = (F.year(F.col("tse")) * 12 + F.month(F.col("tse"))).alias("ym")
     e = events.select(
         "user_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("tse"),
+        F.timestamp_micros(ts_micros(events)).alias("tse"),
     ).select("user_id", m)
     cohorts = e.groupBy("user_id").agg(F.min("ym").alias("cohort_ym"))
     activity = e.distinct()

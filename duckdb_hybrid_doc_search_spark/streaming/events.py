@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.events import VALUE_ROUND, WINDOW_SECONDS
+from ..operators.events import VALUE_ROUND, WINDOW_SECONDS, ts_micros
 
 WATERMARK = "1 day"
 
@@ -42,7 +42,7 @@ def streaming_windowed_agg(events: DataFrame) -> DataFrame:
     Emits window_start as epoch seconds to match the batch/oracle form.
     """
     with_ts = events.withColumn(
-        "tse", F.timestamp_micros(F.expr("ts div 1000"))
+        "tse", F.timestamp_micros(ts_micros(events))
     )
     return (
         with_ts.withWatermark("tse", WATERMARK)
@@ -144,7 +144,7 @@ def streaming_sessionize(events: DataFrame,
         )
 
     prepared = events.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "value"
+        "user_id", "event_id", ts_micros(events).alias("us"), "value"
     )
     timeout_conf = (
         "ProcessingTimeTimeout" if timeout_ms is not None else "NoTimeout"
@@ -182,7 +182,7 @@ def streaming_dedup(events: DataFrame,
     """
     keys = keys or ["event_id"]
     with_ts = events.withColumn(
-        "tse", F.timestamp_micros(F.expr("ts div 1000"))
+        "tse", F.timestamp_micros(ts_micros(events))
     )
     return (
         with_ts.withWatermark("tse", WATERMARK)
@@ -287,7 +287,7 @@ def streaming_asof_click_purchase(events: DataFrame,
     ).select(
         "user_id",
         "event_id",
-        F.expr("ts div 1000").alias("us"),
+        ts_micros(events).alias("us"),
         F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
     )
     timeout_conf = (

@@ -61,12 +61,12 @@ def test_asof_reproduces_events_specialization(spark, sf_dir):
 
     from duckdb_hybrid_doc_search_spark.index.catalog import load_table
     from duckdb_hybrid_doc_search_spark.operators.events import (
-        asof_click_before_purchase,
+        asof_click_before_purchase, ts_micros,
     )
 
     events = load_table(spark, sf_dir, "events")
     e = events.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us"),
+        "user_id", "event_id", ts_micros(events).alias("us"),
         "event_type",
     )
     purchases = e.where(F.col("event_type") == "purchase").select(

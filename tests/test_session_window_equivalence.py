@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 
 from duckdb_hybrid_doc_search_spark.index.catalog import load_table
 from duckdb_hybrid_doc_search_spark.operators.events import (SESSION_GAP_US,
-                                                             sessionize)
+                                                             sessionize,
+                                                             ts_micros)
 
 
 def test_builtin_session_window_matches_manual(spark, sf_dir):
@@ -20,7 +21,7 @@ def test_builtin_session_window_matches_manual(spark, sf_dir):
     }
     gap_s = SESSION_GAP_US // 1_000_000
     builtin = (
-        events.withColumn("tse", F.timestamp_micros(F.expr("ts div 1000")))
+        events.withColumn("tse", F.timestamp_micros(ts_micros(events)))
         .groupBy(
             F.session_window("tse", f"{gap_s} seconds").alias("w"),
             "user_id",
