@@ -1,7 +1,10 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE compact JSON line (<=1 KB — the driver tail-captures stdout, so
+the per-query map must NOT live there) with the headline metric, and
+writes the full per-query detail to BENCH_DETAIL_r{N}.json next to this
+file (N = newest BENCH_r{N}.json + 1, i.e. the round being benched).
 
 Each query is forced through the full physical plan with the `noop` sink
 (executes everything, writes nothing) so timings measure engine work, not
@@ -17,32 +20,55 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+# Python UDF workers import this package by name: make sure the repo dir
+# is on THEIR path too, wherever bench.py is launched from
+os.environ["PYTHONPATH"] = (
+    _HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
 
 from duckdb_hybrid_doc_search_spark.plans import registry
 from duckdb_hybrid_doc_search_spark.session import get_spark
 
 
 def _prior_round_timings(here: str) -> tuple[int | None, dict[str, float]]:
-    """Per-query timings of the newest BENCH_r{N}.json, for the regression
-    diff — so each round's judging can quote which queries moved."""
+    """Per-query timings of the newest prior round, for the regression
+    diff — so each round's judging can quote which queries moved.
+    Prefers this harness's own BENCH_DETAIL_r{N}.json (always has the full
+    map); falls back to the driver's BENCH_r{N}.json parsed tail."""
     best_n, timings = None, {}
+    patterns = (
+        (r"BENCH_DETAIL_r(\d+)\.json$", lambda d: d.get("queries") or {}),
+        (r"BENCH_r(\d+)\.json$",
+         lambda d: (d.get("parsed") or {}).get("queries") or {}),
+    )
+    for pat, extract in patterns:
+        for path in glob.glob(os.path.join(here, "BENCH_*r*.json")):
+            m = re.search(pat, path)
+            if not m:
+                continue
+            n = int(m.group(1))
+            if best_n is not None and n <= best_n:
+                continue
+            try:
+                with open(path) as f:
+                    qs = extract(json.load(f))
+                if qs:
+                    best_n, timings = n, qs
+            except (json.JSONDecodeError, OSError):
+                continue
+    return best_n, timings
+
+
+def _this_round(here: str) -> int:
+    """The round being benched = newest driver-written BENCH_r{N} + 1."""
+    ns = [0]
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        n = int(m.group(1))
-        if best_n is not None and n <= best_n:
-            continue
-        try:
-            with open(path) as f:
-                parsed = json.load(f).get("parsed") or {}
-            qs = parsed.get("queries") or {}
-            if qs:
-                best_n, timings = n, qs
-        except (json.JSONDecodeError, OSError):
-            continue
-    return best_n, timings
+        if m:
+            ns.append(int(m.group(1)))
+    return max(ns) + 1
 
 
 def main() -> None:
@@ -78,29 +104,52 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         total += best
+        # storage discipline: queries that persist() intermediates (dedup
+        # shingle/signature tables) must not accumulate across the ~100-
+        # query session — executor storage stays bounded by ONE query
+        spark.catalog.clearCache()
 
-    out = {
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_round, prior = _prior_round_timings(here)
+    # >=1.5x AND >=0.25s absolute so sub-second jitter doesn't read
+    # as a regression; "new" queries have no prior to diff against
+    regressions = {
+        n: {"prev": prior[n], "now": t, "ratio": round(t / prior[n], 2)}
+        for n, t in timings.items()
+        if n in prior and prior[n] > 0
+        and t >= prior[n] * 1.5 and t - prior[n] >= 0.25
+    }
+    detail = {
         "metric": "all_registered_queries_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "vs_round": prior_round,
+        "regressions": regressions,
+        "new_queries": sorted(set(timings) - set(prior)),
     }
-    prior_round, prior = _prior_round_timings(
-        os.path.dirname(os.path.abspath(__file__))
-    )
-    if prior:
-        # >=1.5x AND >=0.25s absolute so sub-second jitter doesn't read
-        # as a regression; "new" queries have no prior to diff against
-        out["vs_round"] = prior_round
-        out["regressions"] = {
-            n: {"prev": prior[n], "now": t, "ratio": round(t / prior[n], 2)}
-            for n, t in timings.items()
-            if n in prior and prior[n] > 0
-            and t >= prior[n] * 1.5 and t - prior[n] >= 0.25
-        }
-        out["new_queries"] = sorted(set(timings) - set(prior))
-    print(json.dumps(out))
+    detail_name = f"BENCH_DETAIL_r{_this_round(here)}.json"
+    with open(os.path.join(here, detail_name), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    worst3 = dict(sorted(
+        ((n, r["ratio"]) for n, r in regressions.items()),
+        key=lambda kv: -kv[1],
+    )[:3])
+    slowest3 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
+    # compact stdout line (<=1 KB): headline + pointers, never the full map
+    print(json.dumps({
+        "metric": "all_registered_queries_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "slowest": slowest3,
+        "n_regressions": len(regressions),
+        "worst_regressions": worst3,
+        "detail": detail_name,
+    }))
     spark.stop()
 
 

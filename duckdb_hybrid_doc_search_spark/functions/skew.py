@@ -29,12 +29,14 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     unmatched small row once per salt — those types are rejected.
     """
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
-               "leftsemi", "left_anti", "leftanti", "cross"}
+               "leftsemi", "left_anti", "leftanti"}
     if how.lower() not in allowed:
+        # "cross" is rejected too: the [key, __salt] equi-condition would
+        # silently degrade it to an inner equi-join
         raise ValueError(
             f"salted_join does not support how={how!r}: the replicated "
             "small side would duplicate unmatched rows under right/full "
-            "outer joins"
+            "outer joins, and 'cross' would silently become inner"
         )
     salt_col = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)

@@ -103,9 +103,17 @@ def mllib_tfidf_top_terms(docs: DataFrame, top_n: int = 50) -> DataFrame:
     from ..functions.text import tokenize
 
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    vocab_size = 1 << 16
     cv = CountVectorizer(
-        inputCol="toks", outputCol="tf", vocabSize=1 << 16, minDF=1.0
+        inputCol="toks", outputCol="tf", vocabSize=vocab_size, minDF=1.0
     ).fit(toks)
+    # the closed-form oracle assumes an UNTRUNCATED vocabulary; silent
+    # truncation would drop terms only on the Spark side — fail loudly
+    if len(cv.vocabulary) >= vocab_size:
+        raise ValueError(
+            f"corpus vocabulary hit vocabSize={vocab_size}; raise it "
+            "(tfidf oracle requires the untruncated vocabulary)"
+        )
     tf = cv.transform(toks)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     weighted = idf.transform(tf)

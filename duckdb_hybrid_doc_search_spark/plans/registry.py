@@ -9,6 +9,7 @@ records a weaker rows-only check).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -44,15 +45,80 @@ def bench_queries() -> dict[str, SparkQuery]:
     return {n: qd.spark_fn for n, qd in REGISTRY.items() if qd.bench}
 
 
+# Queries whose IMPLEMENTATION changed since their last green driver row —
+# they jump the gate queue right after never-checked queries. Maintained
+# per round; safe to leave stale (costs only window slots, never coverage).
+RECHECK: set[str] = {
+    "bm25_topk",
+    "bm25_batch_topk",
+    "hybrid_search_fused",
+    "hybrid_search_reranked",
+    "part_name_bm25",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+}
+
+
+def _checked_last_round() -> set[str]:
+    """Names with a row in the NEWEST CORRECTNESS_r{N}.json (repo root).
+
+    The external gate only verifies the first ~50 entries of ``queries()``
+    per round, so ordering is coverage policy: never-checked oracled
+    queries first, then changed implementations, then the already-green
+    tail, with no-oracle (rows-only) entries last. Keying off the latest
+    round's file makes the window self-rotating — whatever missed this
+    round's window sorts first next round.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    best_n, names = -1, set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(data, dict):
+            best_n, names = int(m.group(1)), set(data)
+    return names
+
+
+def _gate_ordered() -> list[str]:
+    checked = _checked_last_round()
+
+    def rank(item: tuple[str, QueryDef]) -> int:
+        name, qd = item
+        if qd.oracle is None:
+            return 3  # rows-only check: weakest signal, out of the window
+        if name not in checked:
+            return 0  # never driver-verified: highest priority
+        if name in RECHECK:
+            return 1  # verified before, but the implementation changed
+        return 2
+
+    # stable sort preserves registration order within each class
+    return [n for n, _ in sorted(REGISTRY.items(), key=rank)]
+
+
 def queries() -> dict[str, SparkQuery]:
     _load_all()
-    return {name: qd.spark_fn for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].spark_fn for name in _gate_ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return {
-        name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _gate_ordered()
+        if REGISTRY[name].oracle is not None
     }
 
 

@@ -404,64 +404,143 @@ def lineitem_quantile_approx_error(spark: SparkSession,
 @register("lineitem_bloom_join_prune", oracle=None, bench=True)
 def lineitem_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning, measured (rows-only: sketch membership
-    is not SQL-reproducible): build a deterministic md5-based bloom
-    (m=65536 bits, k=4) over the selective side's join keys, broadcast
-    the bit array, pre-filter the fact table BEFORE the join, and record
-    probe-pass count vs the exact semi-join — the false-positive rate is
-    the price of skipping the shuffle for pruned rows. Production Spark
-    injects runtime bloom filters automatically; this makes the pattern
-    and its quality an explicit recorded number (deterministic hashing ->
-    the row is stable across rounds). One Arrow-batched Python crossing
-    for the probe."""
-    import hashlib
-
-    import numpy as np
+    is not SQL-reproducible): a deterministic md5-based bloom (m=65536
+    bits, k=4) over the selective side's join keys, built and probed
+    ENTIRELY inside the plan — the set-bit table is a distributed
+    explode+distinct aggregate (bounded by m, never by data size) and is
+    broadcast into the probe, so no key list ever lands on the driver.
+    Recorded: probe-pass count vs the exact semi-join — the false-positive
+    rate is the price of skipping the shuffle for pruned rows. Production
+    Spark injects runtime bloom filters automatically; this makes the
+    pattern and its quality an explicit recorded number (deterministic
+    hashing -> the row is stable across rounds). Zero Python in the plan;
+    all three counts come from ONE action."""
     from pyspark.sql import functions as F
 
     M = 1 << 16
     K = 4
 
-    def _hashes(key: int) -> list[int]:
-        return [
-            int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % M
-            for i in range(K)
-        ]
+    def pos(i: int, key: F.Column) -> F.Column:
+        # int(md5(f"{i}:{key}").hexdigest()[:15], 16) % M, JVM-side
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(M),
+        )
 
     li = _t(spark, sf_dir, "lineitem")
-    sel = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") == "1-URGENT"
+    sel_keys = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
     )
-    keys = [r[0] for r in sel.select("o_orderkey").distinct().collect()]
-    bits = np.zeros(M, dtype=bool)
-    for key in keys:
-        bits[_hashes(int(key))] = True
-    bc = spark.sparkContext.broadcast(bits)
+    # build: set-bit positions as a <=M-row table (distributed, exact)
+    bits = sel_keys.select(
+        F.explode(
+            F.array(*[pos(i, F.col("o_orderkey")) for i in range(K)])
+        ).alias("bit")
+    ).distinct()
 
-    def probe(batches):
-        b = bc.value
-        for pdf in batches:
-            mask = pdf["l_orderkey"].map(
-                lambda key: bool(b[_hashes(int(key))].all())
-            )
-            yield pdf[mask]
-
-    n_bloom = li.select("l_orderkey").mapInPandas(
-        probe, "l_orderkey long"
-    ).count()
-    n_exact = li.join(
-        sel.select("o_orderkey").distinct(),
-        li["l_orderkey"] == sel["o_orderkey"],
-        "left_semi",
-    ).count()
-    n_total = li.count()
-    fp = round((n_bloom - n_exact) / max(1, n_total - n_exact), 6)
-    return spark.createDataFrame(
-        [(n_total, n_exact, n_bloom, fp)],
-        "n_total long, n_exact long, n_bloom_pass long, "
-        "false_pos_rate double",
+    # probe per DISTINCT fact key: all K positions must hit set bits
+    # (duplicate positions join the same bit row twice, so count==K iff
+    # every position is set — same as the bit-array .all())
+    fact_keys = li.select("l_orderkey").distinct()
+    hits = (
+        fact_keys.select(
+            "l_orderkey",
+            F.explode(
+                F.array(*[pos(i, F.col("l_orderkey")) for i in range(K)])
+            ).alias("bit"),
+        )
+        .join(F.broadcast(bits), "bit")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    flags = (
+        fact_keys
+        .join(
+            hits.where(F.col("h") == K).select(
+                "l_orderkey", F.lit(1).alias("bloom_pass")
+            ),
+            "l_orderkey", "left",
+        )
+        .join(
+            F.broadcast(sel_keys.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.lit(1).alias("exact_pass"),
+            )),
+            "l_orderkey", "left",
+        )
+    )
+    row = (
+        li.select("l_orderkey")
+        .join(flags, "l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce("exact_pass", F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce("bloom_pass", F.lit(0))).alias("n_bloom_pass"),
+        )
+    )
+    return row.select(
+        "n_total", "n_exact", "n_bloom_pass",
+        F.round(
+            (F.col("n_bloom_pass") - F.col("n_exact"))
+            / F.greatest(F.col("n_total") - F.col("n_exact"), F.lit(1)),
+            6,
+        ).alias("false_pos_rate"),
     )
 
 
 @register("events_retention_cohorts", oracle=events.dd_retention_cohorts_sql())
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+# --- TPC-H shapes over the synthesized partsupp (relational.py) -------------
+
+
+@register("tpch_q2_min_cost_supplier", oracle=relational.dd_tpch_q2_sql())
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q2_min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register("tpch_q9_product_profit", oracle=relational.dd_tpch_q9_sql())
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q9_product_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("tpch_q11_important_stock", oracle=relational.dd_tpch_q11_sql())
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q11_important_stock(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("tpch_q20_promotion_suppliers",
+          oracle=relational.dd_tpch_q20_sql())
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tpch_q20_promotion_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )

@@ -55,6 +55,18 @@ class DocSearchEngine:
             "corpus_stats": load("corpus_stats").persist(),
         }
 
+    def close(self) -> None:
+        """Release the session-held index caches (the engine owns their
+        lifecycle; one-shot registered queries never persist at all)."""
+        for df in (self.documents, self.embeddings, *self.index.values()):
+            df.unpersist()
+
+    def __enter__(self) -> "DocSearchEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def _embed_query(self, query: str) -> list[float]:
         if self.backend == "hash":
             return hash_embed_text(query, self.dim)
