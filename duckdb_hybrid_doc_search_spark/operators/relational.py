@@ -1365,3 +1365,332 @@ FROM supplier CROSS JOIN stats
 WHERE abs(round((s_acctbal - mu) / sigma, {AVG_ROUND})) >= {ZSCORE_THRESHOLD}
 ORDER BY s_suppkey
 """.strip()
+
+
+# --- synthesized partsupp + TPC-H Q2/Q9/Q11/Q20 -----------------------------
+#
+# TESTDATA ships no partsupp table, so the four TPC-H shapes that need it
+# (min-cost correlated subquery, multi-fact profit join, HAVING vs global
+# aggregate, nested IN with correlated threshold) run over a partsupp
+# SYNTHESIZED deterministically from part x supplier with pure integer
+# arithmetic — the oracle runs the IDENTICAL synthesis in SQL, so both
+# engines see the same table without any data file.
+
+PS_PER_PART = 4
+PS_QTY_MOD = 9_999
+PS_COST_MOD = 100_000
+
+
+def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """partsupp(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost).
+
+    PS_PER_PART suppliers per part: ps_suppkey = (p_partkey*7 + i) % S,
+    distinct for i < min(4, S); qty/cost are modular-arithmetic functions
+    of the key pair. Every expression is 64-bit integer math (one final
+    /100.0), bit-identical across engines and scale-free: the build is a
+    part-scan crossJoin a 4-row broadcast — no shuffle at any SF.
+    """
+    spark = part.sparkSession
+    gen = spark.range(PS_PER_PART).select(F.col("id").alias("i"))
+    n_supp = supplier.agg(F.count(F.lit(1)).alias("n_supp"))
+    base = (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(gen))
+        .crossJoin(F.broadcast(n_supp))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + F.col("i")) % F.col("n_supp"))
+            .alias("ps_suppkey"),
+        )
+    )
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 11)
+         % PS_QTY_MOD + 1).alias("ps_availqty"),
+        (((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7)
+          % PS_COST_MOD) / 100.0).alias("ps_supplycost"),
+    )
+
+
+def dd_partsupp_cte() -> str:
+    """CTE `partsupp` — the identical synthesis in DuckDB SQL."""
+    vals = ", ".join(f"({i})" for i in range(PS_PER_PART))
+    return f"""
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 37 + ps_suppkey * 11) % {PS_QTY_MOD} + 1 AS ps_availqty,
+         ((ps_partkey * 31 + ps_suppkey * 7) % {PS_COST_MOD}) / 100.0
+           AS ps_supplycost
+  FROM (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey * 7 + i) % s.n_supp AS ps_suppkey
+    FROM part
+    CROSS JOIN (VALUES {vals}) gen(i)
+    CROSS JOIN (SELECT count(*)::BIGINT AS n_supp FROM supplier) s
+  )
+)
+""".strip()
+
+
+Q2_SIZE = 10
+Q2_TYPE = "ECONOMY"
+Q2_REGION = "ASIA"
+Q2_TOP = 20
+
+
+def tpch_q2_min_cost_supplier(part: DataFrame, supplier: DataFrame,
+                              nation: DataFrame,
+                              region: DataFrame) -> DataFrame:
+    """TPC-H Q2: for parts of one size/type, the region's minimum-cost
+    supplier(s). The correlated `= (SELECT min(ps_supplycost) ...)` is
+    decorrelated into a groupBy-min + equi-join — every side except the
+    synthesized partsupp is a broadcast dimension, and partsupp itself
+    never shuffles (min agg is on its natural ps_partkey grouping)."""
+    partsupp = synth_partsupp(part, supplier)
+    regional_supp = (
+        supplier
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == Q2_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    cost = partsupp.join(
+        F.broadcast(regional_supp),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    min_cost = cost.groupBy(
+        F.col("ps_partkey").alias("mc_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    wanted = part.where(
+        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    ).select("p_partkey", "p_name")
+    return (
+        cost.join(F.broadcast(min_cost),
+                  (F.col("ps_partkey") == F.col("mc_partkey"))
+                  & (F.col("ps_supplycost") == F.col("min_cost")),
+                  "inner")
+        .join(F.broadcast(wanted), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", MONEY_ROUND).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey",
+            F.round("ps_supplycost", MONEY_ROUND).alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(Q2_TOP)
+    )
+
+
+def dd_tpch_q2_sql() -> str:
+    return f"""
+WITH {dd_partsupp_cte()},
+regional AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+),
+cost AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+  FROM partsupp JOIN regional ON ps_suppkey = s_suppkey
+),
+min_cost AS (
+  SELECT ps_partkey, min(ps_supplycost) AS mc FROM cost GROUP BY ps_partkey
+)
+SELECT round(c.s_acctbal, {MONEY_ROUND}) AS s_acctbal, c.s_name, c.n_name,
+       c.ps_partkey AS p_partkey,
+       round(c.ps_supplycost, {MONEY_ROUND}) AS ps_supplycost
+FROM cost c
+JOIN min_cost m ON c.ps_partkey = m.ps_partkey AND c.ps_supplycost = m.mc
+JOIN part p ON c.ps_partkey = p.p_partkey
+WHERE p.p_size = {Q2_SIZE} AND p.p_type = '{Q2_TYPE}'
+ORDER BY s_acctbal DESC, c.n_name, c.s_name, p_partkey
+LIMIT {Q2_TOP}
+""".strip()
+
+
+Q9_NAME_LIKE = "%widget%"
+
+
+def tpch_q9_product_profit(lineitem: DataFrame, orders: DataFrame,
+                           part: DataFrame, supplier: DataFrame,
+                           nation: DataFrame) -> DataFrame:
+    """TPC-H Q9 product-type profit: lineitem joins BOTH fact-side keys of
+    the synthesized partsupp (partkey, suppkey). partsupp is derived from
+    broadcast dims, so the only shuffle joins are lineitem<->orders and
+    lineitem<->partsupp; profit aggregates per (nation, order-year)."""
+    partsupp = synth_partsupp(part, supplier)
+    profit = (
+        lineitem
+        .join(F.broadcast(part.where(F.col("p_name").like(Q9_NAME_LIKE))
+                          .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(partsupp,
+              (F.col("l_partkey") == F.col("ps_partkey"))
+              & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+             - F.col("ps_supplycost") * F.col("l_quantity")).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(money_sum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def dd_tpch_q9_sql() -> str:
+    return f"""
+WITH {dd_partsupp_cte()}
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+       {dd_money_sum('l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '{Q9_NAME_LIKE}'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+""".strip()
+
+
+Q11_NATION = "NATION_5"
+Q11_FRACTION = 0.005
+
+
+def tpch_q11_important_stock(part: DataFrame, supplier: DataFrame,
+                             nation: DataFrame) -> DataFrame:
+    """TPC-H Q11 important stock: per-part inventory value within one
+    nation, kept only when above a FRACTION of the nation's total — the
+    HAVING-vs-global-aggregate shape. The global total is a 1-row
+    broadcast crossJoin, so the plan is two aggregations over the same
+    derived partsupp slice, no second scan of any base table."""
+    partsupp = synth_partsupp(part, supplier)
+    national = partsupp.join(
+        F.broadcast(
+            supplier
+            .join(F.broadcast(nation.where(F.col("n_name") == Q11_NATION)),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+    )
+    per_part = national.groupBy("ps_partkey").agg(
+        F.round(F.sum("v"), MONEY_ROUND).alias("value")
+    )
+    total = national.agg(
+        (F.sum("v") * F.lit(Q11_FRACTION)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.round(F.col("threshold"), MONEY_ROUND))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def dd_tpch_q11_sql() -> str:
+    return f"""
+WITH {dd_partsupp_cte()},
+national AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+)
+SELECT ps_partkey, round(sum(v), {MONEY_ROUND}) AS value
+FROM national
+GROUP BY ps_partkey
+HAVING round(sum(v), {MONEY_ROUND}) >
+       round((SELECT sum(v) * {Q11_FRACTION} FROM national), {MONEY_ROUND})
+ORDER BY value DESC, ps_partkey
+""".strip()
+
+
+Q20_NAME_PREFIX = "small%"
+Q20_NATION = "NATION_7"
+Q20_FROM = "1996-01-01"
+Q20_TO = "1997-01-01"
+
+
+def tpch_q20_promotion_suppliers(lineitem: DataFrame, part: DataFrame,
+                                 supplier: DataFrame,
+                                 nation: DataFrame) -> DataFrame:
+    """TPC-H Q20 potential part promotion: suppliers in one nation with
+    excess stock (availqty > half the year's shipped quantity) of any
+    name-matched part. The correlated `> (SELECT 0.5*sum ...)` threshold
+    is decorrelated into a grouped shipment aggregate equi-joined back on
+    (partkey, suppkey); empty correlation groups (NULL sum) drop out of
+    the inner join exactly as the NULL comparison drops them in SQL."""
+    partsupp = synth_partsupp(part, supplier)
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(Q20_FROM))
+            & (F.col("l_shipdate") < F.lit(Q20_TO))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = (
+        partsupp
+        .join(F.broadcast(
+            part.where(F.col("p_name").like(Q20_NAME_PREFIX))
+            .select("p_partkey")),
+            F.col("ps_partkey") == F.col("p_partkey"))
+        .join(shipped,
+              (F.col("ps_partkey") == F.col("l_partkey"))
+              & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .where(F.col("ps_availqty") > F.lit(0.5) * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier
+        .join(F.broadcast(nation.where(F.col("n_name") == Q20_NATION)),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"),
+              "left_semi")
+        .select("s_name", F.round("s_acctbal", MONEY_ROUND)
+                .alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def dd_tpch_q20_sql() -> str:
+    return f"""
+WITH {dd_partsupp_cte()}
+SELECT s_name, round(s_acctbal, {MONEY_ROUND}) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q20_NATION}'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}'
+    )
+    AND ps_availqty > (
+      SELECT 0.5 * sum(l_quantity) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= TIMESTAMP '{Q20_FROM}'
+        AND l_shipdate < TIMESTAMP '{Q20_TO}'
+    )
+  )
+ORDER BY s_name
+""".strip()
