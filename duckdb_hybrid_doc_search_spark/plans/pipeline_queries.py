@@ -171,6 +171,26 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_hnsw_topk", oracle=None)
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN (HNSW-class) top-k via partition-local NSW graphs
+    (operators/hnsw.py) — rows-only: greedy graph traversal is not
+    SQL-expressible; quality is recorded by ann_hnsw_recall instead."""
+    from ..operators.hnsw import hnsw_topk
+
+    return hnsw_topk(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
+@register("ann_hnsw_recall", oracle=None)
+def ann_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the graph search vs the exact scan (plus lost
+    self-matches, which would be index bugs) — the approximation is a
+    recorded number (rows-only: the graph side is not SQL-expressible)."""
+    from ..operators.hnsw import hnsw_recall_vs_exact
+
+    return hnsw_recall_vs_exact(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
 @register("ann_ivf_topk", oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probes the PERSISTED cell-partitioned layout (built once per sf_dir,
