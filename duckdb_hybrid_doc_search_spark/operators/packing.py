@@ -1,0 +1,247 @@
+"""Corpus-assembly operators: filtered vector search, token-budget
+selection, per-group caps, benchmark decontamination.
+
+The remaining "make the training set" surface beyond dedup/quality
+(operators/curation.py): every operator is deterministic (hash priorities,
+never rand()) so each has an exact DuckDB oracle, and every plan shape is
+chosen for the 100 TB case — metadata filters run BEFORE any distance
+math, budget selection is a bucket-histogram threshold (never a global
+running sum over a single sorted partition), caps are per-group windows
+(bounded partitions), and decontamination is a shingle equi-join (never a
+cross join against the benchmark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import dd_h64, h64
+from ..functions.text import dd_tokenize, tokenize
+
+# --- attribute-filtered vector search ---------------------------------------
+
+
+def filtered_ann_topk(emb: DataFrame, docs: DataFrame, lang: str,
+                      k: int, n_queries: int) -> DataFrame:
+    """Top-k cosine neighbors restricted to documents with a given lang —
+    the filtered-vector-search shape every vector store serves.
+
+    The metadata filter lands on the CORPUS side before any distance is
+    computed (filter -> semi-join -> score), so scan+compute cost tracks
+    the filtered slice; scoring after the fact and discarding would pay
+    the full corpus. Queries themselves are unrestricted probes.
+    """
+    from .knn import knn_join
+
+    allowed = docs.where(F.col("lang") == lang).select(
+        F.col("doc_id").alias("c_id")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    ).join(allowed, "c_id", "left_semi")
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_join(queries, corpus, k)
+
+
+def dd_filtered_ann_topk_sql(lang: str, k: int, n_queries: int) -> str:
+    from .knn import dd_knn_join_sql
+
+    queries_sql = (
+        f"SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings "
+        f"WHERE vec_id < {n_queries}"
+    )
+    corpus = (
+        "(SELECT e.* FROM embeddings e JOIN documents d "
+        f"ON e.vec_id = d.doc_id WHERE d.lang = '{lang}')"
+    )
+    return dd_knn_join_sql(k, queries_sql, table=corpus)
+
+
+# --- token-budget selection -------------------------------------------------
+
+BUDGET_BUCKETS = 1_000
+
+
+def pack_token_budget(docs: DataFrame, budget_tokens: int) -> DataFrame:
+    """Select a highest-priority subset whose total token count fits a
+    budget — the "assemble N tokens of training data" operator.
+
+    Priority is a deterministic per-doc hash (reproducible across runs and
+    engines). Selection is threshold-based, the scale-safe shape: bucket
+    the priority space (BUDGET_BUCKETS buckets), aggregate tokens per
+    bucket (one shuffle of BUCKETS rows), prefix-sum the tiny bucket
+    histogram, pick the last bucket whose cumulative total fits, and keep
+    every doc in buckets up to the cutoff. No global sort of the corpus,
+    no running sum over one partition — the only ordered pass is over the
+    1000-row histogram. The budget rounds DOWN to a bucket boundary
+    (documented contract; finer granularity = more buckets).
+
+    Output: doc_id, n_tokens, priority bucket — the kept set.
+    """
+    pri = F.pmod(
+        h64(F.concat(F.lit("pack#"), F.col("doc_id").cast("string"))),
+        F.lit(BUDGET_BUCKETS),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        pri.alias("bucket"),
+    )
+    hist = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btoks"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 1000 rows max: single-partition window over the HISTOGRAM only
+    cutoff = (
+        hist.withColumn("cum", F.sum("btoks").over(w))
+        .where(F.col("cum") <= budget_tokens)
+        .agg(F.max("bucket").alias("max_bucket"))
+    )
+    return (
+        toks.crossJoin(F.broadcast(cutoff))
+        .where(F.col("bucket") <= F.col("max_bucket"))
+        .select("doc_id", "n_tokens", "bucket")
+    )
+
+
+def dd_pack_token_budget_sql(budget_tokens: int,
+                             table: str = "documents") -> str:
+    h = dd_h64("'pack#' || doc_id::VARCHAR")
+    bucket = f"{h} % {BUDGET_BUCKETS}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({dd_tokenize('text')})::BIGINT AS n_tokens,
+         {bucket} AS bucket
+  FROM {table}
+),
+hist AS (
+  SELECT bucket, sum(n_tokens) AS btoks FROM toks GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, sum(btoks) OVER (ORDER BY bucket
+    ROWS UNBOUNDED PRECEDING) AS cum FROM hist
+),
+cutoff AS (
+  SELECT max(bucket) AS max_bucket FROM cum WHERE cum <= {budget_tokens}
+)
+SELECT doc_id, n_tokens, bucket
+FROM toks CROSS JOIN cutoff WHERE bucket <= max_bucket
+""".strip()
+
+
+# --- per-group caps ---------------------------------------------------------
+
+
+def lang_capped_sample(docs: DataFrame, cap: int) -> DataFrame:
+    """At most `cap` documents per language, chosen by deterministic hash
+    priority (ties on doc_id) — the balanced-resampling move that bounds
+    any one domain/language's share. Window partitions are per-language,
+    so no partition exceeds that language's row count; for a pathologically
+    dominant group the same cap can ride on a two-level (salted prefix)
+    window, but the grouping shape is identical."""
+    pri = h64(F.concat(F.lit("cap#"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+def dd_lang_capped_sample_sql(cap: int, table: str = "documents") -> str:
+    pri = dd_h64("'cap#' || doc_id::VARCHAR")
+    return f"""
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY {pri} ASC, doc_id ASC)::BIGINT AS rn
+  FROM {table}
+) WHERE rn <= {cap}
+""".strip()
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+DECON_SHINGLE_N = 4
+EVAL_MOD = 100  # deterministic "benchmark" slice: doc_id % EVAL_MOD == 0
+
+
+def _shingles(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, s): distinct n-token shingles, codegen-friendly
+    (arrays_zip of shifted slices, same trick as dedup._doc_shingles)."""
+    spark = df.sparkSession
+    toks = df.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    )
+    zipped = toks.where(F.size("t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(*[
+                F.expr(f"slice(t, {i + 1}, size(t) - {n - 1})").alias(
+                    chr(97 + i)
+                )
+                for i in range(n)
+            ])
+        ).alias("z"),
+    )
+    return zipped.select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.col(f"z.{chr(97 + i)}") for i in range(n)]
+        ).alias("s"),
+    ).distinct()
+
+
+def decontaminate_ngrams(docs: DataFrame) -> DataFrame:
+    """Flag training documents sharing any DECON_SHINGLE_N-gram with the
+    benchmark slice (doc_id % EVAL_MOD == 0 stands in for an eval set) —
+    the standard n-gram decontamination pass before training.
+
+    Shape: distinct shingles on both sides, the (small) benchmark side
+    broadcast into an equi-join on the shingle, per-doc counts of
+    overlapping shingles and distinct benchmark docs hit. Cost tracks
+    shingle collisions, never |corpus| x |benchmark|.
+
+    Output: doc_id, n_shared_shingles, n_eval_docs_hit (contaminated
+    training docs only, benchmark members excluded).
+    """
+    sh = _shingles(docs, DECON_SHINGLE_N)
+    eval_sh = (
+        sh.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"), "s")
+    )
+    train_sh = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dd_decontaminate_ngrams_sql(table: str = "documents") -> str:
+    n = DECON_SHINGLE_N
+    toks = dd_tokenize("text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM {table}),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {n} + 2),
+           i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))) AS s
+  FROM toks WHERE len(t) >= {n}
+),
+eval_sh AS (
+  SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % {EVAL_MOD} = 0
+),
+train_sh AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT t.doc_id, count(DISTINCT t.s)::BIGINT AS n_shared_shingles,
+       count(DISTINCT e.eval_id)::BIGINT AS n_eval_docs_hit
+FROM train_sh t JOIN eval_sh e ON t.s = e.s
+GROUP BY t.doc_id ORDER BY t.doc_id
+""".strip()

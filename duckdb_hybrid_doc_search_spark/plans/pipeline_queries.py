@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.catalog import load_table
-from ..operators import curation, dedup, knn, textstats
+from ..operators import curation, dedup, knn, packing, textstats
 from .registry import register
 
 ANN_K = 5
@@ -284,3 +284,49 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_redact_pii", oracle=textstats.dd_redact_pii_sql())
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.redact_pii(_docs(spark, sf_dir))
+
+
+# --- corpus-assembly surface (operators/packing.py) --------------------------
+
+
+FILTER_LANG = "de"
+PACK_BUDGET_TOKENS = 100_000
+LANG_CAP = 120
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=packing.dd_filtered_ann_topk_sql(FILTER_LANG, ANN_K,
+                                            ANN_N_QUERIES),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.filtered_ann_topk(
+        _emb(spark, sf_dir), _docs(spark, sf_dir), FILTER_LANG,
+        ANN_K, ANN_N_QUERIES,
+    )
+
+
+@register(
+    "corpus_pack_token_budget",
+    oracle=packing.dd_pack_token_budget_sql(PACK_BUDGET_TOKENS),
+)
+def corpus_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_token_budget(_docs(spark, sf_dir),
+                                     PACK_BUDGET_TOKENS)
+
+
+@register(
+    "corpus_lang_capped_sample",
+    oracle=packing.dd_lang_capped_sample_sql(LANG_CAP),
+)
+def corpus_lang_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.lang_capped_sample(_docs(spark, sf_dir), LANG_CAP)
+
+
+@register(
+    "corpus_decontaminate_ngrams",
+    oracle=packing.dd_decontaminate_ngrams_sql(),
+)
+def corpus_decontaminate_ngrams(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    return packing.decontaminate_ngrams(_docs(spark, sf_dir))

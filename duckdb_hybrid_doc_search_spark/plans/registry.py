@@ -53,9 +53,6 @@ RECHECK: set[str] = {
     "bm25_batch_topk",
     "hybrid_search_fused",
     "hybrid_search_reranked",
-    "part_name_bm25",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
 }
 
 

@@ -1,0 +1,56 @@
+"""Corpus-assembly operators: semantic invariants beyond oracle equality
+(budget actually respected, caps actually capped, filters actually
+filtering, decontamination actually finds planted overlap)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+from duckdb_hybrid_doc_search_spark.operators import packing
+
+
+def test_pack_token_budget_respected(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 5_000
+    kept = packing.pack_token_budget(docs, budget)
+    total = kept.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    assert total <= budget
+    # deterministic: same call, same keep-set
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               packing.pack_token_budget(docs, budget).select("doc_id").collect())
+    assert a == b
+
+
+def test_lang_cap_enforced(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 7
+    out = packing.lang_capped_sample(docs, cap)
+    per_lang = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per_lang and all(r.n <= cap for r in per_lang)
+
+
+def test_filtered_ann_only_returns_matching_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = packing.filtered_ann_topk(emb, docs, "de", 5, 10)
+    joined = out.join(
+        docs.select(F.col("doc_id").alias("c_id"), "lang"), "c_id"
+    )
+    langs = {r.lang for r in joined.select("lang").distinct().collect()}
+    assert langs == {"de"}
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    phrase = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"benchmark doc holds {phrase} inside"),      # eval (id%100==0)
+        (1, f"train doc leaks {phrase} verbatim"),        # contaminated
+        (2, "clean training document with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in packing.decontaminate_ngrams(docs).collect()}
+    assert 1 in out and out[1].n_eval_docs_hit == 1
+    assert out[1].n_shared_shingles >= 2  # 5-token phrase -> >=2 4-grams
+    assert 2 not in out and 0 not in out
