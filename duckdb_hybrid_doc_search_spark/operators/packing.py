@@ -245,3 +245,61 @@ SELECT t.doc_id, count(DISTINCT t.s)::BIGINT AS n_shared_shingles,
 FROM train_sh t JOIN eval_sh e ON t.s = e.s
 GROUP BY t.doc_id ORDER BY t.doc_id
 """.strip()
+
+
+# --- sequence packing (context-window binning) -------------------------------
+
+CONTEXT_TOKENS = 2_048
+
+
+def pack_sequences(docs: DataFrame, context_tokens: int = CONTEXT_TOKENS,
+                   group_col: str = "lang") -> DataFrame:
+    """Assign documents to fixed-size context windows (training "sample
+    packing"): within each group, next-fit binning in deterministic hash
+    order — a new bin starts whenever the running token count would
+    overflow the context.
+
+    Binning is inherently sequential, so it runs per GROUP inside
+    applyInPandas (Arrow-batched, one shuffle on the group key) — each
+    group's stream is processed independently in parallel, the per-group
+    state is two integers, and no global order exists anywhere. Documents
+    longer than the context get a bin of their own (truncation is the
+    tokenizer's job, not the packer's). Deterministic: hash order with
+    doc_id ties, so re-runs and the equality tests get identical bins.
+
+    Output: doc_id, group, bin_id (dense per group), n_tokens, bin_tokens
+    (the bin's running total after this doc).
+    """
+    import pandas as pd
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.col(group_col).alias("group"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        F.pmod(
+            h64(F.concat(F.lit("seq#"), F.col("doc_id").cast("string"))),
+            F.lit(1 << 32),
+        ).alias("pri"),
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["pri", "doc_id"], kind="stable")
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > context_tokens:
+                bin_id, fill = bin_id + 1, 0
+            fill += n
+            bins.append(bin_id)
+            fills.append(fill)
+        out = pdf[["doc_id", "group", "n_tokens"]].copy()
+        out["bin_id"] = bins
+        out["bin_tokens"] = fills
+        return out[["doc_id", "group", "bin_id", "n_tokens", "bin_tokens"]]
+
+    return toks.groupBy("group").applyInPandas(
+        pack_group,
+        "doc_id long, group string, bin_id long, n_tokens long, "
+        "bin_tokens long",
+    )

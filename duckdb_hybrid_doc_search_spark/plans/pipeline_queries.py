@@ -330,3 +330,11 @@ def corpus_lang_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_decontaminate_ngrams(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     return packing.decontaminate_ngrams(_docs(spark, sf_dir))
+
+
+@register("corpus_pack_sequences", oracle=None)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing into context windows (rows-only: next-fit binning
+    carries running state, not expressible in plain SQL; invariants are
+    pinned in tests/test_packing.py)."""
+    return packing.pack_sequences(_docs(spark, sf_dir))

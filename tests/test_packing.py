@@ -23,6 +23,17 @@ def test_pack_token_budget_respected(spark, sf_dir):
     assert a == b
 
 
+def test_pack_budget_monotone(spark, sf_dir):
+    """A larger budget keeps a superset — the threshold-selection design
+    means budgets only move the bucket cutoff forward."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in
+             packing.pack_token_budget(docs, 3_000).select("doc_id").collect()}
+    large = {r.doc_id for r in
+             packing.pack_token_budget(docs, 12_000).select("doc_id").collect()}
+    assert small <= large
+
+
 def test_lang_cap_enforced(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cap = 7
@@ -54,3 +65,28 @@ def test_decontaminate_finds_planted_overlap(spark):
     assert 1 in out and out[1].n_eval_docs_hit == 1
     assert out[1].n_shared_shingles >= 2  # 5-token phrase -> >=2 4-grams
     assert 2 not in out and 0 not in out
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ctx = 256
+    out = packing.pack_sequences(docs, ctx).collect()
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    # bins respect the context unless a single doc overflows it alone
+    bins = {}
+    for r in out:
+        bins.setdefault((r.group, r.bin_id), []).append(r.n_tokens)
+    for (g, b), sizes in bins.items():
+        assert sum(sizes) <= ctx or len(sizes) == 1, (g, b, sizes)
+    # deterministic across runs
+    again = packing.pack_sequences(docs, ctx).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_oversize_doc_gets_own_bin(spark):
+    rows = [(1, "en", "tok " * 10), (2, "en", "tok " * 500), (3, "en", "tok " * 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = packing.pack_sequences(docs, 64).collect()
+    oversize = next(r for r in out if r.doc_id == 2)
+    assert sum(1 for r in out if r.bin_id == oversize.bin_id
+               and r.group == oversize.group) == 1
