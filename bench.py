@@ -71,7 +71,30 @@ def _this_round(here: str) -> int:
     return max(ns) + 1
 
 
+def _status_totals() -> dict[str, int] | None:
+    """Cumulative shuffle/input bytes across all completed stages, via the
+    UI status REST API (bench enables the UI). None if unreachable."""
+    import urllib.request
+
+    try:
+        base = "http://127.0.0.1:4040/api/v1"
+        with urllib.request.urlopen(base + "/applications", timeout=3) as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/applications/{app_id}/stages", timeout=5
+        ) as r:
+            stages = json.load(r)
+        return {
+            "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+            "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "input": sum(s.get("inputBytes", 0) for s in stages),
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -91,17 +114,27 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    shuffle: dict[str, dict[str, int]] = {}
     total = 0.0
     for name, fn in sorted(qs.items()):
         # first execution compiles the plan (whole-stage codegen); then the
         # MIN of two timed runs approximates steady-state engine throughput
         # while shrugging off noisy-neighbor CPU contention on the host.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        before = _status_totals()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        after = _status_totals()
+        if before is not None and after is not None:
+            # two identical timed executions -> halve the deltas for the
+            # per-execution bytes ("measure, don't guess": the recorded
+            # shuffle/input volume backs every plan-shape claim)
+            shuffle[name] = {
+                k: (after[k] - before[k]) // 2 for k in after
+            }
         timings[name] = round(best, 4)
         total += best
         # storage discipline: queries that persist() intermediates (dedup
@@ -124,6 +157,7 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "bytes_per_exec": shuffle,
         "sf": sf_val,
         "vs_round": prior_round,
         "regressions": regressions,

@@ -42,8 +42,15 @@ def build_fts_index_from_tokens(docs: DataFrame) -> dict[str, DataFrame]:
     corpus_stats = docstats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    return {"postings": postings, "docfreq": docfreq, "docstats": docstats,
-            "corpus_stats": corpus_stats}
+    index = {"postings": postings, "docfreq": docfreq, "docstats": docstats,
+             "corpus_stats": corpus_stats}
+    # denormalized probe table (operators/bm25.scored_postings): written
+    # alongside the normalized tables so a long-lived engine's BM25 branch
+    # is a join-free scan too
+    from ..operators.bm25 import scored_postings
+
+    index["postings_scored"] = scored_postings(index)
+    return index
 
 
 def trim_prefix_expr(col, prefix: str | None):

@@ -89,17 +89,13 @@ def write_fts_layout(docs: DataFrame, out_dir: str, id_col: str = "doc_id",
     index["docstats"].write.mode("overwrite").parquet(
         os.path.join(out_dir, "docstats")
     )
-    # postings_scored: every BM25 scoring input (tf, df, dl, n_docs, avgdl)
-    # denormalized into the postings row at BUILD time — the impact-list
-    # design. A probe is then ONE term-pruned scan + the Okapi expression:
-    # no joins, no broadcasts, no corpus-stats lookup. The constant-ish
-    # df/n_docs/avgdl columns RLE-compress to ~nothing in parquet.
+    # postings_scored (operators/bm25.scored_postings): a probe over it is
+    # ONE term-pruned scan + the Okapi expression — no joins, no
+    # broadcasts, no corpus-stats lookup.
+    from ..operators.bm25 import scored_postings
+
     (
-        index["postings"]
-        .join(index["docfreq"], "term")
-        .join(index["docstats"], "doc_id")
-        .crossJoin(F.broadcast(index["corpus_stats"]))
-        .select("term", "doc_id", "tf", "df", "dl", "n_docs", "avgdl")
+        scored_postings(index)
         .repartitionByRange(POSTINGS_RANGE_PARTITIONS, "term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")

@@ -72,6 +72,20 @@ def build_fts_index(docs: DataFrame, id_col: str = "doc_id",
     }
 
 
+def scored_postings(index: dict[str, DataFrame]) -> DataFrame:
+    """postings denormalized with every BM25 scoring input
+    (term, doc_id, tf, df, dl, n_docs, avgdl) — derived once at index
+    WRITE time (impact-list design); a probe over it needs zero joins.
+    The constant-ish df/n_docs/avgdl columns RLE-compress to ~nothing."""
+    return (
+        index["postings"]
+        .join(index["docfreq"], "term")
+        .join(index["docstats"], "doc_id")
+        .crossJoin(F.broadcast(index["corpus_stats"]))
+        .select("term", "doc_id", "tf", "df", "dl", "n_docs", "avgdl")
+    )
+
+
 def okapi_contrib() -> F.Column:
     """Per-(term, doc) Okapi BM25 contribution over columns
     (tf, df, dl, n_docs, avgdl) — the ONE scoring expression shared by the

@@ -12,6 +12,7 @@ connection, cli.py:325).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -54,6 +55,10 @@ class DocSearchEngine:
             "docstats": load("docstats").persist(),
             "corpus_stats": load("corpus_stats").persist(),
         }
+        # newer indexes carry the denormalized probe table (join-free BM25
+        # branch, operators/bm25._matched); older dirs fall back to joins
+        if os.path.isdir(os.path.join(index_dir, "postings_scored")):
+            self.index["postings_scored"] = load("postings_scored").persist()
 
     def close(self) -> None:
         """Release the session-held index caches (the engine owns their

@@ -41,7 +41,10 @@ def get_spark(app_name: str = "hybrid-doc-search", cpus: int | None = None) -> S
         # convert explicitly (operators/events.py works in epoch micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for tests (port churn); bench.py turns it on to read
+        # per-query shuffle/input bytes from the status REST API
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
