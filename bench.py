@@ -32,11 +32,13 @@ from duckdb_hybrid_doc_search_spark.plans import registry
 from duckdb_hybrid_doc_search_spark.session import get_spark
 
 
-def _prior_round_timings(here: str) -> tuple[int | None, dict[str, float]]:
-    """Per-query timings of the newest prior round, for the regression
-    diff — so each round's judging can quote which queries moved.
-    Prefers this harness's own BENCH_DETAIL_r{N}.json (always has the full
-    map); falls back to the driver's BENCH_r{N}.json parsed tail."""
+def _prior_round_timings(here: str,
+                         this_round: int) -> tuple[int | None, dict[str, float]]:
+    """Per-query timings of the newest PRIOR round (never this round's own
+    detail file — re-runs within a round must not diff against themselves),
+    for the regression diff. Prefers this harness's own
+    BENCH_DETAIL_r{N}.json (always has the full map); falls back to the
+    driver's BENCH_r{N}.json parsed tail."""
     best_n, timings = None, {}
     patterns = (
         (r"BENCH_DETAIL_r(\d+)\.json$", lambda d: d.get("queries") or {}),
@@ -49,7 +51,7 @@ def _prior_round_timings(here: str) -> tuple[int | None, dict[str, float]]:
             if not m:
                 continue
             n = int(m.group(1))
-            if best_n is not None and n <= best_n:
+            if n >= this_round or (best_n is not None and n <= best_n):
                 continue
             try:
                 with open(path) as f:
@@ -143,7 +145,8 @@ def main() -> None:
         spark.catalog.clearCache()
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_round, prior = _prior_round_timings(here)
+    this_round = _this_round(here)
+    prior_round, prior = _prior_round_timings(here, this_round)
     # >=1.5x AND >=0.25s absolute so sub-second jitter doesn't read
     # as a regression; "new" queries have no prior to diff against
     regressions = {
@@ -163,7 +166,7 @@ def main() -> None:
         "regressions": regressions,
         "new_queries": sorted(set(timings) - set(prior)),
     }
-    detail_name = f"BENCH_DETAIL_r{_this_round(here)}.json"
+    detail_name = f"BENCH_DETAIL_r{this_round}.json"
     with open(os.path.join(here, detail_name), "w") as f:
         json.dump(detail, f, indent=1)
 
