@@ -1,0 +1,136 @@
+"""Table-layout maintenance: Z-order clustering and small-file compaction.
+
+The write-time half of scan performance (SURVEY.md §4.3): parquet prunes
+with per-file min/max stats, so WHICH rows share a file decides how much
+a multi-predicate scan can skip. Z-ordering interleaves the bits of two
+clustering keys so each file covers a tight rectangle in (a, b) space —
+a query filtering BOTH columns skips every non-intersecting file, where a
+single-column sort only helps its leading column. Compaction bounds the
+file count after incremental appends (many small files = footer/task
+overhead at scale, the classic lakehouse maintenance job).
+
+Everything is expression-level (bit arithmetic compiles into codegen) and
+deterministic; no Python crosses into the scan path.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Z_BITS = 16  # per-key bits: 2 keys x 16 bits -> 32-bit z-value
+
+
+def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
+    """Interleaved-bit (Morton) value of two non-negative ints, JVM-side.
+
+    Callers map their keys into [0, 2^bits) first (rank or scale); values
+    outside are clamped so a stray outlier cannot scramble the curve.
+    """
+    hi = F.lit((1 << bits) - 1)
+    ca = F.least(F.greatest(a.cast("long"), F.lit(0)), hi)
+    cb = F.least(F.greatest(b.cast("long"), F.lit(0)), hi)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(ca, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(cb, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i)
+        )
+    return z
+
+
+def write_zordered(df: DataFrame, out_dir: str, col_a: str, col_b: str,
+                   n_files: int, bits: int = Z_BITS) -> None:
+    """Write df clustered on the Z-curve of (col_a, col_b).
+
+    Range-partition + sort by z: each parquet file covers a contiguous
+    curve segment, i.e. a tight (col_a, col_b) rectangle in its min/max
+    stats — the pruning surface for two-predicate scans. Columns must
+    already be integer-like; scale/rank-encode upstream.
+    """
+    (
+        df.withColumn("__z", zvalue(F.col(col_a), F.col(col_b), bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(out_dir)
+    )
+
+
+def file_stats(out_dir: str, col_a: str,
+               col_b: str) -> list[tuple[str, int, int, int, int]]:
+    """(file, min_a, max_a, min_b, max_b) per data file from parquet
+    footers — what a stats-based reader prunes with."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out_dir, name)).metadata
+        mins_a, maxs_a, mins_b, maxs_b = [], [], [], []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                leaf = c.path_in_schema
+                if leaf == col_a and c.statistics is not None:
+                    mins_a.append(c.statistics.min)
+                    maxs_a.append(c.statistics.max)
+                elif leaf == col_b and c.statistics is not None:
+                    mins_b.append(c.statistics.min)
+                    maxs_b.append(c.statistics.max)
+        if mins_a and mins_b:
+            rows.append((name, min(mins_a), max(maxs_a),
+                         min(mins_b), max(maxs_b)))
+    return rows
+
+
+def pruned_fraction(out_dir: str, col_a: str, col_b: str,
+                    a_range: tuple[int, int],
+                    b_range: tuple[int, int]) -> float:
+    """Fraction of data files whose stats rectangle misses the query box —
+    the measured (not hoped-for) skipping rate for a two-predicate scan."""
+    stats = file_stats(out_dir, col_a, col_b)
+    if not stats:
+        return 0.0
+    missed = sum(
+        1
+        for (_, amin, amax, bmin, bmax) in stats
+        if amax < a_range[0] or amin > a_range[1]
+        or bmax < b_range[0] or bmin > b_range[1]
+    )
+    return missed / len(stats)
+
+
+def compact_parquet_dir(spark: SparkSession, path: str,
+                        target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Rewrite a parquet dir into ceil(total_bytes / target) files.
+
+    The standard post-append maintenance job: incremental writers leave
+    many small files (one per micro-batch/task); footer parsing and task
+    scheduling then dominate scan cost. Rewrites via a temp dir + atomic
+    swap so concurrent readers never see a half-compacted table.
+    Returns {files_before, files_after, bytes}.
+    """
+    import shutil
+
+    files = [
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / target_bytes))
+    tmp = path.rstrip("/") + "_compact_tmp"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(
+        tmp
+    )
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total}

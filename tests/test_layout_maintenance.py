@@ -1,0 +1,71 @@
+"""Z-order clustering and compaction: measured file-skipping and file-count
+invariants (write-time layout quality, SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+from duckdb_hybrid_doc_search_spark.index.maintenance import (
+    compact_parquet_dir, pruned_fraction, write_zordered, zvalue)
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long"
+    )
+    got = [r.z for r in df.select(zvalue(F.col("a"), F.col("b"))
+                                  .alias("z")).collect()]
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1) | ((b >> i) & 1) << (2 * i)
+        return z
+
+    assert got == [morton(a, b) for a, b in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+
+
+def test_zorder_skips_files_on_both_predicates(spark, sf_dir, tmp_path):
+    """A two-predicate point-ish query must skip MOST files of the
+    z-ordered layout, and strictly more than a layout sorted on only the
+    SECOND column (where the first predicate can't prune)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "zorder")
+    write_zordered(li, zdir, "l_partkey", "l_suppkey", n_files=16)
+
+    box_a, box_b = (10, 20), (1, 3)
+    frac_z = pruned_fraction(zdir, "l_partkey", "l_suppkey", box_a, box_b)
+    assert frac_z >= 0.5, frac_z
+
+    sdir = str(tmp_path / "sorted_b")
+    (
+        li.repartitionByRange(16, "l_suppkey")
+        .sortWithinPartitions("l_suppkey")
+        .write.mode("overwrite").parquet(sdir)
+    )
+    frac_s = pruned_fraction(sdir, "l_partkey", "l_suppkey", box_a, box_b)
+    assert frac_z > frac_s, (frac_z, frac_s)
+
+    # clustering never loses rows
+    n = spark.read.parquet(zdir).count()
+    assert n == li.count()
+
+
+def test_compaction_bounds_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(100_000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(path)
+    import os
+
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 40
+    stats = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    df = spark.read.parquet(path)
+    assert df.count() == 100_000
+    assert df.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(100_000))
