@@ -540,3 +540,70 @@ FROM activity a JOIN cohorts c ON a.user_id = c.user_id
 GROUP BY c.cohort_ym, month_offset
 ORDER BY c.cohort_ym, month_offset
 """.strip()
+
+
+def gap_fill_locf(events: DataFrame) -> DataFrame:
+    """Time-series gap filling: densify each event_type's daily value
+    series over its own [first, last] day range and carry the last
+    observed value forward across missing days (LOCF).
+
+    Scale shape: the grid generation is a per-group sequence explode off
+    the tiny bounds table (|event_types| rows), the join back to observed
+    days is keyed (event_type, day), and the carry-forward is a per-group
+    ordered window — partitions bounded by one type's day span, no global
+    order anywhere.
+
+    Output: event_type, day (epoch days), sum_value (NULL until first
+    observation), filled_value (LOCF), observed flag.
+    """
+    day = (ts_micros(events) / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select("event_type", day.alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), VALUE_ROUND).alias("sum_value"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+    )
+    joined = grid.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("sum_value").isNotNull().alias("observed"),
+    ).orderBy("event_type", "day")
+
+
+def dd_gap_fill_locf_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+         round(sum(value), {VALUE_ROUND}) AS sum_value
+  FROM events GROUP BY event_type, day
+),
+bounds AS (
+  SELECT event_type, min(day) AS lo, max(day) AS hi
+  FROM daily GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM bounds
+)
+SELECT g.event_type, g.day, d.sum_value,
+       last_value(d.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS UNBOUNDED PRECEDING) AS filled_value,
+       d.sum_value IS NOT NULL AS observed
+FROM grid g LEFT JOIN daily d
+  ON g.event_type = d.event_type AND g.day = d.day
+ORDER BY g.event_type, g.day
+""".strip()

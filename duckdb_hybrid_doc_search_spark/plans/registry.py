@@ -24,14 +24,20 @@ class QueryDef:
     spark_fn: SparkQuery
     oracle: str | None
     bench: bool = True  # include in bench.py's timed loop
+    # True = do NOT window-jump this round (late additions that would
+    # otherwise displace higher-priority unchecked/RECHECK entries from
+    # the gate's ~50-row window; they rotate in next round when the flag
+    # is cleared alongside RECHECK)
+    defer_gate: bool = False
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None = None, bench: bool = True):
+def register(name: str, oracle: str | None = None, bench: bool = True,
+             defer_gate: bool = False):
     def deco(fn: SparkQuery) -> SparkQuery:
-        REGISTRY[name] = QueryDef(name, fn, oracle, bench)
+        REGISTRY[name] = QueryDef(name, fn, oracle, bench, defer_gate)
         return fn
 
     return deco
@@ -96,7 +102,7 @@ def _gate_ordered() -> list[str]:
         if qd.oracle is None:
             return 3  # rows-only check: weakest signal, out of the window
         if name not in checked:
-            return 0  # never driver-verified: highest priority
+            return 2 if qd.defer_gate else 0  # never verified: jump queue
         if name in RECHECK:
             return 1  # verified before, but the implementation changed
         return 2

@@ -544,3 +544,11 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "supplier"),
         _t(spark, sf_dir, "nation"),
     )
+
+
+@register("events_gap_fill_locf", oracle=events.dd_gap_fill_locf_sql(),
+          defer_gate=True)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified daily series with last-observation-carried-forward
+    (deferred from this round's gate window; rotates in next round)."""
+    return events.gap_fill_locf(_t(spark, sf_dir, "events"))
