@@ -607,3 +607,153 @@ FROM grid g LEFT JOIN daily d
   ON g.event_type = d.event_type AND g.day = d.day
 ORDER BY g.event_type, g.day
 """.strip()
+
+
+def gap_fill_interpolate(events: DataFrame) -> DataFrame:
+    """Linear interpolation across missing days (the numeric sibling of
+    LOCF): for each gap day, lerp between the previous and next observed
+    daily sums; edges (before first / after last observation in a type's
+    range) stay NULL. Same per-group grid/window shape as gap_fill_locf —
+    two extra carried columns, still no global order.
+
+    Output: event_type, day, sum_value, interp_value, observed.
+    """
+    day = (ts_micros(events) / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select("event_type", day.alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), VALUE_ROUND).alias("sum_value"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+    )
+    j = grid.join(daily, ["event_type", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("sum_value").isNotNull(), F.col("day"))
+    j = (
+        j.withColumn("pv", F.last("sum_value", ignorenulls=True).over(wb))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("sum_value", ignorenulls=True).over(wf))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wf))
+    )
+    interp = F.when(F.col("sum_value").isNotNull(), F.col("sum_value")).otherwise(
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("day") - F.col("pd"))
+            / (F.col("nd") - F.col("pd")),
+        )
+    )
+    return j.select(
+        "event_type",
+        "day",
+        "sum_value",
+        F.round(interp, VALUE_ROUND).alias("interp_value"),
+        F.col("sum_value").isNotNull().alias("observed"),
+    ).orderBy("event_type", "day")
+
+
+def dd_gap_fill_interpolate_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+         round(sum(value), {VALUE_ROUND}) AS sum_value
+  FROM events GROUP BY event_type, day
+),
+bounds AS (
+  SELECT event_type, min(day) AS lo, max(day) AS hi
+  FROM daily GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM bounds
+),
+j AS (
+  SELECT g.event_type, g.day, d.sum_value,
+         last_value(d.sum_value IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN d.sum_value IS NOT NULL THEN g.day END
+                    IGNORE NULLS) OVER wb AS pd,
+         first_value(d.sum_value IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN d.sum_value IS NOT NULL THEN g.day END
+                     IGNORE NULLS) OVER wf AS nd
+  FROM grid g LEFT JOIN daily d
+    ON g.event_type = d.event_type AND g.day = d.day
+  WINDOW wb AS (PARTITION BY g.event_type ORDER BY g.day
+                ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY g.event_type ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day, sum_value,
+       round(CASE WHEN sum_value IS NOT NULL THEN sum_value
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (day - pd) / (nd - pd)
+             END, {VALUE_ROUND}) AS interp_value,
+       sum_value IS NOT NULL AS observed
+FROM j
+ORDER BY event_type, day
+""".strip()
+
+
+MAD_K = 3.0
+
+
+def daily_anomaly_mad(events: DataFrame) -> DataFrame:
+    """Robust anomaly days: flag days whose total value deviates from the
+    corpus median by more than MAD_K times the median absolute deviation.
+    Two tiny exact-percentile reductions over the DAILY table (bounded by
+    the day count, not the event count) — the event-scale work is one
+    groupBy. Output: day, total, deviation, is_anomaly (anomalies only).
+    """
+    day = (ts_micros(events) / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select(day.alias("day"), "value")
+        .groupBy("day")
+        .agg(F.round(F.sum("value"), VALUE_ROUND).alias("total"))
+    )
+    med = daily.agg(
+        F.expr("percentile(total, 0.5)").alias("med")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "adev", F.abs(F.col("total") - F.col("med"))
+    )
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.col("adev") > F.lit(MAD_K) * F.col("mad"))
+        .select(
+            "day",
+            "total",
+            F.round(F.col("adev"), VALUE_ROUND).alias("deviation"),
+        )
+        .orderBy("day")
+    )
+
+
+def dd_daily_anomaly_mad_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT (epoch_us(ts) // 86400000000) AS day,
+         round(sum(value), {VALUE_ROUND}) AS total
+  FROM events GROUP BY day
+),
+med AS (SELECT quantile_cont(total, 0.5) AS med FROM daily),
+dev AS (
+  SELECT day, total, abs(total - med) AS adev FROM daily CROSS JOIN med
+),
+mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+SELECT day, total, round(adev, {VALUE_ROUND}) AS deviation
+FROM dev CROSS JOIN mad
+WHERE adev > {MAD_K} * mad
+ORDER BY day
+""".strip()

@@ -1694,3 +1694,34 @@ WHERE n_name = '{Q20_NATION}'
   )
 ORDER BY s_name
 """.strip()
+
+
+FUZZY_PROBE = "green steel widget"
+FUZZY_TOP = 15
+
+
+def part_name_fuzzy_match(part: DataFrame) -> DataFrame:
+    """Fuzzy string matching surface: Levenshtein distance from a probe
+    string to every part name, top-N closest. Built-in JVM levenshtein
+    (identical semantics in DuckDB), embarrassingly parallel scan +
+    TakeOrderedAndProject — the cheap fuzzy-lookup pattern before
+    reaching for n-gram/embedding similarity."""
+    return (
+        part.select(
+            "p_partkey",
+            "p_name",
+            F.levenshtein(F.col("p_name"), F.lit(FUZZY_PROBE)).alias("dist"),
+        )
+        .orderBy("dist", "p_partkey")
+        .limit(FUZZY_TOP)
+    )
+
+
+def dd_part_name_fuzzy_match_sql() -> str:
+    return f"""
+SELECT p_partkey, p_name,
+       levenshtein(p_name, '{FUZZY_PROBE}')::INT AS dist
+FROM part
+ORDER BY dist, p_partkey
+LIMIT {FUZZY_TOP}
+""".strip()

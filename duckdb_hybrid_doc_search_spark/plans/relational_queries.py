@@ -552,3 +552,22 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densified daily series with last-observation-carried-forward
     (deferred from this round's gate window; rotates in next round)."""
     return events.gap_fill_locf(_t(spark, sf_dir, "events"))
+
+
+@register("events_gap_fill_interpolate",
+          oracle=events.dd_gap_fill_interpolate_sql(), defer_gate=True)
+def events_gap_fill_interpolate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    return events.gap_fill_interpolate(_t(spark, sf_dir, "events"))
+
+
+@register("events_daily_anomaly_mad",
+          oracle=events.dd_daily_anomaly_mad_sql(), defer_gate=True)
+def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.daily_anomaly_mad(_t(spark, sf_dir, "events"))
+
+
+@register("part_name_fuzzy_match",
+          oracle=relational.dd_part_name_fuzzy_match_sql(), defer_gate=True)
+def part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.part_name_fuzzy_match(_t(spark, sf_dir, "part"))
