@@ -340,3 +340,69 @@ def run_streaming_foreach_batch_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+INTERVAL_JOIN_BOUND_US = 24 * 3600 * 1_000_000  # purchase within 1 day
+
+
+def interval_join_clicks_purchases(clicks: DataFrame,
+                                   purchases: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch — same expression) interval join:
+    every (click, purchase) pair for a user where the purchase lands
+    within INTERVAL_JOIN_BOUND_US after the click.
+
+    In streaming both sides carry watermarks and the join condition bounds
+    event time in BOTH directions, so Spark can expire join state — the
+    canonical watermarked stream-stream join. The identical DataFrame
+    expression runs on static inputs, which is what the equality test
+    asserts (batch is the specification).
+
+    Output: user_id, click_id, purchase_id, gap_us.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("tse").alias("c_tse"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("tse").alias("p_tse"),
+    )
+    bound_s = INTERVAL_JOIN_BOUND_US // 1_000_000
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_tse") >= F.col("c_tse"))
+        & (F.col("p_tse") <= F.col("c_tse") + F.expr(
+            f"INTERVAL {bound_s} SECONDS"
+        )),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_tse") - F.unix_micros("c_tse")).alias("gap_us"),
+    )
+
+
+def run_streaming_interval_join(spark: SparkSession, sf_dir: str,
+                                out_table: str = "interval_join_out"):
+    """Drive the interval join as a genuine stream-stream join: the events
+    file stream split into watermarked click/purchase sides."""
+    src = read_events_stream(spark, sf_dir)
+    with_ts = src.withColumn("tse", F.timestamp_micros(ts_micros(src)))
+    clicks = with_ts.where(F.col("event_type") == "click").withWatermark(
+        "tse", WATERMARK
+    )
+    purchases = with_ts.where(
+        F.col("event_type") == "purchase"
+    ).withWatermark("tse", WATERMARK)
+    q = (
+        interval_join_clicks_purchases(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .start()
+    )
+    return q

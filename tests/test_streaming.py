@@ -124,3 +124,32 @@ def test_foreach_batch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     )
     assert written.count() == n_unique
     assert written.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join produces exactly the batch
+    join's pairs (batch is the specification)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.operators.events import ts_micros
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        interval_join_clicks_purchases, run_streaming_interval_join)
+
+    events = load_table(spark, sf_dir, "events")
+    with_ts = events.withColumn("tse", F.timestamp_micros(ts_micros(events)))
+    batch = interval_join_clicks_purchases(
+        with_ts.where(F.col("event_type") == "click"),
+        with_ts.where(F.col("event_type") == "purchase"),
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+
+    q = run_streaming_interval_join(spark, sf_dir, "ivj_out")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM ivj_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == want and len(got) > 0
