@@ -1725,3 +1725,128 @@ FROM part
 ORDER BY dist, p_partkey
 LIMIT {FUZZY_TOP}
 """.strip()
+
+
+MA_DAYS = 7
+
+
+def orders_moving_average(orders: DataFrame) -> DataFrame:
+    """7-day moving average of daily order revenue: one shuffle to the
+    bounded daily table, then a rows-based sliding window ordered by day.
+    The window partitions by nothing but runs over |days| rows — bounded
+    by the calendar, not the fact table, which is what makes a global
+    moving average scale-safe."""
+    day = (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+           / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        orders.select(day.alias("day"), "o_totalprice")
+        .groupBy("day")
+        .agg(F.round(F.sum("o_totalprice"), MONEY_ROUND).alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-(MA_DAYS - 1), 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg("revenue").over(w), MONEY_ROUND).alias("ma7"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    ).orderBy("day")
+
+
+def dd_orders_moving_average_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000) AS day,
+         round(sum(o_totalprice), {MONEY_ROUND}) AS revenue
+  FROM orders GROUP BY day
+)
+SELECT day, revenue,
+       round(avg(revenue) OVER w, {MONEY_ROUND}) AS ma7,
+       count(*) OVER w AS n_window
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN {MA_DAYS - 1} PRECEDING
+             AND CURRENT ROW)
+ORDER BY day
+""".strip()
+
+
+def customer_first_last_order(orders: DataFrame) -> DataFrame:
+    """arg-min/arg-max aggregation surface (max_by/min_by — DuckDB
+    arg_max/arg_min): each customer's first and last order key by date
+    with the matching totals, one hash aggregate. Ties on o_orderdate are
+    broken by the key via a struct comparison so both engines agree."""
+    first_key = F.expr(
+        "min_by(o_orderkey, struct(o_orderdate, o_orderkey))"
+    )
+    last_key = F.expr(
+        "max_by(o_orderkey, struct(o_orderdate, o_orderkey))"
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            first_key.alias("first_orderkey"),
+            last_key.alias("last_orderkey"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def dd_customer_first_last_order_sql() -> str:
+    # this DuckDB build's arg_min/arg_max lack composite comparators;
+    # window row_number with the identical (date, key) order is equivalent
+    return """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS rf,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl
+  FROM orders
+)
+SELECT o_custkey,
+       max(CASE WHEN rf = 1 THEN o_orderkey END) AS first_orderkey,
+       max(CASE WHEN rl = 1 THEN o_orderkey END) AS last_orderkey,
+       count(*)::BIGINT AS n_orders
+FROM ranked GROUP BY o_custkey ORDER BY o_custkey
+""".strip()
+
+
+EQUI_DEPTH_BUCKETS = 8
+
+
+def lineitem_equi_depth_histogram(lineitem: DataFrame) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice via ntile: per-bucket row
+    count and [lo, hi] bounds — the optimizer-statistics shape (histogram
+    buckets with equal mass). ntile's global order is a single sort of the
+    fact table; at scale this becomes approx_percentile cut points + a
+    bucketing join, same output contract."""
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = lineitem.select(
+        "l_extendedprice",
+        F.ntile(EQUI_DEPTH_BUCKETS).over(w).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), MONEY_ROUND).alias("lo"),
+            F.round(F.max("l_extendedprice"), MONEY_ROUND).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def dd_lineitem_equi_depth_histogram_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT l_extendedprice,
+         ntile({EQUI_DEPTH_BUCKETS}) OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         )::INT AS bucket
+  FROM lineitem
+)
+SELECT bucket, count(*)::BIGINT AS n,
+       round(min(l_extendedprice), {MONEY_ROUND}) AS lo,
+       round(max(l_extendedprice), {MONEY_ROUND}) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+""".strip()

@@ -571,3 +571,27 @@ def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=relational.dd_part_name_fuzzy_match_sql(), defer_gate=True)
 def part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.part_name_fuzzy_match(_t(spark, sf_dir, "part"))
+
+
+@register("orders_moving_average",
+          oracle=relational.dd_orders_moving_average_sql(), defer_gate=True)
+def orders_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.orders_moving_average(_t(spark, sf_dir, "orders"))
+
+
+@register("customer_first_last_order",
+          oracle=relational.dd_customer_first_last_order_sql(),
+          defer_gate=True)
+def customer_first_last_order(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    return relational.customer_first_last_order(_t(spark, sf_dir, "orders"))
+
+
+@register("lineitem_equi_depth_histogram",
+          oracle=relational.dd_lineitem_equi_depth_histogram_sql(),
+          defer_gate=True)
+def lineitem_equi_depth_histogram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return relational.lineitem_equi_depth_histogram(
+        _t(spark, sf_dir, "lineitem")
+    )
