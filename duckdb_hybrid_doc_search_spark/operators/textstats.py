@@ -435,3 +435,155 @@ SELECT doc_id, n_emails,
        md5(regexp_replace(t1, '{dg}', '<NUM>', 'g')) AS clean_md5
 FROM s1
 """.strip()
+
+
+# --- Count-Min sketch with measured error -----------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_N = 20
+
+
+def countmin_error(docs: DataFrame) -> DataFrame:
+    """Count-Min sketch over corpus term frequencies, with its error
+    MEASURED against the exact counts for the top-N terms.
+
+    The sketch is depth x width counters built as ONE aggregation per
+    depth row (hash terms into slots, sum term frequencies) — a few KB of
+    state however large the corpus, the canonical sketch trade. Estimates
+    (min over depths of the probed slot) always over-count; rel_err
+    records by how much at this width. All hashing is the deterministic
+    md5-h64, so the whole metric is oracle-exact — the approximation is a
+    recorded number, same discipline as the ANN recall rows.
+
+    Output: term, exact, estimate, rel_err (top-N exact terms).
+    """
+    from ..functions.hashing import h64
+    from ..functions.text import tokenize
+
+    tf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def slot(d: int, term_col) -> F.Column:
+        return F.pmod(
+            h64(F.concat(F.lit(f"cms{d}#"), term_col)), F.lit(CMS_WIDTH)
+        )
+
+    counters = None
+    for d in range(CMS_DEPTH):
+        part = tf.groupBy(slot(d, F.col("term")).alias("slot")).agg(
+            F.sum("cnt").alias("c")
+        ).select(F.lit(d).alias("depth"), "slot", "c")
+        counters = part if counters is None else counters.unionByName(part)
+
+    top = tf.orderBy(F.desc("cnt"), F.asc("term")).limit(CMS_TOP_N)
+    probes = None
+    for d in range(CMS_DEPTH):
+        p = top.select(
+            "term", "cnt", F.lit(d).alias("depth"),
+            slot(d, F.col("term")).alias("slot"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(counters, ["depth", "slot"])
+        .groupBy("term", "cnt")
+        .agg(F.min("c").alias("estimate"))
+    )
+    return est.select(
+        "term",
+        F.col("cnt").alias("exact"),
+        "estimate",
+        F.round(
+            (F.col("estimate") - F.col("cnt")) / F.col("cnt"), 6
+        ).alias("rel_err"),
+    ).orderBy(F.desc("exact"), F.asc("term"))
+
+
+def dd_countmin_error_sql(table: str = "documents") -> str:
+    from ..functions.hashing import dd_h64
+    from ..functions.text import dd_tokenize
+
+    toks = dd_tokenize("text")
+    counter_parts = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS depth,
+       {dd_h64(f"'cms{d}#' || term")} % {CMS_WIDTH} AS slot,
+       sum(cnt) AS c
+FROM tf GROUP BY depth, slot"""
+        for d in range(CMS_DEPTH)
+    )
+    probe_parts = "\nUNION ALL\n".join(
+        f"""SELECT term, cnt, {d} AS depth,
+       {dd_h64(f"'cms{d}#' || term")} % {CMS_WIDTH} AS slot FROM top"""
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH tf AS (
+  SELECT term, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest({toks}) AS term FROM {table})
+  GROUP BY term
+),
+counters AS (
+{counter_parts}
+),
+top AS (
+  SELECT term, cnt FROM tf ORDER BY cnt DESC, term ASC LIMIT {CMS_TOP_N}
+),
+probes AS (
+{probe_parts}
+)
+SELECT p.term, p.cnt AS exact, min(c.c) AS estimate,
+       round((min(c.c) - p.cnt) * 1.0 / p.cnt, 6) AS rel_err
+FROM probes p JOIN counters c ON p.depth = c.depth AND p.slot = c.slot
+GROUP BY p.term, p.cnt
+ORDER BY exact DESC, p.term ASC
+""".strip()
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Corpus accounting per (source, lang): docs, tokens, and each
+    cell's token share of the whole corpus — the report every curation
+    decision starts from. One groupBy plus a 1-row broadcast total."""
+    from ..functions.text import tokenize
+
+    cells = (
+        docs.select(
+            "source", "lang",
+            F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+    total = cells.agg(F.sum("tokens").alias("total_tokens"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "source", "lang", "n_docs", "tokens",
+            F.round(F.col("tokens") / F.col("total_tokens"), 6)
+            .alias("token_share"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def dd_source_mix_sql(table: str = "documents") -> str:
+    from ..functions.text import dd_tokenize
+
+    toks = dd_tokenize("text")
+    return f"""
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs,
+         sum(len({toks}))::BIGINT AS tokens
+  FROM {table} GROUP BY source, lang
+),
+total AS (SELECT sum(tokens) AS total_tokens FROM cells)
+SELECT source, lang, n_docs, tokens,
+       round(tokens * 1.0 / total_tokens, 6) AS token_share
+FROM cells CROSS JOIN total
+ORDER BY source, lang
+""".strip()

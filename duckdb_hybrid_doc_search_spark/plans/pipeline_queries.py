@@ -338,3 +338,15 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries running state, not expressible in plain SQL; invariants are
     pinned in tests/test_packing.py)."""
     return packing.pack_sequences(_docs(spark, sf_dir))
+
+
+@register("text_countmin_error", oracle=textstats.dd_countmin_error_sql(),
+          defer_gate=True)
+def text_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.countmin_error(_docs(spark, sf_dir))
+
+
+@register("corpus_source_mix", oracle=textstats.dd_source_mix_sql(),
+          defer_gate=True)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.source_mix(_docs(spark, sf_dir))
