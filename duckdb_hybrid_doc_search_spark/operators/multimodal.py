@@ -210,3 +210,71 @@ def synthesize_media(spark, docs: DataFrame, kind_mod: int = 3) -> DataFrame:
         ).alias("meta"),
     )
     return attach_media_ids(media)
+
+
+AUDIO_WINDOW_BYTES = 256
+AUDIO_HOP_BYTES = 128
+
+
+def audio_window_features(media: DataFrame,
+                          decode_backend: str = "fake") -> DataFrame:
+    """Windowed audio features: frame each audio payload into overlapping
+    windows (window/hop, the STFT access pattern) and emit per-window
+    energy statistics.
+
+    The fake backend treats the raw bytes as the PCM stream, so the
+    framing arithmetic, per-window pooling, and the one Arrow-batched
+    Python crossing are all real; a codec library would only replace the
+    bytes->samples step (`_real_decode_audio` raises with the missing-lib
+    name, same contract as the image/video stubs).
+
+    Output: media_id, window_idx, start_byte, rms, peak — one row per
+    window, fanned out INSIDE the batch (no per-window task overhead).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if decode_backend != "fake":
+                    _real_decode_audio(bytes(payload))
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                samples = samples.astype(np.float64) - 128.0
+                n = len(samples)
+                idx = 0
+                for start in range(0, max(1, n - AUDIO_WINDOW_BYTES + 1),
+                                   AUDIO_HOP_BYTES):
+                    w = samples[start:start + AUDIO_WINDOW_BYTES]
+                    if len(w) == 0:
+                        break
+                    out.append((
+                        media_id,
+                        idx,
+                        start,
+                        round(float(np.sqrt((w * w).mean())), 6),
+                        round(float(np.abs(w).max()), 6),
+                    ))
+                    idx += 1
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "window_idx", "start_byte", "rms",
+                         "peak"],
+            )
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(
+            run,
+            "media_id string, window_idx int, start_byte int, "
+            "rms double, peak double",
+        )
+    )
+
+
+def _real_decode_audio(payload: bytes) -> "np.ndarray":
+    raise NotImplementedError(
+        "real audio decode needs soundfile/pyav (not installed in this "
+        "environment); the fake backend exercises the full Spark-side "
+        "framing/pooling contract"
+    )

@@ -58,3 +58,15 @@ def media_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _media(spark, sf_dir)
     return mm.sample_video_frames(m.where(m.kind == "video"), n_frames=4)
+
+
+@register("media_audio_windows", oracle=None, bench=True)
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio framing over the synthesized media table (rows-only:
+    the fake PCM decode is not SQL-expressible; framing invariants are
+    unit-tested in tests/test_multimodal.py)."""
+    from ..index.catalog import load_table
+    from ..operators.multimodal import audio_window_features, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_features(synthesize_media(spark, docs))

@@ -66,3 +66,29 @@ def test_media_stats_prunes_payload(media):
     # which uses length() — acceptable; the check here is that the plan is
     # a pure column-pruned aggregate with no Python stage
     assert "mapInPandas" not in plan and "PythonUDF" not in plan.lower()
+
+
+def test_audio_window_framing_invariants(spark, sf_dir):
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.operators.multimodal import (
+        AUDIO_HOP_BYTES, AUDIO_WINDOW_BYTES, audio_window_features,
+        synthesize_media)
+
+    media = synthesize_media(spark, load_table(spark, sf_dir, "documents"))
+    rows = audio_window_features(media).collect()
+    assert rows
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, ws in by_id.items():
+        ws = sorted(ws, key=lambda r: r.window_idx)
+        # contiguous window indexes with hop-spaced starts
+        assert [w.window_idx for w in ws] == list(range(len(ws)))
+        assert all(w.start_byte == i * AUDIO_HOP_BYTES
+                   for i, w in enumerate(ws))
+        # energy stats bounded for uint8-centered samples
+        assert all(0.0 <= w.rms <= 128.0 and 0.0 <= w.peak <= 128.0
+                   for w in ws)
+    # deterministic
+    again = audio_window_features(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
