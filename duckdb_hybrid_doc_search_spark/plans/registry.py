@@ -135,6 +135,6 @@ def _load_all() -> None:
         return
     from . import (chunker_queries, doc_search_queries,  # noqa: F401
                    mllib_queries, multimodal_queries, pipeline_queries,
-                   relational_queries)
+                   relational_queries, sql_queries)
 
     _LOADED = True
