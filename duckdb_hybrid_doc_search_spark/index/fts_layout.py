@@ -146,5 +146,29 @@ def ensure_fts_layout(spark: SparkSession, docs: DataFrame, sf_dir: str,
         return _OPEN[memo_key]
     if not os.path.exists(os.path.join(out_dir, "corpus_stats", "_SUCCESS")):
         write_fts_layout(docs, out_dir, id_col, text_col)
+        _gc_stale_siblings(out_dir)
     _OPEN[memo_key] = read_fts_layout(spark, out_dir)
     return _OPEN[memo_key]
+
+
+def _gc_stale_siblings(out_dir: str) -> None:
+    """After a successful build, drop sibling layouts of the SAME corpus
+    (same `{sf}-{name}-v` prefix, different fingerprint) — each testdata
+    regeneration otherwise strands a full dead copy of the index. Only
+    ever deletes under the layout root, never current-fingerprint dirs."""
+    import shutil
+
+    root, key = os.path.split(out_dir.rstrip("/"))
+    # key = "{sf}-{name}-v{V}-{fp}": prefix up to the version marker also
+    # sweeps layouts written by older format versions
+    prefix = key.rsplit(f"-v{_LAYOUT_VERSION}-", 1)[0] + "-v"
+    try:
+        siblings = os.listdir(root)
+    except OSError:
+        return
+    for name in siblings:
+        if name != key and name.startswith(prefix):
+            dead = os.path.join(root, name)
+            shutil.rmtree(dead, ignore_errors=True)
+            for mk in [k for k in _OPEN if k[1] == dead]:
+                del _OPEN[mk]

@@ -125,3 +125,32 @@ def test_write_read_roundtrip_tables(spark, sf_dir, tmp_path):
         a = sorted(map(tuple, idx[t].collect()))
         b = sorted(map(tuple, built[t].collect()))
         assert a == b, t
+
+
+def test_stale_sibling_layouts_garbage_collected(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    ensure_fts_layout(spark, docs, sf_dir, root=str(tmp_path))
+    live = sorted(os.listdir(tmp_path))
+    # plant a stale sibling (same corpus prefix, different fingerprint)
+    # and an unrelated layout that must survive
+    stale = tmp_path / (live[0].rsplit("-", 1)[0] + "-deadbeef")
+    stale.mkdir()
+    other = tmp_path / "othersf-part-v2-cafe"
+    other.mkdir()
+    # rebuild trigger: same corpus re-read from a COPIED file (new
+    # mtime -> new file fingerprint, the regenerated-testdata case)
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = tmp_path / "regen.parquet"
+    (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    regen = spark.read.parquet(str(dst))
+    ensure_fts_layout(spark, regen, sf_dir, root=str(tmp_path))
+    after = set(os.listdir(tmp_path))
+    assert stale.name not in after          # swept
+    assert "othersf-part-v2-cafe" in after  # untouched
+    assert live[0] not in after             # old fingerprint swept too
