@@ -24,15 +24,25 @@ from pyspark.sql import functions as F
 Z_BITS = 16  # per-key bits: 2 keys x 16 bits -> 32-bit z-value
 
 
-def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
+def zvalue(a: Column, b: Column, bits: int = Z_BITS,
+           a_max: int | None = None, b_max: int | None = None) -> Column:
     """Interleaved-bit (Morton) value of two non-negative ints, JVM-side.
 
-    Callers map their keys into [0, 2^bits) first (rank or scale); values
-    outside are clamped so a stray outlier cannot scramble the curve.
+    Pass each key's domain max to scale it into the full [0, 2^bits)
+    range first — UNSCALED keys with unequal bit widths degenerate the
+    curve (the wider key's high bits dominate and files stop being
+    rectangles in the narrower dimension). Values outside the domain are
+    clamped so a stray outlier cannot scramble the curve.
     """
+    def scaled(c: Column, cmax: int | None) -> Column:
+        c = c.cast("long")
+        if cmax is not None and cmax > 0:
+            c = F.floor(c * F.lit(1 << bits) / F.lit(cmax + 1)).cast("long")
+        return c
+
     hi = F.lit((1 << bits) - 1)
-    ca = F.least(F.greatest(a.cast("long"), F.lit(0)), hi)
-    cb = F.least(F.greatest(b.cast("long"), F.lit(0)), hi)
+    ca = F.least(F.greatest(scaled(a, a_max), F.lit(0)), hi)
+    cb = F.least(F.greatest(scaled(b, b_max), F.lit(0)), hi)
     z = F.lit(0).cast("long")
     for i in range(bits):
         abit = F.shiftright(ca, i).bitwiseAND(F.lit(1))
@@ -44,16 +54,28 @@ def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
 
 
 def write_zordered(df: DataFrame, out_dir: str, col_a: str, col_b: str,
-                   n_files: int, bits: int = Z_BITS) -> None:
+                   n_files: int, bits: int = Z_BITS,
+                   balance_domains: bool = True) -> None:
     """Write df clustered on the Z-curve of (col_a, col_b).
 
     Range-partition + sort by z: each parquet file covers a contiguous
     curve segment, i.e. a tight (col_a, col_b) rectangle in its min/max
-    stats — the pruning surface for two-predicate scans. Columns must
-    already be integer-like; scale/rank-encode upstream.
+    stats — the pruning surface for two-predicate scans. Columns must be
+    integer-like; by default both domains are scaled to the full bit
+    range (one tiny max() aggregate at write time) so unequal key widths
+    cannot degenerate the curve.
     """
+    a_max = b_max = None
+    if balance_domains:
+        row = df.agg(
+            F.max(F.col(col_a).cast("long")).alias("a"),
+            F.max(F.col(col_b).cast("long")).alias("b"),
+        ).collect()[0]
+        a_max, b_max = int(row["a"] or 0), int(row["b"] or 0)
     (
-        df.withColumn("__z", zvalue(F.col(col_a), F.col(col_b), bits))
+        df.withColumn(
+            "__z", zvalue(F.col(col_a), F.col(col_b), bits, a_max, b_max)
+        )
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

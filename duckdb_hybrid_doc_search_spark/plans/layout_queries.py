@@ -1,0 +1,100 @@
+"""Layout-quality metrics as registered queries (rows-only: the measured
+quantity is parquet FILE organization, which SQL cannot observe).
+
+Same discipline as the ANN recall and bloom FPR rows: the scale claim
+("z-order lets a two-predicate scan skip files", "compaction bounds file
+count") is a RECORDED number the driver sees every round, not a hope in a
+docstring. Both queries are deterministic: hash-free layouts, fixed query
+boxes, fingerprint-cached builds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.catalog import load_table
+from ..index.fingerprint import layout_fingerprint
+from ..index.maintenance import (compact_parquet_dir, pruned_fraction,
+                                 write_zordered)
+from .registry import register
+
+ZO_FILES = 16
+UNBOUNDED = (0, 1 << 40)
+ZO_PART_BOX = (10, 20)  # narrow l_partkey probe (suppkey unconstrained)
+ZO_SUPP_BOX = (1, 3)    # narrow l_suppkey probe (partkey unconstrained)
+
+
+def _scratch_root() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    return os.path.join(repo, "spark-warehouse", "layout_metrics")
+
+
+@register("lineitem_zorder_prune_stats", oracle=None, bench=True)
+def lineitem_zorder_prune_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Measured file-skipping of the z-ordered layout vs a single-column
+    (suppkey) sort, from real parquet footers, for TWO probes: one narrow
+    on partkey, one narrow on suppkey. The suppkey-sorted layout prunes
+    only its own column's probe; z-order prunes BOTH — that asymmetry is
+    the entire point of multi-dimensional clustering, recorded as
+    `zorder_gain_partkey` (built once per corpus fingerprint)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    fp = layout_fingerprint(li, "l_partkey", "l_suppkey")
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    zdir = os.path.join(_scratch_root(), f"{sf}-zorder-{fp}")
+    sdir = os.path.join(_scratch_root(), f"{sf}-sortb-{fp}")
+    if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
+        write_zordered(li, zdir, "l_partkey", "l_suppkey", ZO_FILES)
+    if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+        (
+            li.repartitionByRange(ZO_FILES, "l_suppkey")
+            .sortWithinPartitions("l_suppkey")
+            .write.mode("overwrite").parquet(sdir)
+        )
+    zp = pruned_fraction(zdir, "l_partkey", "l_suppkey",
+                         ZO_PART_BOX, UNBOUNDED)
+    sp = pruned_fraction(sdir, "l_partkey", "l_suppkey",
+                         ZO_PART_BOX, UNBOUNDED)
+    zs = pruned_fraction(zdir, "l_partkey", "l_suppkey",
+                         UNBOUNDED, ZO_SUPP_BOX)
+    ss = pruned_fraction(sdir, "l_partkey", "l_suppkey",
+                         UNBOUNDED, ZO_SUPP_BOX)
+    return spark.createDataFrame(
+        [(ZO_FILES,
+          round(zp, 6), round(sp, 6),
+          round(zs, 6), round(ss, 6),
+          round(zp - sp, 6))],
+        "n_files int, z_pruned_partkey_probe double, "
+        "sorted_pruned_partkey_probe double, z_pruned_suppkey_probe double, "
+        "sorted_pruned_suppkey_probe double, zorder_gain_partkey double",
+    )
+
+
+@register("lineitem_compaction_stats", oracle=None, bench=True)
+def lineitem_compaction_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Compaction effect, measured: fragment lineitem into many small
+    files (the post-streaming-append state), compact to a byte target,
+    record before/after file counts and that no rows were lost. Rebuilt
+    each call in a scratch dir — the numbers are deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    frag = os.path.join(_scratch_root(), "compact_scratch")
+    li.repartition(40).write.mode("overwrite").parquet(frag)
+    n_rows = spark.read.parquet(frag).count()
+    stats = compact_parquet_dir(spark, frag, target_bytes=1 << 30)
+    after_rows = spark.read.parquet(frag).count()
+    return spark.createDataFrame(
+        [(stats["files_before"], stats["files_after"], int(stats["bytes"]),
+          n_rows, after_rows, n_rows == after_rows)],
+        "files_before int, files_after int, bytes long, rows_before long, "
+        "rows_after long, lossless boolean",
+    )

@@ -134,7 +134,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import (chunker_queries, doc_search_queries,  # noqa: F401
-                   mllib_queries, multimodal_queries, pipeline_queries,
-                   relational_queries, sql_queries)
+                   layout_queries, mllib_queries, multimodal_queries,
+                   pipeline_queries, relational_queries, sql_queries)
 
     _LOADED = True
