@@ -1850,3 +1850,36 @@ SELECT bucket, count(*)::BIGINT AS n,
        round(max(l_extendedprice), {MONEY_ROUND}) AS hi
 FROM b GROUP BY bucket ORDER BY bucket
 """.strip()
+
+
+def lineitem_geomean_udaf(lineitem: DataFrame) -> DataFrame:
+    """Custom aggregate via an Arrow-batched pandas GROUPED_AGG UDF:
+    per-returnflag geometric mean of extended price. The UDF computes
+    exp(mean(log x)) over each group's Arrow batches — the closed form a
+    SQL engine writes as exp(avg(ln(x))), which is exactly the oracle, so
+    even the custom-UDAF surface stays hash-checkable. Partial
+    aggregation still applies (Spark feeds the UDAF per-group slices);
+    this is the pattern for aggregates the built-in catalog lacks."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG type: postponed-annotation mode (PEP 563 in
+    # this module) breaks pandas_udf's hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gmean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.round(gmean("l_extendedprice"), AVG_ROUND).alias("geo_mean"))
+        .orderBy("l_returnflag")
+    )
+
+
+def dd_lineitem_geomean_sql() -> str:
+    return f"""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_extendedprice))), {AVG_ROUND}) AS geo_mean
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip()

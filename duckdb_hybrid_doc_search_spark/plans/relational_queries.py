@@ -595,3 +595,9 @@ def lineitem_equi_depth_histogram(spark: SparkSession,
     return relational.lineitem_equi_depth_histogram(
         _t(spark, sf_dir, "lineitem")
     )
+
+
+@register("lineitem_geomean_udaf",
+          oracle=relational.dd_lineitem_geomean_sql(), defer_gate=True)
+def lineitem_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.lineitem_geomean_udaf(_t(spark, sf_dir, "lineitem"))
