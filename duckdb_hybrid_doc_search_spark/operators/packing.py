@@ -169,9 +169,10 @@ DECON_SHINGLE_N = 4
 EVAL_MOD = 100  # deterministic "benchmark" slice: doc_id % EVAL_MOD == 0
 
 
-def _shingles(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, s): distinct n-token shingles, codegen-friendly
-    (arrays_zip of shifted slices, same trick as dedup._doc_shingles)."""
+def _shingles(df: DataFrame, n: int, distinct: bool = True) -> DataFrame:
+    """(doc_id, s): n-token shingles, codegen-friendly (arrays_zip of
+    shifted slices, same trick as dedup._doc_shingles). distinct=False
+    skips the dedup shuffle for callers that aggregate downstream."""
     spark = df.sparkSession
     toks = df.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", tokenize(F.col("text")).alias("t")
@@ -187,12 +188,13 @@ def _shingles(df: DataFrame, n: int) -> DataFrame:
             ])
         ).alias("z"),
     )
-    return zipped.select(
+    out = zipped.select(
         "doc_id",
         F.concat_ws(
             " ", *[F.col(f"z.{chr(97 + i)}") for i in range(n)]
         ).alias("s"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def decontaminate_ngrams(docs: DataFrame) -> DataFrame:
@@ -200,20 +202,24 @@ def decontaminate_ngrams(docs: DataFrame) -> DataFrame:
     benchmark slice (doc_id % EVAL_MOD == 0 stands in for an eval set) —
     the standard n-gram decontamination pass before training.
 
-    Shape: distinct shingles on both sides, the (small) benchmark side
-    broadcast into an equi-join on the shingle, per-doc counts of
-    overlapping shingles and distinct benchmark docs hit. Cost tracks
-    shingle collisions, never |corpus| x |benchmark|.
+    Shape: the (small) benchmark side dedupes and broadcasts; the TRAIN
+    side streams its raw shingles straight into the broadcast equi-join —
+    no corpus-wide distinct shuffle, because countDistinct downstream
+    dedupes only the matched survivors (bounded by the actual overlap).
+    Cost tracks shingle collisions, never |corpus| x |benchmark|.
 
     Output: doc_id, n_shared_shingles, n_eval_docs_hit (contaminated
     training docs only, benchmark members excluded).
     """
-    sh = _shingles(docs, DECON_SHINGLE_N)
     eval_sh = (
-        sh.where(F.col("doc_id") % EVAL_MOD == 0)
+        _shingles(docs.where(F.col("doc_id") % EVAL_MOD == 0),
+                  DECON_SHINGLE_N)
         .select(F.col("doc_id").alias("eval_id"), "s")
     )
-    train_sh = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    train_sh = _shingles(
+        docs.where(F.col("doc_id") % EVAL_MOD != 0),
+        DECON_SHINGLE_N, distinct=False,
+    )
     return (
         train_sh.join(F.broadcast(eval_sh), "s")
         .groupBy("doc_id")
