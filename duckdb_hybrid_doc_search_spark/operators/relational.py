@@ -1883,3 +1883,76 @@ SELECT l_returnflag,
        round(exp(avg(ln(l_extendedprice))), {AVG_ROUND}) AS geo_mean
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """.strip()
+
+
+PARETO_TOP_SHARE = 0.5
+
+
+def customer_pareto_share(customer: DataFrame, orders: DataFrame,
+                          nation: DataFrame) -> DataFrame:
+    """Pareto concentration per nation: customers ranked by revenue inside
+    their nation, cumulative revenue share, and how many customers it
+    takes to reach half the nation's revenue. The running sum rides
+    per-NATION window partitions (bounded), never a global order; output
+    is the per-nation summary, not the per-customer detail."""
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), MONEY_ROUND).alias("rev"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "rev")
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.desc("rev"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        "c_custkey",
+        F.sum("rev").over(w).alias("cum_rev"),
+        F.sum("rev").over(wt).alias("total_rev"),
+        F.count(F.lit(1)).over(w).alias("rank"),
+    )
+    return (
+        ranked.where(
+            F.col("cum_rev") >= F.lit(PARETO_TOP_SHARE) * F.col("total_rev")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.min("rank").alias("customers_to_half_revenue"),
+            F.max(F.col("rank")).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def dd_customer_pareto_share_sql() -> str:
+    return f"""
+WITH rev AS (
+  SELECT n_name, c_custkey, round(sum(o_totalprice), {MONEY_ROUND}) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey
+),
+ranked AS (
+  SELECT n_name, c_custkey,
+         sum(rev) OVER (PARTITION BY n_name
+           ORDER BY rev DESC, c_custkey
+           ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         sum(rev) OVER (PARTITION BY n_name) AS total_rev,
+         count(*) OVER (PARTITION BY n_name
+           ORDER BY rev DESC, c_custkey
+           ROWS UNBOUNDED PRECEDING) AS rank
+  FROM rev
+)
+SELECT n_name, min(rank) AS customers_to_half_revenue,
+       max(rank) AS n_customers
+FROM ranked
+WHERE cum_rev >= {PARETO_TOP_SHARE} * total_rev
+GROUP BY n_name ORDER BY n_name
+""".strip()

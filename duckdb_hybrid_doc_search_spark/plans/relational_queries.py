@@ -601,3 +601,13 @@ def lineitem_equi_depth_histogram(spark: SparkSession,
           oracle=relational.dd_lineitem_geomean_sql(), defer_gate=True)
 def lineitem_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.lineitem_geomean_udaf(_t(spark, sf_dir, "lineitem"))
+
+
+@register("customer_pareto_share",
+          oracle=relational.dd_customer_pareto_share_sql(), defer_gate=True)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_pareto_share(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
