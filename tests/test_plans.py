@@ -149,3 +149,31 @@ def test_embedding_dedup_single_shuffle_stage_shape(spark, sf_dir):
     df = registry.REGISTRY["dedup_embedding_cosine"].spark_fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_partsupp_synthesis_is_shuffle_free(spark, sf_dir):
+    """The synthesized partsupp is a part-scan cross two broadcasts —
+    no Exchange anywhere in its plan (the claim in relational.py)."""
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.operators.relational import \
+        synth_partsupp
+
+    ps = synth_partsupp(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+    plan = plan_of(ps)
+    # no DATA shuffle: the only allowed Exchange is the 1-row
+    # SinglePartition reduction of the supplier count
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("BroadcastExchange") == 2  # 4-row gen + count row
+
+
+def test_tpch_q9_join_shape(spark, sf_dir):
+    """Q9's only shuffle joins are lineitem<->orders and
+    lineitem<->partsupp; every dimension side broadcasts."""
+    df = registry.REGISTRY["tpch_q9_product_profit"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("SortMergeJoin") <= 2
+    assert plan.count("BroadcastHashJoin") >= 3
