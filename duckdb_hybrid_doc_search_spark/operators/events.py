@@ -757,3 +757,51 @@ FROM dev CROSS JOIN mad
 WHERE adev > {MAD_K} * mad
 ORDER BY day
 """.strip()
+
+
+def type_transition_matrix(events: DataFrame) -> DataFrame:
+    """Markov-style transition counts: for each user's time-ordered event
+    stream, count consecutive (from_type -> to_type) pairs, with each
+    row's share of its from_type's outgoing transitions. One lag window
+    per user partition + one pair aggregation — the sequence-analytics
+    shape (next-event prediction features, funnel sanity checks)."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = events.select(
+        "user_id", "event_id", ts_micros(events).alias("us"), "event_type"
+    )
+    pairs = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("share"),
+    ).orderBy("from_type", "to_type")
+
+
+def dd_type_transition_matrix_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+),
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY us, event_id) AS from_type,
+         event_type AS to_type
+  FROM e
+),
+counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS share
+FROM counts
+ORDER BY from_type, to_type
+""".strip()

@@ -611,3 +611,10 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "nation"),
     )
+
+
+@register("events_type_transition_matrix",
+          oracle=events.dd_type_transition_matrix_sql(), defer_gate=True)
+def events_type_transition_matrix(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return events.type_transition_matrix(_t(spark, sf_dir, "events"))
