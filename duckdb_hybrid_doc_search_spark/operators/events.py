@@ -82,8 +82,8 @@ flagged AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 sess AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-    ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, count(*)::BIGINT AS n_events,
@@ -222,7 +222,7 @@ def props_json_stats(events: DataFrame) -> DataFrame:
 def dd_props_json_stats_sql() -> str:
     return """
 SELECT event_type, count(*)::BIGINT AS n,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        min(json_extract(props, '$.k')::BIGINT) AS min_k,
        max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -465,7 +465,7 @@ WITH kv AS (
   FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
 )
 SELECT key, count(*)::BIGINT AS n,
-       min(val) AS min_val, max(val) AS max_val, sum(val) AS sum_val
+       min(val) AS min_val, max(val) AS max_val, sum(val)::BIGINT AS sum_val
 FROM kv GROUP BY key ORDER BY key
 """.strip()
 

@@ -1266,8 +1266,13 @@ def customer_rfm_segments(customer: DataFrame,
                           orders: DataFrame) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary) with ntile
     quartiles per dimension — the standard customer-analytics rollup.
-    One orders aggregation, three global window passes over the small
-    per-customer table (|customers| rows, not |orders|)."""
+    One orders aggregation, then three ``distributed_ntile`` passes over
+    the per-customer table. Each quartile is bit-exact with a global
+    ``ntile(4)`` (the o_custkey tie-break makes the order total — a
+    value-cutoff approximation would split boundary ties differently)
+    but runs as a bounded range shuffle, never a single-partition sort;
+    recency/frequency tie runs span many customers, so this matters
+    even though |customers| ≪ |orders|."""
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(
@@ -1280,14 +1285,20 @@ def customer_rfm_segments(customer: DataFrame,
             F.datediff(F.lit(RFM_ASOF), F.col("last_order")),
         )
     )
-    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    q = distributed_ntile(
+        per_cust, 4, [F.asc("recency_days"), F.asc("o_custkey")],
+        out="r_quartile",
+    )
+    q = distributed_ntile(
+        q, 4, [F.desc("frequency"), F.asc("o_custkey")],
+        out="f_quartile",
+    )
+    q = distributed_ntile(
+        q, 4, [F.desc("monetary"), F.asc("o_custkey")],
+        out="m_quartile",
+    )
     return (
-        per_cust.withColumn("r_quartile", F.ntile(4).over(wr))
-        .withColumn("f_quartile", F.ntile(4).over(wf))
-        .withColumn("m_quartile", F.ntile(4).over(wm))
-        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        q.groupBy("r_quartile", "f_quartile", "m_quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             money_sum(F.col("monetary")).alias("segment_revenue"),
@@ -1814,19 +1825,101 @@ FROM ranked GROUP BY o_custkey ORDER BY o_custkey
 EQUI_DEPTH_BUCKETS = 8
 
 
-def lineitem_equi_depth_histogram(lineitem: DataFrame) -> DataFrame:
-    """Equi-depth histogram of l_extendedprice via ntile: per-bucket row
-    count and [lo, hi] bounds — the optimizer-statistics shape (histogram
-    buckets with equal mass). ntile's global order is a single sort of the
-    fact table; at scale this becomes approx_percentile cut points + a
-    bucketing join, same output contract."""
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    b = lineitem.select(
-        "l_extendedprice",
-        F.ntile(EQUI_DEPTH_BUCKETS).over(w).alias("bucket"),
+def distributed_ntile(df: DataFrame, nb: int, order: list,
+                      out: str = "bucket") -> DataFrame:
+    """Append an ``ntile(nb) OVER (ORDER BY <order>)``-equivalent column
+    WITHOUT the global single-partition sort that Spark's own ntile plans
+    (``WindowExec: No Partition Defined``) — the classic distributed
+    ranking decomposition, bit-exact with ntile when the order is total:
+
+    1. ``repartitionByRange`` on the order — each range partition holds a
+       contiguous, bounded slice (~|df| / shuffle.partitions rows; with a
+       unique tie-break key the range sampler splits evenly even when the
+       leading value repeats).
+    2. per-partition ``row_number`` (window PARTITIONED by the range id —
+       every partition sorts locally, in parallel).
+    3. partition row-counts (≤ shuffle.partitions rows) → broadcast
+       cumulative offsets; global rank = local rank + offset. The only
+       unpartitioned window rides this counts table, bounded by the
+       partition count, never by data volume.
+    4. bucket from rank via ntile's closed form (first N%k buckets take
+       ceil(N/k) rows), all whole-stage-codegen arithmetic.
+
+    The sliced-with-pid projection feeds BOTH the counts branch and the
+    rank branch; it is pinned with a lazy ``localCheckpoint`` because
+    ``spark_partition_id`` is nondeterministic — two independent
+    re-executions of the range exchange (exchange reuse does not fire
+    across a nondeterministic projection, and AQE may coalesce the two
+    copies differently) could otherwise assign different pids to the two
+    branches and corrupt the offsets. The checkpoint materializes the
+    narrow ordering projection once (spill-backed, same device as any
+    shuffle write) and both branches read it.
+
+    ``order`` entries are Columns (may carry .desc()) or names."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    nparts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    sliced = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    counts = sliced.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # unpartitioned window, but over the COUNTS table: ≤ nparts rows
+    # regardless of data volume (the same bounded-rollup pattern as the
+    # packing-budget histogram), never the fact table
+    wone = Window.orderBy("_pid")
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                wone.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_cnt").over(
+            wone.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+
+    wlocal = Window.partitionBy("_pid").orderBy(*cols)
+    ranked = (
+        sliced.withColumn("_lrk", F.row_number().over(wlocal))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("_rk", F.col("_lrk") + F.col("_off"))
+    )
+
+    base = F.floor(F.col("_total") / nb)
+    rem = F.col("_total") % nb
+    head = rem * (base + 1)  # rows covered by the ceil-sized buckets
+    bucket = F.when(
+        F.col("_rk") <= head,
+        F.floor((F.col("_rk") - 1) / (base + 1)) + 1,
+    ).otherwise(
+        rem + F.floor((F.col("_rk") - head - 1) / base) + 1
+    ).cast("int")
+
+    return ranked.withColumn(out, bucket).drop(
+        "_pid", "_cnt", "_off", "_total", "_lrk", "_rk"
+    )
+
+
+def lineitem_equi_depth_histogram(lineitem: DataFrame) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice: per-bucket row count and
+    [lo, hi] bounds — the optimizer-statistics shape (histogram buckets
+    with equal mass), bit-exact with the oracle's global ``ntile`` but
+    computed with ``distributed_ntile`` (no single-partition sort of the
+    fact table; see that docstring for the scale argument)."""
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
     return (
-        b.groupBy("bucket")
+        distributed_ntile(
+            lineitem.select(*order), EQUI_DEPTH_BUCKETS, order
+        )
+        .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("l_extendedprice"), MONEY_ROUND).alias("lo"),

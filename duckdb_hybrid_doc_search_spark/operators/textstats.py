@@ -510,7 +510,7 @@ def dd_countmin_error_sql(table: str = "documents") -> str:
     counter_parts = "\nUNION ALL\n".join(
         f"""SELECT {d} AS depth,
        {dd_h64(f"'cms{d}#' || term")} % {CMS_WIDTH} AS slot,
-       sum(cnt) AS c
+       sum(cnt)::BIGINT AS c
 FROM tf GROUP BY depth, slot"""
         for d in range(CMS_DEPTH)
     )

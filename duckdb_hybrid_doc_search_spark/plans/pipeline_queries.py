@@ -340,13 +340,11 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(_docs(spark, sf_dir))
 
 
-@register("text_countmin_error", oracle=textstats.dd_countmin_error_sql(),
-          defer_gate=True)
+@register("text_countmin_error", oracle=textstats.dd_countmin_error_sql())
 def text_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.countmin_error(_docs(spark, sf_dir))
 
 
-@register("corpus_source_mix", oracle=textstats.dd_source_mix_sql(),
-          defer_gate=True)
+@register("corpus_source_mix", oracle=textstats.dd_source_mix_sql())
 def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.source_mix(_docs(spark, sf_dir))

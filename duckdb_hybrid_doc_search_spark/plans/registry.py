@@ -55,22 +55,27 @@ def bench_queries() -> dict[str, SparkQuery]:
 # they jump the gate queue right after never-checked queries. Maintained
 # per round; safe to leave stale (costs only window slots, never coverage).
 RECHECK: set[str] = {
-    "bm25_topk",
-    "bm25_batch_topk",
-    "hybrid_search_fused",
-    "hybrid_search_reranked",
+    # r3 hash fails: oracle SQL produced DuckDB HUGEINT columns (uncast
+    # integer sums) which the driver serializes differently from BIGINT.
+    # Fixed with ::BIGINT casts this round — re-verify.
+    "events_sessionization",
+    "events_props_json_stats",
+    "events_props_map_stats",
+    # green r3 but rewritten this round (global ntile -> distributed_ntile)
+    "customer_rfm_segments",
 }
 
 
-def _checked_last_round() -> set[str]:
-    """Names with a row in the NEWEST CORRECTNESS_r{N}.json (repo root).
+def _check_history() -> dict[str, tuple[int, bool]]:
+    """name -> (newest round with a driver row, green at that round).
 
     The external gate only verifies the first ~50 entries of ``queries()``
-    per round, so ordering is coverage policy: never-checked oracled
-    queries first, then changed implementations, then the already-green
-    tail, with no-oracle (rows-only) entries last. Keying off the latest
-    round's file makes the window self-rotating — whatever missed this
-    round's window sorts first next round.
+    per round, so ordering is coverage policy. Reading the UNION of all
+    CORRECTNESS_r{N}.json files (latest status wins) lets the ordering
+    distinguish "never had a driver row" (highest priority) from "green
+    two rounds ago" (rotates by staleness) — keying off only the newest
+    file would mark everything outside its 50-row window as unchecked and
+    starve genuinely-new queries of slots.
     """
     import glob
     import json
@@ -79,10 +84,11 @@ def _checked_last_round() -> set[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)
     )))
-    best_n, names = -1, set()
+    hist: dict[str, tuple[int, bool]] = {}
+    rounds: list[tuple[int, dict]] = []
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m or int(m.group(1)) <= best_n:
+        if not m:
             continue
         try:
             with open(path) as f:
@@ -90,25 +96,39 @@ def _checked_last_round() -> set[str]:
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(data, dict):
-            best_n, names = int(m.group(1)), set(data)
-    return names
+            rounds.append((int(m.group(1)), data))
+    for n, data in sorted(rounds):
+        for name, row in data.items():
+            green = bool(
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            hist[name] = (n, green)
+    return hist
 
 
 def _gate_ordered() -> list[str]:
-    checked = _checked_last_round()
+    hist = _check_history()
 
-    def rank(item: tuple[str, QueryDef]) -> int:
-        name, qd = item
+    def rank(item: tuple[int, tuple[str, QueryDef]]) -> tuple[int, int]:
+        order, (name, qd) = item
         if qd.oracle is None:
-            return 3  # rows-only check: weakest signal, out of the window
-        if name not in checked:
-            return 2 if qd.defer_gate else 0  # never verified: jump queue
-        if name in RECHECK:
-            return 1  # verified before, but the implementation changed
-        return 2
+            return (4, order)  # rows-only: weakest signal, out of window
+        if name not in hist:
+            # never had any driver row: jump the queue (defer_gate holds
+            # late additions back one round so they don't displace the
+            # priority set from the window)
+            return ((3, order) if qd.defer_gate else (0, order))
+        last_round, green = hist[name]
+        if name in RECHECK or not green:
+            return (1, order)  # impl changed or last check failed
+        return (2, last_round)  # green tail: stalest check rotates first
 
-    # stable sort preserves registration order within each class
-    return [n for n, _ in sorted(REGISTRY.items(), key=rank)]
+    items = list(enumerate(REGISTRY.items()))
+    return [n for _, (n, _) in sorted(items, key=rank)]
 
 
 def queries() -> dict[str, SparkQuery]:

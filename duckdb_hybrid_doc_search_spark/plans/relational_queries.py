@@ -546,8 +546,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_gap_fill_locf", oracle=events.dd_gap_fill_locf_sql(),
-          defer_gate=True)
+@register("events_gap_fill_locf", oracle=events.dd_gap_fill_locf_sql())
 def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densified daily series with last-observation-carried-forward
     (deferred from this round's gate window; rotates in next round)."""
@@ -555,41 +554,39 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("events_gap_fill_interpolate",
-          oracle=events.dd_gap_fill_interpolate_sql(), defer_gate=True)
+          oracle=events.dd_gap_fill_interpolate_sql())
 def events_gap_fill_interpolate(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     return events.gap_fill_interpolate(_t(spark, sf_dir, "events"))
 
 
 @register("events_daily_anomaly_mad",
-          oracle=events.dd_daily_anomaly_mad_sql(), defer_gate=True)
+          oracle=events.dd_daily_anomaly_mad_sql())
 def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.daily_anomaly_mad(_t(spark, sf_dir, "events"))
 
 
 @register("part_name_fuzzy_match",
-          oracle=relational.dd_part_name_fuzzy_match_sql(), defer_gate=True)
+          oracle=relational.dd_part_name_fuzzy_match_sql())
 def part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.part_name_fuzzy_match(_t(spark, sf_dir, "part"))
 
 
 @register("orders_moving_average",
-          oracle=relational.dd_orders_moving_average_sql(), defer_gate=True)
+          oracle=relational.dd_orders_moving_average_sql())
 def orders_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.orders_moving_average(_t(spark, sf_dir, "orders"))
 
 
 @register("customer_first_last_order",
-          oracle=relational.dd_customer_first_last_order_sql(),
-          defer_gate=True)
+          oracle=relational.dd_customer_first_last_order_sql())
 def customer_first_last_order(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     return relational.customer_first_last_order(_t(spark, sf_dir, "orders"))
 
 
 @register("lineitem_equi_depth_histogram",
-          oracle=relational.dd_lineitem_equi_depth_histogram_sql(),
-          defer_gate=True)
+          oracle=relational.dd_lineitem_equi_depth_histogram_sql())
 def lineitem_equi_depth_histogram(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     return relational.lineitem_equi_depth_histogram(
@@ -598,13 +595,13 @@ def lineitem_equi_depth_histogram(spark: SparkSession,
 
 
 @register("lineitem_geomean_udaf",
-          oracle=relational.dd_lineitem_geomean_sql(), defer_gate=True)
+          oracle=relational.dd_lineitem_geomean_sql())
 def lineitem_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.lineitem_geomean_udaf(_t(spark, sf_dir, "lineitem"))
 
 
 @register("customer_pareto_share",
-          oracle=relational.dd_customer_pareto_share_sql(), defer_gate=True)
+          oracle=relational.dd_customer_pareto_share_sql())
 def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customer_pareto_share(
         _t(spark, sf_dir, "customer"),
@@ -614,7 +611,7 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("events_type_transition_matrix",
-          oracle=events.dd_type_transition_matrix_sql(), defer_gate=True)
+          oracle=events.dd_type_transition_matrix_sql())
 def events_type_transition_matrix(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     return events.type_transition_matrix(_t(spark, sf_dir, "events"))

@@ -44,7 +44,6 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 LIMIT 10
 """.strip(),
-    defer_gate=True,
 )
 def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top nations by order revenue — pure spark.sql text over temp views."""
@@ -79,7 +78,6 @@ FROM (
 WHERE seg_rank <= 3
 ORDER BY c_mktsegment, seg_rank, c_custkey
 """.strip(),
-    defer_gate=True,
 )
 def sql_segment_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-ranked top balances per segment — windowed SQL text form."""

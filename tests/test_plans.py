@@ -177,3 +177,38 @@ def test_tpch_q9_join_shape(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("SortMergeJoin") <= 2
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_equi_depth_histogram_no_global_sort(spark, sf_dir):
+    """Equi-depth buckets must come from distributed_ntile: no ntile (a
+    single-partition sort of the fact table); the fact-table rank window
+    is PARTITIONED by the range-slice id. The only unpartitioned window
+    allowed is the bounded (≤ shuffle.partitions rows) counts rollup,
+    identified by running over the _cnt aggregate."""
+    df = registry.REGISTRY["lineitem_equi_depth_histogram"].spark_fn(
+        spark, sf_dir
+    )
+    plan = plan_of(df)
+    assert "ntile" not in plan
+    assert "row_number() windowspecdefinition(_pid" in plan
+    # every Window node either carries a partition spec or rides _cnt
+    for line in plan.splitlines():
+        line = line.strip().lstrip(":+- ")
+        if line.startswith("Window ["):
+            assert "windowspecdefinition(_pid" in line or "_cnt" in line
+
+
+def test_rfm_segments_no_global_sort(spark, sf_dir):
+    """Each RFM quartile rides distributed_ntile — no global ntile
+    window, no unpartitioned exchange. The first two quartile passes sit
+    behind their checkpoint boundaries, so the physical plan shows the
+    final (monetary) pass: its local-rank window must be partitioned by
+    the range-slice id."""
+    df = registry.REGISTRY["customer_rfm_segments"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "ntile" not in plan
+    assert plan.count("row_number() windowspecdefinition(_pid") == 1
+    for line in plan.splitlines():
+        line = line.strip().lstrip(":+- ")
+        if line.startswith("Window ["):
+            assert "windowspecdefinition(_pid" in line or "_cnt" in line
