@@ -73,15 +73,25 @@ def _this_round(here: str) -> int:
     return max(ns) + 1
 
 
-def _status_totals() -> dict[str, int] | None:
+def _status_totals(spark) -> dict[str, int] | None:
     """Cumulative shuffle/input bytes across all completed stages, via the
-    UI status REST API (bench enables the UI). None if unreachable."""
+    UI status REST API (bench enables the UI). None if unreachable.
+
+    The base URL comes from THIS app's sparkContext.uiWebUrl — a fixed
+    port 4040 would silently read whichever other Spark app (e.g. a
+    concurrent pytest session) grabbed it first, recording ~0 deltas —
+    and the app id is still cross-checked against applicationId."""
     import urllib.request
 
     try:
-        base = "http://127.0.0.1:4040/api/v1"
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return None
+        base = ui.rstrip("/") + "/api/v1"
         with urllib.request.urlopen(base + "/applications", timeout=3) as r:
             app_id = json.load(r)[0]["id"]
+        if app_id != spark.sparkContext.applicationId:
+            return None
         with urllib.request.urlopen(
             f"{base}/applications/{app_id}/stages", timeout=5
         ) as r:
@@ -123,13 +133,13 @@ def main() -> None:
         # MIN of two timed runs approximates steady-state engine throughput
         # while shrugging off noisy-neighbor CPU contention on the host.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        before = _status_totals()
+        before = _status_totals(spark)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        after = _status_totals()
+        after = _status_totals(spark)
         if before is not None and after is not None:
             # two identical timed executions -> halve the deltas for the
             # per-execution bytes ("measure, don't guess": the recorded

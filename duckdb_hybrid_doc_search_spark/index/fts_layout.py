@@ -156,18 +156,23 @@ def _gc_stale_siblings(out_dir: str) -> None:
     (same `{sf}-{name}-v` prefix, different fingerprint) — each testdata
     regeneration otherwise strands a full dead copy of the index. Only
     ever deletes under the layout root, never current-fingerprint dirs."""
+    import re
     import shutil
 
     root, key = os.path.split(out_dir.rstrip("/"))
-    # key = "{sf}-{name}-v{V}-{fp}": prefix up to the version marker also
-    # sweeps layouts written by older format versions
-    prefix = key.rsplit(f"-v{_LAYOUT_VERSION}-", 1)[0] + "-v"
+    # key = "{sf}-{name}-v{V}-{fp}": match the FULL versioned form
+    # `{sf}-{name}-v<digits>-` (any format version) — a bare prefix test
+    # would also capture a distinct corpus whose name merely extends this
+    # one (e.g. name "part" vs a future "part-v2docs") and delete its
+    # live layout
+    stem = key.rsplit(f"-v{_LAYOUT_VERSION}-", 1)[0]
+    pat = re.compile(rf"^{re.escape(stem)}-v\d+-")
     try:
         siblings = os.listdir(root)
     except OSError:
         return
     for name in siblings:
-        if name != key and name.startswith(prefix):
+        if name != key and pat.match(name):
             dead = os.path.join(root, name)
             shutil.rmtree(dead, ignore_errors=True)
             for mk in [k for k in _OPEN if k[1] == dead]:

@@ -135,8 +135,11 @@ def compact_parquet_dir(spark: SparkSession, path: str,
 
     The standard post-append maintenance job: incremental writers leave
     many small files (one per micro-batch/task); footer parsing and task
-    scheduling then dominate scan cost. Rewrites via a temp dir + atomic
-    swap so concurrent readers never see a half-compacted table.
+    scheduling then dominate scan cost. Rewrites into a temp dir, then
+    renames the live dir aside before promoting the temp dir, so the
+    published path is only ever a complete table or (for the instant
+    between the two renames) absent — a crash leaves the data intact in
+    `<path>_compact_old` instead of losing the table.
     Returns {files_before, files_after, bytes}.
     """
     import shutil
@@ -148,11 +151,15 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, math.ceil(total / target_bytes))
     tmp = path.rstrip("/") + "_compact_tmp"
+    old = path.rstrip("/") + "_compact_old"
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(
         tmp
     )
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
     return {"files_before": len(files), "files_after": after,
             "bytes": total}

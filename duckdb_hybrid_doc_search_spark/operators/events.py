@@ -122,6 +122,39 @@ FROM events GROUP BY 1, 2
 """.strip()
 
 
+def grouping_sets_rollup(events: DataFrame) -> DataFrame:
+    """GROUPING SETS over the events fact — (event_type), (day),
+    (event_type, day) in ONE pass: Spark expands the sets map-side and
+    partially aggregates before the single shuffle, exactly the shape a
+    reporting layer wants instead of three scans + union. NULL in an
+    output key column marks the level that aggregated it away."""
+    day = (ts_micros(events) / F.lit(86_400_000_000)).cast("long")
+    base = events.select(
+        "event_type", day.alias("day"), "value"
+    )
+    base.createOrReplaceTempView("_ev_gs")
+    return base.sparkSession.sql(f"""
+        SELECT event_type, day,
+               count(*) AS n,
+               round(sum(value), {VALUE_ROUND}) AS sum_value
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+        ORDER BY event_type, day
+    """)
+
+
+def dd_grouping_sets_rollup_sql() -> str:
+    return f"""
+SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       count(*)::BIGINT AS n,
+       round(sum(value), {VALUE_ROUND}) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (epoch_us(ts) // 86400000000),
+                        (event_type, epoch_us(ts) // 86400000000))
+ORDER BY event_type, day
+""".strip()
+
+
 def event_type_pivot(events: DataFrame) -> DataFrame:
     """Per-user event-type counts as columns (pivot with a FIXED value list
     — unbounded pivots don't scale; the set is part of the schema)."""

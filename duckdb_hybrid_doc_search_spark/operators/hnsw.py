@@ -50,18 +50,27 @@ def build_nsw(vecs: np.ndarray, m: int = HNSW_M,
     links bidirectionally to the m nearest, and over-full neighbor lists
     are trimmed back to the m closest — the single-layer core of HNSW
     (hierarchy adds log-factor routing, irrelevant at partition scale).
+
+    Adjacency accumulates in Python lists — np.append would copy the
+    whole array per inserted edge, going quadratic in partition size in
+    the hot loop of every mapInPandas task. Trimming only ever sees a
+    (2m+1)-element list, so the stable argsort there is O(m log m) noise;
+    lists convert to arrays once, at the end.
     """
     n = len(vecs)
-    adj: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n)]
+    adj: list[list[int]] = [[] for _ in range(n)]
     for i in range(1, n):
         cand = search_nsw(vecs[:i], adj, vecs[i], min(m, i), ef)
         for j in cand:
-            adj[i] = np.append(adj[i], j)
-            adj[j] = np.append(adj[j], i)
+            j = int(j)
+            adj[i].append(j)
+            adj[j].append(i)
             if len(adj[j]) > 2 * m:
-                sims = vecs[adj[j]] @ vecs[j]
-                adj[j] = adj[j][np.argsort(-sims, kind="stable")[: 2 * m]]
-    return adj
+                idx = np.asarray(adj[j], dtype=np.int64)
+                sims = vecs[idx] @ vecs[j]
+                order = np.argsort(-sims, kind="stable")[: 2 * m]
+                adj[j] = [int(x) for x in idx[order]]
+    return [np.asarray(a, dtype=np.int64) for a in adj]
 
 
 def search_nsw(vecs: np.ndarray, adj: list[np.ndarray], q: np.ndarray,

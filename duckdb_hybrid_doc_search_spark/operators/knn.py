@@ -208,6 +208,46 @@ vss_scored AS (
 """.strip()
 
 
+def dd_ivf_vss_cte(query_vec: Sequence[float], k: int,
+                   table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """``vss_scored`` CTE with IVF-probe semantics for ONE literal query
+    vector: assign every corpus vector to its nearest deterministic
+    centroid, pick the query's NPROBE nearest cells, and rank distances
+    only inside those cells — the SQL twin of the partition-pruned probe
+    over the written ``index/ivf_layout`` (same rounding and tie rules as
+    :func:`dd_ivf_topk_sql`)."""
+    qv = V.dd_lit_vector(query_vec)
+    csim = V.dd_cosine_similarity("e.c_vec", "c.cvec")
+    qsim = V.dd_cosine_similarity("c.cvec", qv)
+    dist = V.dd_cosine_distance("e.c_vec", qv)
+    return f"""
+cent AS (
+  SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
+  WHERE {id_col} % {CENTROID_MOD} = 0
+),
+e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
+assign AS (
+  SELECT c_id, cent_id AS cell FROM (
+    SELECT e.c_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.c_id
+             ORDER BY round({csim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cent_id FROM cent c
+  ORDER BY round({qsim}, {SCORE_ROUND}) DESC, cent_id ASC LIMIT {NPROBE}
+),
+vss_scored AS (
+  SELECT e.c_id AS doc_id, round({dist}, {SCORE_ROUND}) AS vss_score
+  FROM e JOIN assign a USING (c_id)
+  WHERE a.cell IN (SELECT cent_id FROM probe)
+  ORDER BY vss_score ASC, doc_id ASC LIMIT {k}
+)
+""".strip()
+
+
 def dd_knn_join_sql(k: int, queries_sql: str, table: str = "embeddings",
                     id_col: str = "vec_id", vec_col: str = "embedding") -> str:
     """Oracle for :func:`knn_join`; `queries_sql` yields (q_id, q_vec)."""

@@ -18,6 +18,7 @@ float64 in different orders; rounding absorbs the last-bit drift.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1950,15 +1951,20 @@ def lineitem_geomean_udaf(lineitem: DataFrame) -> DataFrame:
     per-returnflag geometric mean of extended price. The UDF computes
     exp(mean(log x)) over each group's Arrow batches — the closed form a
     SQL engine writes as exp(avg(ln(x))), which is exactly the oracle, so
-    even the custom-UDAF surface stays hash-checkable. Partial
-    aggregation still applies (Spark feeds the UDAF per-group slices);
-    this is the pattern for aggregates the built-in catalog lacks."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    even the custom-UDAF surface stays hash-checkable.
 
-    # explicit GROUPED_AGG type: postponed-annotation mode (PEP 563 in
-    # this module) breaks pandas_udf's hint inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def gmean(v):
+    Scale note: Spark does NOT partially aggregate grouped-agg pandas
+    UDFs — each group's full value stream shuffles to a single task, so
+    memory is bounded by the largest group (l_returnflag: 3 groups of
+    |lineitem|/3 values each; fine for a demo surface, but an aggregate
+    needed on high-cardinality keys at 100 TB should be decomposed into
+    built-ins like the oracle's exp(avg(ln(x))) instead)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # type-hint form (PandasUDFType is deprecated); PEP 563 stringifies
+    # the annotations, so pd must be importable from module globals
+    @pandas_udf("double")
+    def gmean(v: pd.Series) -> float:
         import numpy as np
 
         return float(np.exp(np.log(v.to_numpy()).mean()))

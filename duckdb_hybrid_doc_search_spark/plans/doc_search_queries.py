@@ -106,6 +106,19 @@ def hybrid_search_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_ivf_fused",
+    oracle=engine.dd_hybrid_search_ivf_sql(QUERY, TOP_K),
+)
+def hybrid_search_ivf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both branches on written layouts: BM25 from postings_scored, VSS
+    from the cell-partitioned IVF layout (partition-pruned probe)."""
+    return engine.hybrid_search_ivf(
+        spark, _docs(spark, sf_dir), _emb(spark, sf_dir), sf_dir, QUERY,
+        TOP_K, index=_fts_index(spark, sf_dir),
+    )
+
+
+@register(
     "hybrid_search_reranked",
     oracle=engine.dd_hybrid_search_sql(QUERY, TOP_K, rerank=True),
 )

@@ -369,10 +369,20 @@ def lineitem_quantile_approx_error(spark: SparkSession,
     """Sketch-quality metric for the percentile path (rows-only:
     approx_percentile's t-digest is engine-specific): exact vs approx p50/
     p95 of extended price with relative errors — the recorded evidence for
-    swapping to the approx form at 100 TB."""
+    swapping to the approx form at 100 TB.
+
+    Both sides run over the SAME deterministic 1-in-8 hash subsample
+    (xxhash64 of the row key): exact ``percentile`` buffers every input
+    value in one final aggregation task, so full-column exact is the one
+    part of this metric that cannot scale, and sampling only the exact
+    side would conflate sampling error with sketch error. The subsample
+    preserves the value distribution, so rel_err still measures what the
+    sketch gets wrong on this data."""
     from pyspark.sql import functions as F
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)) == 0
+    )
     row = li.agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
@@ -615,3 +625,9 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_type_transition_matrix(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     return events.type_transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@register("events_grouping_sets",
+          oracle=events.dd_grouping_sets_rollup_sql())
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.grouping_sets_rollup(_t(spark, sf_dir, "events"))

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..config import SCORE_ROUND, SCORE_THRESHOLD, TOP_K_DEFAULT
 from ..functions.fusion import dd_fuse_scores, fuse_scores
+from ..functions.vector import cosine_distance, lit_vector
 from ..models.embedder import hash_embed_text
 from ..models.reranker import dd_overlap_rerank, overlap_rerank_expr
 from ..models.tokenizer import tokenize_query
@@ -82,6 +83,116 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
         .limit(top_k)
         .select("doc_id", "score", "fts_score", "vss_score", *DISPLAY_COLS)
     )
+
+
+def ivf_vss_topk(spark, embeddings: DataFrame, sf_dir: str,
+                 qvec: list[float], top_k: int) -> DataFrame:
+    """VSS branch served from the WRITTEN cell-partitioned IVF layout —
+    the vector twin of the postings_scored probe: at 100 TB the full
+    embeddings scan of cosine_distance_topk becomes a partition-pruned
+    read of the query's NPROBE cells (PartitionFilters on `cell`), so
+    scan cost tracks nprobe/n_cells of the corpus. Approximate by
+    construction (cells the probe skips can hide true neighbors); the
+    oracle carries identical probe semantics, so approximation is pinned,
+    not fuzzy. Probe-cell selection is one bounded collect (NPROBE ids)
+    off a broadcast centroid scan — same pattern as ivf_partitioned_topk.
+    """
+    from ..functions.vector import cosine_similarity
+    from ..index.ivf_layout import ensure_ivf_layout, probe_cells
+    from ..operators.knn import NPROBE, ivf_assign
+
+    layout_dir = ensure_ivf_layout(spark, embeddings, sf_dir)
+    cent, _ = ivf_assign(embeddings)
+    top_cells = (
+        cent.select(
+            "cent_id",
+            F.round(
+                cosine_similarity(F.col("cvec"), lit_vector(qvec)),
+                SCORE_ROUND,
+            ).alias("qsim"),
+        )
+        .orderBy(F.desc("qsim"), F.asc("cent_id"))
+        .limit(NPROBE)
+    )
+    cells = sorted(r.cent_id for r in top_cells.collect())
+    return (
+        probe_cells(spark, layout_dir, cells)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_distance(F.col("embedding"), lit_vector(qvec)),
+                SCORE_ROUND,
+            ).alias("vss_score"),
+        )
+        .orderBy(F.asc("vss_score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def hybrid_search_ivf(spark, docs: DataFrame, embeddings: DataFrame,
+                      sf_dir: str, query: str,
+                      top_k: int = TOP_K_DEFAULT,
+                      threshold: float = SCORE_THRESHOLD,
+                      index: dict[str, DataFrame] | None = None) -> DataFrame:
+    """Hybrid search with BOTH branches served from written layouts:
+    BM25 probes the term-range postings_scored layout, VSS probes the
+    cell-partitioned IVF layout. Fusion/threshold/ordering identical to
+    :func:`hybrid_search`."""
+    from ..operators.bm25 import build_fts_index
+
+    qterms = tokenize_query(query)
+    qvec = hash_embed_text(query)
+    if index is None:
+        index = build_fts_index(docs)
+    fts = (
+        bm25_scores(index, qterms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+        .withColumnRenamed("score", "fts_score")
+    )
+    vss = ivf_vss_topk(spark, embeddings, sf_dir, qvec, top_k)
+    fused = fts.join(vss, "doc_id", "full_outer").withColumn(
+        "score",
+        F.round(fuse_scores(F.col("fts_score"), F.col("vss_score")),
+                SCORE_ROUND),
+    )
+    return (
+        F.broadcast(fused).join(docs, "doc_id", "inner")
+        .where(F.col("score") > F.lit(threshold))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+        .select("doc_id", "score", "fts_score", "vss_score", *DISPLAY_COLS)
+    )
+
+
+def dd_hybrid_search_ivf_sql(query: str, top_k: int = TOP_K_DEFAULT,
+                             threshold: float = SCORE_THRESHOLD) -> str:
+    """Oracle for :func:`hybrid_search_ivf` — same hybrid scaffold with
+    the IVF-probed vss CTE swapped in."""
+    from ..operators.knn import dd_ivf_vss_cte
+
+    qterms = tokenize_query(query)
+    qvec = hash_embed_text(query)
+    score_expr = dd_fuse_scores("m.fts_score", "m.vss_score")
+    display = ", ".join(f"d.{c}" for c in DISPLAY_COLS)
+    return f"""
+WITH {dd_fts_index_ctes()},
+{dd_bm25_scored_cte(qterms)},
+fts_topk AS (
+  SELECT doc_id, score AS fts_score FROM bm25_scored
+  ORDER BY score DESC, doc_id ASC LIMIT {top_k}
+),
+{dd_ivf_vss_cte(qvec, top_k)},
+merged AS (
+  SELECT doc_id, f.fts_score, v.vss_score
+  FROM fts_topk f FULL OUTER JOIN vss_scored v USING (doc_id)
+)
+SELECT m.doc_id, round({score_expr}, {SCORE_ROUND}) AS score,
+       m.fts_score, m.vss_score, {display}
+FROM merged m JOIN documents d USING (doc_id)
+WHERE round({score_expr}, {SCORE_ROUND}) > {threshold}
+ORDER BY score DESC, m.doc_id ASC LIMIT {top_k}
+""".strip()
 
 
 def dd_hybrid_search_sql(query: str, top_k: int = TOP_K_DEFAULT,

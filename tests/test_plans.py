@@ -212,3 +212,21 @@ def test_rfm_segments_no_global_sort(spark, sf_dir):
         line = line.strip().lstrip(":+- ")
         if line.startswith("Window ["):
             assert "windowspecdefinition(_pid" in line or "_cnt" in line
+
+
+def test_hybrid_ivf_vss_prunes_cell_partitions(spark, sf_dir):
+    """The IVF-served VSS branch must read only the probed cell
+    partitions: PartitionFilters on `cell` in the layout scan, and no
+    full-embeddings FileScan on the VSS side (the documents scan for
+    display columns and the bounded centroid scan remain)."""
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.search.engine import ivf_vss_topk
+    from duckdb_hybrid_doc_search_spark.models.embedder import hash_embed_text
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivf_vss_topk(
+        spark, emb, sf_dir, hash_embed_text("spark vector join"), 10
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "cell#" in plan[plan.index("PartitionFilters"):].split("]")[0]
