@@ -106,3 +106,83 @@ JOIN q ON s.doc_id = q.doc_id
 WHERE s.doc_id IN (SELECT doc_id FROM exact_keep)
   AND s.doc_id NOT IN (SELECT doc_id FROM near_drop)
 """.strip()
+
+
+MIXTURE_TAU = 2.0            # temperature: share ∝ tokens^(1/τ)
+MIXTURE_BUDGET = 10_000_000  # target training tokens for epoch math
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled sampling mixture over (source, lang) buckets —
+    the computation behind every multi-source pretraining data recipe
+    (upweight small high-value sources, damp the dominant crawl): natural
+    token share, tokens^(1/tau) renormalized into the sampling share, and
+    the epochs each bucket repeats to fill MIXTURE_BUDGET at that share.
+
+    One token-count aggregate over the corpus, then two 1-row broadcast
+    totals — per-bucket math is pure codegen arithmetic, so the whole
+    recipe costs one scan regardless of corpus size.
+    """
+    from ..functions.text import tokenize
+
+    buckets = (
+        docs.select(
+            "source", "lang",
+            F.size(tokenize(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    tot = buckets.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(F.pow(F.col("tokens"), F.lit(1.0 / MIXTURE_TAU))).alias(
+            "total_scaled"
+        ),
+    )
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "lang", "tokens",
+            F.round(F.col("tokens") / F.col("total_tokens"), 6).alias(
+                "natural_share"
+            ),
+            F.round(
+                F.pow(F.col("tokens"), F.lit(1.0 / MIXTURE_TAU))
+                / F.col("total_scaled"),
+                6,
+            ).alias("mixture_share"),
+            F.round(
+                F.pow(F.col("tokens"), F.lit(1.0 / MIXTURE_TAU))
+                / F.col("total_scaled")
+                * F.lit(float(MIXTURE_BUDGET))
+                / F.col("tokens"),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def dd_mixture_weights_sql(table: str = "documents") -> str:
+    from ..functions.text import dd_tokenize
+
+    toks = dd_tokenize("text")
+    inv_tau = 1.0 / MIXTURE_TAU
+    return f"""
+WITH buckets AS (
+  SELECT source, lang, sum(len({toks}))::BIGINT AS tokens
+  FROM {table} GROUP BY source, lang
+),
+tot AS (
+  SELECT sum(tokens) * 1.0 AS total_tokens,
+         sum(pow(tokens, {inv_tau})) AS total_scaled
+  FROM buckets
+)
+SELECT source, lang, tokens,
+       round(tokens / total_tokens, 6) AS natural_share,
+       round(pow(tokens, {inv_tau}) / total_scaled, 6) AS mixture_share,
+       round(pow(tokens, {inv_tau}) / total_scaled
+             * {float(MIXTURE_BUDGET)} / tokens, 6) AS epochs
+FROM buckets CROSS JOIN tot
+ORDER BY source, lang
+""".strip()

@@ -838,3 +838,95 @@ SELECT from_type, to_type, n,
 FROM counts
 ORDER BY from_type, to_type
 """.strip()
+
+
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Pairwise audience overlap between event types: for each unordered
+    type pair, the distinct-user intersection, per-type audience sizes,
+    and Jaccard — the cross-sell / co-engagement matrix.
+
+    Scale shape: one distinct over (type, user), one self-equi-join on
+    user_id (per-user fan-out bounded by |EVENT_TYPES|² pairs), and the
+    per-type sizes broadcast back — never a users×users product.
+    """
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a, b = tu.alias("a"), tu.alias("b")
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                VALUE_ROUND,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def dd_audience_overlap_sql() -> str:
+    return f"""
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (
+  SELECT event_type, count(*)::BIGINT AS n_users FROM tu GROUP BY event_type
+),
+ovl AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+       round(n_both * 1.0 / (sa.n_users + sb.n_users - n_both),
+             {VALUE_ROUND}) AS jaccard
+FROM ovl
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+""".strip()
+
+
+def hll_distinct_error(events: DataFrame,
+                       rsd: float = 0.05) -> DataFrame:
+    """Sketch-quality metric for the distinct-count path (rows-only: the
+    HLL++ sketch is engine-internal): per event_type exact distinct users
+    vs approx_count_distinct at the given rsd, with relative error — the
+    recorded evidence for swapping exact COUNT(DISTINCT) (a full shuffle
+    of the key space) for the mergeable sketch at 100 TB, the same
+    pattern text_countmin_error pins for frequency estimates."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd).alias("estimate"),
+        )
+        .select(
+            "event_type", "exact", "estimate",
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact")) / F.col("exact"),
+                VALUE_ROUND,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

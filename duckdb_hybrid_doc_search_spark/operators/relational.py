@@ -1285,6 +1285,8 @@ def customer_rfm_segments(customer: DataFrame,
             "recency_days",
             F.datediff(F.lit(RFM_ASOF), F.col("last_order")),
         )
+        # narrow the rows the three checkpointed ntile passes carry
+        .select("o_custkey", "recency_days", "frequency", "monetary")
     )
     q = distributed_ntile(
         per_cust, 4, [F.asc("recency_days"), F.asc("o_custkey")],

@@ -348,3 +348,9 @@ def text_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("corpus_source_mix", oracle=textstats.dd_source_mix_sql())
 def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.source_mix(_docs(spark, sf_dir))
+
+
+@register("corpus_mixture_weights",
+          oracle=curation.dd_mixture_weights_sql())
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.mixture_weights(_docs(spark, sf_dir))

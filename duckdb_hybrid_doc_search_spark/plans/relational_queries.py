@@ -631,3 +631,16 @@ def events_type_transition_matrix(spark: SparkSession,
           oracle=events.dd_grouping_sets_rollup_sql())
 def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.grouping_sets_rollup(_t(spark, sf_dir, "events"))
+
+
+@register("events_audience_overlap",
+          oracle=events.dd_audience_overlap_sql())
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.audience_overlap(_t(spark, sf_dir, "events"))
+
+
+@register("events_hll_error", oracle=None)
+def events_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approx_count_distinct's HLL++ sketch is engine-internal;
+    the recorded rel_err is the quality evidence (cf. text_countmin_error)."""
+    return events.hll_distinct_error(_t(spark, sf_dir, "events"))

@@ -46,3 +46,33 @@ def test_props_map_stats_per_key_tolerant(spark):
     assert ("a", 2, 5, 7, 12) in got        # both numeric entries kept
     assert ("b", 2, 2, 2, 2) in got         # "oops" nulls one entry only
     assert ("x.y", 1, 3, 3, 3) in got       # dotted key resolves
+
+
+def test_audience_overlap_invariants(spark, sf_dir):
+    """Jaccard bounds, intersection <= min audience, and pair count =
+    C(|types present|, 2)."""
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.operators.events import \
+        audience_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = audience_overlap(ev).collect()
+    types = {r.type_a for r in rows} | {r.type_b for r in rows}
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_both <= min(r.n_a, r.n_b)
+
+
+def test_hll_error_small_at_default_rsd(spark, sf_dir):
+    """The recorded HLL rel_err must stay within ~3x the configured rsd
+    (it is a quality metric, not garbage)."""
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.operators.events import \
+        hll_distinct_error
+
+    ev = load_table(spark, sf_dir, "events")
+    for r in hll_distinct_error(ev).collect():
+        assert r.rel_err <= 0.15, (r.event_type, r.rel_err)

@@ -90,3 +90,23 @@ def test_pack_sequences_oversize_doc_gets_own_bin(spark):
     oversize = next(r for r in out if r.doc_id == 2)
     assert sum(1 for r in out if r.bin_id == oversize.bin_id
                and r.group == oversize.group) == 1
+
+
+def test_mixture_weights_shares_sum_to_one(spark, sf_dir):
+    """Both share columns are distributions over buckets; epochs fills the
+    budget exactly: sum(epochs * tokens) == MIXTURE_BUDGET (up to the 6dp
+    per-row rounding)."""
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.operators.curation import (
+        MIXTURE_BUDGET, mixture_weights)
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = mixture_weights(docs).collect()
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.mixture_share for r in rows) - 1.0) < 1e-3
+    filled = sum(r.epochs * r.tokens for r in rows)
+    assert abs(filled - MIXTURE_BUDGET) / MIXTURE_BUDGET < 1e-3
+    # temperature damps the head: the largest bucket's mixture share
+    # must not exceed its natural share
+    big = max(rows, key=lambda r: r.tokens)
+    assert big.mixture_share <= big.natural_share + 1e-9
