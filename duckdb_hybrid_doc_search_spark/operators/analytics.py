@@ -1,0 +1,589 @@
+"""Statistical / temporal analytics operators: regression trends,
+time-weighted averages, distribution moments, SCD2 interval builds,
+k-means assignment, and corpus-mixture divergence.
+
+These extend the engine past the reference's doc-search surface into the
+analysis queries a training-data pipeline runs over the same tables
+(drift detection, value trends, dimension versioning, cluster balance,
+mixture skew). Everything here is built-in-aggregate / window work that
+whole-stage-codegens on the JVM — no Python in any per-row path.
+
+Scale notes (100 TB bar):
+- Trend/moment queries are single hash aggregates with map-side partials
+  (Catalyst rewrites regr_*/corr/covar into sum/count partials).
+- TWAP and SCD2 use per-user / per-customer windows — partition sizes
+  bounded by one entity's history, never a global sort.
+- The k-means step broadcasts K centroid literals into a codegen'd
+  expression; no join, no shuffle beyond the final K-row aggregate.
+- KL divergence is two grouped aggregates plus a broadcast of the
+  (≤ |langs|) corpus marginal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector
+from .events import ts_micros
+
+TREND_ROUND = 6
+# 3rd/4th-moment partials merge in engine-specific order; ~1e-9 relative
+# noise remains after the bias correction below, so round a bit coarser
+KURT_ROUND = 4
+KMEANS_K = 8
+
+
+# --- events_value_trend ----------------------------------------------------
+
+
+def events_value_trend(events: DataFrame) -> DataFrame:
+    """Per event-type OLS trend of `value` over time (epoch days).
+
+    One hash aggregate; regr_slope/intercept/corr all decompose into
+    shared sum/sum², so Catalyst computes them in a single pass with
+    map-side partial aggregation — scan-bound at any scale.
+    """
+    day = (ts_micros(events) / F.lit(86_400_000_000.0))
+    return (
+        events.select("event_type", day.alias("day"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("value", "day"), TREND_ROUND).alias("slope"),
+            F.round(F.regr_intercept("value", "day"), TREND_ROUND).alias(
+                "intercept"
+            ),
+            F.round(F.corr("value", "day"), TREND_ROUND).alias("r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def dd_events_value_trend_sql() -> str:
+    return f"""
+SELECT event_type, count(*)::BIGINT AS n,
+       round(regr_slope(value, epoch_us(ts) / 86400000000.0), {TREND_ROUND}) AS slope,
+       round(regr_intercept(value, epoch_us(ts) / 86400000000.0), {TREND_ROUND}) AS intercept,
+       round(corr(value, epoch_us(ts) / 86400000000.0), {TREND_ROUND}) AS r
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
+# --- events_user_twap ------------------------------------------------------
+
+
+def events_user_twap(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average of `value` (weight = time until the
+    user's next event; the last event of a user carries no weight).
+
+    The window partitions by user_id — partition size is one user's
+    history, so this survives 100× data growth by adding partitions, not
+    by growing any single sort. Users with a single event yield NULL.
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = events.select(
+        "user_id", "event_id", ts_micros(events).alias("us"), "value"
+    )
+    dt = (F.lead("us").over(w) - F.col("us")).cast("double")
+    return (
+        e.withColumn("dt", dt)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), TREND_ROUND
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def dd_events_user_twap_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, value,
+         (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) - epoch_us(ts))::DOUBLE AS dt
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value * dt) / sum(dt), {TREND_ROUND}) AS twap
+FROM e GROUP BY user_id ORDER BY user_id
+""".strip()
+
+
+# --- lineitem_stats_moments ------------------------------------------------
+
+
+def lineitem_stats_moments(lineitem: DataFrame) -> DataFrame:
+    """Per-returnflag distribution moments of extendedprice + its
+    covariance/correlation with quantity — the drift-monitoring profile a
+    pipeline records per data slice. Single hash aggregate.
+
+    Spark's skewness/kurtosis are the population moments (g1, excess g2);
+    DuckDB reports the sample-bias-corrected G1/G2, so the standard
+    corrections are applied here to publish the G-statistics:
+      G1 = g1 * sqrt(n(n-1)) / (n-2)
+      G2 = (n-1)/((n-2)(n-3)) * ((n+1) * g2 + 6)
+    """
+    n = F.count(F.lit(1)).cast("double")
+    g1 = F.skewness("l_extendedprice")
+    g2 = F.kurtosis("l_extendedprice")
+    big_g1 = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    big_g2 = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), TREND_ROUND).alias("mean_price"),
+            F.round(F.stddev_samp("l_extendedprice"), TREND_ROUND).alias(
+                "sd_price"
+            ),
+            F.round(big_g1, KURT_ROUND).alias("skew_price"),
+            F.round(big_g2, KURT_ROUND).alias("kurt_price"),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), TREND_ROUND
+            ).alias("cov_qty_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), TREND_ROUND).alias(
+                "corr_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def dd_lineitem_stats_moments_sql() -> str:
+    return f"""
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(avg(l_extendedprice), {TREND_ROUND}) AS mean_price,
+       round(stddev_samp(l_extendedprice), {TREND_ROUND}) AS sd_price,
+       round(skewness(l_extendedprice), {KURT_ROUND}) AS skew_price,
+       round(kurtosis(l_extendedprice), {KURT_ROUND}) AS kurt_price,
+       round(covar_samp(l_quantity, l_extendedprice), {TREND_ROUND}) AS cov_qty_price,
+       round(corr(l_quantity, l_extendedprice), {TREND_ROUND}) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip()
+
+
+# --- orders_scd2_intervals -------------------------------------------------
+
+
+def orders_scd2_intervals(orders: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: each order opens a
+    validity interval on its customer that closes at the customer's next
+    order (open-ended for the latest). The standard warehouse pattern for
+    effective-dated dimensions, expressed as one per-customer lead()
+    window — partition per customer, no global order.
+
+    Output: o_custkey, valid_from/valid_to (epoch micros, NULL = open),
+    o_orderkey, o_orderstatus, o_totalprice, is_current.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("od_us", "o_orderkey")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
+    nxt = F.lead("od_us").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("od_us").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        nxt.isNull().alias("is_current"),
+    ).orderBy("o_custkey", "valid_from", "o_orderkey")
+
+
+def dd_orders_scd2_intervals_sql() -> str:
+    return """
+SELECT o_custkey,
+       epoch_us(o_orderdate) AS valid_from,
+       lead(epoch_us(o_orderdate)) OVER w AS valid_to,
+       o_orderkey, o_orderstatus, o_totalprice,
+       (lead(epoch_us(o_orderdate)) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY epoch_us(o_orderdate), o_orderkey)
+ORDER BY o_custkey, valid_from, o_orderkey
+""".strip()
+
+
+# --- embeddings_kmeans_step ------------------------------------------------
+
+
+def embeddings_kmeans_step(embeddings: DataFrame) -> DataFrame:
+    """One deterministic Lloyd assignment step: centroids are the K
+    lowest-vec_id vectors; every vector is assigned to its nearest
+    centroid (squared L2, ties to the lower centroid id).
+
+    The K centroid vectors are collected (bounded: K rows) and inlined as
+    literal arrays, so assignment is a codegen'd expression over the
+    scan — zero joins/shuffles until the final K-row aggregate. This is
+    exactly the shape a distributed k-means iteration has at 100 TB:
+    broadcast centroids, map-side partial sums, K-row reduce.
+
+    Output per cluster: n members, round(mean squared distance, 6).
+    """
+    cents = (
+        embeddings.orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    dist_structs = []
+    for row in cents:
+        c = vector.lit_vector([float(x) for x in row["embedding"]])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist_structs.append(
+            F.struct(
+                d2.alias("d2"), F.lit(int(row["vec_id"])).alias("cid")
+            )
+        )
+    best = F.array_min(F.array(*dist_structs))
+    return (
+        embeddings.select(
+            best["cid"].alias("cluster_id"), best["d2"].alias("d2")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("d2"), TREND_ROUND).alias("mean_d2"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def dd_embeddings_kmeans_step_sql() -> str:
+    # same tie-break: (d2, cid) lexicographic min via ORDER BY d2, cid
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(
+           list_zip(e.embedding::DOUBLE[], c.cvec),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_sum(list_transform(
+                              list_zip(e.embedding::DOUBLE[], c.cvec),
+                              p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid)
+           AS rk
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT cid AS cluster_id, count(*)::BIGINT AS n,
+       round(avg(d2), {TREND_ROUND}) AS mean_d2
+FROM assign WHERE rk = 1
+GROUP BY cid ORDER BY cid
+""".strip()
+
+
+# --- corpus_kl_source_lang -------------------------------------------------
+
+
+def corpus_kl_source_lang(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence of its language distribution vs the whole
+    corpus — the mixture-skew diagnostic for training-data balance.
+
+    ONE scan: the (source, lang) cell aggregate; every marginal (corpus
+    lang distribution, per-source totals, grand total) derives from that
+    ≤ |sources|×|langs|-row table via broadcast joins. At 100 TB the only
+    full-data work is the initial map-side-combined count.
+    """
+    cell = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    marg = cell.groupBy("lang").agg(F.sum("c").alias("lang_n"))
+    total = marg.agg(F.sum("lang_n").alias("total_n"))
+    src_tot = cell.groupBy("source").agg(F.sum("c").alias("src_n"))
+    j = (
+        cell.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(marg), "lang")
+        .crossJoin(F.broadcast(total))
+        .withColumn("p_sl", F.col("c") / F.col("src_n"))
+        .withColumn("p_lang", F.col("lang_n") / F.col("total_n"))
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("p_sl") * F.log(F.col("p_sl") / F.col("p_lang"))),
+                TREND_ROUND,
+            ).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+def dd_corpus_kl_source_lang_sql() -> str:
+    return f"""
+WITH marg AS (
+  SELECT lang, count(*)::DOUBLE / (SELECT count(*) FROM documents) AS p_lang
+  FROM documents GROUP BY lang
+),
+cell AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+),
+srct AS (SELECT source, sum(c) AS src_n FROM cell GROUP BY source)
+SELECT cell.source, sum(cell.c)::BIGINT AS n_docs,
+       round(sum((cell.c / srct.src_n) *
+                 ln((cell.c / srct.src_n) / marg.p_lang)), {TREND_ROUND})
+         AS kl_vs_corpus
+FROM cell JOIN srct ON cell.source = srct.source
+          JOIN marg ON cell.lang = marg.lang
+GROUP BY cell.source ORDER BY cell.source
+""".strip()
+
+
+# --- events_chi_square -----------------------------------------------------
+
+
+def events_chi_square(events: DataFrame) -> DataFrame:
+    """Chi-square independence contributions of event_type × day-of-week.
+
+    ONE scan builds the contingency cells; marginals and the grand total
+    derive from that ≤ |types|×7-row table (same single-scan shape as
+    corpus_kl_source_lang). Expected counts e = row_n * col_n / n;
+    output per type: its observed n and sum((o-e)^2/e) over its cells.
+    """
+    day = (ts_micros(events) / F.lit(86_400_000_000)).cast("long")
+    cells = (
+        events.select("event_type", (day % 7).alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    col_m = cells.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    tot = row_m.agg(F.sum("row_n").alias("n"))
+    j = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e",
+            F.col("row_n").cast("double") * F.col("col_n") / F.col("n"),
+        )
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.sum("o").cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                    / F.col("e")
+                ),
+                TREND_ROUND,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def dd_events_chi_square_sql() -> str:
+    return f"""
+WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rowm AS (SELECT event_type, sum(o) AS row_n FROM cells GROUP BY 1),
+colm AS (SELECT dow, sum(o) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT sum(row_n) AS n FROM rowm)
+SELECT c.event_type, sum(c.o)::BIGINT AS n_events,
+       round(sum((c.o - e.e) * (c.o - e.e) / e.e), {TREND_ROUND})
+         AS chi2_contrib
+FROM cells c
+JOIN rowm USING (event_type) JOIN colm USING (dow) CROSS JOIN tot,
+LATERAL (SELECT rowm.row_n::DOUBLE * colm.col_n / tot.n AS e) e
+GROUP BY c.event_type ORDER BY c.event_type
+""".strip()
+
+
+# --- events_rolling_active_users -------------------------------------------
+
+ROLLING_DAYS = 7
+
+
+def events_rolling_active_users(events: DataFrame) -> DataFrame:
+    """Daily + trailing-7-day distinct active users per day observed in
+    the data — the sliding-window COUNT DISTINCT that plain windowed
+    aggregation cannot express (distinct does not decompose).
+
+    Shape: distinct (user, day) pairs, then a bounded ×7 explode of each
+    pair into the days it keeps the user "active", then two grouped
+    counts. Fan-out is exactly ROLLING_DAYS — no range self-join, no
+    per-day rescan — so cost stays linear in |user-days| at any scale.
+    """
+    day = (ts_micros(events) / F.lit(86_400_000_000)).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    daily = ud.groupBy("day").agg(F.count(F.lit(1)).alias("n_active_1d"))
+    week = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (ROLLING_DAYS - 1))
+            ).alias("obs_day"),
+        )
+        .distinct()
+        .groupBy("obs_day")
+        .agg(F.count(F.lit(1)).alias("n_active_7d"))
+    )
+    return (
+        daily.join(week, daily["day"] == week["obs_day"])
+        .select("day", "n_active_1d", "n_active_7d")
+        .orderBy("day")
+    )
+
+
+def dd_events_rolling_active_users_sql() -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+daily AS (SELECT day, count(*)::BIGINT AS n_active_1d FROM ud GROUP BY day),
+week AS (
+  SELECT obs_day, count(*)::BIGINT AS n_active_7d FROM (
+    SELECT DISTINCT user_id, unnest(range(day, day + {ROLLING_DAYS})) AS obs_day
+    FROM ud
+  ) GROUP BY obs_day
+)
+SELECT daily.day, daily.n_active_1d, week.n_active_7d
+FROM daily JOIN week ON week.obs_day = daily.day
+ORDER BY daily.day
+""".strip()
+
+
+# --- orders_window_showcase ------------------------------------------------
+
+
+def orders_window_showcase(orders: DataFrame) -> DataFrame:
+    """Ranking-window surface in one pass: rank, dense_rank,
+    percent_rank, cume_dist, ntile(4) and nth_value(2), all over the SAME
+    per-customer (o_orderdate, o_orderkey) window — Catalyst evaluates
+    every function in a single Window operator, one shuffle on o_custkey,
+    partitions bounded by one customer's order history.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("od_us", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), TREND_ROUND).alias("prnk"),
+        F.round(F.cume_dist().over(w), TREND_ROUND).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def dd_orders_window_showcase_sql() -> str:
+    return f"""
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, {TREND_ROUND}) AS prnk,
+       round(cume_dist() OVER w, {TREND_ROUND}) AS cdist,
+       ntile(4) OVER w AS quartile,
+       nth_value(o_totalprice, 2) OVER (
+         PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY epoch_us(o_orderdate), o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""".strip()
+
+
+# --- orders_cohort_ltv -----------------------------------------------------
+
+
+def orders_cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohorted by first-order
+    month; per (cohort_month, age_months) cell — orders, active
+    customers, revenue, and cumulative revenue along the cohort's age.
+
+    One shuffle on o_custkey computes the cohort month as a window min
+    (no separate dim build + re-join); the cumulative window partitions
+    by cohort_month with ≤ |months| rows per partition. Money sums in
+    DECIMAL(30,8) (relational.money_sum) so cross-engine totals are
+    exact, not float-order-dependent.
+    """
+    from .relational import money_sum
+
+    m = (
+        F.year(F.col("o_orderdate").cast("timestamp")) * 12
+        + F.month(F.col("o_orderdate").cast("timestamp"))
+        - 1
+    )
+    w = Window.partitionBy("o_custkey")
+    o = orders.select(
+        "o_custkey", "o_totalprice", m.alias("month")
+    ).withColumn("cohort_m", F.min("month").over(w))
+    cells = (
+        o.groupBy("cohort_m", (F.col("month") - F.col("cohort_m")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue", F.round(F.sum("revenue").over(wc), 2)
+        )
+        .orderBy("cohort_m", "age")
+    )
+
+
+def dd_orders_cohort_ltv_sql() -> str:
+    from .relational import dd_money_sum
+
+    return f"""
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS month,
+         min(year(o_orderdate) * 12 + month(o_orderdate) - 1)
+           OVER (PARTITION BY o_custkey) AS cohort_m
+  FROM orders
+),
+cells AS (
+  SELECT cohort_m, month - cohort_m AS age,
+         count(*)::BIGINT AS n_orders,
+         count(DISTINCT o_custkey)::BIGINT AS n_customers,
+         {dd_money_sum('o_totalprice')} AS revenue
+  FROM o GROUP BY cohort_m, age
+)
+SELECT cohort_m, age, n_orders, n_customers, revenue,
+       round(sum(revenue) OVER (PARTITION BY cohort_m ORDER BY age
+         ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+FROM cells ORDER BY cohort_m, age
+""".strip()

@@ -587,3 +587,198 @@ SELECT source, lang, n_docs, tokens,
 FROM cells CROSS JOIN total
 ORDER BY source, lang
 """.strip()
+
+
+# --- collocation mining (bigram PMI) ----------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 20
+PMI_ROUND = 6
+
+
+def bigram_pmi(docs: DataFrame) -> DataFrame:
+    """Top collocations by pointwise mutual information over corpus
+    bigrams — the phrase-mining signal used for tokenizer vocabulary
+    construction and boilerplate detection.
+
+        pmi(x,y) = ln( (c_xy / B) / ((c_x / T) * (c_y / T)) )
+
+    with c_* corpus counts, B total bigrams, T total unigrams; bigrams
+    with c_xy < PMI_MIN_COUNT are dropped (PMI's low-count pathology).
+
+    Shape: the unigram and bigram count tables derive from one tokenize
+    scan (map-side-combined groupBys); the x/y joins are key-partitioned
+    hash joins on term — no broadcast of the (vocabulary-sized) unigram
+    table, so the plan survives an unbounded vocabulary. The final top-N
+    sorts only the >=MIN_COUNT bigram slice.
+    """
+    toks = tokenize(F.col("text"))
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    uni_counts = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big_counts = (
+        docs.select(F.explode(big).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    tot_t = uni_counts.agg(F.sum("c").alias("tot_t"))
+    tot_b = (
+        docs.select((F.greatest(F.size(toks) - 1, F.lit(0))).alias("nb"))
+        .agg(F.sum("nb").alias("tot_b"))
+    )
+    xy = big_counts.select(
+        "bigram",
+        "c_xy",
+        F.split(F.col("bigram"), " ").getItem(0).alias("x"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("y"),
+    )
+    j = (
+        xy.join(uni_counts.withColumnRenamed("c", "c_x"),
+                xy["x"] == uni_counts["term"])
+        .drop("term", "x")
+        .join(uni_counts.withColumnRenamed("c", "c_y").alias("u2"),
+              F.col("y") == F.col("u2.term"))
+        .drop("term", "y")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("tot_b"))
+        / (
+            (F.col("c_x").cast("double") / F.col("tot_t"))
+            * (F.col("c_y").cast("double") / F.col("tot_t"))
+        )
+    )
+    return (
+        j.select(
+            "bigram", "c_xy", "c_x", "c_y",
+            F.round(pmi, PMI_ROUND).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(PMI_TOP_N)
+    )
+
+
+def dd_bigram_pmi_sql(table: str = "documents") -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH toks AS (SELECT {toks} AS t FROM {table}),
+uni AS (
+  SELECT term, count(*)::BIGINT AS c
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+),
+big AS (
+  SELECT bigram, count(*)::BIGINT AS c_xy
+  FROM (
+    SELECT unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS bigram
+    FROM toks
+  ) GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM uni)::BIGINT AS tot_t,
+         (SELECT sum(greatest(len(t) - 1, 0)) FROM toks)::BIGINT AS tot_b
+)
+SELECT b.bigram, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+       round(ln((b.c_xy::DOUBLE / tot.tot_b)
+                / ((ux.c::DOUBLE / tot.tot_t)
+                   * (uy.c::DOUBLE / tot.tot_t))), {PMI_ROUND}) AS pmi
+FROM big b
+JOIN uni ux ON ux.term = string_split(b.bigram, ' ')[1]
+JOIN uni uy ON uy.term = string_split(b.bigram, ' ')[2]
+CROSS JOIN tot
+ORDER BY pmi DESC, b.bigram ASC LIMIT {PMI_TOP_N}
+""".strip()
+
+
+# --- per-language top terms -------------------------------------------------
+
+TOPTERMS_PER_LANG = 10
+
+
+def top_terms_per_lang(docs: DataFrame) -> DataFrame:
+    """Top-N terms per language (count desc, term asc) — per-group top-N
+    over the token explode, the per-slice vocabulary profile.
+
+    Window partitions by lang over the (lang, term) count table — the
+    aggregate shrinks the data before the window, so the sort input is
+    |lang|×|vocab slice| counts, not raw tokens.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("lang", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPTERMS_PER_LANG)
+        .orderBy("lang", "rnk")
+    )
+
+
+def dd_top_terms_per_lang_sql(table: str = "documents") -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH counts AS (
+  SELECT lang, term, count(*)::BIGINT AS c
+  FROM (SELECT lang, unnest({toks}) AS term FROM {table})
+  GROUP BY lang, term
+)
+SELECT lang, term, c, rnk FROM (
+  SELECT lang, term, c,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY c DESC, term ASC) AS rnk
+  FROM counts
+) WHERE rnk <= {TOPTERMS_PER_LANG}
+ORDER BY lang, rnk
+""".strip()
+
+
+# --- log2 length histogram --------------------------------------------------
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Corpus document-length profile: power-of-two buckets of n_chars
+    with count and total chars per bucket — single map-side-combined
+    aggregate (the standard long-tail length diagnostic)."""
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast(
+        "long"
+    )
+    return (
+        docs.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+def dd_length_histogram_sql(table: str = "documents") -> str:
+    return f"""
+SELECT floor(log2(greatest(n_chars, 1)))::BIGINT AS log2_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM {table} GROUP BY log2_bucket ORDER BY log2_bucket
+""".strip()

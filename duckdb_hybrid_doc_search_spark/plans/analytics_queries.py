@@ -1,0 +1,80 @@
+"""Registrations for the statistical/temporal analytics family
+(operators/analytics.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..index.catalog import load_table
+from ..operators import analytics
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register("events_value_trend", oracle=analytics.dd_events_value_trend_sql())
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_value_trend(_t(spark, sf_dir, "events"))
+
+
+@register("events_user_twap", oracle=analytics.dd_events_user_twap_sql())
+def events_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_user_twap(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "lineitem_stats_moments",
+    oracle=analytics.dd_lineitem_stats_moments_sql(),
+)
+def lineitem_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.lineitem_stats_moments(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "orders_scd2_intervals", oracle=analytics.dd_orders_scd2_intervals_sql()
+)
+def orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.orders_scd2_intervals(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "embeddings_kmeans_step",
+    oracle=analytics.dd_embeddings_kmeans_step_sql(),
+)
+def embeddings_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.embeddings_kmeans_step(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "corpus_kl_source_lang", oracle=analytics.dd_corpus_kl_source_lang_sql()
+)
+def corpus_kl_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.corpus_kl_source_lang(_t(spark, sf_dir, "documents"))
+
+
+@register("events_chi_square", oracle=analytics.dd_events_chi_square_sql())
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_chi_square(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_rolling_active_users",
+    oracle=analytics.dd_events_rolling_active_users_sql(),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_rolling_active_users(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "orders_window_showcase",
+    oracle=analytics.dd_orders_window_showcase_sql(),
+)
+def orders_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.orders_window_showcase(_t(spark, sf_dir, "orders"))
+
+
+@register("orders_cohort_ltv", oracle=analytics.dd_orders_cohort_ltv_sql())
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.orders_cohort_ltv(_t(spark, sf_dir, "orders"))

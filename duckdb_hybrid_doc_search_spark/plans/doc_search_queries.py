@@ -15,7 +15,7 @@ from ..index.fts_layout import ensure_fts_layout
 from ..models.embedder import hash_embed_text
 from ..models.tokenizer import tokenize_query
 from ..operators import bm25, knn
-from ..search import engine
+from ..search import engine, results
 from .registry import register
 
 QUERY = "spark vector join fast merge"
@@ -146,6 +146,27 @@ def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk multi-query BM25: 5 queries, one plan, one pruned postings scan."""
     return bm25.bm25_batch_topk_from_index(
         _fts_index(spark, sf_dir), BATCH_QUERIES, TOP_K
+    )
+
+
+@register(
+    "search_snippets",
+    oracle=results.dd_bm25_snippets_sql(QTERMS, TOP_K),
+)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k hits with a ±context snippet + matched term — the result-page
+    shape a search UI renders (bounded broadcast of the k-id hit set)."""
+    return results.bm25_snippets(
+        _fts_index(spark, sf_dir), _docs(spark, sf_dir), QUERY, TOP_K
+    )
+
+
+@register("search_facets", oracle=results.dd_bm25_facets_sql(QTERMS))
+def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang/per-source facet counts over the FULL candidate set via
+    one GROUPING SETS aggregate."""
+    return results.bm25_facets(
+        _fts_index(spark, sf_dir), _docs(spark, sf_dir), QUERY
     )
 
 

@@ -354,3 +354,60 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=curation.dd_mixture_weights_sql())
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mixture_weights(_docs(spark, sf_dir))
+
+
+@register("text_bigram_pmi", oracle=textstats.dd_bigram_pmi_sql())
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top corpus bigrams by PMI (count >= 5)."""
+    return textstats.bigram_pmi(_docs(spark, sf_dir))
+
+
+# --- CSV source --------------------------------------------------------------
+
+_CSV_PATH = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "csv" / "docs.csv"
+
+
+@register(
+    "csv_documents_scan",
+    oracle=f"""
+SELECT id, text, lang, source, round(score, 6) AS score,
+       len(regexp_split_to_array(trim(text), ' +')) AS n_tokens,
+       (strpos(text, '"') > 0) AS has_quote
+FROM read_csv('{_CSV_PATH}', header=true,
+              columns={{'id': 'BIGINT', 'text': 'VARCHAR',
+                        'lang': 'VARCHAR', 'source': 'VARCHAR',
+                        'score': 'DOUBLE'}})
+ORDER BY id
+""".strip(),
+)
+def csv_documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus source: schema-pinned splittable scan with RFC-4180
+    quoting (embedded commas + doubled quotes round-trip — the has_quote
+    probe asserts the escapes survived); sources/csvsrc.py."""
+    from ..sources.csvsrc import read_csv_docs
+
+    df = read_csv_docs(spark, str(_CSV_PATH))
+    return df.select(
+        "id",
+        "text",
+        "lang",
+        "source",
+        F.round("score", 6).alias("score"),
+        F.size(F.split(F.trim("text"), " +")).alias("n_tokens"),
+        (F.locate('"', F.col("text")) > 0).alias("has_quote"),
+    ).orderBy("id")
+
+
+@register("text_top_terms_per_lang",
+          oracle=textstats.dd_top_terms_per_lang_sql())
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 vocabulary (per-group top-N on the count table)."""
+    return textstats.top_terms_per_lang(_docs(spark, sf_dir))
+
+
+@register("corpus_length_histogram",
+          oracle=textstats.dd_length_histogram_sql())
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram (long-tail profile)."""
+    return textstats.length_histogram(_docs(spark, sf_dir))

@@ -153,8 +153,9 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import (chunker_queries, doc_search_queries,  # noqa: F401
-                   layout_queries, mllib_queries, multimodal_queries,
-                   pipeline_queries, relational_queries, sql_queries)
+    from . import (analytics_queries, chunker_queries,  # noqa: F401
+                   doc_search_queries, layout_queries, mllib_queries,
+                   multimodal_queries, pipeline_queries, relational_queries,
+                   sql_queries)
 
     _LOADED = True

@@ -1,0 +1,150 @@
+"""Search-result enrichment: contextual snippets and facet counts.
+
+The reference returns raw chunk text for each hit (searcher.py result
+construction); real search UIs additionally want (a) a contextual snippet
+around the matched term and (b) facet counts over the full candidate set.
+Both are expressed as plans over the same BM25 probe the other doc-search
+queries use — no extra index, no Python.
+
+Scale shape:
+- snippets: the top-k id set (bounded by k) broadcasts into the documents
+  scan, so full text is read only for k rows regardless of corpus size;
+- facets: the candidate set is bounded by the query-term postings slice,
+  and the documents side joins on its key before a small grouped
+  aggregate — the facet table is ≤ |langs|+|sources| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import bm25
+
+SNIPPET_BEFORE = 40  # chars of context kept before the match
+SNIPPET_LEN = 120  # total snippet length
+
+
+def _first_match_pos(qterms: list[str]) -> F.Column:
+    """1-based char position of the first query term (in sorted term
+    order) found in lower(text); 1 when none occurs literally."""
+    candidates = [
+        F.nullif(F.locate(t, F.lower(F.col("text"))), F.lit(0))
+        for t in qterms
+    ]
+    return F.coalesce(*candidates, F.lit(1))
+
+
+def _matched_term(qterms: list[str]) -> F.Column:
+    expr = F.lit(None).cast("string")
+    for t in reversed(qterms):
+        expr = F.when(
+            F.locate(t, F.lower(F.col("text"))) > 0, F.lit(t)
+        ).otherwise(expr)
+    return expr
+
+
+def bm25_snippets(
+    index: dict[str, DataFrame],
+    docs: DataFrame,
+    query: str,
+    k: int,
+) -> DataFrame:
+    """Top-k BM25 hits with a ±context snippet and the term that matched.
+
+    The k-row hit set is broadcast into the documents join, so the full
+    `text` column is materialized for exactly k documents.
+
+    Output: rank, doc_id, score, matched_term, snippet.
+    """
+    from ..models.tokenizer import tokenize_query
+
+    qterms = sorted(set(tokenize_query(query)))
+    # the rank window runs over the already-limited k-row hit set — a
+    # bounded single-partition sort, not a fact-table window
+    hits = bm25.bm25_topk_from_index(index, query, k).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    )
+    pos = _first_match_pos(qterms)
+    start = F.greatest(F.lit(1), pos - F.lit(SNIPPET_BEFORE))
+    joined = docs.join(F.broadcast(hits), "doc_id")
+    return joined.select(
+        "rank",
+        "doc_id",
+        "score",
+        _matched_term(qterms).alias("matched_term"),
+        F.substring(F.col("text"), start, F.lit(SNIPPET_LEN)).alias(
+            "snippet"
+        ),
+    ).orderBy("rank")
+
+
+def dd_bm25_snippets_sql(query_terms: list[str], k: int) -> str:
+    qterms = sorted(set(query_terms))
+
+    def esc(t: str) -> str:
+        return t.replace("'", "''")
+
+    pos = "coalesce(" + ", ".join(
+        f"nullif(strpos(lower(text), '{esc(t)}'), 0)" for t in qterms
+    ) + ", 1)"
+    term_case = "CASE " + " ".join(
+        f"WHEN strpos(lower(text), '{esc(t)}') > 0 THEN '{esc(t)}'"
+        for t in qterms
+    ) + " ELSE NULL END"
+    return f"""
+WITH {bm25.dd_fts_index_ctes()},
+{bm25.dd_bm25_scored_cte(qterms)},
+hits AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm25_scored
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT h.rank, h.doc_id, h.score,
+       {term_case} AS matched_term,
+       substr(text, greatest(1, {pos} - {SNIPPET_BEFORE}),
+              {SNIPPET_LEN}) AS snippet
+FROM hits h JOIN documents USING (doc_id)
+ORDER BY h.rank
+""".strip()
+
+
+def bm25_facets(
+    index: dict[str, DataFrame], docs: DataFrame, query: str
+) -> DataFrame:
+    """Facet counts over the FULL BM25 candidate set (every doc matching
+    ≥1 query term): per-lang and per-source hit counts + best score, via
+    one GROUPING SETS aggregate.
+
+    Output: lang, source (one of the two NULL per row — the facet
+    dimension), n_hits, best_score.
+    """
+    from ..models.tokenizer import tokenize_query
+
+    cands = bm25.bm25_scores(index, tokenize_query(query))
+    j = cands.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    j.createOrReplaceTempView("_facet_cands")
+    return j.sparkSession.sql(
+        """
+        SELECT lang, source, count(*) AS n_hits,
+               max(score) AS best_score
+        FROM _facet_cands
+        GROUP BY GROUPING SETS ((lang), (source))
+        ORDER BY lang, source
+        """
+    )
+
+
+def dd_bm25_facets_sql(query_terms: list[str]) -> str:
+    qterms = sorted(set(query_terms))
+    return f"""
+WITH {bm25.dd_fts_index_ctes()},
+{bm25.dd_bm25_scored_cte(qterms)}
+SELECT d.lang, d.source, count(*)::BIGINT AS n_hits,
+       max(b.score) AS best_score
+FROM bm25_scored b JOIN documents d USING (doc_id)
+GROUP BY GROUPING SETS ((d.lang), (d.source))
+ORDER BY d.lang, d.source
+""".strip()
