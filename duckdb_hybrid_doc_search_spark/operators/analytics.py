@@ -587,3 +587,53 @@ SELECT cohort_m, age, n_orders, n_customers, revenue,
          ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
 FROM cells ORDER BY cohort_m, age
 """.strip()
+
+
+# --- orders_yoy_growth -----------------------------------------------------
+
+
+def orders_yoy_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year revenue growth per order priority: yearly DECIMAL
+    money sums, then lag() along each priority's ≤|years|-row series —
+    the aggregate shrinks the fact table before any window touches it.
+    """
+    from .relational import money_sum
+
+    yearly = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        )
+        .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.select(
+            "o_orderpriority",
+            "yr",
+            "revenue",
+            F.round(
+                (F.col("revenue") - prev) / prev, TREND_ROUND
+            ).alias("yoy_growth"),
+        )
+        .orderBy("o_orderpriority", "yr")
+    )
+
+
+def dd_orders_yoy_growth_sql() -> str:
+    from .relational import dd_money_sum
+
+    return f"""
+WITH yearly AS (
+  SELECT o_orderpriority, year(o_orderdate) AS yr,
+         {dd_money_sum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, yr, revenue,
+       round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w,
+             {TREND_ROUND}) AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+ORDER BY o_orderpriority, yr
+""".strip()

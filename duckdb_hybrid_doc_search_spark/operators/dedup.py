@@ -640,3 +640,49 @@ reach(node, label) AS (
 )
 SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node
 """.strip()
+
+
+def dedup_survivorship(docs: DataFrame) -> DataFrame:
+    """Quality-aware survivorship: per exact-duplicate group keep the
+    HIGHEST-quality member (ties -> lowest doc_id), not the arbitrary
+    min-id — the rule real curation pipelines apply when near-identical
+    docs differ in cleanliness.
+
+    Shape: the quality table (textstats.quality_scores, exact integer
+    arithmetic) joins the fingerprint projection on doc_id, then ONE
+    hash aggregate per fingerprint taking max(struct(quality, -doc_id))
+    — an aggregate, not a per-group window, so a pathological
+    billion-copy group still partial-aggregates map-side instead of
+    sorting one partition.
+    """
+    from .textstats import quality_scores
+
+    fps = docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+    q = quality_scores(docs).select("doc_id", "quality")
+    j = fps.join(q, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")
+        )
+    )
+    return (
+        j.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (-best.getField("nid")).cast("long").alias("keep_id"),
+        )
+    )
+
+
+def dd_dedup_survivorship_sql(table: str = "documents") -> str:
+    from .textstats import dd_quality_scores_sql
+
+    return f"""
+WITH q AS ({dd_quality_scores_sql(table)}),
+fps AS (SELECT md5(text) AS fp, doc_id FROM {table})
+SELECT fp, count(*)::BIGINT AS cnt,
+       (-(max(struct_pack(q := quality, nid := -doc_id)).nid))::BIGINT
+         AS keep_id
+FROM fps JOIN q USING (doc_id)
+GROUP BY fp
+""".strip()

@@ -78,3 +78,8 @@ def orders_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("orders_cohort_ltv", oracle=analytics.dd_orders_cohort_ltv_sql())
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.orders_cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+@register("orders_yoy_growth", oracle=analytics.dd_orders_yoy_growth_sql())
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.orders_yoy_growth(_t(spark, sf_dir, "orders"))

@@ -411,3 +411,11 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two document-length histogram (long-tail profile)."""
     return textstats.length_histogram(_docs(spark, sf_dir))
+
+
+@register("corpus_dedup_survivorship",
+          oracle=dedup.dd_dedup_survivorship_sql())
+def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup survivorship keeping the highest-quality member per
+    group (max(struct) aggregate — skew-proof, no per-group window)."""
+    return dedup.dedup_survivorship(_docs(spark, sf_dir))

@@ -406,3 +406,57 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str,
         .start()
     )
     return q
+
+
+def streaming_windowed_distinct_users(events: DataFrame) -> DataFrame:
+    """Distinct active users per tumbling 1-day window — COUNT DISTINCT
+    is not incrementally mergeable, so the streaming form is the
+    two-stage canonical shape: watermarked dropDuplicates on
+    (window, user_id) collapses each user to one row per window, then a
+    plain (mergeable) count aggregates. State is bounded by the
+    watermark: user-window keys expire once the window closes.
+
+    Batch specification: operators/analytics.events_rolling_active_users'
+    daily component (n_active_1d), keyed the same way.
+    """
+    with_ts = events.withColumn(
+        "tse", F.timestamp_micros(ts_micros(events))
+    )
+    per_user = (
+        with_ts.withWatermark("tse", WATERMARK)
+        .select(
+            F.window("tse", f"{WINDOW_SECONDS} seconds").alias("w"),
+            "user_id",
+            "tse",
+        )
+        .dropDuplicates(["w", "user_id"])
+    )
+    return (
+        per_user.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_active_1d"))
+        .select(
+            (F.unix_micros("w.start") / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+            "n_active_1d",
+        )
+    )
+
+
+def run_streaming_windowed_distinct_users(
+    spark: SparkSession, sf_dir: str, query_name: str = "ev_dau"
+) -> DataFrame:
+    stream = streaming_windowed_distinct_users(
+        read_events_stream(spark, sf_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -153,3 +153,24 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     finally:
         q.stop()
     assert got == want and len(got) > 0
+
+
+def test_streaming_distinct_users_matches_batch(spark, sf_dir):
+    """Streaming dedup+count per window == batch daily distinct actives."""
+    from duckdb_hybrid_doc_search_spark.operators.analytics import (
+        events_rolling_active_users,
+    )
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        run_streaming_windowed_distinct_users,
+    )
+
+    got = {
+        r["day"]: r["n_active_1d"]
+        for r in run_streaming_windowed_distinct_users(spark, sf_dir).collect()
+    }
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["day"]: r["n_active_1d"]
+        for r in events_rolling_active_users(batch).collect()
+    }
+    assert got == want
