@@ -32,14 +32,38 @@ from duckdb_hybrid_doc_search_spark.plans import registry
 from duckdb_hybrid_doc_search_spark.session import get_spark
 
 
-def _prior_round_timings(here: str,
-                         this_round: int) -> tuple[int | None, dict[str, float]]:
-    """Per-query timings of the newest PRIOR round (never this round's own
-    detail file — re-runs within a round must not diff against themselves),
-    for the regression diff. Prefers this harness's own
-    BENCH_DETAIL_r{N}.json (always has the full map); falls back to the
-    driver's BENCH_r{N}.json parsed tail."""
-    best_n, timings = None, {}
+def _calibrate() -> float:
+    """Deterministic single-thread CPU reference (sha256 + numpy matmul),
+    min of 3. Rounds run on whatever host the driver got — q1 measured
+    0.81s in r3 and 1.48s in r4 on an IDLE machine purely from hardware
+    drift — so the per-query regression diff scales prior timings by the
+    calibration ratio instead of reading host slowdown as plan bugs."""
+    import hashlib
+
+    import numpy as np
+
+    blob = b"\x5a" * (1 << 21)
+    a = np.arange(256.0 * 256.0).reshape(256, 256) / 65536.0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(20):
+            hashlib.sha256(blob).digest()
+        for _ in range(30):
+            a = a @ a * 1e-3 + 1.0
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _prior_round_timings(
+    here: str, this_round: int
+) -> tuple[int | None, dict[str, float], float | None]:
+    """Per-query timings (+ calibration, when recorded) of the newest
+    PRIOR round (never this round's own detail file — re-runs within a
+    round must not diff against themselves), for the regression diff.
+    Prefers this harness's own BENCH_DETAIL_r{N}.json (always has the
+    full map); falls back to the driver's BENCH_r{N}.json parsed tail."""
+    best_n, timings, calib = None, {}, None
     patterns = (
         (r"BENCH_DETAIL_r(\d+)\.json$", lambda d: d.get("queries") or {}),
         (r"BENCH_r(\d+)\.json$",
@@ -55,12 +79,14 @@ def _prior_round_timings(here: str,
                 continue
             try:
                 with open(path) as f:
-                    qs = extract(json.load(f))
+                    d = json.load(f)
+                qs = extract(d)
                 if qs:
                     best_n, timings = n, qs
+                    calib = d.get("calib_sec")
             except (json.JSONDecodeError, OSError):
                 continue
-    return best_n, timings
+    return best_n, timings, calib
 
 
 def _this_round(here: str) -> int:
@@ -156,14 +182,22 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     this_round = _this_round(here)
-    prior_round, prior = _prior_round_timings(here, this_round)
-    # >=1.5x AND >=0.25s absolute so sub-second jitter doesn't read
-    # as a regression; "new" queries have no prior to diff against
+    calib = _calibrate()
+    prior_round, prior, prior_calib = _prior_round_timings(here, this_round)
+    # host-speed normalization: scale prior timings to THIS host's speed
+    # via the calibration ratio (clamped to ±2x so a bogus calib can't
+    # hide a real regression entirely)
+    scale = 1.0
+    if prior_calib and prior_calib > 0:
+        scale = min(2.0, max(0.5, calib / prior_calib))
+    # >=1.5x AND >=0.25s absolute (after normalization) so sub-second
+    # jitter doesn't read as a regression; "new" queries have no prior
     regressions = {
-        n: {"prev": prior[n], "now": t, "ratio": round(t / prior[n], 2)}
+        n: {"prev": prior[n], "prev_scaled": round(prior[n] * scale, 4),
+            "now": t, "ratio": round(t / (prior[n] * scale), 2)}
         for n, t in timings.items()
         if n in prior and prior[n] > 0
-        and t >= prior[n] * 1.5 and t - prior[n] >= 0.25
+        and t >= prior[n] * scale * 1.5 and t - prior[n] * scale >= 0.25
     }
     detail = {
         "metric": "all_registered_queries_wall",
@@ -173,6 +207,9 @@ def main() -> None:
         "bytes_per_exec": shuffle,
         "sf": sf_val,
         "vs_round": prior_round,
+        "calib_sec": calib,
+        "prior_calib_sec": prior_calib,
+        "host_scale": round(scale, 3),
         "regressions": regressions,
         "new_queries": sorted(set(timings) - set(prior)),
     }
@@ -195,6 +232,8 @@ def main() -> None:
         "slowest": slowest3,
         "n_regressions": len(regressions),
         "worst_regressions": worst3,
+        "calib_sec": calib,
+        "host_scale": round(scale, 3),
         "detail": detail_name,
     }))
     spark.stop()

@@ -606,37 +606,43 @@ def bigram_pmi(docs: DataFrame) -> DataFrame:
     with c_* corpus counts, B total bigrams, T total unigrams; bigrams
     with c_xy < PMI_MIN_COUNT are dropped (PMI's low-count pathology).
 
-    Shape: the unigram and bigram count tables derive from one tokenize
-    scan (map-side-combined groupBys); the x/y joins are key-partitioned
-    hash joins on term — no broadcast of the (vocabulary-sized) unigram
-    table, so the plan survives an unbounded vocabulary. The final top-N
-    sorts only the >=MIN_COUNT bigram slice.
+    Shape: unigram and bigram counts are map-side-combined groupBys over
+    a repartitioned tokenize projection (a single-file local input would
+    otherwise tokenize on ONE split — same fix as bm25.tokenize_docs);
+    bigrams come from arrays_zip of two slices (array-builder codegen,
+    ~10x faster than per-index element_at — measured 7.8s -> 0.8s at
+    sf0.1). The x/y joins are key-partitioned hash joins on term — no
+    forced broadcast of the (vocabulary-sized) unigram table, so the
+    plan survives an unbounded vocabulary. The final top-N sorts only
+    the >=MIN_COUNT bigram slice.
     """
-    toks = tokenize(F.col("text"))
-    big = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+    spark = docs.sparkSession
+    toked = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        tokenize(F.col("text")).alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    big = F.transform(
+        F.arrays_zip(
+            F.slice(F.col("toks"), 1, n - 1), F.slice(F.col("toks"), 2, n - 1)
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
 
     uni_counts = (
-        docs.select(F.explode(toks).alias("term"))
+        toked.select(F.explode(F.col("toks")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     big_counts = (
-        docs.select(F.explode(big).alias("bigram"))
+        toked.where(n >= 2)
+        .select(F.explode(big).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .where(F.col("c_xy") >= PMI_MIN_COUNT)
     )
     tot_t = uni_counts.agg(F.sum("c").alias("tot_t"))
     tot_b = (
-        docs.select((F.greatest(F.size(toks) - 1, F.lit(0))).alias("nb"))
+        toked.select(F.greatest(n - 1, F.lit(0)).alias("nb"))
         .agg(F.sum("nb").alias("tot_b"))
     )
     xy = big_counts.select(

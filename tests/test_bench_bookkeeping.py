@@ -28,18 +28,18 @@ def test_prior_round_skips_own_round_and_prefers_detail(tmp_path):
         {"parsed": {"queries": {"q": 1.0}}}
     ))
     (tmp_path / "BENCH_DETAIL_r2.json").write_text(json.dumps(
-        {"queries": {"q": 2.0}}
+        {"queries": {"q": 2.0}, "calib_sec": 0.12}
     ))
     # this-round detail (an earlier re-run at another SF) must be ignored
     (tmp_path / "BENCH_DETAIL_r3.json").write_text(json.dumps(
         {"queries": {"q": 99.0}}
     ))
-    n, timings = bench._prior_round_timings(str(tmp_path), this_round=3)
-    assert n == 2 and timings == {"q": 2.0}
+    n, timings, calib = bench._prior_round_timings(str(tmp_path), this_round=3)
+    assert n == 2 and timings == {"q": 2.0} and calib == 0.12
     # with no detail file, fall back to the driver's parsed tail
     (tmp_path / "BENCH_DETAIL_r2.json").unlink()
-    n, timings = bench._prior_round_timings(str(tmp_path), this_round=3)
-    assert n == 1 and timings == {"q": 1.0}
+    n, timings, calib = bench._prior_round_timings(str(tmp_path), this_round=3)
+    assert n == 1 and timings == {"q": 1.0} and calib is None
 
 
 def test_unparseable_files_are_skipped(tmp_path):
@@ -48,5 +48,14 @@ def test_unparseable_files_are_skipped(tmp_path):
     (tmp_path / "BENCH_r1.json").write_text(json.dumps(
         {"parsed": {"queries": {"q": 1.5}}}
     ))
-    n, timings = bench._prior_round_timings(str(tmp_path), this_round=3)
+    n, timings, _calib = bench._prior_round_timings(str(tmp_path), this_round=3)
     assert n == 1 and timings == {"q": 1.5}
+
+
+def test_calibration_is_fast_and_repeatable():
+    bench = _bench()
+    c1 = bench._calibrate()
+    c2 = bench._calibrate()
+    assert 0.001 < c1 < 5.0
+    # same host, back to back: within 3x (min-of-3 smooths scheduler noise)
+    assert max(c1, c2) / min(c1, c2) < 3.0
