@@ -460,3 +460,90 @@ def run_streaming_windowed_distinct_users(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_funnel_stages(events: DataFrame) -> DataFrame:
+    """CEP-style stateful funnel tracking: per user, maintain the earliest
+    view/click/purchase timestamps across micro-batches and emit the
+    user's (monotonically improving) funnel state after each batch that
+    touches them — the streaming face of
+    operators/events.funnel_view_click_purchase (the batch min-aggregate
+    is the specification; stage predicates are applied downstream of the
+    mins, identically in both forms).
+
+    State per user = three optional epoch-micro mins — O(active users),
+    no per-event retention. Append-mode emissions only improve (mins are
+    monotone), so the latest/minimal row per user is the final state.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "user_id long, first_view long, first_click long, "
+        "first_purchase long"
+    )
+    state_schema = "fv long, fc long, fp long"
+    tracked = {"view": 0, "click": 1, "purchase": 2}
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        mins: list[int | None] = (
+            [v if v is not None and v >= 0 else None for v in state.get]
+            if state.exists
+            else [None, None, None]
+        )
+        touched = False
+        for pdf in pdf_iter:
+            for et, us in zip(pdf["event_type"], pdf["us"]):
+                idx = tracked.get(et)
+                if idx is None:
+                    continue
+                us = int(us)
+                if mins[idx] is None or us < mins[idx]:
+                    mins[idx] = us
+                touched = True
+        if touched:
+            # store -1 for "unseen": the state encoder rejects None ints
+            state.update(tuple(-1 if m is None else m for m in mins))
+            yield pd.DataFrame(
+                [(user_id, mins[0], mins[1], mins[2])],
+                columns=["user_id", "first_view", "first_click",
+                         "first_purchase"],
+            )
+        else:
+            yield pd.DataFrame(
+                [],
+                columns=["user_id", "first_view", "first_click",
+                         "first_purchase"],
+            )
+
+    prepared = events.select(
+        "user_id", "event_type", ts_micros(events).alias("us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def run_streaming_funnel_stages(
+    spark: SparkSession, sf_dir: str, query_name: str = "ev_funnel"
+) -> DataFrame:
+    """Drive the stateful funnel over the bounded source; per-user FINAL
+    mins = the column-wise min over that user's emitted rows (emissions
+    are monotone improvements)."""
+    stream = streaming_funnel_stages(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""SELECT user_id, min(first_view) AS first_view,
+                   min(first_click) AS first_click,
+                   min(first_purchase) AS first_purchase
+            FROM {query_name} GROUP BY user_id"""
+    )

@@ -174,3 +174,34 @@ def test_streaming_distinct_users_matches_batch(spark, sf_dir):
         for r in events_rolling_active_users(batch).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_matches_batch_mins(spark, sf_dir):
+    """Stateful streaming funnel state == the batch per-user first-event
+    mins that feed funnel_view_click_purchase."""
+    import pyspark.sql.functions as F
+
+    from duckdb_hybrid_doc_search_spark.operators.events import ts_micros
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        run_streaming_funnel_stages,
+    )
+
+    got = {
+        r["user_id"]: (r["first_view"], r["first_click"], r["first_purchase"])
+        for r in run_streaming_funnel_stages(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select("user_id", ts_micros(ev).alias("us"), "event_type")
+    want_df = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "fp"
+        ),
+    )
+    want = {
+        r["user_id"]: (r["fv"], r["fc"], r["fp"])
+        for r in want_df.collect()
+        if not (r["fv"] is None and r["fc"] is None and r["fp"] is None)
+    }
+    assert got == want
