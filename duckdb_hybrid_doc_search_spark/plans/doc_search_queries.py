@@ -228,3 +228,18 @@ def doc_fetch_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).where(F.col("doc_id").isin(FETCH_IDS)).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+MLT_SEED_DOC = 42
+
+
+@register(
+    "search_more_like_this",
+    oracle=results.dd_more_like_this_sql(MLT_SEED_DOC, TOP_K),
+)
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-seeded search: seed doc's top tf-idf terms -> BM25 over
+    the written layout (two-phase bounded probe; search/results.py)."""
+    return results.more_like_this(
+        _fts_index(spark, sf_dir), _docs(spark, sf_dir), MLT_SEED_DOC, TOP_K
+    )

@@ -148,3 +148,101 @@ FROM bm25_scored b JOIN documents d USING (doc_id)
 GROUP BY GROUPING SETS ((d.lang), (d.source))
 ORDER BY d.lang, d.source
 """.strip()
+
+
+# --- more-like-this ---------------------------------------------------------
+
+MLT_SEED_TERMS = 5
+
+
+def more_like_this(
+    index: dict[str, DataFrame],
+    docs: DataFrame,
+    seed_doc_id: int,
+    k: int,
+) -> DataFrame:
+    """Document-seeded search: take the seed doc's top tf·idf terms as
+    the query and rank the rest of the corpus by BM25 — the classic
+    "more like this" feature (the reference only supports free-text
+    queries; this derives the query from a document).
+
+    Two-phase probe, same pattern as the IVF cell probe: phase 1 reads
+    ONE document row (doc_id filter pushed to the parquet scan) and
+    joins its ≤|doc| distinct terms against docfreq to score tf·idf —
+    the result is ≤ MLT_SEED_TERMS terms, a bounded driver collect;
+    phase 2 feeds them to bm25_scores as literals so the term filter
+    pushes down into the written postings_scored layout exactly like a
+    user query. Seed selection is deterministic: tf·idf desc, term asc.
+    """
+    from ..functions.text import tokenize
+
+    tf = (
+        docs.where(F.col("doc_id") == seed_doc_id)
+        .select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    seed_terms = [
+        r["term"]
+        for r in (
+            tf.join(index["docfreq"], "term")
+            .crossJoin(F.broadcast(index["corpus_stats"]))
+            .select("term", (F.col("tf") * idf).alias("sc"))
+            .orderBy(F.desc("sc"), F.asc("term"))
+            .limit(MLT_SEED_TERMS)
+            .collect()
+        )
+    ]
+    hits = (
+        bm25.bm25_scores(index, seed_terms)
+        .where(F.col("doc_id") != seed_doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return hits.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    ).select("rank", "doc_id", "score")
+
+
+def dd_more_like_this_sql(seed_doc_id: int, k: int) -> str:
+    from ..config import BM25_B, BM25_K1, SCORE_ROUND
+
+    return f"""
+WITH {bm25.dd_fts_index_ctes()},
+seed_tf AS (
+  SELECT term, count(*)::BIGINT AS tf
+  FROM (SELECT unnest(toks) AS term FROM toks WHERE doc_id = {seed_doc_id})
+  GROUP BY term
+),
+seed_sc AS (
+  SELECT s.term,
+         s.tf * ln(1.0 + (cs.n_docs - d.df + 0.5) / (d.df + 0.5)) AS sc
+  FROM seed_tf s JOIN docfreq d USING (term) CROSS JOIN corpus_stats cs
+),
+qt AS (SELECT term FROM seed_sc ORDER BY sc DESC, term ASC
+       LIMIT {MLT_SEED_TERMS}),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1.0 + (cs.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * {BM25_K1 + 1.0}
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.dl / cs.avgdl))
+         ), {SCORE_ROUND}) AS score
+  FROM postings p
+  JOIN qt USING (term)
+  JOIN docfreq d USING (term)
+  JOIN docstats ds USING (doc_id)
+  CROSS JOIN corpus_stats cs
+  WHERE p.doc_id <> {seed_doc_id}
+  GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
