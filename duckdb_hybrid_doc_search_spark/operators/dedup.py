@@ -686,3 +686,59 @@ SELECT fp, count(*)::BIGINT AS cnt,
 FROM fps JOIN q USING (doc_id)
 GROUP BY fp
 """.strip()
+
+
+def near_dup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Dataset-quality diagnostic: where do near-duplicates come from?
+    Aggregates the minhash-LSH pair set by (source_a, source_b) — pair
+    counts, mean estimated Jaccard, and the share of each source's docs
+    involved — so a pipeline can see which feeds re-crawl each other.
+
+    The pair table is the LSH output (bucket-local, never N²); the two
+    source lookups join on doc ids; source pairs are canonicalized
+    (least, greatest) so the matrix is upper-triangular.
+    """
+    pairs = dedup_minhash_lsh(docs)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("source", "src_a"),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("source", "src_b"),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "est_jaccard",
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), SCORE_ROUND).alias("mean_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def dd_near_dup_rate_by_source_sql(table: str = "documents") -> str:
+    return f"""
+WITH pairs AS ({dd_dedup_minhash_lsh_sql(table)}),
+j AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.est_jaccard
+  FROM pairs p
+  JOIN {table} da ON da.doc_id = p.doc_a
+  JOIN {table} db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+       round(avg(est_jaccard), {SCORE_ROUND}) AS mean_jaccard
+FROM j GROUP BY source_a, source_b ORDER BY source_a, source_b
+""".strip()

@@ -419,3 +419,11 @@ def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup survivorship keeping the highest-quality member per
     group (max(struct) aggregate — skew-proof, no per-group window)."""
     return dedup.dedup_survivorship(_docs(spark, sf_dir))
+
+
+@register("corpus_near_dup_by_source",
+          oracle=dedup.dd_near_dup_rate_by_source_sql())
+def corpus_near_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair matrix by source pair (where do duplicates come
+    from) — LSH pair set joined to sources, canonicalized triangular."""
+    return dedup.near_dup_rate_by_source(_docs(spark, sf_dir))
