@@ -252,6 +252,28 @@ def props_json_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def props_variant_stats(events: DataFrame) -> DataFrame:
+    """Same contract as props_json_stats via Spark 4 VariantType:
+    parse_json once, then typed try_variant_get extraction — the modern
+    engine path for semi-structured columns (variant binary encoding is
+    decoded once per row instead of re-parsing JSON per field access).
+    Oracle: identical to the JSON form — the encoding must not change
+    the answer."""
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def dd_props_json_stats_sql() -> str:
     return """
 SELECT event_type, count(*)::BIGINT AS n,
@@ -930,3 +952,46 @@ def hll_distinct_error(events: DataFrame,
         )
         .orderBy("event_type")
     )
+
+
+def session_stats_distribution(events: DataFrame) -> DataFrame:
+    """Session-shape profile: sessions bucketed by power-of-two event
+    count, with per-bucket session counts and duration stats — the
+    distribution view a product team reads off the sessionizer.
+
+    Derives from sessionize() (per-user windows), then one tiny grouped
+    aggregate; duration sums stay integral (epoch-micro int64) so the
+    averages are exact cross-engine.
+    """
+    sess = sessionize(events)
+    bucket = F.floor(F.log2(F.col("n_events").cast("double"))).cast("long")
+    dur = F.col("end_us") - F.col("start_us")
+    return (
+        sess.select(bucket.alias("log2_events"), dur.alias("dur_us"))
+        .groupBy("log2_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            # exact int64 sum, ONE double division (engine avg() over
+            # int64 differs in accumulator type across engines once the
+            # sum passes 2^53; sum-then-divide is bit-identical)
+            F.round(
+                F.sum("dur_us").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                VALUE_ROUND,
+            ).alias("avg_dur_us"),
+            F.max("dur_us").alias("max_dur_us"),
+        )
+        .orderBy("log2_events")
+    )
+
+
+def dd_session_stats_distribution_sql() -> str:
+    return f"""
+WITH sess_agg AS ({dd_sessionize_sql()})
+SELECT floor(log2(n_events::DOUBLE))::BIGINT AS log2_events,
+       count(*)::BIGINT AS n_sessions,
+       round(sum(end_us - start_us)::DOUBLE / count(*)::DOUBLE,
+             {VALUE_ROUND}) AS avg_dur_us,
+       max(end_us - start_us) AS max_dur_us
+FROM sess_agg GROUP BY log2_events ORDER BY log2_events
+""".strip()

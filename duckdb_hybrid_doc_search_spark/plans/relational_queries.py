@@ -644,3 +644,22 @@ def events_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: approx_count_distinct's HLL++ sketch is engine-internal;
     the recorded rel_err is the quality evidence (cf. text_countmin_error)."""
     return events.hll_distinct_error(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_props_variant_stats", oracle=events.dd_props_json_stats_sql()
+)
+def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VariantType path over the same semi-structured contract
+    (parse_json + try_variant_get); oracle identical to the JSON form."""
+    return events.props_variant_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_distribution",
+    oracle=events.dd_session_stats_distribution_sql(),
+)
+def events_session_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two session-size histogram with duration stats over the
+    sessionizer output (exact integral duration sums)."""
+    return events.session_stats_distribution(_t(spark, sf_dir, "events"))
