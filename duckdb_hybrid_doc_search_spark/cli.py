@@ -127,6 +127,38 @@ def cmd_download_models(args: argparse.Namespace) -> int:
     return 0  # pragma: no cover
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered analytics/pipeline query by name against a
+    scale-factor directory (the full catalog beyond doc search: TPC-H,
+    dedup, curation, events, ANN, ...). `--list` enumerates names."""
+    from .plans import registry
+
+    registry._load_all()
+    if args.list:
+        for name, qd in sorted(registry.REGISTRY.items()):
+            kind = "oracle" if qd.oracle else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+    if not args.name:
+        print("query name required (or --list)", file=sys.stderr)
+        return 2
+    if args.name not in registry.REGISTRY:
+        print(f"unknown query: {args.name} (see --list)", file=sys.stderr)
+        return 2
+    from .session import get_spark
+
+    spark = get_spark(f"query-{args.name}")
+    df = registry.REGISTRY[args.name].spark_fn(spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        rows = df.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hybrid-doc-search-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -186,6 +218,20 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--embedding-model", default="hash-embedder")
     pd.add_argument("--rerank-model", default=None)
     pd.set_defaults(fn=cmd_download_models)
+
+    pq = sub.add_parser(
+        "query",
+        help="run a registered analytics/pipeline query by name "
+        "(--list to enumerate the catalog)",
+    )
+    pq.add_argument("name", nargs="?", default=None)
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq.add_argument("--limit", type=int, default=20,
+                    help="rows printed as JSON lines (stdout mode)")
+    pq.add_argument("--output", default=None,
+                    help="write full result as parquet instead of printing")
+    pq.add_argument("--list", action="store_true")
+    pq.set_defaults(fn=cmd_query)
 
     pver = sub.add_parser("version")
     pver.set_defaults(fn=lambda a: (print(__version__), 0)[1])

@@ -59,3 +59,22 @@ def test_cli_serve_without_mcp_exits_2(cli_index):
         pytest.skip("mcp installed; fallback unreachable")
     rc = cli.main(["serve", "--db", cli_index])
     assert rc == 2
+
+
+def test_cli_query_list_and_run(capsys, sf_dir):
+    rc = cli.main(["query", "--list"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any(ln.startswith("tpch_q1_pricing_summary\toracle") for ln in lines)
+    assert len(lines) > 100
+
+    rc = cli.main(["query", "tpch_q6_forecast_revenue", "--sf-dir", sf_dir])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "revenue" in row
+
+
+def test_cli_query_unknown_name(capsys):
+    rc = cli.main(["query", "definitely_not_registered"])
+    assert rc == 2
+    assert "unknown query" in capsys.readouterr().err
