@@ -788,3 +788,58 @@ SELECT floor(log2(greatest(n_chars, 1)))::BIGINT AS log2_bucket,
        max(n_chars)::BIGINT AS max_chars
 FROM {table} GROUP BY log2_bucket ORDER BY log2_bucket
 """.strip()
+
+
+# --- per-source quality dashboard -------------------------------------------
+
+
+def quality_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source data-quality dashboard: mean quality score, stopword
+    ratio, PII incidence, and mean length — the slice-level report a
+    curation run publishes. One join of the quality table to the source
+    projection, then a single grouped aggregate (both sides key on
+    doc_id; the aggregate output is ≤|sources| rows)."""
+    q = quality_scores(docs)
+    pii = (
+        F.col("text").rlike(PII_EMAIL_RE)
+        | F.col("text").rlike(PII_DIGITS_RE)
+    ).cast("long")
+    meta = docs.select("doc_id", "source", "n_chars", pii.alias("has_pii"))
+    j = meta.join(q, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), SCORE_ROUND).alias("mean_quality"),
+            F.round(F.avg("stopword_ratio"), SCORE_ROUND).alias(
+                "mean_stopword_ratio"
+            ),
+            F.sum("has_pii").cast("long").alias("n_pii_docs"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                SCORE_ROUND,
+            ).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def dd_quality_by_source_sql(table: str = "documents") -> str:
+    return f"""
+WITH q AS ({dd_quality_scores_sql(table)}),
+meta AS (
+  SELECT doc_id, source, n_chars,
+         (regexp_matches(text, '{PII_EMAIL_RE}')
+          OR regexp_matches(text, '{PII_DIGITS_RE}'))::BIGINT AS has_pii
+  FROM {table}
+)
+SELECT m.source, count(*)::BIGINT AS n_docs,
+       round(avg(q.quality), {SCORE_ROUND}) AS mean_quality,
+       round(avg(q.stopword_ratio), {SCORE_ROUND}) AS mean_stopword_ratio,
+       sum(m.has_pii)::BIGINT AS n_pii_docs,
+       round(sum(m.n_chars)::DOUBLE / count(*)::DOUBLE, {SCORE_ROUND})
+         AS mean_chars
+FROM meta m JOIN q USING (doc_id)
+GROUP BY m.source ORDER BY m.source
+""".strip()

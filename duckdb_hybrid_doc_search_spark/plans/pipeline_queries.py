@@ -427,3 +427,11 @@ def corpus_near_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair matrix by source pair (where do duplicates come
     from) — LSH pair set joined to sources, canonicalized triangular."""
     return dedup.near_dup_rate_by_source(_docs(spark, sf_dir))
+
+
+@register("corpus_quality_by_source",
+          oracle=textstats.dd_quality_by_source_sql())
+def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality dashboard (mean quality/stopword ratio, PII
+    incidence, mean length) — slice-level curation report."""
+    return textstats.quality_by_source(_docs(spark, sf_dir))
