@@ -995,3 +995,38 @@ SELECT floor(log2(n_events::DOUBLE))::BIGINT AS log2_events,
        max(end_us - start_us) AS max_dur_us
 FROM sess_agg GROUP BY log2_events ORDER BY log2_events
 """.strip()
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """CDC-style last-write-wins compaction: each user's most recent
+    event (ties on timestamp broken by highest event_id — the arrival
+    order surrogate). The standard upsert-materialization shape: one
+    per-user window, partitions bounded by a user's history; at scale
+    this is the compaction step of a changelog -> snapshot pipeline.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    e = events.select(
+        "user_id", "event_id", ts_micros(events).alias("us"),
+        "event_type", "value",
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "us", "event_type",
+                F.round("value", VALUE_ROUND).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+def dd_latest_event_per_user_sql() -> str:
+    return f"""
+SELECT user_id, event_id, us, event_type, round(value, {VALUE_ROUND}) AS value
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""".strip()

@@ -243,3 +243,13 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results.more_like_this(
         _fts_index(spark, sf_dir), _docs(spark, sf_dir), MLT_SEED_DOC, TOP_K
     )
+
+
+@register(
+    "search_prefix_completions",
+    oracle=results.dd_term_prefix_completions_sql(),
+)
+def search_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: top completions per high-traffic 3-char prefix,
+    computed entirely over the vocabulary-sized docfreq table."""
+    return results.term_prefix_completions(_fts_index(spark, sf_dir))

@@ -663,3 +663,11 @@ def events_session_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two session-size histogram with duration stats over the
     sessionizer output (exact integral duration sums)."""
     return events.session_stats_distribution(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_latest_per_user", oracle=events.dd_latest_event_per_user_sql()
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC last-write-wins compaction (changelog -> snapshot)."""
+    return events.latest_event_per_user(_t(spark, sf_dir, "events"))

@@ -246,3 +246,68 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+# --- prefix autocompletion stats --------------------------------------------
+
+PREFIX_LEN = 3
+PREFIX_TOP = 20
+COMPLETIONS_PER_PREFIX = 3
+
+
+def term_prefix_completions(index: dict[str, DataFrame]) -> DataFrame:
+    """Autocomplete table: for the PREFIX_TOP most-frequent 3-char term
+    prefixes, the top COMPLETIONS_PER_PREFIX completion terms by document
+    frequency — the precomputed structure behind search-as-you-type.
+
+    Everything runs over docfreq (vocabulary-sized, already aggregated),
+    never the corpus: one prefix aggregate, one broadcast semi-join of
+    the winning prefixes, one per-prefix top-N window whose partitions
+    are single prefixes. Deterministic ordering throughout (df desc,
+    term asc; total desc, prefix asc).
+    """
+    terms = index["docfreq"].where(
+        F.length(F.col("term")) >= PREFIX_LEN
+    ).select(
+        F.substring(F.col("term"), 1, PREFIX_LEN).alias("prefix"),
+        "term",
+        "df",
+    )
+    top_prefixes = (
+        terms.groupBy("prefix")
+        .agg(F.sum("df").alias("prefix_df"))
+        .orderBy(F.desc("prefix_df"), F.asc("prefix"))
+        .limit(PREFIX_TOP)
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        terms.join(F.broadcast(top_prefixes), "prefix")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= COMPLETIONS_PER_PREFIX)
+        .select("prefix", "prefix_df", "rank", "term", "df")
+        .orderBy("prefix", "rank")
+    )
+
+
+def dd_term_prefix_completions_sql() -> str:
+    return f"""
+WITH {bm25.dd_fts_index_ctes()},
+terms AS (
+  SELECT substr(term, 1, {PREFIX_LEN}) AS prefix, term, df
+  FROM docfreq WHERE length(term) >= {PREFIX_LEN}
+),
+topp AS (
+  SELECT prefix, sum(df)::BIGINT AS prefix_df
+  FROM terms GROUP BY prefix
+  ORDER BY prefix_df DESC, prefix ASC LIMIT {PREFIX_TOP}
+)
+SELECT t.prefix, topp.prefix_df, rnk AS rank, t.term, t.df
+FROM (
+  SELECT prefix, term, df,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY df DESC, term ASC) AS rnk
+  FROM terms
+) t JOIN topp USING (prefix)
+WHERE rnk <= {COMPLETIONS_PER_PREFIX}
+ORDER BY t.prefix, rank
+""".strip()
