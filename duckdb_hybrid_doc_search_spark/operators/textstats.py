@@ -628,23 +628,28 @@ def bigram_pmi(docs: DataFrame) -> DataFrame:
         lambda s: F.concat_ws(" ", s["0"], s["1"]),
     )
 
+    # Pin the two count tables (vocabulary-sized — far smaller than the
+    # corpus) so totals and joins REUSE them: Catalyst does not dedupe
+    # common subplans, and without the pin this plan tokenizes the
+    # corpus five times (measured: 5 parquet scans -> 2)
     uni_counts = (
         toked.select(F.explode(F.col("toks")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    big_counts = (
+    big_all = (
         toked.where(n >= 2)
         .select(F.explode(big).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .localCheckpoint(eager=False)
     )
+    big_counts = big_all.where(F.col("c_xy") >= PMI_MIN_COUNT)
     tot_t = uni_counts.agg(F.sum("c").alias("tot_t"))
-    tot_b = (
-        toked.select(F.greatest(n - 1, F.lit(0)).alias("nb"))
-        .agg(F.sum("nb").alias("tot_b"))
-    )
+    # total bigrams = sum over the (unfiltered) bigram counts — derived,
+    # not a third corpus pass
+    tot_b = big_all.agg(F.sum("c_xy").alias("tot_b"))
     xy = big_counts.select(
         "bigram",
         "c_xy",

@@ -230,3 +230,61 @@ def test_hybrid_ivf_vss_prunes_cell_partitions(spark, sf_dir):
     plan = plan_of(df)
     assert "PartitionFilters" in plan
     assert "cell#" in plan[plan.index("PartitionFilters"):].split("]")[0]
+
+
+def test_more_like_this_probe_is_single_pruned_scan(spark, sf_dir):
+    """Phase 2 of more-like-this must look exactly like a user-query
+    probe: ONE postings_scored scan with the seed terms pushed as an
+    In(term, ...) filter, no joins, no Python stages."""
+    df = registry.REGISTRY["search_more_like_this"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "In(term" in plan.replace(" ", "")
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_snippets_broadcast_hits_into_documents(spark, sf_dir):
+    """The k-row hit set must be the broadcast side of the documents
+    join — full text is read for k rows, never shuffled at corpus size."""
+    df = registry.REGISTRY["search_snippets"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "In(term" in plan.replace(" ", "")
+
+
+def test_cell_derived_marginals_scan_fact_once(spark, sf_dir):
+    """KL / chi-square derive every marginal from a pinned cell
+    aggregate: the final plan must reference the (checkpointed) cell
+    table, NOT re-scan the fact parquet per marginal."""
+    for name in ("corpus_kl_source_lang", "events_chi_square"):
+        df = registry.REGISTRY[name].spark_fn(spark, sf_dir)
+        plan = plan_of(df)
+        assert "Scan parquet" not in plan, name
+        assert "ExistingRDD" in plan, name
+
+
+def test_bigram_pmi_reuses_pinned_count_tables(spark, sf_dir):
+    """PMI joins/totals reuse the two pinned count tables — without the
+    pin this plan tokenizes the corpus five times."""
+    df = registry.REGISTRY["text_bigram_pmi"].spark_fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Scan parquet" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_per_entity_windows_are_partitioned(spark, sf_dir):
+    """TWAP / SCD2 / latest-per-user / cohort windows all partition by
+    their entity key — no unpartitioned (single-partition) fact window."""
+    cases = {
+        "events_user_twap": "user_id",
+        "events_latest_per_user": "user_id",
+        "orders_scd2_intervals": "o_custkey",
+        "orders_window_showcase": "o_custkey",
+    }
+    for name, key in cases.items():
+        df = registry.REGISTRY[name].spark_fn(spark, sf_dir)
+        plan = plan_of(df)
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line.lower():
+                assert key in line, f"{name}: unpartitioned window: {line[:120]}"
