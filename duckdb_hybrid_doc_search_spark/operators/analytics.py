@@ -229,34 +229,18 @@ def embeddings_kmeans_step(embeddings: DataFrame) -> DataFrame:
 
     Output per cluster: n members, round(mean squared distance, 6).
     """
-    cents = (
+    init = (
         embeddings.orderBy("vec_id")
         .select("vec_id", "embedding")
         .limit(KMEANS_K)
         .collect()
     )
-    dist_structs = []
-    for row in cents:
-        c = vector.lit_vector([float(x) for x in row["embedding"]])
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        dist_structs.append(
-            F.struct(
-                d2.alias("d2"), F.lit(int(row["vec_id"])).alias("cid")
-            )
-        )
-    best = F.array_min(F.array(*dist_structs))
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init
+    ]
+    cluster_id, d2 = _kmeans_assign(embeddings, cents)
     return (
-        embeddings.select(
-            best["cid"].alias("cluster_id"), best["d2"].alias("d2")
-        )
+        embeddings.select(cluster_id, d2)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -643,3 +627,88 @@ FROM yearly
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
 ORDER BY o_orderpriority, yr
 """.strip()
+
+
+# --- embeddings_kmeans_train -----------------------------------------------
+
+KMEANS_ITERS = 5
+
+
+def _kmeans_assign(embeddings: DataFrame, cents: list[tuple[int, list[float]]]):
+    """(cluster_id, d2) columns for nearest-centroid assignment against
+    literal centroid vectors (ties to lower centroid id). Shared by the
+    single oracle-gated step and the iterative trainer."""
+    dist_structs = []
+    for cid, vec in cents:
+        c = vector.lit_vector(vec)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist_structs.append(
+            F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cid"))
+        )
+    best = F.array_min(F.array(*dist_structs))
+    return best["cid"].alias("cluster_id"), best["d2"].alias("d2")
+
+
+def embeddings_kmeans_train(embeddings: DataFrame) -> DataFrame:
+    """Full Lloyd's k-means, KMEANS_ITERS iterations: per iteration one
+    codegen'd assignment pass (broadcast centroid literals) and one
+    K-row aggregate computing the new means + inertia. The driver loop
+    holds only K×dim floats — the classic distributed-kmeans shape; no
+    per-row Python, no N×K join materialization.
+
+    Rows-only (seeded float iteration isn't SQL-expressible across
+    engines); tests pin inertia monotonicity and partition totals.
+
+    Output: one row per (iteration, cluster_id) with n, mean_d2.
+    """
+    init = (
+        embeddings.orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init
+    ]
+    history = []
+    spark = embeddings.sparkSession
+    for it in range(KMEANS_ITERS):
+        cluster_id, d2 = _kmeans_assign(embeddings, cents)
+        stats = (
+            embeddings.select(cluster_id, d2, "embedding")
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("d2"), TREND_ROUND).alias("mean_d2"),
+                F.array(
+                    *[
+                        F.avg(F.col("embedding").getItem(i))
+                        for i in range(len(cents[0][1]))
+                    ]
+                ).alias("mean_vec"),
+            )
+            .collect()
+        )
+        for r in sorted(stats, key=lambda r: r["cluster_id"]):
+            history.append(
+                (it, int(r["cluster_id"]), int(r["n"]), float(r["mean_d2"]))
+            )
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        new_cents = {
+            int(r["cluster_id"]): [float(x) for x in r["mean_vec"]]
+            for r in stats
+        }
+        cents = [
+            (cid, new_cents.get(cid, vec)) for cid, vec in cents
+        ]
+    return spark.createDataFrame(
+        history, "iteration int, cluster_id long, n long, mean_d2 double"
+    )

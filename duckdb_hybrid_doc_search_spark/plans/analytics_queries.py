@@ -83,3 +83,10 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("orders_yoy_growth", oracle=analytics.dd_orders_yoy_growth_sql())
 def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.orders_yoy_growth(_t(spark, sf_dir, "orders"))
+
+
+@register("embeddings_kmeans_train", oracle=None, bench=True)
+def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (rows-only: float iteration); per-
+    iteration cluster stats with inertia-monotonicity pinned in tests."""
+    return analytics.embeddings_kmeans_train(_t(spark, sf_dir, "embeddings"))

@@ -165,3 +165,22 @@ def test_cohort_ltv_cumulative_monotone_and_age0_cohort_size(spark, sf_dir):
         assert all(b >= a - 1e-6 for a, b in zip(cums, cums[1:]))
     # every customer appears in exactly one cohort's age-0 cell
     assert age0_customers == n_custs
+
+
+def test_kmeans_train_inertia_nonincreasing(spark, sf_dir):
+    """Lloyd's total inertia (sum n*mean_d2) must not increase across
+    iterations, and every iteration partitions all vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = analytics.embeddings_kmeans_train(emb).collect()
+    total = emb.count()
+    by_iter = {}
+    for r in rows:
+        by_iter.setdefault(r["iteration"], []).append(r)
+    assert sorted(by_iter) == list(range(analytics.KMEANS_ITERS))
+    inertias = []
+    for it in sorted(by_iter):
+        cells = by_iter[it]
+        assert sum(c["n"] for c in cells) == total
+        inertias.append(sum(c["n"] * c["mean_d2"] for c in cells))
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a * (1 + 1e-9)
