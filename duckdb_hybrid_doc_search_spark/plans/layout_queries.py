@@ -98,3 +98,52 @@ def lineitem_compaction_stats(spark: SparkSession,
         "files_before int, files_after int, bytes long, rows_before long, "
         "rows_after long, lossless boolean",
     )
+
+
+N_SHARDS = 8
+SHARD_MAX_RECORDS = 200
+
+
+@register("corpus_write_shards", oracle=None, bench=True)
+def corpus_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export: write the documents corpus as hash-bucketed
+    parquet shards (partitionBy shard + maxRecordsPerFile bounding file
+    size) and report measured per-shard stats from the written files —
+    the sink side of a data pipeline, recorded like the other layout
+    metrics. Shard assignment is md5-deterministic, so re-exports are
+    stable and resumable; losslessness (row counts in == out) is part of
+    the recorded output.
+
+    Output: shard, n_docs, n_files, total_chars.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = layout_fingerprint(docs, "doc_id", "text")
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    out = os.path.join(_scratch_root(), f"{sf}-shards-{fp}")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(N_SHARDS),
+    ).alias("shard")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            docs.select("doc_id", "text", "lang", "source", "n_chars", shard)
+            .repartition("shard")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", SHARD_MAX_RECORDS)
+            .partitionBy("shard")
+            .parquet(out)
+        )
+    written = spark.read.parquet(out)
+    files = written.select(
+        "shard", F.input_file_name().alias("f")
+    ).distinct().groupBy("shard").agg(F.count(F.lit(1)).alias("n_files"))
+    stats = written.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return (
+        stats.join(files, "shard")
+        .select("shard", "n_docs", "n_files", "total_chars")
+        .orderBy("shard")
+    )

@@ -69,3 +69,23 @@ def test_compaction_bounds_file_count(spark, tmp_path):
     df = spark.read.parquet(path)
     assert df.count() == 100_000
     assert df.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(100_000))
+
+
+def test_write_shards_lossless_and_bounded(spark, sf_dir):
+    """Shard export: rows in == rows out, every shard under the
+    maxRecordsPerFile bound per file, deterministic across reruns."""
+    from duckdb_hybrid_doc_search_spark.plans.layout_queries import (
+        SHARD_MAX_RECORDS,
+        corpus_write_shards,
+    )
+
+    out1 = {r["shard"]: r for r in corpus_write_shards(spark, sf_dir).collect()}
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in out1.values()) == docs_n
+    for r in out1.values():
+        # per-file bound: n_docs <= n_files * maxRecordsPerFile
+        assert r["n_docs"] <= r["n_files"] * SHARD_MAX_RECORDS
+    out2 = {r["shard"]: r for r in corpus_write_shards(spark, sf_dir).collect()}
+    assert {k: (v["n_docs"], v["total_chars"]) for k, v in out1.items()} == {
+        k: (v["n_docs"], v["total_chars"]) for k, v in out2.items()
+    }
