@@ -116,3 +116,17 @@ def test_search_nonexistent_index_raises(spark, tmp_path):
 
     with pytest.raises(Exception):
         DocSearchEngine(spark, str(tmp_path / "no_such_index")).search("x")
+
+
+def test_queries_on_missing_sf_dir_raise_analysis_error(spark):
+    """The error path the verify skill probes: a nonexistent sf_dir must
+    surface as a Spark AnalysisException, not a silent empty result."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from duckdb_hybrid_doc_search_spark.plans import registry
+
+    registry._load_all()
+    fn = registry.REGISTRY["tpch_q1_pricing_summary"].spark_fn
+    with pytest.raises(AnalysisException):
+        fn(spark, "/root/testdata/sf-does-not-exist").collect()
