@@ -547,3 +547,57 @@ def run_streaming_funnel_stages(
                    min(first_purchase) AS first_purchase
             FROM {query_name} GROUP BY user_id"""
     )
+
+
+def streaming_enrich_with_static_dim(
+    events: DataFrame, dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join — the third canonical streaming
+    join mode next to stream-stream (interval_join_clicks_purchases)
+    and stateful (sessionize): each micro-batch broadcast-joins the
+    static dimension; no state, no watermark needed on the static side.
+    The identical DataFrame expression is the batch specification.
+    """
+    enriched = events.join(F.broadcast(dim), "event_type").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "category",
+        "weight",
+        (F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
+    return enriched
+
+
+def event_type_dim(spark: SparkSession) -> DataFrame:
+    """Static event-type dimension (category + weighting) used by the
+    enrichment twin — a stand-in for any broadcast-sized dim table."""
+    rows = [
+        ("click", "engagement", 1.0),
+        ("view", "engagement", 0.5),
+        ("purchase", "revenue", 10.0),
+        ("signup", "growth", 5.0),
+        ("error", "ops", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, category string, weight double"
+    )
+
+
+def run_streaming_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "ev_enrich"
+) -> DataFrame:
+    stream = streaming_enrich_with_static_dim(
+        read_events_stream(spark, sf_dir), event_type_dim(spark)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

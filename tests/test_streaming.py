@@ -205,3 +205,26 @@ def test_streaming_funnel_matches_batch_mins(spark, sf_dir):
         if not (r["fv"] is None and r["fc"] is None and r["fp"] is None)
     }
     assert got == want
+
+
+def test_streaming_static_enrichment_equals_batch(spark, sf_dir):
+    """Stream-static broadcast join == the same expression in batch."""
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        event_type_dim,
+        run_streaming_enrich,
+        streaming_enrich_with_static_dim,
+    )
+
+    got = {
+        r["event_id"]: (r["category"], round(r["weighted_value"], 9))
+        for r in run_streaming_enrich(spark, sf_dir).collect()
+    }
+    batch = streaming_enrich_with_static_dim(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        event_type_dim(spark),
+    )
+    want = {
+        r["event_id"]: (r["category"], round(r["weighted_value"], 9))
+        for r in batch.collect()
+    }
+    assert got == want
