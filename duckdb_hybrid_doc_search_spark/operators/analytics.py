@@ -712,3 +712,61 @@ def embeddings_kmeans_train(embeddings: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         history, "iteration int, cluster_id long, n long, mean_d2 double"
     )
+
+
+# --- events_user_decay_avg --------------------------------------------------
+
+DECAY = 0.7          # weight multiplier per step back in time
+DECAY_HORIZON = 50   # only the last N events carry weight
+
+
+def events_user_decay_avg(events: DataFrame) -> DataFrame:
+    """Per-user exponentially-decayed recency-weighted average of
+    `value`: weight (DECAY)^k for the k-th most recent event, truncated
+    to the last DECAY_HORIZON events.
+
+    The bounded horizon is deliberate, not a shortcut: (0.7)^50 ~ 2e-8
+    so the tail is numerically irrelevant, and it makes the operator
+    scale-safe — an unbounded EWMA via the pow-window trick needs
+    (1-a)^(-i) terms that overflow doubles past ~2k events/user, while
+    this form is a per-user row_number (partition = one user's history)
+    plus a hash aggregate. Deterministic tie-break on event_id.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    e = events.select(
+        "user_id", "event_id", ts_micros(events).alias("us"), "value"
+    )
+    ranked = (
+        e.withColumn("k", F.row_number().over(w) - 1)
+        .where(F.col("k") < DECAY_HORIZON)
+        .withColumn("wt", F.pow(F.lit(DECAY), F.col("k")))
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            F.round(
+                F.sum(F.col("wt") * F.col("value")) / F.sum("wt"),
+                TREND_ROUND,
+            ).alias("decay_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def dd_events_user_decay_avg_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) DESC, event_id DESC) - 1 AS k
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_recent,
+       round(sum(pow({DECAY}, k) * value) / sum(pow({DECAY}, k)),
+             {TREND_ROUND}) AS decay_avg
+FROM ranked WHERE k < {DECAY_HORIZON}
+GROUP BY user_id ORDER BY user_id
+""".strip()

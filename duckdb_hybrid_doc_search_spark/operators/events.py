@@ -40,14 +40,17 @@ def ts_micros(events: DataFrame, col: str = "ts") -> Column:
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
-def sessionize(events: DataFrame) -> DataFrame:
-    """Gap-based sessionization: lag -> new-session flag -> running sum as
-    session number -> per-session aggregates. Two window passes over the
-    same (user_id, ts) partitioning — one shuffle, reused by both."""
+def session_events(events: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-event gap-based session assignment: lag -> new-session flag ->
+    running sum as session number. Two window passes over the same
+    (user_id, ts) partitioning — one shuffle, reused by both. Shared by
+    sessionize / session_paths; `extra_cols` carries additional event
+    columns through the windows."""
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     e = events.select(
-        "user_id", "event_id", ts_micros(events).alias("us"), "value"
+        "user_id", "event_id", ts_micros(events).alias("us"), "value",
+        *extra_cols,
     )
     flagged = e.withColumn(
         "brk",
@@ -57,9 +60,14 @@ def sessionize(events: DataFrame) -> DataFrame:
             F.when(F.lag("us").over(w).isNull(), 1).otherwise(0)
         ),
     )
-    sess = flagged.withColumn("session_no", F.sum("brk").over(wrun))
+    return flagged.withColumn("session_no", F.sum("brk").over(wrun))
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization: per-event session assignment
+    (session_events) -> per-session aggregates."""
     return (
-        sess.groupBy("user_id", "session_no")
+        session_events(events).groupBy("user_id", "session_no")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), VALUE_ROUND).alias("sum_value"),
@@ -1029,4 +1037,81 @@ FROM (
                             ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1 ORDER BY user_id
+""".strip()
+
+
+# --- session path mining ----------------------------------------------------
+
+PATHS_TOP = 20
+
+
+def session_paths(events: DataFrame) -> DataFrame:
+    """Top user journeys: the most frequent per-session event-type paths
+    ('a>b>c', events in time order), with session count and mean length.
+
+    Plan shape: the shared session_events windows (partitioned per user)
+    -> per-session collect_list of (us, event_id, event_type) structs,
+    sorted in-task by array_sort (a session's events — bounded by the
+    gap rule — never a global sort) -> hash aggregate on the path
+    string -> TakeOrderedAndProject for the top-N. The path count
+    shuffle is keyed on the path string; skew there is bounded by the
+    top paths themselves, which AQE splits if one dominates.
+    """
+    sess = session_events(events, "event_type")
+    per_session = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), VALUE_ROUND).alias("avg_len"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATHS_TOP)
+    )
+
+
+def dd_session_paths_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(us) OVER w IS NULL THEN 1
+         WHEN us - lag(us) OVER w > {SESSION_GAP_US} THEN 1
+         ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_no,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+         count(*)::BIGINT AS n_events
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT path, count(*)::BIGINT AS n_sessions,
+       round(avg(n_events), {VALUE_ROUND}) AS avg_len
+FROM per_session GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATHS_TOP}
 """.strip()

@@ -1,0 +1,313 @@
+"""Pattern-mining / data-management operators: market-basket association
+pairs, CDC MERGE upsert, and vocabulary-based spelling suggestion.
+
+These extend the engine's pipeline surface with the mining/maintenance
+queries a corpus team runs next to the doc-search core (ref has no
+counterpart — this is the beyond-reference LLM-pipeline family, same
+register+oracle contract as everything else).
+
+Scale notes (100 TB bar):
+- Basket pairs: the pair space is generated per order via a self-join
+  co-partitioned on the order key; TPC-H baskets hold ≤ 7 distinct parts,
+  so the blowup is ≤ C(7,2) = 21 pairs per order — linear in orders, never
+  |parts|². Support filtering happens in the pair aggregate, before the
+  (vocab-sized) item-count join.
+- MERGE upsert is one full-outer join on the key plus a hash aggregate —
+  the canonical distributed MERGE shape (Delta/Iceberg do the same join
+  under the hood). No driver-side state; the CDC batch is derived
+  in-plan and stays distributed.
+- Spell suggest broadcasts the (tiny) misspelled-query side into a
+  nested-loop join against the term vocabulary, with a length-band
+  predicate so each vocab row evaluates levenshtein against ≤ |queries|
+  candidates. Vocabulary is corpus-bounded (≈10⁸ terms at 100 TB), and
+  the join is embarrassingly parallel over vocab partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import dd_tokenize, tokenize
+
+MIN_SUPPORT = 2          # pair must co-occur in >= 2 orders
+BASKET_TOP = 50          # report top-N pairs by lift
+LIFT_ROUND = 6
+
+UPD_MOD = 3              # o_orderkey % 10 == 3 -> CDC update
+DEL_MOD = 7              # o_orderkey % 10 == 7 -> CDC delete
+INS_MOD = 5              # o_orderkey % 10 == 5 -> CDC insert (shifted key)
+UPD_FACTOR = 1.1         # updated rows get totalprice * 1.1
+
+SUGGEST_NQ = 8           # number of derived misspelled probe terms
+SUGGEST_MINLEN = 5       # only mutate terms long enough to stay unique
+SUGGEST_MAXDIST = 2      # edit-distance candidate radius
+
+
+# --- basket_part_pairs ------------------------------------------------------
+
+
+def basket_part_pairs(lineitem: DataFrame) -> DataFrame:
+    """Market-basket association: part pairs that co-occur in orders,
+    scored by lift = N * supp(a,b) / (supp(a) * supp(b)).
+
+    Plan shape: distinct (orderkey, partkey) -> self-join on orderkey
+    (both sides share one exchange) -> pair hash aggregate -> two joins
+    against the per-item support table -> scalar N broadcast. The pair
+    aggregate output is support-filtered before the item joins, so the
+    joins see only pairs with support >= MIN_SUPPORT.
+    """
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    n_orders = items.select(
+        F.countDistinct("okey").cast("double").alias("n_orders")
+    )
+    item_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
+
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.okey") == F.col("b.okey"),
+                      F.col("a.pkey") < F.col("b.pkey")])
+        .groupBy(F.col("a.pkey").alias("part_a"),
+                 F.col("b.pkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= MIN_SUPPORT)
+    )
+    scored = (
+        pairs
+        .join(item_cnt.withColumnRenamed("pkey", "part_a")
+              .withColumnRenamed("cnt", "cnt_a"), "part_a")
+        .join(item_cnt.withColumnRenamed("pkey", "part_b")
+              .withColumnRenamed("cnt", "cnt_b"), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b",
+            F.round(
+                F.col("pair_cnt") * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                LIFT_ROUND,
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP)
+    )
+
+
+def dd_basket_part_pairs_sql() -> str:
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+n AS (SELECT count(DISTINCT okey)::DOUBLE AS n_orders FROM items),
+item_cnt AS (SELECT pkey, count(*)::BIGINT AS cnt FROM items GROUP BY pkey),
+pairs AS (
+  SELECT a.pkey AS part_a, b.pkey AS part_b, count(*)::BIGINT AS pair_cnt
+  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY a.pkey, b.pkey
+  HAVING count(*) >= {MIN_SUPPORT}
+)
+SELECT part_a, part_b, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       round(pair_cnt * n.n_orders / (ca.cnt * cb.cnt), {LIFT_ROUND}) AS lift
+FROM pairs
+JOIN item_cnt ca ON ca.pkey = part_a
+JOIN item_cnt cb ON cb.pkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP}
+""".strip()
+
+
+# --- orders_merge_upsert ----------------------------------------------------
+
+
+def orders_merge_upsert(orders: DataFrame) -> DataFrame:
+    """Distributed MERGE (upsert + delete) of a CDC batch into the orders
+    snapshot, reporting action counts and the post-merge checksum.
+
+    The CDC batch is derived in-plan from the snapshot itself so the
+    query is deterministic and oracle-checkable:
+      - key % 10 == UPD_MOD (3): update (totalprice * 1.1, status 'U')
+      - key % 10 == DEL_MOD (7): delete
+      - key % 10 == INS_MOD (5): insert as a new key (old key + max_key)
+    MERGE = one full-outer join snapshot vs batch on the key + a CASE
+    per column — the same physical shape Delta Lake/Iceberg MERGE
+    compiles to. Single summary row out; everything before it is
+    distributed.
+    """
+    snap = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    max_key = snap.agg(F.max("key").alias("max_key"))
+    mod = F.col("key") % 10
+    upd = snap.where(mod == UPD_MOD).select(
+        "key",
+        F.round(F.col("price") * UPD_FACTOR, 2).alias("new_price"),
+        F.lit("U").alias("new_status"),
+        F.lit("update").alias("op"),
+    )
+    dele = snap.where(mod == DEL_MOD).select(
+        "key", F.lit(None).cast("double").alias("new_price"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit("delete").alias("op"),
+    )
+    ins = (
+        snap.where(mod == INS_MOD)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("key") + F.col("max_key")).alias("key"),
+            F.col("price").alias("new_price"),
+            F.lit("I").alias("new_status"),
+            F.lit("insert").alias("op"),
+        )
+    )
+    cdc = upd.unionByName(dele).unionByName(ins)
+
+    merged = snap.join(cdc, "key", "full_outer").select(
+        "key",
+        F.col("op"),
+        F.when(F.col("op") == "delete", F.lit(None).cast("double"))
+        .when(F.col("op").isNotNull(), F.col("new_price"))
+        .otherwise(F.col("price"))
+        .alias("m_price"),
+        F.col("price").isNotNull().alias("existed"),
+    )
+    return merged.agg(
+        F.sum(F.when(F.col("existed"), 1).otherwise(0))
+        .cast("long").alias("n_before"),
+        F.sum(F.when(F.col("op") == "insert", 1).otherwise(0))
+        .cast("long").alias("n_inserted"),
+        F.sum(F.when(F.col("op") == "update", 1).otherwise(0))
+        .cast("long").alias("n_updated"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+        .cast("long").alias("n_deleted"),
+        F.sum(F.when(F.col("m_price").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_after"),
+        F.round(F.sum("m_price"), 2).alias("total_price_after"),
+    )
+
+
+def dd_orders_merge_upsert_sql() -> str:
+    return f"""
+WITH snap AS (
+  SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
+  FROM orders
+),
+mk AS (SELECT max(key) AS max_key FROM snap),
+cdc AS (
+  SELECT key, round(price * {UPD_FACTOR}, 2) AS new_price, 'update' AS op
+  FROM snap WHERE key % 10 = {UPD_MOD}
+  UNION ALL
+  SELECT key, NULL::DOUBLE, 'delete' FROM snap WHERE key % 10 = {DEL_MOD}
+  UNION ALL
+  SELECT key + mk.max_key, price, 'insert'
+  FROM snap CROSS JOIN mk WHERE key % 10 = {INS_MOD}
+),
+merged AS (
+  SELECT coalesce(s.key, c.key) AS key, c.op,
+         CASE WHEN c.op = 'delete' THEN NULL
+              WHEN c.op IS NOT NULL THEN c.new_price
+              ELSE s.price END AS m_price,
+         s.key IS NOT NULL AS existed
+  FROM snap s FULL OUTER JOIN cdc c ON s.key = c.key
+)
+SELECT sum(CASE WHEN existed THEN 1 ELSE 0 END)::BIGINT AS n_before,
+       sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END)::BIGINT AS n_inserted,
+       sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END)::BIGINT AS n_updated,
+       sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+       sum(CASE WHEN m_price IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_after,
+       round(sum(m_price), 2) AS total_price_after
+FROM merged
+""".strip()
+
+
+# --- search_spell_suggest ---------------------------------------------------
+
+
+def spell_suggest(docs: DataFrame) -> DataFrame:
+    """Spelling suggestion from the corpus vocabulary: derive SUGGEST_NQ
+    misspelled probes (top frequent terms with the 2nd char dropped),
+    then pick each probe's best correction — minimum edit distance,
+    frequency desc, term asc — within distance <= SUGGEST_MAXDIST.
+
+    The probe side is SUGGEST_NQ rows -> broadcast nested-loop join
+    against the vocabulary with a length-band prefilter (abs(len diff)
+    <= SUGGEST_MAXDIST) so most vocab rows skip the levenshtein
+    entirely. The final pick is a per-probe row_number over at most
+    |vocab in band| candidates.
+    """
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        vocab.where(F.length("term") >= SUGGEST_MINLEN)
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(SUGGEST_NQ)
+        .select(
+            F.concat(F.substring("term", 1, 1),
+                     F.expr("substring(term, 3)")).alias("misspelled")
+        )
+        .distinct()
+    )
+    cand = (
+        vocab.join(
+            F.broadcast(probes),
+            on=[
+                F.abs(F.length("term") - F.length("misspelled"))
+                <= SUGGEST_MAXDIST,
+                F.levenshtein("term", "misspelled") <= SUGGEST_MAXDIST,
+            ],
+        )
+        .select(
+            "misspelled", "term", "cnt",
+            F.levenshtein("term", "misspelled").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("misspelled").orderBy(
+        F.asc("dist"), F.desc("cnt"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("misspelled", F.col("term").alias("suggestion"),
+                "dist", "cnt")
+        .orderBy("misspelled")
+    )
+
+
+def dd_spell_suggest_sql(table: str = "documents") -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest({toks}) AS term FROM {table})
+  GROUP BY term
+),
+probes AS (
+  SELECT DISTINCT misspelled FROM (
+    SELECT substr(term, 1, 1) || substr(term, 3) AS misspelled
+    FROM vocab WHERE length(term) >= {SUGGEST_MINLEN}
+    ORDER BY cnt DESC, term ASC LIMIT {SUGGEST_NQ}
+  )
+),
+cand AS (
+  SELECT p.misspelled, v.term, v.cnt,
+         levenshtein(v.term, p.misspelled) AS dist
+  FROM vocab v JOIN probes p
+    ON abs(length(v.term) - length(p.misspelled)) <= {SUGGEST_MAXDIST}
+   AND levenshtein(v.term, p.misspelled) <= {SUGGEST_MAXDIST}
+)
+SELECT misspelled, term AS suggestion, dist, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY misspelled
+              ORDER BY dist ASC, cnt DESC, term ASC) AS rnk
+  FROM cand
+) WHERE rnk = 1
+ORDER BY misspelled
+""".strip()

@@ -848,3 +848,79 @@ SELECT m.source, count(*)::BIGINT AS n_docs,
 FROM meta m JOIN q USING (doc_id)
 GROUP BY m.source ORDER BY m.source
 """.strip()
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+TFIDF_TOPK = 3
+TFIDF_ROUND = 6
+
+
+def tfidf_topk(docs: DataFrame) -> DataFrame:
+    """Per-document keyword extraction: top-K terms by smoothed TF-IDF
+    (tf * (ln((N+1)/(df+1)) + 1)), ties broken term-asc.
+
+    Plan shape: one tokenize+explode scan -> (doc_id, term) hash
+    aggregate (map-side combined) -> join the vocab-sized df table on
+    term (shuffle join — at 100 TB the vocabulary is too big to
+    broadcast, and term is already the aggregate key so the exchange is
+    reused) -> scalar N broadcast -> per-doc row_number window
+    (partition = one document's vocabulary, bounded by doc length).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                   + 1.0),
+                TFIDF_ROUND,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOPK)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def dd_tfidf_topk_sql(table: str = "documents") -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM {table})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM {table})
+SELECT doc_id, term, tf, score, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0),
+               {TFIDF_ROUND}) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0))
+                    + 1.0), {TFIDF_ROUND}) DESC, tf.term ASC) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rnk <= {TFIDF_TOPK}
+ORDER BY doc_id, rnk
+""".strip()

@@ -90,3 +90,9 @@ def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means (rows-only: float iteration); per-
     iteration cluster stats with inertia-monotonicity pinned in tests."""
     return analytics.embeddings_kmeans_train(_t(spark, sf_dir, "embeddings"))
+
+
+@register("events_user_decay_avg",
+          oracle=analytics.dd_events_user_decay_avg_sql(), defer_gate=True)
+def events_user_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_user_decay_avg(_t(spark, sf_dir, "events"))

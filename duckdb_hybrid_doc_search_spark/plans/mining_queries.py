@@ -1,0 +1,32 @@
+"""Registrations for the pattern-mining / data-management family
+(operators/mining.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..index.catalog import load_table
+from ..operators import mining
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register("basket_part_pairs", oracle=mining.dd_basket_part_pairs_sql(),
+          defer_gate=True)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mining.basket_part_pairs(_t(spark, sf_dir, "lineitem"))
+
+
+@register("orders_merge_upsert", oracle=mining.dd_orders_merge_upsert_sql(),
+          defer_gate=True)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mining.orders_merge_upsert(_t(spark, sf_dir, "orders"))
+
+
+@register("search_spell_suggest", oracle=mining.dd_spell_suggest_sql(),
+          defer_gate=True)
+def search_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mining.spell_suggest(_t(spark, sf_dir, "documents"))

@@ -435,3 +435,11 @@ def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality dashboard (mean quality/stopword ratio, PII
     incidence, mean length) — slice-level curation report."""
     return textstats.quality_by_source(_docs(spark, sf_dir))
+
+
+@register("text_tfidf_topk", oracle=textstats.dd_tfidf_topk_sql(),
+          defer_gate=True)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by smoothed TF-IDF (shuffle-join on term,
+    per-doc window bounded by doc vocabulary)."""
+    return textstats.tfidf_topk(_docs(spark, sf_dir))

@@ -154,8 +154,8 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import (analytics_queries, chunker_queries,  # noqa: F401
-                   doc_search_queries, layout_queries, mllib_queries,
-                   multimodal_queries, pipeline_queries, relational_queries,
-                   sql_queries)
+                   doc_search_queries, layout_queries, mining_queries,
+                   mllib_queries, multimodal_queries, pipeline_queries,
+                   relational_queries, sql_queries)
 
     _LOADED = True

@@ -671,3 +671,11 @@ def events_session_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC last-write-wins compaction (changelog -> snapshot)."""
     return events.latest_event_per_user(_t(spark, sf_dir, "events"))
+
+
+@register("events_session_paths", oracle=events.dd_session_paths_sql(),
+          defer_gate=True)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session event-type journeys (per-user windows -> in-task
+    array_sort -> path hash aggregate -> TakeOrderedAndProject)."""
+    return events.session_paths(_t(spark, sf_dir, "events"))

@@ -288,3 +288,49 @@ def test_per_entity_windows_are_partitioned(spark, sf_dir):
         for line in plan.splitlines():
             if "windowspecdefinition" in line.lower():
                 assert key in line, f"{name}: unpartitioned window: {line[:120]}"
+
+
+def test_mining_family_plan_shapes(spark, sf_dir):
+    """Round-4 mining ops keep their scale-critical shapes:
+    - basket pairs: per-order self-join (no cartesian), support filter
+      before the item-count joins, top-N via TakeOrderedAndProject;
+    - merge upsert: exactly one full-outer join, no Python stages;
+    - spell suggest: tiny probe side broadcast (nested-loop is fine,
+      cartesian of two large sides is not);
+    - tfidf + decay avg: every window partitioned by its entity key."""
+    plan = plan_of(registry.REGISTRY["basket_part_pairs"].spark_fn(
+        spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+
+    plan = plan_of(registry.REGISTRY["orders_merge_upsert"].spark_fn(
+        spark, sf_dir))
+    assert plan.count("FullOuter") == 1
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+
+    plan = plan_of(registry.REGISTRY["search_spell_suggest"].spark_fn(
+        spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    for name, key in {
+        "text_tfidf_topk": "doc_id",
+        "events_user_decay_avg": "user_id",
+    }.items():
+        plan = plan_of(registry.REGISTRY[name].spark_fn(spark, sf_dir))
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line.lower():
+                assert key in line, f"{name}: unpartitioned window: {line[:120]}"
+
+
+def test_session_paths_plan_shape(spark, sf_dir):
+    """Journey mining: session windows stay per-user partitioned, top-N
+    via TakeOrderedAndProject, no Python stages."""
+    plan = plan_of(registry.REGISTRY["events_session_paths"].spark_fn(
+        spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "user_id" in line, f"unpartitioned window: {line[:120]}"
