@@ -311,3 +311,75 @@ SELECT misspelled, term AS suggestion, dist, cnt FROM (
 ) WHERE rnk = 1
 ORDER BY misspelled
 """.strip()
+
+
+# --- orders_incremental_agg_merge -------------------------------------------
+
+INC_CUTOFF = "1997-01-01"   # old/delta split date for the maintenance demo
+INC_AVG_ROUND = 6
+_DEC = "decimal(30,8)"
+
+
+def incremental_agg_merge(orders: DataFrame) -> DataFrame:
+    """Incremental aggregate maintenance: per-status stats computed as
+    ALGEBRAIC PARTIALS over an 'old' slice (< INC_CUTOFF) and a 'delta'
+    slice (>= INC_CUTOFF), then merged — count by sum, decimal sums by
+    exact addition, min/max by min/max, avg derived at the end from the
+    merged sum/count. The result is bit-identical to aggregating the
+    full table directly (the oracle), which is the correctness property
+    incremental view maintenance relies on: at 100 TB you re-aggregate
+    only the new partition and merge partials, never rescan history.
+    """
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("sum_dec"),
+            F.min(us).alias("first_us"),
+            F.max(us).alias("last_us"),
+        )
+
+    cond = F.col("o_orderdate") < F.lit(INC_CUTOFF)
+    merged = (
+        partial(orders.where(cond))
+        .unionByName(partial(orders.where(~cond)))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+    )
+    return (
+        merged.select(
+            "o_orderstatus",
+            "n",
+            F.round(F.col("sum_dec"), 2).cast("double")
+            .alias("total_price"),
+            "first_us",
+            "last_us",
+        )
+        .withColumn(
+            "avg_price",
+            F.round(F.col("total_price") / F.col("n"), INC_AVG_ROUND),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def dd_incremental_agg_merge_sql() -> str:
+    return f"""
+SELECT o_orderstatus, n, total_price, first_us, last_us,
+       round(total_price / n, {INC_AVG_ROUND}) AS avg_price
+FROM (
+  SELECT o_orderstatus, count(*)::BIGINT AS n,
+         round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+           AS total_price,
+         min(epoch_us(o_orderdate)) AS first_us,
+         max(epoch_us(o_orderdate)) AS last_us
+  FROM orders GROUP BY o_orderstatus
+)
+ORDER BY o_orderstatus
+""".strip()

@@ -30,3 +30,11 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
           defer_gate=True)
 def search_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mining.spell_suggest(_t(spark, sf_dir, "documents"))
+
+
+@register("orders_incremental_agg_merge",
+          oracle=mining.dd_incremental_agg_merge_sql(), defer_gate=True)
+def orders_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate merge (old slice + delta slice) == direct
+    aggregate — the incremental view-maintenance correctness property."""
+    return mining.incremental_agg_merge(_t(spark, sf_dir, "orders"))

@@ -601,3 +601,79 @@ def run_streaming_enrich(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_latest_per_user(events: DataFrame) -> DataFrame:
+    """Streaming CDC upsert materialization: per user, maintain the
+    last-write-wins event (max by (us, event_id)) across micro-batches
+    and emit the current snapshot row after each batch that touches the
+    user — the streaming face of operators/events.latest_event_per_user
+    and the stateful core of orders_merge_upsert's batch MERGE: a
+    changelog folding into a keyed snapshot.
+
+    State per user = one (event_id, us, event_type, value) tuple —
+    O(active keys), no history retention. Emissions are monotone in
+    (us, event_id), so the per-user row with the max (us, event_id)
+    among emissions is the final snapshot.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "user_id long, event_id long, us long, event_type string, "
+        "value double"
+    )
+    state_schema = "eid long, us long, etype string, val double"
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        cur = tuple(state.get) if state.exists else None
+        touched = False
+        for pdf in pdf_iter:
+            for eid, us, et, val in zip(
+                pdf["event_id"], pdf["us"], pdf["event_type"], pdf["value"]
+            ):
+                eid, us = int(eid), int(us)
+                if cur is None or (us, eid) > (cur[1], cur[0]):
+                    cur = (eid, us, str(et), float(val))
+                    touched = True
+        cols = ["user_id", "event_id", "us", "event_type", "value"]
+        if touched:
+            state.update(cur)
+            yield pd.DataFrame(
+                [(user_id, cur[0], cur[1], cur[2], cur[3])], columns=cols
+            )
+        else:
+            yield pd.DataFrame([], columns=cols)
+
+    prepared = events.select(
+        "user_id", "event_id", ts_micros(events).alias("us"),
+        "event_type", "value",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def run_streaming_latest_per_user(
+    spark: SparkSession, sf_dir: str, query_name: str = "ev_latest"
+) -> DataFrame:
+    """Drive the CDC upsert over the bounded source; the final snapshot
+    per user is its emission with the max (us, event_id)."""
+    stream = streaming_latest_per_user(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""SELECT user_id, event_id, us, event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY us DESC, event_id DESC) AS rn
+              FROM {query_name}
+            ) WHERE rn = 1"""
+    )

@@ -228,3 +228,27 @@ def test_streaming_static_enrichment_equals_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_latest_per_user_matches_batch(spark, sf_dir):
+    """Stateful streaming CDC upsert snapshot == the batch last-write-wins
+    compaction (events_latest_per_user) — changelog folding equivalence."""
+    from duckdb_hybrid_doc_search_spark.operators.events import (
+        latest_event_per_user,
+    )
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        run_streaming_latest_per_user,
+    )
+
+    got = {
+        r["user_id"]: (r["event_id"], r["us"], r["event_type"],
+                       round(r["value"], 6))
+        for r in run_streaming_latest_per_user(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["user_id"]: (r["event_id"], r["us"], r["event_type"],
+                       round(r["value"], 6))
+        for r in latest_event_per_user(ev).collect()
+    }
+    assert got == want
