@@ -57,9 +57,13 @@ def basket_part_pairs(lineitem: DataFrame) -> DataFrame:
     aggregate output is support-filtered before the item joins, so the
     joins see only pairs with support >= MIN_SUPPORT.
     """
+    # the distinct item table feeds four subtrees (both self-join sides,
+    # item counts, order count); persist it once instead of re-running
+    # the scan + distinct shuffle per consumer (bench clearCache()s
+    # between queries, so storage stays bounded by one query)
     items = lineitem.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
+    ).distinct().persist()
     n_orders = items.select(
         F.countDistinct("okey").cast("double").alias("n_orders")
     )

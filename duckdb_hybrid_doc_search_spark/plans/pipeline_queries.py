@@ -443,3 +443,26 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by smoothed TF-IDF (shuffle-join on term,
     per-doc window bounded by doc vocabulary)."""
     return textstats.tfidf_topk(_docs(spark, sf_dir))
+
+
+@register(
+    "orc_documents_scan",
+    oracle="""
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+""".strip(),
+    defer_gate=True,
+)
+def orc_documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC corpus source round-trip: documents migrated to ORC once per
+    source generation (mtime+size-keyed cache, sources/orcsrc.py), read
+    back splittably, every row's text md5-verified against the parquet
+    original via the oracle."""
+    from ..sources.orcsrc import ensure_orc_documents, read_orc_docs
+
+    path = ensure_orc_documents(spark, sf_dir)
+    df = read_orc_docs(spark, path)
+    return df.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")

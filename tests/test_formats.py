@@ -60,3 +60,31 @@ def test_avro_not_bundled_documented():
 
     jars = __import__("pathlib").Path(pyspark.__file__).parent / "jars"
     assert not list(jars.glob("spark-avro*.jar"))
+
+
+def test_orc_docs_cache_and_gc(spark, sf_dir, tmp_path):
+    """ensure_orc_documents writes once per source generation, reuses the
+    cached copy, and GCs only older generations of the SAME corpus stem
+    (a corpus whose name extends the stem survives)."""
+    import os
+
+    from duckdb_hybrid_doc_search_spark.sources.orcsrc import (
+        _ORC_VERSION, ensure_orc_documents,
+    )
+
+    root = str(tmp_path / "orc_root")
+    p1 = ensure_orc_documents(spark, sf_dir, root=root)
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    assert ensure_orc_documents(spark, sf_dir, root=root) == p1
+    assert os.path.getmtime(os.path.join(p1, "_SUCCESS")) == mtime  # reused
+
+    stem = os.path.basename(os.path.normpath(sf_dir)) + "-documents"
+    stale = os.path.join(root, f"{stem}-v{_ORC_VERSION}-0-0")
+    unrelated = os.path.join(root, f"{stem}2-v{_ORC_VERSION}-0-0")
+    os.makedirs(stale); os.makedirs(unrelated)
+    # force a rebuild by removing the success marker
+    os.remove(os.path.join(p1, "_SUCCESS"))
+    ensure_orc_documents(spark, sf_dir, root=root)
+    assert not os.path.exists(stale)       # same-corpus older gen collected
+    assert os.path.exists(unrelated)       # name-extending corpus survives

@@ -48,6 +48,9 @@ QUERIES = [
     "orders_cohort_ltv",             # window min + grouped agg
     "lineitem_stats_moments",        # moment aggregate
     "corpus_curation_pipeline",      # composed keep-set
+    "basket_part_pairs",             # per-order self-join pair mining
+    "events_session_paths",          # session windows + path aggregate
+    "orders_merge_upsert",           # full-outer MERGE + summary agg
 ]
 
 
