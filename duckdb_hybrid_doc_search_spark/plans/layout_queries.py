@@ -147,3 +147,67 @@ def corpus_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "n_docs", "n_files", "total_chars")
         .orderBy("shard")
     )
+
+
+PRUNE_YEARS = (1996, 1997)  # two-year probe window
+
+
+@register("orders_partition_prune_stats", oracle=None, bench=True)
+def orders_partition_prune_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Measured HIVE-PARTITION pruning (directory-level, the coarse
+    complement to z-order's file-level skipping): orders written
+    partitionBy(o_year) once per corpus fingerprint, then a two-year
+    probe is measured three ways — partition directories matched vs
+    total, actual files opened by the pruned scan (input_file_name on
+    the filtered read) vs files on disk, and a count+DECIMAL-checksum
+    equality flag against the same filter on the unpartitioned source.
+    At 100 TB partition pruning is the FIRST line of scan economics:
+    the probe must never open a non-matching year's directory."""
+    orders = load_table(spark, sf_dir, "orders")
+    withy = orders.withColumn("o_year", F.year("o_orderdate"))
+    fp = layout_fingerprint(orders, "o_orderkey")
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    outdir = os.path.join(_scratch_root(), f"{sf}-opart-{fp}")
+    if not os.path.exists(os.path.join(outdir, "_SUCCESS")):
+        withy.write.partitionBy("o_year").mode("overwrite").parquet(outdir)
+
+    part_dirs = [d for d in os.listdir(outdir) if d.startswith("o_year=")]
+    files_total = sum(
+        1
+        for d in part_dirs
+        for f in os.listdir(os.path.join(outdir, d))
+        if f.endswith(".parquet")
+    )
+    lo, hi = PRUNE_YEARS
+    matched_dirs = [
+        d for d in part_dirs
+        if lo <= int(d.split("=", 1)[1]) <= hi
+    ]
+
+    pruned = spark.read.parquet(outdir).where(
+        (F.col("o_year") >= lo) & (F.col("o_year") <= hi)
+    )
+    files_read = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    got = pruned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("s"),
+    ).collect()[0]
+    want = withy.where(
+        (F.col("o_year") >= lo) & (F.col("o_year") <= hi)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("s"),
+    ).collect()[0]
+
+    return spark.createDataFrame(
+        [(
+            len(part_dirs), len(matched_dirs), files_total, files_read,
+            int(got["n"]),
+            bool(got["n"] == want["n"] and got["s"] == want["s"]),
+        )],
+        "n_partitions int, partitions_matched int, files_total int, "
+        "files_read int, rows_read long, matches_unpartitioned boolean",
+    )

@@ -52,17 +52,19 @@ def bench_queries() -> dict[str, SparkQuery]:
 
 
 # Queries whose IMPLEMENTATION changed since their last green driver row —
-# they jump the gate queue right after never-checked queries. Maintained
-# per round; safe to leave stale (costs only window slots, never coverage).
-RECHECK: set[str] = {
+# they jump the gate queue right after never-checked queries. Maps name ->
+# round the change landed in: the flag SELF-CLEARS once a driver row from
+# that round (or later) comes back green, so stale entries stop costing
+# window slots without per-round manual cleanup.
+RECHECK: dict[str, int] = {
     # r3 hash fails: oracle SQL produced DuckDB HUGEINT columns (uncast
     # integer sums) which the driver serializes differently from BIGINT.
-    # Fixed with ::BIGINT casts this round — re-verify.
-    "events_sessionization",
-    "events_props_json_stats",
-    "events_props_map_stats",
-    # green r3 but rewritten this round (global ntile -> distributed_ntile)
-    "customer_rfm_segments",
+    # Fixed with ::BIGINT casts in round 4 — re-verify.
+    "events_sessionization": 4,
+    "events_props_json_stats": 4,
+    "events_props_map_stats": 4,
+    # green r3 but rewritten in round 4 (global ntile -> distributed_ntile)
+    "customer_rfm_segments": 4,
 }
 
 
@@ -123,7 +125,10 @@ def _gate_ordered() -> list[str]:
             # priority set from the window)
             return ((3, order) if qd.defer_gate else (0, order))
         last_round, green = hist[name]
-        if name in RECHECK or not green:
+        recheck_pending = (
+            name in RECHECK and (last_round < RECHECK[name] or not green)
+        )
+        if recheck_pending or not green:
             return (1, order)  # impl changed or last check failed
         return (2, last_round)  # green tail: stalest check rotates first
 

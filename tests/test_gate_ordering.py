@@ -1,0 +1,72 @@
+"""Unit tests for the driver-gate queue policy (plans/registry.py).
+
+The external driver verifies only the first ~50 entries of queries() per
+round, so _gate_ordered IS coverage policy: never-checked oracled queries
+jump the queue, failed/changed ones re-check next, green ones rotate by
+staleness, rows-only and deliberately-deferred entries wait.
+"""
+
+from __future__ import annotations
+
+from duckdb_hybrid_doc_search_spark.plans import registry
+
+
+def _rank_with(monkeypatch, hist, recheck, defs):
+    """Run _gate_ordered against synthetic history/registry state."""
+    monkeypatch.setattr(registry, "_check_history", lambda: hist)
+    monkeypatch.setattr(registry, "RECHECK", recheck)
+    monkeypatch.setattr(registry, "_LOADED", True)
+    fake = {
+        name: registry.QueryDef(name, lambda *a: None, oracle, True, defer)
+        for name, (oracle, defer) in defs.items()
+    }
+    monkeypatch.setattr(registry, "REGISTRY", fake)
+    return registry._gate_ordered()
+
+
+def test_priority_tiers(monkeypatch):
+    order = _rank_with(
+        monkeypatch,
+        hist={"green_old": (1, True), "green_new": (3, True),
+              "red": (3, False)},
+        recheck={},
+        defs={
+            "rows_only": (None, False),
+            "green_new": ("SELECT 1", False),
+            "deferred": ("SELECT 1", True),
+            "never": ("SELECT 1", False),
+            "green_old": ("SELECT 1", False),
+            "red": ("SELECT 1", False),
+        },
+    )
+    assert order[0] == "never"          # unchecked jumps the queue
+    assert order[1] == "red"            # failed check next
+    assert order[2] == "green_old"      # stalest green rotates first
+    assert order[3] == "green_new"
+    assert order[4] == "deferred"       # held back one round
+    assert order[5] == "rows_only"      # weakest signal last
+
+
+def test_recheck_self_clears_after_green_row(monkeypatch):
+    """A RECHECK flag (impl changed in round R) stops boosting once a
+    driver row from round >= R is green — stale flags cost nothing."""
+    defs = {"q": ("SELECT 1", False), "tail": ("SELECT 1", False)}
+    # green row from BEFORE the change round: still needs re-check
+    order = _rank_with(
+        monkeypatch, hist={"q": (3, True), "tail": (2, True)},
+        recheck={"q": 4}, defs=defs,
+    )
+    assert order[0] == "q"
+    # green row from the change round itself: flag satisfied, rotates by
+    # staleness again (tail is staler)
+    order = _rank_with(
+        monkeypatch, hist={"q": (4, True), "tail": (2, True)},
+        recheck={"q": 4}, defs=defs,
+    )
+    assert order[0] == "tail"
+    # red row from the change round: keeps the boost
+    order = _rank_with(
+        monkeypatch, hist={"q": (4, False), "tail": (2, True)},
+        recheck={"q": 4}, defs=defs,
+    )
+    assert order[0] == "q"

@@ -334,3 +334,30 @@ def test_session_paths_plan_shape(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "user_id" in line, f"unpartitioned window: {line[:120]}"
+
+
+def test_partition_prune_probe_has_partition_filters(spark, sf_dir):
+    """The hive-partitioned probe must prune at the directory level:
+    PartitionFilters on o_year in the scan, and only the matched year
+    directories' files opened."""
+    import os
+
+    from duckdb_hybrid_doc_search_spark.plans import layout_queries as lq
+
+    # materialize the layout (cached per fingerprint), then inspect the
+    # probe's scan node
+    lq.orders_partition_prune_stats(spark, sf_dir).collect()
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.index.fingerprint import (
+        layout_fingerprint,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    fp = layout_fingerprint(orders, "o_orderkey")
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    outdir = os.path.join(lq._scratch_root(), f"{sf}-opart-{fp}")
+    lo, hi = lq.PRUNE_YEARS
+    pruned = spark.read.parquet(outdir).where(
+        (F.col("o_year") >= lo) & (F.col("o_year") <= hi)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan
