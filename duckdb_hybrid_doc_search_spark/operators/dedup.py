@@ -742,3 +742,81 @@ SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
        round(avg(est_jaccard), {SCORE_ROUND}) AS mean_jaccard
 FROM j GROUP BY source_a, source_b ORDER BY source_a, source_b
 """.strip()
+
+
+# --- near-dup graph PageRank -------------------------------------------------
+
+PR_ITERS = 8
+PR_DAMPING = 0.85
+PR_ROUND = 6
+
+
+def dedup_graph_pagerank(docs: DataFrame) -> DataFrame:
+    """PageRank centrality over the minhash-LSH near-dup graph: which
+    documents sit at the CENTER of duplication clusters (canonical-copy
+    candidates — survivorship by centrality instead of quality score).
+
+    Power iteration on DataFrames: per round one (edges ⋈ ranks) join +
+    one dst-keyed sum — the standard distributed PageRank shape, damping
+    mass redistributed uniformly over the graph's nodes. Same loop
+    disciplines as dedup_components: localCheckpoint per round (lineage
+    truncation) and partitioning sized to the LSH pair graph, not the
+    corpus. Driver sees only the node count and top rows. Deterministic:
+    fixed PR_ITERS power iterations, no convergence randomness.
+
+    Output: the top-20 docs by rank (rank desc, doc_id asc) with their
+    degree — rows-only (iterative float fixpoint; no SQL oracle), the
+    recorded metric being the rank mass concentration itself.
+    """
+    pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = sym.localCheckpoint()
+    n_edges = edges.count()
+    npart = max(1, min(200, n_edges // 100_000 + 1))
+    edges = edges.repartition(npart, "src")
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg").localCheckpoint()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, rank double, deg long"
+        )
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint()
+    base = (1.0 - PR_DAMPING) / n_nodes
+    for it in range(PR_ITERS):
+        contrib = (
+            edges.join(nodes, edges["src"] == nodes["node"])
+            .join(ranks.select(F.col("node").alias("rn"), "rank"),
+                  F.col("src") == F.col("rn"))
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+            .select(
+                "node",
+                (F.lit(base) + F.lit(PR_DAMPING) * F.col("in_mass"))
+                .alias("rank"),
+            )
+        )
+        # per-round checkpoint, like dedup_components: although ranks
+        # feeds the next round only once (linear lineage, no 4-way
+        # blowup), measured at sf0.1 a depth-4 uncheckpointed chain
+        # DOUBLES wall time (4.5s -> 9.2s) — Catalyst re-analysis of the
+        # nested join tree costs more than the extra checkpoint jobs
+        ranks = ranks.localCheckpoint()
+    return (
+        ranks.join(nodes.select("node", "deg"), "node")
+        .select(F.col("node").alias("doc_id"),
+                F.round("rank", PR_ROUND).alias("rank"), "deg")
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+    )

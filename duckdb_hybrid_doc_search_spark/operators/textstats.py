@@ -924,3 +924,66 @@ SELECT doc_id, term, tf, score, rnk FROM (
 ) WHERE rnk <= {TFIDF_TOPK}
 ORDER BY doc_id, rnk
 """.strip()
+
+
+# --- CCNet-style perplexity buckets ------------------------------------------
+
+PPL_BUCKETS = 3  # head / middle / tail
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style corpus partition: rank documents by their unigram-LM
+    average log-probability and split into equal-mass head/middle/tail
+    terciles, reporting per-bucket count and quality-signal bounds.
+
+    Composition: unigram_logprob_scores (one token explode, broadcast
+    term totals) -> relational.distributed_ntile on (avg_logprob,
+    doc_id) — the rank never runs a global single-partition sort — ->
+    per-bucket aggregate. The oracle ranks with plain ntile, which is
+    bit-identical because the order is total (doc_id tie-break).
+    Head docs (bucket 1) are the LOWEST logprob = least typical text:
+    CCNet keeps the tail, inspects the head.
+    """
+    from .relational import distributed_ntile
+
+    scored = unigram_logprob_scores(docs)
+    bucketed = distributed_ntile(
+        scored, PPL_BUCKETS, ["avg_logprob", "doc_id"]
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("avg_logprob"), SCORE_ROUND).alias("lo"),
+            F.round(F.max("avg_logprob"), SCORE_ROUND).alias("hi"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def dd_perplexity_buckets_sql(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_dd_toks()}) AS term FROM {table}
+),
+term_tot AS (SELECT term, count(*)::BIGINT AS ct FROM toks GROUP BY term),
+total AS (SELECT sum(ct)::BIGINT AS total FROM term_tot),
+scored AS (
+  SELECT doc_id, round(avg(ln(ct * 1.0 / total)), {SCORE_ROUND})
+           AS avg_logprob,
+         count(*)::BIGINT AS n_tokens
+  FROM toks JOIN term_tot USING (term) CROSS JOIN total
+  GROUP BY doc_id
+),
+bucketed AS (
+  SELECT *, ntile({PPL_BUCKETS}) OVER (ORDER BY avg_logprob, doc_id)::INT
+           AS bucket
+  FROM scored
+)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       round(min(avg_logprob), {SCORE_ROUND}) AS lo,
+       round(max(avg_logprob), {SCORE_ROUND}) AS hi,
+       sum(n_tokens)::BIGINT AS sum_tokens
+FROM bucketed GROUP BY bucket ORDER BY bucket
+""".strip()

@@ -466,3 +466,18 @@ def orc_documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars",
         F.md5(F.col("text")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+@register("corpus_perplexity_buckets",
+          oracle=textstats.dd_perplexity_buckets_sql(), defer_gate=True)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles of the unigram-LM quality
+    signal (distributed_ntile — no global single-partition sort)."""
+    return textstats.perplexity_buckets(_docs(spark, sf_dir))
+
+
+@register("dedup_graph_pagerank", oracle=None)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the LSH near-dup graph (canonical-copy
+    candidates by centrality); rows-only — iterative float fixpoint."""
+    return dedup.dedup_graph_pagerank(_docs(spark, sf_dir))

