@@ -770,3 +770,49 @@ SELECT user_id, count(*)::BIGINT AS n_recent,
 FROM ranked WHERE k < {DECAY_HORIZON}
 GROUP BY user_id ORDER BY user_id
 """.strip()
+
+
+# --- events_hll_union_types -------------------------------------------------
+
+
+def events_hll_union_types(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch distinct counting: one HLL sketch of user_id per
+    event type (Datasketches HllSketch via hll_sketch_agg), then the
+    per-type sketches UNION-merged (hll_union_agg) into a corpus-wide
+    estimate — recorded against the exact distinct counts.
+
+    This is the pre-aggregation contract that makes 100 TB dashboards
+    cheap: materialize one small sketch per (type, partition), answer
+    any union of slices by merging sketches — never rescan raw events.
+    Deterministic (HLL is hash-based, no RNG); rows-only because sketch
+    internals are not SQL-expressible — the recorded rel_err IS the
+    gate, same discipline as the HLL++/count-min error rows.
+    """
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    per_type = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("estimate"),
+        "exact",
+    )
+    merged = sk.agg(F.hll_union_agg("sk").alias("msk"))
+    total = events.agg(F.countDistinct("user_id").alias("exact"))
+    merged_row = merged.crossJoin(F.broadcast(total)).select(
+        F.lit("__merged__").alias("event_type"),
+        F.hll_sketch_estimate("msk").cast("long").alias("estimate"),
+        "exact",
+    )
+    return (
+        per_type.unionByName(merged_row)
+        .select(
+            "event_type", "estimate", "exact",
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact"))
+                / F.col("exact"),
+                TREND_ROUND,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

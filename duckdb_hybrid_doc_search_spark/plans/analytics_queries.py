@@ -96,3 +96,10 @@ def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=analytics.dd_events_user_decay_avg_sql(), defer_gate=True)
 def events_user_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_user_decay_avg(_t(spark, sf_dir, "events"))
+
+
+@register("events_hll_union_types", oracle=None)
+def events_hll_union_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches per event type + union-merge, error vs
+    exact recorded (rows-only: sketch internals aren't SQL)."""
+    return analytics.events_hll_union_types(_t(spark, sf_dir, "events"))

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.catalog import load_table
-from ..operators import curation, dedup, knn, packing, textstats
+from ..operators import curation, dedup, knn, packing, textstats, udtfs
 from .registry import register
 
 ANN_K = 5
@@ -481,3 +481,12 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the LSH near-dup graph (canonical-copy
     candidates by centrality); rows-only — iterative float fixpoint."""
     return dedup.dedup_graph_pagerank(_docs(spark, sf_dir))
+
+
+@register("udtf_sentence_split", oracle=udtfs.dd_sentence_split_sql(),
+          defer_gate=True)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4) via LATERAL: per-doc sentence table;
+    tests pin it equal to the vectorized posexplode form the hot path
+    uses (operators/udtfs.py)."""
+    return udtfs.sentence_split_udtf(_docs(spark, sf_dir))

@@ -83,3 +83,45 @@ def sql_segment_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-ranked top balances per segment — windowed SQL text form."""
     _ensure_views(spark, sf_dir)
     return spark.sql(_SQL_RANKED)
+
+
+_SQL_LATERAL = """
+SELECT n_name, c_custkey, c_acctbal, t.o_orderkey, t.top_price
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey,
+LATERAL (
+  SELECT o_orderkey, round(o_totalprice, 2) AS top_price
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 1
+) AS t
+WHERE c_acctbal > 9900
+ORDER BY n_name, c_custkey
+""".strip()
+
+
+@register(
+    "sql_lateral_top_order",
+    oracle="""
+SELECT n_name, c_custkey, c_acctbal, t.o_orderkey, t.top_price
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey,
+LATERAL (
+  SELECT o_orderkey, round(o_totalprice, 2) AS top_price
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 1
+) AS t
+WHERE c_acctbal > 9900
+ORDER BY n_name, c_custkey
+""".strip(),
+    defer_gate=True,
+)
+def sql_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (each high-balance customer's single
+    top order) — the exact text runs on BOTH engines; Catalyst decorrelates
+    the lateral into a ranked join, no per-row re-execution."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)

@@ -184,3 +184,19 @@ def test_kmeans_train_inertia_nonincreasing(spark, sf_dir):
         inertias.append(sum(c["n"] * c["mean_d2"] for c in cells))
     for a, b in zip(inertias, inertias[1:]):
         assert b <= a * (1 + 1e-9)
+
+
+def test_hll_union_matches_exact_within_tolerance(spark, sf_dir):
+    """Sketch-merge property: the unioned per-type sketches estimate the
+    corpus-wide distinct within HLL tolerance (lgK default 12 -> ~1.6%
+    at 3 sigma), and per-type estimates match their own exact counts."""
+    from duckdb_hybrid_doc_search_spark.operators import analytics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = {r["event_type"]: r for r in
+            analytics.events_hll_union_types(ev).collect()}
+    assert "__merged__" in rows
+    for r in rows.values():
+        assert r["rel_err"] <= 0.05
+    merged = rows.pop("__merged__")
+    assert merged["exact"] >= max(r["exact"] for r in rows.values())

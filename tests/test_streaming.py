@@ -252,3 +252,41 @@ def test_streaming_latest_per_user_matches_batch(spark, sf_dir):
         for r in latest_event_per_user(ev).collect()
     }
     assert got == want
+
+
+def test_streaming_stateful_on_rocksdb_state_store(spark, sf_dir):
+    """The stateful CDC upsert runs unchanged on the RocksDB state store
+    provider (the production-scale backend: state spills to disk instead
+    of living on the JVM heap) and still equals the batch compaction."""
+    from duckdb_hybrid_doc_search_spark.operators.events import (
+        latest_event_per_user,
+    )
+    from duckdb_hybrid_doc_search_spark.streaming.events import (
+        run_streaming_latest_per_user,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            r["user_id"]: (r["event_id"], r["us"])
+            for r in run_streaming_latest_per_user(
+                spark, sf_dir, query_name="ev_latest_rocks"
+            ).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["user_id"]: (r["event_id"], r["us"])
+        for r in latest_event_per_user(ev).collect()
+    }
+    assert got == want
