@@ -816,3 +816,94 @@ def events_hll_union_types(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- events_range_frame_sum -------------------------------------------------
+
+RANGE_FRAME_US = 3600 * 1_000_000  # 1h trailing window
+
+
+def events_range_frame_sum(events: DataFrame) -> DataFrame:
+    """Time-RANGE window frames: per event, the count and value-sum of
+    the same user's events in the trailing hour (RANGE BETWEEN 3600s
+    PRECEDING AND CURRENT ROW over epoch-micro event time) — the frame
+    semantics tumbling windows can't express (every row gets its own
+    trailing window).
+
+    Partitioned per user; within a partition the range frame is a
+    two-pointer sweep over the sorted history — linear, no self-join
+    blowup, and partition size stays one user's history at any corpus
+    scale. Ties at the same timestamp all enter the frame (RANGE, not
+    ROWS) — deterministic regardless of intra-ts order.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    e = events.select(
+        "user_id", "event_id", ts_micros(events).alias("us"), "value"
+    )
+    return (
+        e.select(
+            "user_id", "event_id", "us",
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.round(F.sum("value").over(w), TREND_ROUND)
+            .alias("sum_trailing_1h"),
+        )
+        .orderBy("user_id", "us", "event_id")
+    )
+
+
+def dd_events_range_frame_sum_sql() -> str:
+    return f"""
+SELECT user_id, event_id, epoch_us(ts) AS us,
+       count(*) OVER w AS n_trailing_1h,
+       round(sum(value) OVER w, {TREND_ROUND}) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, us, event_id
+""".strip()
+
+
+# --- events_data_quality ----------------------------------------------------
+
+
+def events_data_quality(events: DataFrame) -> DataFrame:
+    """Per-user data-quality audit: event count, distinct ids, id-range
+    coverage (ids missing between the user's min and max), duplicate-id
+    flag, and null-value count — the integrity profile a pipeline runs
+    before trusting an ingest partition. One hash aggregate, map-side
+    partials, no windows."""
+    e = events.select("user_id", "event_id", "value")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("n_distinct_ids"),
+            (
+                F.max("event_id") - F.min("event_id") + 1
+                - F.countDistinct("event_id")
+            ).alias("ids_missing_in_range"),
+            (F.count(F.lit(1)) > F.countDistinct("event_id"))
+            .alias("has_dup_ids"),
+            F.sum(
+                F.when(F.col("value").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null_values"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def dd_events_data_quality_sql() -> str:
+    return """
+SELECT user_id, count(*)::BIGINT AS n,
+       count(DISTINCT event_id)::BIGINT AS n_distinct_ids,
+       (max(event_id) - min(event_id) + 1
+        - count(DISTINCT event_id))::BIGINT AS ids_missing_in_range,
+       (count(*) > count(DISTINCT event_id)) AS has_dup_ids,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_null_values
+FROM events GROUP BY user_id ORDER BY user_id
+""".strip()

@@ -387,3 +387,64 @@ FROM (
 )
 ORDER BY o_orderstatus
 """.strip()
+
+
+# --- corpus_schema_profile ---------------------------------------------------
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+PROFILE_STRLEN = 32
+
+
+def schema_profile(docs: DataFrame) -> DataFrame:
+    """ANALYZE-style column profile of the documents table: per column
+    the null count, distinct count, and (string-rendered, truncated)
+    min/max — the stats layer every ingest pipeline materializes before
+    trusting a drop.
+
+    ONE pass: all per-column aggregates compute in a single hash
+    aggregate (4 x |cols| expressions, map-side partials), then the
+    1-row result unpivots to a row per column via stack() —
+    driver-independent of table size. countDistinct over several
+    columns in one aggregate expands to Expand+partial-distinct plans;
+    at extreme widths switch to approx_count_distinct per column.
+    """
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.substring(F.min(F.col(c)).cast("string"), 1, PROFILE_STRLEN)
+            .alias(f"{c}__min"),
+            F.substring(F.max(F.col(c)).cast("string"), 1, PROFILE_STRLEN)
+            .alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__dist, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, n_nulls, n_distinct, min_val, max_val)"
+            )
+        )
+        .orderBy("column_name")
+    )
+
+
+def dd_schema_profile_sql(table: str = "documents") -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS column_name,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       substr(min({c})::VARCHAR, 1, {PROFILE_STRLEN}) AS min_val,
+       substr(max({c})::VARCHAR, 1, {PROFILE_STRLEN}) AS max_val
+FROM {table}
+""".strip()
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"

@@ -2057,3 +2057,102 @@ FROM ranked
 WHERE cum_rev >= {PARETO_TOP_SHARE} * total_rev
 GROUP BY n_name ORDER BY n_name
 """.strip()
+
+
+# --- part_container_arrays ---------------------------------------------------
+
+ARRAY_PROBE_TYPE = "ECONOMY"
+
+
+def part_type_arrays(part: DataFrame) -> DataFrame:
+    """Array-typed analytics surface: per brand, the sorted distinct
+    type list (collect_set -> array_sort), its size, a membership
+    probe, and the array of per-type counts zipped as 'name:count'
+    strings — collection functions (collect_set, array_sort, transform,
+    array_contains, array_join) over grouped data, with exact DuckDB
+    list-function parity.
+
+    collect_set per brand is bounded by the TYPE DOMAIN (6 values in
+    this dataset), not by row count — the precondition for any collect_* at
+    scale; unbounded-domain collects belong in explode/aggregate form.
+    """
+    per_bc = part.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_bc.groupBy("p_brand")
+        .agg(
+            F.array_sort(F.collect_set("p_type")).alias("types"),
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(":", "p_type", F.col("c").cast("string"))
+                )
+            ).alias("type_counts"),
+        )
+        .select(
+            "p_brand",
+            "types",
+            F.size("types").alias("n_types"),
+            F.array_contains("types", ARRAY_PROBE_TYPE)
+            .alias("has_probe"),
+            F.array_join("type_counts", ",").alias("counts_csv"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def dd_part_type_arrays_sql() -> str:
+    return f"""
+WITH per_bc AS (
+  SELECT p_brand, p_type, count(*)::BIGINT AS c
+  FROM part GROUP BY p_brand, p_type
+)
+SELECT p_brand,
+       list_sort(list(DISTINCT p_type)) AS types,
+       len(list_sort(list(DISTINCT p_type)))::INT AS n_types,
+       list_contains(list(DISTINCT p_type),
+                     '{ARRAY_PROBE_TYPE}') AS has_probe,
+       list_aggregate(
+         list_sort(list(p_type || ':' || c::VARCHAR)),
+         'string_agg', ',') AS counts_csv
+FROM per_bc GROUP BY p_brand ORDER BY p_brand
+""".strip()
+
+
+# --- customer_balance_percentiles --------------------------------------------
+
+PCTL_CONT = 0.5
+PCTL_DISC = 0.9
+
+
+def customer_balance_percentiles(customer: DataFrame) -> DataFrame:
+    """percentile_cont vs percentile_disc per market segment — the two
+    ANSI percentile semantics side by side (interpolated midpoint vs an
+    actual data value). One hash aggregate per segment; both engines
+    implement the ANSI definitions so parity is exact after rounding."""
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.expr(f"percentile_cont({PCTL_CONT}) "
+                       "WITHIN GROUP (ORDER BY c_acctbal)"),
+                4,
+            ).alias("median_cont"),
+            F.round(
+                F.expr(f"percentile_disc({PCTL_DISC}) "
+                       "WITHIN GROUP (ORDER BY c_acctbal)"),
+                4,
+            ).alias("p90_disc"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def dd_customer_balance_percentiles_sql() -> str:
+    return f"""
+SELECT c_mktsegment, count(*)::BIGINT AS n,
+       round(quantile_cont(c_acctbal, {PCTL_CONT}), 4) AS median_cont,
+       round(quantile_disc(c_acctbal, {PCTL_DISC}), 4) AS p90_disc
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""".strip()

@@ -103,3 +103,15 @@ def events_hll_union_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches per event type + union-merge, error vs
     exact recorded (rows-only: sketch internals aren't SQL)."""
     return analytics.events_hll_union_types(_t(spark, sf_dir, "events"))
+
+
+@register("events_range_frame_sum",
+          oracle=analytics.dd_events_range_frame_sum_sql(), defer_gate=True)
+def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_range_frame_sum(_t(spark, sf_dir, "events"))
+
+
+@register("events_data_quality",
+          oracle=analytics.dd_events_data_quality_sql(), defer_gate=True)
+def events_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_data_quality(_t(spark, sf_dir, "events"))

@@ -38,3 +38,11 @@ def orders_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregate merge (old slice + delta slice) == direct
     aggregate — the incremental view-maintenance correctness property."""
     return mining.incremental_agg_merge(_t(spark, sf_dir, "orders"))
+
+
+@register("corpus_schema_profile", oracle=mining.dd_schema_profile_sql(),
+          defer_gate=True)
+def corpus_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column null/distinct/min/max profile in one
+    aggregate pass + stack unpivot."""
+    return mining.schema_profile(_t(spark, sf_dir, "documents"))

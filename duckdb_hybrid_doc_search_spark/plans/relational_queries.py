@@ -679,3 +679,22 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 session event-type journeys (per-user windows -> in-task
     array_sort -> path hash aggregate -> TakeOrderedAndProject)."""
     return events.session_paths(_t(spark, sf_dir, "events"))
+
+
+@register("part_type_arrays",
+          oracle=relational.dd_part_type_arrays_sql(), defer_gate=True)
+def part_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function surface over grouped data (bounded-domain
+    collect_set), DuckDB list-function parity."""
+    return relational.part_type_arrays(_t(spark, sf_dir, "part"))
+
+
+@register("customer_balance_percentiles",
+          oracle=relational.dd_customer_balance_percentiles_sql(),
+          defer_gate=True)
+def customer_balance_percentiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """ANSI percentile_cont vs percentile_disc per segment."""
+    return relational.customer_balance_percentiles(
+        _t(spark, sf_dir, "customer")
+    )

@@ -279,6 +279,7 @@ def test_per_entity_windows_are_partitioned(spark, sf_dir):
     cases = {
         "events_user_twap": "user_id",
         "events_latest_per_user": "user_id",
+        "events_range_frame_sum": "user_id",
         "orders_scd2_intervals": "o_custkey",
         "orders_window_showcase": "o_custkey",
     }
