@@ -161,6 +161,6 @@ def _load_all() -> None:
     from . import (analytics_queries, chunker_queries,  # noqa: F401
                    doc_search_queries, layout_queries, mining_queries,
                    mllib_queries, multimodal_queries, pipeline_queries,
-                   relational_queries, sql_queries)
+                   relational_queries, sql_queries, streaming_queries)
 
     _LOADED = True
