@@ -2156,3 +2156,40 @@ SELECT c_mktsegment, count(*)::BIGINT AS n,
        round(quantile_disc(c_acctbal, {PCTL_DISC}), 4) AS p90_disc
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """.strip()
+
+
+# --- orders_calendar_breakdown -----------------------------------------------
+
+
+def orders_calendar_breakdown(orders: DataFrame) -> DataFrame:
+    """Reporting-calendar surface: per (year, quarter) order counts,
+    DECIMAL revenue, distinct ISO weeks and distinct weekdays touched —
+    the calendar-function parity check (weekofyear is ISO-8601 in BOTH
+    engines; day-of-week numbering differs by one and distinct-count is
+    bijection-invariant, so the oracle needs no adjustment). One hash
+    aggregate over derived date parts; Catalyst folds the extracts into
+    the scan projection."""
+    d = F.col("o_orderdate")
+    return (
+        orders.groupBy(
+            F.year(d).alias("o_year"), F.quarter(d).alias("o_quarter")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+            F.countDistinct(F.weekofyear(d)).alias("n_iso_weeks"),
+            F.countDistinct(F.dayofweek(d)).alias("n_weekdays"),
+        )
+        .orderBy("o_year", "o_quarter")
+    )
+
+
+def dd_orders_calendar_breakdown_sql() -> str:
+    return f"""
+SELECT year(o_orderdate) AS o_year, quarter(o_orderdate) AS o_quarter,
+       count(*)::BIGINT AS n_orders,
+       {dd_money_sum('o_totalprice')} AS revenue,
+       count(DISTINCT weekofyear(o_orderdate))::BIGINT AS n_iso_weeks,
+       count(DISTINCT dayofweek(o_orderdate))::BIGINT AS n_weekdays
+FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter
+""".strip()

@@ -987,3 +987,109 @@ SELECT bucket, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS sum_tokens
 FROM bucketed GROUP BY bucket ORDER BY bucket
 """.strip()
+
+
+# --- bigram conditional-LM quality signal ------------------------------------
+
+BIGRAM_LM_ROUND = 6
+
+
+def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Conditional bigram-LM quality signal: per document the average
+    ln P(w_i | w_{i-1}) under the corpus's own add-1-smoothed bigram
+    model — sharper than the unigram signal (text_unigram_logprob) at
+    flagging word-salad whose unigrams are individually common.
+
+        P(y|x) = (c(x y) + 1) / (prefix(x) + V)
+
+    with c the corpus bigram count, prefix(x) = Σ_y c(x y) (derived from
+    the bigram table, NOT the unigram table, so doc-final tokens don't
+    skew the denominator), V = |corpus vocabulary|. Docs with < 2 tokens
+    have no bigrams and drop out.
+
+    Shape: one bigram explode feeds both the per-doc stream and the
+    corpus count table (pinned, vocabulary-sized); the model joins are
+    key-partitioned on the bigram/prefix — no broadcast of an unbounded
+    vocabulary; V and nothing else crosses as a scalar.
+    """
+    n = F.size(F.col("toks"))
+    big = F.transform(
+        F.arrays_zip(
+            F.slice(F.col("toks"), 1, n - 1), F.slice(F.col("toks"), 2, n - 1)
+        ),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    toked = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    per_doc = (
+        toked.where(n >= 2)
+        .select("doc_id", F.explode(big).alias("bigram"))
+    )
+    big_counts = (
+        per_doc.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
+    prefix_counts = (
+        big_counts.groupBy(
+            F.split(F.col("bigram"), " ").getItem(0).alias("x")
+        )
+        .agg(F.sum("c_xy").alias("c_x"))
+    )
+    vocab = (
+        toked.select(F.explode(F.col("toks")).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    joined = (
+        per_doc.join(big_counts, "bigram")
+        .withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
+        .join(prefix_counts, "x")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_xy") + 1.0) / (F.col("c_x") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), BIGRAM_LM_ROUND).alias("avg_bigram_lp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dd_bigram_logprob_sql(table: str = "documents") -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH toked AS (SELECT doc_id, {toks} AS t FROM {table}),
+per_doc AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+  FROM toked, LATERAL unnest(range(1, len(t))) AS g(i)
+  WHERE len(t) >= 2
+),
+big_counts AS (
+  SELECT bigram, count(*)::BIGINT AS c_xy FROM per_doc GROUP BY bigram
+),
+prefix_counts AS (
+  SELECT string_split(bigram, ' ')[1] AS x, sum(c_xy)::BIGINT AS c_x
+  FROM big_counts GROUP BY 1
+),
+vocab AS (
+  SELECT count(DISTINCT term)::BIGINT AS v
+  FROM (SELECT unnest(t) AS term FROM toked)
+)
+SELECT doc_id,
+       round(avg(ln((c_xy + 1.0) / (c_x + v))), {BIGRAM_LM_ROUND})
+         AS avg_bigram_lp,
+       count(*)::BIGINT AS n_bigrams
+FROM per_doc
+JOIN big_counts USING (bigram)
+JOIN prefix_counts ON string_split(bigram, ' ')[1] = prefix_counts.x
+CROSS JOIN vocab
+GROUP BY doc_id ORDER BY doc_id
+""".strip()

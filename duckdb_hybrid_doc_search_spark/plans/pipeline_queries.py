@@ -490,3 +490,11 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests pin it equal to the vectorized posexplode form the hot path
     uses (operators/udtfs.py)."""
     return udtfs.sentence_split_udtf(_docs(spark, sf_dir))
+
+
+@register("text_bigram_logprob", oracle=textstats.dd_bigram_logprob_sql(),
+          defer_gate=True)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc conditional bigram-LM quality signal (add-1 smoothed,
+    prefix counts derived from the bigram table)."""
+    return textstats.bigram_logprob_scores(_docs(spark, sf_dir))

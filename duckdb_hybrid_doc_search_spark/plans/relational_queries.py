@@ -698,3 +698,11 @@ def customer_balance_percentiles(spark: SparkSession,
     return relational.customer_balance_percentiles(
         _t(spark, sf_dir, "customer")
     )
+
+
+@register("orders_calendar_breakdown",
+          oracle=relational.dd_orders_calendar_breakdown_sql(),
+          defer_gate=True)
+def orders_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (year, quarter) reporting rollup with ISO-week parity."""
+    return relational.orders_calendar_breakdown(_t(spark, sf_dir, "orders"))
