@@ -115,3 +115,11 @@ def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=analytics.dd_events_data_quality_sql(), defer_gate=True)
 def events_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_data_quality(_t(spark, sf_dir, "events"))
+
+
+@register("embeddings_pca_power", oracle=None)
+def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by power iteration (one D-expression
+    aggregate per step, covariance never materialized); rows-only —
+    iterative float fixpoint with convergence trace recorded."""
+    return analytics.embeddings_pca_power(_t(spark, sf_dir, "embeddings"))

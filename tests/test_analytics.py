@@ -200,3 +200,19 @@ def test_hll_union_matches_exact_within_tolerance(spark, sf_dir):
         assert r["rel_err"] <= 0.05
     merged = rows.pop("__merged__")
     assert merged["exact"] >= max(r["exact"] for r in rows.values())
+
+
+def test_pca_power_converges(spark, sf_dir):
+    """Power iteration: deterministic, eigenvalue estimates monotonically
+    non-decreasing, successive-direction cosine approaching 1."""
+    from duckdb_hybrid_doc_search_spark.operators import analytics
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = analytics.embeddings_pca_power(emb).collect()
+    assert [r["iteration"] for r in rows] == list(
+        range(analytics.PCA_ITERS)
+    )
+    eig = [r["eigenvalue"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(eig, eig[1:]))
+    assert rows[-1]["cos_prev"] > 0.9
+    assert analytics.embeddings_pca_power(emb).collect() == rows
