@@ -145,3 +145,60 @@ def test_pmi_monotone_in_joint_count(t):
         )
 
     assert pmi(c_xy + 1) > pmi(c_xy)
+
+
+def test_merge_upsert_conservation(spark, sf_dir):
+    """MERGE bookkeeping invariant on real data: n_after must equal
+    n_before + inserts - deletes, and every CDC class is non-empty at
+    this scale (the derivation rules hit all mod classes)."""
+    from duckdb_hybrid_doc_search_spark.operators import mining
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    r = mining.orders_merge_upsert(orders).collect()[0]
+    assert r["n_after"] == r["n_before"] + r["n_inserted"] - r["n_deleted"]
+    assert r["n_inserted"] > 0 and r["n_updated"] > 0 and r["n_deleted"] > 0
+    assert r["total_price_after"] > 0
+
+
+def test_basket_pairs_support_bounds(spark, sf_dir):
+    """Association-mining invariants: pair support can never exceed
+    either item's support, lift is positive, and output respects the
+    MIN_SUPPORT floor and deterministic ordering."""
+    from duckdb_hybrid_doc_search_spark.operators import mining
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = mining.basket_part_pairs(li).collect()
+    assert rows, "expected at least one co-occurring pair"
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["pair_cnt"] >= mining.MIN_SUPPORT
+        assert r["pair_cnt"] <= min(r["cnt_a"], r["cnt_b"])
+        assert r["lift"] > 0
+        assert r["part_a"] < r["part_b"]
+
+
+def test_incremental_merge_equals_direct(spark, sf_dir):
+    """The partial-merge result must be bit-identical to aggregating the
+    full table directly (decimal sums are exactly associative)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.operators import mining
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    merged = {r["o_orderstatus"]: r for r in
+              mining.incremental_agg_merge(orders).collect()}
+    direct = {
+        r["o_orderstatus"]: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2)
+            .cast("double").alias("total_price"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for k in direct:
+        assert merged[k]["n"] == direct[k]["n"]
+        assert merged[k]["total_price"] == direct[k]["total_price"]
