@@ -2193,3 +2193,69 @@ SELECT year(o_orderdate) AS o_year, quarter(o_orderdate) AS o_quarter,
        count(DISTINCT dayofweek(o_orderdate))::BIGINT AS n_weekdays
 FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter
 """.strip()
+
+
+# --- customer_gini_by_nation -------------------------------------------------
+
+GINI_ROUND = 6
+
+
+def customer_gini_by_nation(customer: DataFrame,
+                            nation: DataFrame) -> DataFrame:
+    """Wealth-concentration profile: Gini coefficient of (shifted
+    non-negative) customer account balances per nation, via the sorted
+    closed form G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n.
+
+    The rank window partitions per nation — the same bounded per-slice
+    shape as customer_pareto_share; no global sort. Balances are
+    shifted by the global minimum (broadcast scalar) so the Gini is
+    well-defined on the non-negative scale both engines compute
+    identically."""
+    minb = customer.agg(F.min("c_acctbal").alias("minb"))
+    shifted = customer.crossJoin(F.broadcast(minb)).select(
+        "c_custkey", "c_nationkey",
+        (F.col("c_acctbal") - F.col("minb")).alias("x"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("x"), F.asc("c_custkey")
+    )
+    ranked = shifted.withColumn("i", F.row_number().over(w))
+    per_nation = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return (
+        per_nation.join(F.broadcast(nation),
+                        per_nation["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name", "n",
+            F.round(gini, GINI_ROUND).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def dd_customer_gini_by_nation_sql() -> str:
+    return f"""
+WITH minb AS (SELECT min(c_acctbal) AS mb FROM customer),
+ranked AS (
+  SELECT c_nationkey, c_acctbal - mb AS x,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal - mb ASC, c_custkey ASC) AS i
+  FROM customer CROSS JOIN minb
+),
+per_nation AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n, sum(x) AS sx,
+         sum(i * x) AS six
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT n_name, n,
+       round(2.0 * six / (n * sx) - (n + 1.0) / n, {GINI_ROUND}) AS gini
+FROM per_nation JOIN nation ON c_nationkey = n_nationkey
+ORDER BY n_name
+""".strip()

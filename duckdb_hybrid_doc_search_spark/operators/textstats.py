@@ -1093,3 +1093,62 @@ JOIN prefix_counts ON string_split(bigram, ' ')[1] = prefix_counts.x
 CROSS JOIN vocab
 GROUP BY doc_id ORDER BY doc_id
 """.strip()
+
+
+# --- Zipf-law fit ------------------------------------------------------------
+
+ZIPF_TOP = 1000
+
+
+def zipf_fit(docs: DataFrame) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) vs ln(rank) across the top ZIPF_TOP terms (natural
+    text ~ -1; strong deviation flags synthetic/boilerplate corpora).
+
+    The global rank is confined to the TRUNCATED head: orderBy+limit is
+    a TakeOrderedAndProject (top-N heaps, no full sort), and the
+    row_number window then rides <= ZIPF_TOP rows. The full vocabulary
+    is never globally sorted — the fit statistic over the head is the
+    standard formulation precisely because it keeps rank computation
+    bounded. One regr aggregate out.
+    """
+    from pyspark.sql import Window
+
+    top = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.regr_slope(F.log(F.col("c")), F.log(F.col("rnk"))),
+            SCORE_ROUND,
+        ).alias("zipf_slope"),
+        F.round(
+            F.corr(F.log(F.col("c")), F.log(F.col("rnk"))),
+            SCORE_ROUND,
+        ).alias("fit_r"),
+    )
+
+
+def dd_zipf_fit_sql(table: str = "documents") -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH top AS (
+  SELECT term, count(*)::BIGINT AS c
+  FROM (SELECT unnest({toks}) AS term FROM {table})
+  GROUP BY term ORDER BY c DESC, term ASC LIMIT {ZIPF_TOP}
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rnk FROM top
+)
+SELECT count(*)::BIGINT AS n_terms,
+       round(regr_slope(ln(c), ln(rnk)), {SCORE_ROUND}) AS zipf_slope,
+       round(corr(ln(c), ln(rnk)), {SCORE_ROUND}) AS fit_r
+FROM ranked
+""".strip()

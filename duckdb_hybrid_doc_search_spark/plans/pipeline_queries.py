@@ -498,3 +498,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc conditional bigram-LM quality signal (add-1 smoothed,
     prefix counts derived from the bigram table)."""
     return textstats.bigram_logprob_scores(_docs(spark, sf_dir))
+
+
+@register("text_zipf_fit", oracle=textstats.dd_zipf_fit_sql(),
+          defer_gate=True)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope over the top-1000 vocabulary head (rank bounded by
+    TakeOrderedAndProject truncation)."""
+    return textstats.zipf_fit(_docs(spark, sf_dir))

@@ -706,3 +706,13 @@ def customer_balance_percentiles(spark: SparkSession,
 def orders_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (year, quarter) reporting rollup with ISO-week parity."""
     return relational.orders_calendar_breakdown(_t(spark, sf_dir, "orders"))
+
+
+@register("customer_gini_by_nation",
+          oracle=relational.dd_customer_gini_by_nation_sql(),
+          defer_gate=True)
+def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini of account balances (per-nation rank windows)."""
+    return relational.customer_gini_by_nation(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    )

@@ -54,8 +54,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
             "matches of <= MLT_TERMS literal terms, top-k contract)",
         "search_snippets":
             "rank over the bounded top-k hit set (<= k rows)",
+        "text_zipf_fit":
+            "rank over the truncated top-{} vocabulary head".format(1000),
     },
     "exchange_single_partition": {
+        "text_zipf_fit":
+            "TakeOrdered truncation bounds the sorted set to the "
+            "top-1000 head",
         # only Sort/Window consumers are flagged (see
         # single_partition_sort_lines); each allowlist entry names the
         # bound on what flows through the single partition
