@@ -1152,3 +1152,94 @@ SELECT count(*)::BIGINT AS n_terms,
        round(corr(ln(c), ln(rnk)), {SCORE_ROUND}) AS fit_r
 FROM ranked
 """.strip()
+
+
+# --- readability scores ------------------------------------------------------
+
+READ_ROUND = 4
+_SENT_SPLIT_RE = "[.!?]+"
+_VOWEL_RUNS = "[aeiouy]+"
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch-style readability per document from three deterministic
+    counts: words (tokenize), sentences (same [.!?]+ rule as the
+    sentence UDTF, empties dropped, floor 1), and syllables (vowel runs
+    per word, floor 1 — the standard dictionary-free heuristic).
+
+        flesch = 206.835 - 1.015*(words/sentences)
+                         - 84.6*(syllables/words)
+
+    Pure per-row expression work — no shuffle at all until the
+    presentation sort; scan-bound at any corpus size. Docs with zero
+    tokens drop out (undefined ratio).
+    """
+    toks = tokenize(F.col("text"))
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.size(F.regexp_extract_all(t, F.lit(_VOWEL_RUNS), 0)),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.transform(
+                    F.split(F.col("text"), _SENT_SPLIT_RE),
+                    lambda x: F.trim(x),
+                ),
+                lambda x: x != "",
+            )
+        ),
+        F.lit(1),
+    )
+    n_words = F.size(toks)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / sents)
+        - F.lit(84.6) * (syl.cast("double") / n_words)
+    )
+    return (
+        docs.where(n_words >= 1)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            sents.alias("n_sentences"),
+            syl.alias("n_syllables"),
+            F.round(flesch, READ_ROUND).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dd_readability_sql(table: str = "documents") -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {toks} AS toks,
+         greatest(len(list_filter(
+           list_transform(regexp_split_to_array(text, '{_SENT_SPLIT_RE}'),
+                          x -> trim(x)),
+           x -> x <> '')), 1) AS n_sentences
+  FROM {table}
+)
+SELECT doc_id,
+       len(toks)::INT AS n_words,
+       n_sentences::INT AS n_sentences,
+       list_sum(list_transform(toks,
+         x -> greatest(len(regexp_extract_all(x, '{_VOWEL_RUNS}')), 1)
+       ))::INT AS n_syllables,
+       round(206.835
+             - 1.015 * (len(toks) * 1.0 / n_sentences)
+             - 84.6 * (list_sum(list_transform(toks,
+                 x -> greatest(len(regexp_extract_all(x, '{_VOWEL_RUNS}')), 1)
+               )) * 1.0 / len(toks)),
+             {READ_ROUND}) AS flesch
+FROM t WHERE len(toks) >= 1 ORDER BY doc_id
+""".strip()

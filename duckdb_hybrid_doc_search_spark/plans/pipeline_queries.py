@@ -506,3 +506,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law slope over the top-1000 vocabulary head (rank bounded by
     TakeOrderedAndProject truncation)."""
     return textstats.zipf_fit(_docs(spark, sf_dir))
+
+
+@register("text_readability_scores", oracle=textstats.dd_readability_sql(),
+          defer_gate=True)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability (pure per-row expressions; scan-bound)."""
+    return textstats.readability_scores(_docs(spark, sf_dir))
