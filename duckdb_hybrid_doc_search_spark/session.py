@@ -40,6 +40,15 @@ def get_spark(app_name: str = "hybrid-doc-search", cpus: int | None = None) -> S
         # parquet reader rejects by default; read them as (nanos) longs and
         # convert explicitly (operators/events.py works in epoch micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # static conf, default 100: with 170+ distinct registered plan
+        # shapes the compiled-class cache thrashes and EVERY execution
+        # pays a fresh janino compile late in a bench/verify session.
+        # Measured at sf0.1, same machine, back-to-back full sweeps:
+        # default 100 -> tpch_q10 1.51s, redact_pii 0.84s, as-of 0.56s,
+        # dedup_components 6.71s; maxEntries 1000 -> 0.51 / 0.32 / 0.25
+        # / 2.58s (fresh-session standalone numbers, confirming the
+        # inflation was recompiles, not the queries).
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # UI off for tests (port churn); bench.py turns it on to read
         # per-query shuffle/input bytes from the status REST API
