@@ -186,3 +186,58 @@ SELECT source, lang, tokens,
 FROM buckets CROSS JOIN tot
 ORDER BY source, lang
 """.strip()
+
+
+# --- train/val/test split ----------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # val = [80, 90), test = [90, 100)
+
+
+def train_val_test_split(docs: DataFrame) -> DataFrame:
+    """Deterministic 80/10/10 corpus split by content-independent id
+    hash (h64(doc_id) % 100) with per-split statistics — the assignment
+    every training pipeline needs to be REPRODUCIBLE across engines,
+    re-runs, and re-partitions (no sample(), no RNG, no order
+    dependence; a document's split follows it forever).
+
+    One projection + one hash aggregate; the split column itself is a
+    pure expression, so downstream consumers filter on it and the
+    predicate reaches the scan."""
+    from ..functions.hashing import h64
+
+    bucket = h64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+def dd_train_val_test_split_sql(table: str = "documents") -> str:
+    from ..functions.hashing import dd_h64
+
+    h = dd_h64("doc_id::VARCHAR")
+    return f"""
+WITH assigned AS (
+  SELECT CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars, lang
+  FROM {table}
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM assigned GROUP BY split ORDER BY split
+""".strip()

@@ -513,3 +513,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability (pure per-row expressions; scan-bound)."""
     return textstats.readability_scores(_docs(spark, sf_dir))
+
+
+@register("corpus_train_val_test_split",
+          oracle=curation.dd_train_val_test_split_sql(), defer_gate=True)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 split by cross-engine id hash (no RNG, no
+    order dependence) with per-split stats."""
+    return curation.train_val_test_split(_docs(spark, sf_dir))
