@@ -984,3 +984,55 @@ def embeddings_pca_power(embeddings: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         history, "iteration int, eigenvalue double, cos_prev double"
     )
+
+
+# --- events_user_churn_buckets ----------------------------------------------
+
+
+def events_user_churn_buckets(events: DataFrame) -> DataFrame:
+    """User-lifecycle churn profile: bucket every user by WEEKS since
+    their last event (relative to the corpus's max event time) and
+    count users per bucket with a >=4-weeks churn flag — the inactivity
+    distribution a retention dashboard draws.
+
+    Shape: per-user max(us) hash aggregate (map-side combined) -> the
+    corpus max as a broadcast scalar -> arithmetic bucketing -> a
+    bucket-count aggregate over at most |weeks| rows. No windows, no
+    sort beyond the bounded presentation ORDER BY.
+    """
+    per_user = events.select(
+        "user_id", ts_micros(events).alias("us")
+    ).groupBy("user_id").agg(F.max("us").alias("last_us"))
+    mx = per_user.agg(F.max("last_us").alias("max_us"))
+    wk = (
+        (F.col("max_us") - F.col("last_us"))
+        / F.lit(7 * 86400 * 1_000_000)
+    ).cast("long")
+    return (
+        per_user.crossJoin(F.broadcast(mx))
+        .select(wk.alias("weeks_inactive"))
+        .groupBy("weeks_inactive")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "weeks_inactive", "n_users",
+            (F.col("weeks_inactive") >= 4).alias("churned"),
+        )
+        .orderBy("weeks_inactive")
+    )
+
+
+def dd_events_user_churn_buckets_sql() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id
+),
+mx AS (SELECT max(last_us) AS max_us FROM per_user)
+SELECT weeks_inactive, count(*)::BIGINT AS n_users,
+       (weeks_inactive >= 4) AS churned
+FROM (
+  SELECT ((max_us - last_us) // (7::BIGINT * 86400 * 1000000))::BIGINT
+           AS weeks_inactive
+  FROM per_user CROSS JOIN mx
+)
+GROUP BY weeks_inactive ORDER BY weeks_inactive
+""".strip()

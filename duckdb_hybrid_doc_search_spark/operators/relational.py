@@ -2259,3 +2259,56 @@ SELECT n_name, n,
 FROM per_nation JOIN nation ON c_nationkey = n_nationkey
 ORDER BY n_name
 """.strip()
+
+
+# --- orders_ship_latency -----------------------------------------------------
+
+LAT_ROUND = 4
+
+
+def orders_ship_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Operational latency metric: days from order placement to line
+    shipment, aggregated per order month — count, mean, exact p50/p90
+    (percentile_cont). The orders<->lineitem join shuffles both sides on
+    the order key (the natural co-partitioning; with bucketed tables it
+    is exchange-free, see index/bucketing.py), and the month aggregate
+    is calendar-bounded."""
+    j = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .alias("days"),
+    )
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("days"), LAT_ROUND).alias("avg_days"),
+            F.round(
+                F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY days)"),
+                LAT_ROUND,
+            ).alias("p50_days"),
+            F.round(
+                F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY days)"),
+                LAT_ROUND,
+            ).alias("p90_days"),
+        )
+        .orderBy("month")
+    )
+
+
+def dd_orders_ship_latency_sql() -> str:
+    return f"""
+WITH j AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+         datediff('day', o_orderdate, l_shipdate) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT month, count(*)::BIGINT AS n_lines,
+       round(avg(days), {LAT_ROUND}) AS avg_days,
+       round(quantile_cont(days, 0.5), {LAT_ROUND}) AS p50_days,
+       round(quantile_cont(days, 0.9), {LAT_ROUND}) AS p90_days
+FROM j GROUP BY month ORDER BY month
+""".strip()

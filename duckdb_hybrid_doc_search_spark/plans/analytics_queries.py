@@ -123,3 +123,10 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per step, covariance never materialized); rows-only —
     iterative float fixpoint with convergence trace recorded."""
     return analytics.embeddings_pca_power(_t(spark, sf_dir, "embeddings"))
+
+
+@register("events_user_churn_buckets",
+          oracle=analytics.dd_events_user_churn_buckets_sql(),
+          defer_gate=True)
+def events_user_churn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_user_churn_buckets(_t(spark, sf_dir, "events"))

@@ -716,3 +716,12 @@ def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customer_gini_by_nation(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
     )
+
+
+@register("orders_ship_latency",
+          oracle=relational.dd_orders_ship_latency_sql(), defer_gate=True)
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order->ship latency per month with exact p50/p90."""
+    return relational.orders_ship_latency(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
