@@ -50,7 +50,10 @@ def _calibrate() -> float:
         for _ in range(20):
             hashlib.sha256(blob).digest()
         for _ in range(30):
-            a = a @ a * 1e-3 + 1.0
+            # clip keeps the iterate bounded (the unclipped recurrence
+            # diverges -> float64 overflow RuntimeWarning every bench run);
+            # matmul dims are unchanged so the measured cost is the same
+            a = np.clip(a @ a * 1e-3 + 1.0, -64.0, 64.0)
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
@@ -199,6 +202,26 @@ def main() -> None:
         if n in prior and prior[n] > 0
         and t >= prior[n] * scale * 1.5 and t - prior[n] * scale >= 0.25
     }
+    # Noise triage (r4 lesson: customer_set_ops read 5.9x in-run but 0.8x
+    # isolated — run-order/JVM-state interference, not a plan change).
+    # Re-time each flagged query at end of run, away from whatever
+    # preceded it in the loop; a regression that vanishes in isolation is
+    # recorded (prev/now/isolated all kept) but marked noise and excluded
+    # from the headline count. One that persists stays a real regression.
+    for n, r in regressions.items():
+        fn = qs[n]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        iso = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            iso = min(iso, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        r["isolated"] = round(iso, 4)
+        base = r["prev_scaled"]
+        r["noise"] = bool(iso < base * 1.5 or iso - base < 0.25)
+    real_regressions = {n: r for n, r in regressions.items()
+                        if not r.get("noise")}
     detail = {
         "metric": "all_registered_queries_wall",
         "value": round(total, 4),
@@ -218,7 +241,7 @@ def main() -> None:
         json.dump(detail, f, indent=1)
 
     worst3 = dict(sorted(
-        ((n, r["ratio"]) for n, r in regressions.items()),
+        ((n, r["ratio"]) for n, r in real_regressions.items()),
         key=lambda kv: -kv[1],
     )[:3])
     slowest3 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
@@ -230,7 +253,8 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "slowest": slowest3,
-        "n_regressions": len(regressions),
+        "n_regressions": len(real_regressions),
+        "n_noise_regressions": len(regressions) - len(real_regressions),
         "worst_regressions": worst3,
         "calib_sec": calib,
         "host_scale": round(scale, 3),

@@ -27,15 +27,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def source_file_fingerprint(df: DataFrame) -> str | None:
-    """Hash of sorted (path, size, mtime_ns) over the plan's input files."""
+FileSig = tuple[tuple[str, int, int], ...]
+
+
+def source_file_stats(df: DataFrame) -> FileSig | None:
+    """Sorted (path, size, mtime_ns) over the plan's input files, or None
+    when the plan is fileless / remote. The signature is re-checkable with
+    pure ``os.stat`` (see ``stat_sig``) — layout caches use that for a
+    zero-JVM-call freshness probe on the warm path."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    parts = []
+    parts: list[tuple[str, int, int]] = []
     for uri in sorted(files):
         parsed = urlparse(uri)
         if parsed.scheme not in ("", "file"):
@@ -45,9 +51,31 @@ def source_file_fingerprint(df: DataFrame) -> str | None:
             st = os.stat(path)
         except OSError:
             return None
-        parts.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
-    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+        parts.append((path, st.st_size, st.st_mtime_ns))
+    return tuple(parts)
+
+
+def stat_sig(paths: list[str]) -> FileSig:
+    """Current (path, size, mtime_ns) for `paths`; raises OSError if any
+    is gone (caller treats that as stale)."""
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append((p, st.st_size, st.st_mtime_ns))
+    return tuple(out)
+
+
+def sig_fingerprint(sig: FileSig) -> str:
+    digest = hashlib.sha256(
+        "|".join(f"{p}:{s}:{m}" for p, s, m in sig).encode()
+    ).hexdigest()[:16]
     return f"f{digest}"
+
+
+def source_file_fingerprint(df: DataFrame) -> str | None:
+    """Hash of sorted (path, size, mtime_ns) over the plan's input files."""
+    sig = source_file_stats(df)
+    return None if sig is None else sig_fingerprint(sig)
 
 
 def content_fingerprint(df: DataFrame, *cols: str) -> str:

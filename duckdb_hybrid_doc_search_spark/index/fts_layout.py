@@ -27,11 +27,12 @@ regenerated testdata rebuilds instead of silently probing a stale index.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fingerprint import layout_fingerprint
+from .fingerprint import sig_fingerprint, source_file_stats, stat_sig
 
 # One range partition per ~this many postings rows at build time; at local
 # test scale this yields a handful of term-range files, on a cluster the
@@ -121,8 +122,19 @@ def read_fts_layout(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
 # stale content is impossible because the out_dir embeds the fingerprint.
 _OPEN: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
+# Warm-probe freshness memo:
+# (appId, sf_dir, name, layout_root) -> (out_dir, file sig).
+# Lets a repeat probe validate layout freshness with pure driver-side
+# os.stat (microseconds) instead of re-resolving the corpus DataFrame and
+# calling inputFiles() through the JVM (~0.2s per probe — the r4
+# bm25_topk/bm25_batch_topk bench regression). Regenerated testdata
+# changes size/mtime -> sig mismatch -> full fingerprint path rebuilds.
+_FRESH: dict[tuple[str, str, str, str], tuple[str, "object"]] = {}
 
-def ensure_fts_layout(spark: SparkSession, docs: DataFrame, sf_dir: str,
+
+def ensure_fts_layout(spark: SparkSession,
+                      docs: DataFrame | Callable[[], DataFrame],
+                      sf_dir: str,
                       name: str = "documents", id_col: str = "doc_id",
                       text_col: str = "text",
                       root: str | None = None) -> dict[str, DataFrame]:
@@ -134,20 +146,51 @@ def ensure_fts_layout(spark: SparkSession, docs: DataFrame, sf_dir: str,
     driver-side file stats for file-backed corpora (no Spark job on the
     warm path); `name` disambiguates different logical corpora that read
     the same files (the file fingerprint hashes files, not plans).
+
+    `docs` may be a zero-arg callable: on a warm repeat probe (file stats
+    unchanged since this session last opened the layout) it is never
+    invoked, so the probe pays no DataFrame construction at all. The
+    stat fast path applies ONLY to thunk callers — passing a thunk asserts
+    that (sf_dir, name) fully identifies the corpus, so re-statting the
+    recorded file paths is a sound freshness check. A concrete DataFrame
+    may read arbitrary files (e.g. a regenerated copy at a new path), so
+    it always takes the full fingerprint path.
     """
-    fp = layout_fingerprint(docs, id_col, text_col)
+    app_id = spark.sparkContext.applicationId
+    fast_key = (app_id, os.path.abspath(sf_dir), name, _layout_root(root))
+    fresh = _FRESH.get(fast_key) if callable(docs) else None
+    if fresh is not None:
+        out_dir, sig = fresh
+        memo_key = (app_id, out_dir)
+        if memo_key in _OPEN:
+            try:
+                if sig and stat_sig([p for p, _, _ in sig]) == sig:
+                    return _OPEN[memo_key]
+            except OSError:
+                pass  # source files moved/deleted: fall through, rebuild
+        _FRESH.pop(fast_key, None)
+    was_thunk = callable(docs)
+    if was_thunk:
+        docs = docs()
+    sig = source_file_stats(docs)
+    fp = sig_fingerprint(sig) if sig else content_fingerprint(
+        docs, id_col, text_col
+    )
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
         f"-{name}-v{_LAYOUT_VERSION}-{fp}"
     )
     out_dir = os.path.join(_layout_root(root), key)
-    memo_key = (spark.sparkContext.applicationId, out_dir)
-    if memo_key in _OPEN:
-        return _OPEN[memo_key]
-    if not os.path.exists(os.path.join(out_dir, "corpus_stats", "_SUCCESS")):
-        write_fts_layout(docs, out_dir, id_col, text_col)
-        _gc_stale_siblings(out_dir)
-    _OPEN[memo_key] = read_fts_layout(spark, out_dir)
+    memo_key = (app_id, out_dir)
+    if memo_key not in _OPEN:
+        if not os.path.exists(
+            os.path.join(out_dir, "corpus_stats", "_SUCCESS")
+        ):
+            write_fts_layout(docs, out_dir, id_col, text_col)
+            _gc_stale_siblings(out_dir)
+        _OPEN[memo_key] = read_fts_layout(spark, out_dir)
+    if sig and was_thunk:
+        _FRESH[fast_key] = (out_dir, sig)
     return _OPEN[memo_key]
 
 
@@ -177,3 +220,5 @@ def _gc_stale_siblings(out_dir: str) -> None:
             shutil.rmtree(dead, ignore_errors=True)
             for mk in [k for k in _OPEN if k[1] == dead]:
                 del _OPEN[mk]
+            for fk in [k for k, v in _FRESH.items() if v[0] == dead]:
+                del _FRESH[fk]

@@ -55,18 +55,35 @@ def jp_heuristic_tokenize(text: str) -> list[str]:
     return out
 
 
-def lindera_tokenize(text: str) -> list[str]:
-    """Lindera/ipadic morphological tokenization (reference splitter.py:40-47).
+_LINDERA_TOKENIZER = None
+
+
+def lindera_tokenize(text: str, dict_type: str = "ipadic") -> list[str]:
+    """Lindera/ipadic morphological tokenization — the exact reference
+    pipeline (splitter.py:42-47): ``load_dictionary(dict_type)`` ->
+    ``Segmenter("normal", dictionary)`` -> ``Tokenizer``, emitting the
+    surface text of each morpheme.
 
     lindera-py is not installed in this container; the call is gated so the
     engine degrades to ``jp_heuristic`` explicitly rather than silently.
+    When the wheel IS present, tests/test_real_models.py asserts the output
+    byte-identical to the checked-in ipadic goldens
+    (tests/goldens/lindera_ipadic_sample_tokens.json).
     """
-    try:
-        import lindera  # type: ignore[import-not-found]
-    except ImportError as e:
-        raise NotImplementedError(
-            "lindera backend unavailable (lindera-py not installed); "
-            "use tokenizer backend 'jp_heuristic' for Japanese text"
-        ) from e
-    tokenizer = lindera.Tokenizer()  # pragma: no cover
-    return [t.text for t in tokenizer.tokenize(text)]  # pragma: no cover
+    global _LINDERA_TOKENIZER
+    if _LINDERA_TOKENIZER is None:
+        try:
+            from lindera_py import (  # type: ignore[import-not-found]
+                Segmenter, Tokenizer, load_dictionary)
+        except ImportError as e:
+            raise NotImplementedError(
+                "lindera backend unavailable (lindera-py not installed); "
+                "use tokenizer backend 'jp_heuristic' for Japanese text"
+            ) from e
+        dictionary = load_dictionary(dict_type)  # pragma: no cover
+        _LINDERA_TOKENIZER = Tokenizer(  # pragma: no cover
+            Segmenter("normal", dictionary)
+        )
+    return [  # pragma: no cover
+        t.text for t in _LINDERA_TOKENIZER.tokenize(text)
+    ]

@@ -241,3 +241,99 @@ SELECT split, count(*)::BIGINT AS n_docs,
        count(DISTINCT lang)::BIGINT AS n_langs
 FROM assigned GROUP BY split ORDER BY split
 """.strip()
+
+
+# --- corpus_benchmark_contamination ------------------------------------------
+
+CONTAM_N = 8          # word 8-grams — the standard decontamination unit
+# doc_id % 7 == 0 -> the in-plan "benchmark" set (~14% of docs; chosen so
+# the synthetic corpus' near-dup pairs actually straddle the split and the
+# report has nonzero signal at test scale — 9 contaminated docs at sf0.01)
+CONTAM_BENCH_MOD = 7
+CONTAM_ROUND = 6
+
+
+def benchmark_contamination(docs: DataFrame) -> DataFrame:
+    """Train-set decontamination report: which training documents share a
+    word 8-gram with the evaluation benchmark, per source.
+
+    The benchmark set is derived in-plan (doc_id % CONTAM_BENCH_MOD == 0)
+    so the query is deterministic and oracle-checkable; in production it
+    is the eval suites' text. Scale shape: the benchmark's distinct
+    shingle set is benchmark-sized (eval suites are tiny next to a 100 TB
+    corpus) and BROADCAST, so the train side is ONE tokenize/shingle pass
+    + a map-side hash semi-probe + a per-doc partial aggregate — the
+    corpus is never shuffled on shingle.
+
+    Output per source: n_train, n_contaminated, contamination_rate,
+    max_overlap (worst per-doc count of overlapping benchmark 8-grams).
+    """
+    from ..functions.text import shingles, tokenize
+
+    spark = docs.sparkSession
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    sh = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokenize(F.col("text")).alias("t"))
+        .select("doc_id",
+                F.explode(shingles(F.col("t"), CONTAM_N)).alias("s"))
+        .distinct()
+    )
+    bench_sh = sh.where(is_bench).select("s").distinct()
+    overlap = (
+        sh.where(~is_bench)
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    train = docs.where(~is_bench).select("doc_id", "source")
+    per_doc = train.join(overlap, "doc_id", "left")
+    contaminated = F.when(F.col("n_overlap").isNotNull(), 1).otherwise(0)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(contaminated).cast("long").alias("n_contaminated"),
+            F.round(
+                F.sum(contaminated) / F.count(F.lit(1)), CONTAM_ROUND
+            ).alias("contamination_rate"),
+            F.max(F.coalesce(F.col("n_overlap"), F.lit(0)))
+            .cast("long").alias("max_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
+def dd_benchmark_contamination_sql(table: str = "documents") -> str:
+    from ..functions.text import dd_shingles, dd_tokenize
+
+    toks = dd_tokenize("text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM {table}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({dd_shingles('t', CONTAM_N)}) AS s
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+),
+overlap AS (
+  SELECT doc_id, count(*)::BIGINT AS n_overlap
+  FROM sh
+  WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+    AND s IN (SELECT s FROM bench)
+  GROUP BY doc_id
+),
+train AS (
+  SELECT doc_id, source FROM {table}
+  WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+)
+SELECT source, count(*)::BIGINT AS n_train,
+       sum(CASE WHEN o.n_overlap IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       round(sum(CASE WHEN o.n_overlap IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), {CONTAM_ROUND}) AS contamination_rate,
+       max(coalesce(o.n_overlap, 0))::BIGINT AS max_overlap
+FROM train t LEFT JOIN overlap o USING (doc_id)
+GROUP BY source ORDER BY source
+""".strip()

@@ -93,7 +93,7 @@ def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("events_user_decay_avg",
-          oracle=analytics.dd_events_user_decay_avg_sql(), defer_gate=True)
+          oracle=analytics.dd_events_user_decay_avg_sql())
 def events_user_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_user_decay_avg(_t(spark, sf_dir, "events"))
 
@@ -106,13 +106,13 @@ def events_hll_union_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("events_range_frame_sum",
-          oracle=analytics.dd_events_range_frame_sum_sql(), defer_gate=True)
+          oracle=analytics.dd_events_range_frame_sum_sql())
 def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_range_frame_sum(_t(spark, sf_dir, "events"))
 
 
 @register("events_data_quality",
-          oracle=analytics.dd_events_data_quality_sql(), defer_gate=True)
+          oracle=analytics.dd_events_data_quality_sql())
 def events_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_data_quality(_t(spark, sf_dir, "events"))
 
@@ -126,7 +126,6 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("events_user_churn_buckets",
-          oracle=analytics.dd_events_user_churn_buckets_sql(),
-          defer_gate=True)
+          oracle=analytics.dd_events_user_churn_buckets_sql())
 def events_user_churn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_user_churn_buckets(_t(spark, sf_dir, "events"))

@@ -178,7 +178,11 @@ def fixtures_oracle_sql(fixtures_dir: str) -> str:
         rel = p.relative_to(base)
         if any(part[0] in "._" for part in rel.parts):
             continue
-        rows.extend(chunk_file(str(p.resolve()), p.read_text(encoding="utf-8")))
+        # read_bytes + decode, NOT read_text: text mode's universal
+        # newlines would fold CRLF fixtures to LF, diverging from Spark's
+        # wholetext source which preserves the raw bytes
+        rows.extend(chunk_file(str(p.resolve()),
+                               p.read_bytes().decode("utf-8")))
     if not rows:
         return (
             "SELECT NULL::VARCHAR AS doc_id, NULL::VARCHAR AS file_path, "

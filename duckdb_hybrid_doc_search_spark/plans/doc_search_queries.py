@@ -36,8 +36,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fts_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Written, term-ordered FTS layout for the documents corpus — built
     once per content fingerprint, probed by every bm25/hybrid entry (the
-    write-time-index design the reference itself uses, ref db.py:143-150)."""
-    return ensure_fts_layout(spark, _docs(spark, sf_dir), sf_dir)
+    write-time-index design the reference itself uses, ref db.py:143-150).
+    The thunk lets a warm repeat probe (stat-validated) skip even the
+    corpus DataFrame construction."""
+    return ensure_fts_layout(spark, lambda: _docs(spark, sf_dir), sf_dir)
 
 
 # --- FTS index tables (S3/S4 build side) ------------------------------------
@@ -186,9 +188,11 @@ PART_TOP_K = 10
 def part_name_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BM25 operator is table-generic: the same build+probe over the
     part names column (full-text search over any string column)."""
-    parts = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
-    )
+    def parts() -> DataFrame:
+        return load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+        )
+
     idx = ensure_fts_layout(spark, parts, sf_dir, name="part")
     return bm25.bm25_topk_from_index(idx, PART_QUERY, PART_TOP_K)
 

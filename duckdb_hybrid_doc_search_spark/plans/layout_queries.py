@@ -34,6 +34,24 @@ def _scratch_root() -> str:
     return os.path.join(repo, "spark-warehouse", "layout_metrics")
 
 
+def _gc_stale_siblings(stem: str, keep: str) -> None:
+    """After building a fingerprint-keyed scratch layout, drop older
+    generations of the SAME `{sf}-{kind}-` stem (r4 ADVICE: scratch grew
+    unboundedly across corpus regenerations). The trailing '-' in the
+    match keeps a distinct kind whose name merely extends this stem
+    (e.g. 'sortb' vs a future 'sortb2') out of the sweep."""
+    import re
+    import shutil
+
+    root = _scratch_root()
+    if not os.path.isdir(root):
+        return
+    pat = re.compile(rf"^{re.escape(stem)}-")
+    for d in os.listdir(root):
+        if d != keep and pat.match(d):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 @register("lineitem_zorder_prune_stats", oracle=None, bench=True)
 def lineitem_zorder_prune_stats(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -52,12 +70,14 @@ def lineitem_zorder_prune_stats(spark: SparkSession,
     sdir = os.path.join(_scratch_root(), f"{sf}-sortb-{fp}")
     if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
         write_zordered(li, zdir, "l_partkey", "l_suppkey", ZO_FILES)
+        _gc_stale_siblings(f"{sf}-zorder", os.path.basename(zdir))
     if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
         (
             li.repartitionByRange(ZO_FILES, "l_suppkey")
             .sortWithinPartitions("l_suppkey")
             .write.mode("overwrite").parquet(sdir)
         )
+        _gc_stale_siblings(f"{sf}-sortb", os.path.basename(sdir))
     zp = pruned_fraction(zdir, "l_partkey", "l_suppkey",
                          ZO_PART_BOX, UNBOUNDED)
     sp = pruned_fraction(sdir, "l_partkey", "l_suppkey",
@@ -134,6 +154,7 @@ def corpus_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("shard")
             .parquet(out)
         )
+        _gc_stale_siblings(f"{sf}-shards", os.path.basename(out))
     written = spark.read.parquet(out)
     files = written.select(
         "shard", F.input_file_name().alias("f")
@@ -171,6 +192,7 @@ def orders_partition_prune_stats(spark: SparkSession,
     outdir = os.path.join(_scratch_root(), f"{sf}-opart-{fp}")
     if not os.path.exists(os.path.join(outdir, "_SUCCESS")):
         withy.write.partitionBy("o_year").mode("overwrite").parquet(outdir)
+        _gc_stale_siblings(f"{sf}-opart", os.path.basename(outdir))
 
     part_dirs = [d for d in os.listdir(outdir) if d.startswith("o_year=")]
     files_total = sum(

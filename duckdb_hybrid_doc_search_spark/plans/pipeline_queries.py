@@ -437,8 +437,7 @@ def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_by_source(_docs(spark, sf_dir))
 
 
-@register("text_tfidf_topk", oracle=textstats.dd_tfidf_topk_sql(),
-          defer_gate=True)
+@register("text_tfidf_topk", oracle=textstats.dd_tfidf_topk_sql())
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by smoothed TF-IDF (shuffle-join on term,
     per-doc window bounded by doc vocabulary)."""
@@ -451,7 +450,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
 FROM documents ORDER BY doc_id
 """.strip(),
-    defer_gate=True,
 )
 def orc_documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC corpus source round-trip: documents migrated to ORC once per
@@ -469,7 +467,7 @@ def orc_documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("corpus_perplexity_buckets",
-          oracle=textstats.dd_perplexity_buckets_sql(), defer_gate=True)
+          oracle=textstats.dd_perplexity_buckets_sql())
 def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail terciles of the unigram-LM quality
     signal (distributed_ntile — no global single-partition sort)."""
@@ -483,8 +481,7 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_graph_pagerank(_docs(spark, sf_dir))
 
 
-@register("udtf_sentence_split", oracle=udtfs.dd_sentence_split_sql(),
-          defer_gate=True)
+@register("udtf_sentence_split", oracle=udtfs.dd_sentence_split_sql())
 def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (Spark 4) via LATERAL: per-doc sentence table;
     tests pin it equal to the vectorized posexplode form the hot path
@@ -492,32 +489,40 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udtfs.sentence_split_udtf(_docs(spark, sf_dir))
 
 
-@register("text_bigram_logprob", oracle=textstats.dd_bigram_logprob_sql(),
-          defer_gate=True)
+@register("text_bigram_logprob", oracle=textstats.dd_bigram_logprob_sql())
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc conditional bigram-LM quality signal (add-1 smoothed,
     prefix counts derived from the bigram table)."""
     return textstats.bigram_logprob_scores(_docs(spark, sf_dir))
 
 
-@register("text_zipf_fit", oracle=textstats.dd_zipf_fit_sql(),
-          defer_gate=True)
+@register("text_zipf_fit", oracle=textstats.dd_zipf_fit_sql())
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law slope over the top-1000 vocabulary head (rank bounded by
     TakeOrderedAndProject truncation)."""
     return textstats.zipf_fit(_docs(spark, sf_dir))
 
 
-@register("text_readability_scores", oracle=textstats.dd_readability_sql(),
-          defer_gate=True)
+@register("text_readability_scores", oracle=textstats.dd_readability_sql())
 def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability (pure per-row expressions; scan-bound)."""
     return textstats.readability_scores(_docs(spark, sf_dir))
 
 
 @register("corpus_train_val_test_split",
-          oracle=curation.dd_train_val_test_split_sql(), defer_gate=True)
+          oracle=curation.dd_train_val_test_split_sql())
 def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 80/10/10 split by cross-engine id hash (no RNG, no
     order dependence) with per-split stats."""
     return curation.train_val_test_split(_docs(spark, sf_dir))
+
+
+@register("corpus_benchmark_contamination",
+          oracle=curation.dd_benchmark_contamination_sql(),
+          defer_gate=True)
+def corpus_benchmark_contamination(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Train-set decontamination vs an in-plan benchmark set: per-source
+    word-8-gram overlap report (broadcast benchmark shingles; the corpus
+    is never shuffled on shingle)."""
+    return curation.benchmark_contamination(_docs(spark, sf_dir))

@@ -29,15 +29,22 @@ class QueryDef:
     # the gate's ~50-row window; they rotate in next round when the flag
     # is cleared alongside RECHECK)
     defer_gate: bool = False
+    # True = calling spark_fn EXECUTES work (e.g. drives a bounded stream
+    # to completion) rather than just building a plan — plan-only tools
+    # (tools/audit_plans.py) must skip these. Explicit flag, not a name
+    # convention (r4 ADVICE: a streaming query not named `streaming_*`
+    # would have been executed during a plan-only audit).
+    executes_on_build: bool = False
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
 def register(name: str, oracle: str | None = None, bench: bool = True,
-             defer_gate: bool = False):
+             defer_gate: bool = False, executes_on_build: bool = False):
     def deco(fn: SparkQuery) -> SparkQuery:
-        REGISTRY[name] = QueryDef(name, fn, oracle, bench, defer_gate)
+        REGISTRY[name] = QueryDef(name, fn, oracle, bench, defer_gate,
+                                  executes_on_build)
         return fn
 
     return deco
@@ -57,14 +64,19 @@ def bench_queries() -> dict[str, SparkQuery]:
 # that round (or later) comes back green, so stale entries stop costing
 # window slots without per-round manual cleanup.
 RECHECK: dict[str, int] = {
-    # r3 hash fails: oracle SQL produced DuckDB HUGEINT columns (uncast
-    # integer sums) which the driver serializes differently from BIGINT.
-    # Fixed with ::BIGINT casts in round 4 — re-verify.
-    "events_sessionization": 4,
-    "events_props_json_stats": 4,
-    "events_props_map_stats": 4,
-    # green r3 but rewritten in round 4 (global ntile -> distributed_ntile)
-    "customer_rfm_segments": 4,
+    # (r4 entries — HUGEINT-cast fixes and the distributed_ntile rewrite —
+    # all came back green in CORRECTNESS_r04 and self-cleared.)
+    # bm25 probes: round 5 moved the layout fingerprint off the per-probe
+    # path (index/fts_layout.py memo) — re-verify the probe results.
+    "bm25_topk": 5,
+    "bm25_batch_topk": 5,
+    # round 5 capped per-basket fan-out (operators/mining.py BASKET_CAP)
+    "basket_part_pairs": 5,
+    # round 5 added edge-shape fixtures (setext/closers/CRLF/HTML-block/
+    # tilde) — the registered result set grew; re-verify vs the oracle
+    "markdown_chunk_fixtures": 5,
+    # round 5 single-levenshtein rewrite (operators/mining.py spell_suggest)
+    "search_spell_suggest": 5,
 }
 
 
@@ -115,22 +127,33 @@ def _check_history() -> dict[str, tuple[int, bool]]:
 def _gate_ordered() -> list[str]:
     hist = _check_history()
 
-    def rank(item: tuple[int, tuple[str, QueryDef]]) -> tuple[int, int]:
+    def rank(item: tuple[int, tuple[str, QueryDef]]) -> tuple[int, int, int]:
         order, (name, qd) = item
+        if qd.defer_gate:
+            # late additions held back one round so they don't displace
+            # the priority set from the window
+            return (4, 0, order)
+        checked = hist.get(name)
         if qd.oracle is None:
-            return (4, order)  # rows-only: weakest signal, out of window
-        if name not in hist:
-            # never had any driver row: jump the queue (defer_gate holds
-            # late additions back one round so they don't displace the
-            # priority set from the window)
-            return ((3, order) if qd.defer_gate else (0, order))
-        last_round, green = hist[name]
+            # rows-only: weaker signal, but nonzero — entries that never
+            # earned a non-err driver row queue right behind the oracled
+            # priorities so they are not structurally invisible to the
+            # gate (VERDICT r4 #3); once green they join the stale tail.
+            if checked is None:
+                return (2, 0, order)
+            last_round, green = checked
+            if not green:
+                return (2, 1, last_round)  # stale err row: retry
+            return (3, 0, last_round)
+        if checked is None:
+            return (0, 0, order)  # never had any driver row: jump the queue
+        last_round, green = checked
         recheck_pending = (
             name in RECHECK and (last_round < RECHECK[name] or not green)
         )
         if recheck_pending or not green:
-            return (1, order)  # impl changed or last check failed
-        return (2, last_round)  # green tail: stalest check rotates first
+            return (1, 0, order)  # impl changed or last check failed
+        return (3, 0, last_round)  # green tail: stalest check rotates first
 
     items = list(enumerate(REGISTRY.items()))
     return [n for _, (n, _) in sorted(items, key=rank)]

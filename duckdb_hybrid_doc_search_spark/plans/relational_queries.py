@@ -673,8 +673,7 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.latest_event_per_user(_t(spark, sf_dir, "events"))
 
 
-@register("events_session_paths", oracle=events.dd_session_paths_sql(),
-          defer_gate=True)
+@register("events_session_paths", oracle=events.dd_session_paths_sql())
 def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 session event-type journeys (per-user windows -> in-task
     array_sort -> path hash aggregate -> TakeOrderedAndProject)."""
@@ -682,7 +681,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("part_type_arrays",
-          oracle=relational.dd_part_type_arrays_sql(), defer_gate=True)
+          oracle=relational.dd_part_type_arrays_sql())
 def part_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection-function surface over grouped data (bounded-domain
     collect_set), DuckDB list-function parity."""
@@ -690,8 +689,7 @@ def part_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("customer_balance_percentiles",
-          oracle=relational.dd_customer_balance_percentiles_sql(),
-          defer_gate=True)
+          oracle=relational.dd_customer_balance_percentiles_sql())
 def customer_balance_percentiles(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """ANSI percentile_cont vs percentile_disc per segment."""
@@ -701,16 +699,14 @@ def customer_balance_percentiles(spark: SparkSession,
 
 
 @register("orders_calendar_breakdown",
-          oracle=relational.dd_orders_calendar_breakdown_sql(),
-          defer_gate=True)
+          oracle=relational.dd_orders_calendar_breakdown_sql())
 def orders_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (year, quarter) reporting rollup with ISO-week parity."""
     return relational.orders_calendar_breakdown(_t(spark, sf_dir, "orders"))
 
 
 @register("customer_gini_by_nation",
-          oracle=relational.dd_customer_gini_by_nation_sql(),
-          defer_gate=True)
+          oracle=relational.dd_customer_gini_by_nation_sql())
 def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation Gini of account balances (per-nation rank windows)."""
     return relational.customer_gini_by_nation(
@@ -719,7 +715,7 @@ def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("orders_ship_latency",
-          oracle=relational.dd_orders_ship_latency_sql(), defer_gate=True)
+          oracle=relational.dd_orders_ship_latency_sql())
 def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order->ship latency per month with exact p50/p90."""
     return relational.orders_ship_latency(

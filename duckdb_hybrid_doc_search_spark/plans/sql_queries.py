@@ -117,7 +117,6 @@ LATERAL (
 WHERE c_acctbal > 9900
 ORDER BY n_name, c_custkey
 """.strip(),
-    defer_gate=True,
 )
 def sql_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL correlated subquery (each high-balance customer's single

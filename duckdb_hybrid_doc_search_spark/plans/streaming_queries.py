@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .registry import register
 
 
-@register("streaming_windowed_agg", oracle=None, bench=False)
+@register("streaming_windowed_agg", oracle=None, bench=False,
+          executes_on_build=True)
 def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window agg driven to completion (twin of
     events_windowed_agg; equality-tested in test_streaming.py)."""
@@ -26,7 +27,8 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_windowed_agg(spark, sf_dir, "reg_ev_win")
 
 
-@register("streaming_sessionize", oracle=None, bench=False)
+@register("streaming_sessionize", oracle=None, bench=False,
+          executes_on_build=True)
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState gap sessionizer driven to completion (twin
     of events_sessionization for closed sessions)."""
@@ -35,7 +37,8 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sessionize(spark, sf_dir, "reg_ev_sess")
 
 
-@register("streaming_latest_per_user", oracle=None, bench=False)
+@register("streaming_latest_per_user", oracle=None, bench=False,
+          executes_on_build=True)
 def streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful CDC upsert snapshot driven to completion (twin of
     events_latest_per_user)."""

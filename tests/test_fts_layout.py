@@ -154,3 +154,46 @@ def test_stale_sibling_layouts_garbage_collected(spark, sf_dir, tmp_path):
     assert stale.name not in after          # swept
     assert "othersf-part-v2-cafe" in after  # untouched
     assert live[0] not in after             # old fingerprint swept too
+
+
+def test_warm_probe_fast_path_skips_thunk(spark, sf_dir, tmp_path):
+    """Repeat thunk probes of an unchanged corpus must not construct the
+    corpus DataFrame at all (the r4 bm25 bench regression: per-probe
+    inputFiles()/read.parquet overhead) — and an in-place file touch must
+    invalidate the stat memo and invoke the thunk again."""
+    import os
+
+    import shutil
+
+    # a writable copy of the corpus (never touch /root/testdata)
+    src = os.path.join(sf_dir, "documents.parquet")
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    dst = str(data_dir / "documents.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    layout_root = str(tmp_path / "layouts")
+
+    calls = {"n": 0}
+
+    def docs_thunk():
+        calls["n"] += 1
+        return spark.read.parquet(dst)
+
+    idx1 = ensure_fts_layout(spark, docs_thunk, str(data_dir),
+                             root=layout_root)
+    assert calls["n"] == 1
+    idx2 = ensure_fts_layout(spark, docs_thunk, str(data_dir),
+                             root=layout_root)
+    assert calls["n"] == 1          # warm probe: thunk never invoked
+    assert idx2 is idx1             # same opened handle set
+    # touch a source file: stat sig changes -> full path, thunk re-invoked
+    victim = dst
+    if os.path.isdir(dst):
+        victim = next(
+            os.path.join(dst, f) for f in sorted(os.listdir(dst))
+            if f.endswith(".parquet")
+        )
+    st = os.stat(victim)
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    ensure_fts_layout(spark, docs_thunk, str(data_dir), root=layout_root)
+    assert calls["n"] == 2

@@ -2,8 +2,10 @@
 
 The external driver verifies only the first ~50 entries of queries() per
 round, so _gate_ordered IS coverage policy: never-checked oracled queries
-jump the queue, failed/changed ones re-check next, green ones rotate by
-staleness, rows-only and deliberately-deferred entries wait.
+jump the queue, failed/changed ones re-check next, rows-only entries that
+never earned a non-err driver row queue behind those (weaker signal, but
+not structurally invisible), green ones rotate by staleness, and
+deliberately-deferred entries wait one round.
 """
 
 from __future__ import annotations
@@ -28,10 +30,13 @@ def test_priority_tiers(monkeypatch):
     order = _rank_with(
         monkeypatch,
         hist={"green_old": (1, True), "green_new": (3, True),
-              "red": (3, False)},
+              "red": (3, False), "ro_err": (2, False),
+              "ro_green": (1, True)},
         recheck={},
         defs={
             "rows_only": (None, False),
+            "ro_err": (None, False),
+            "ro_green": (None, False),
             "green_new": ("SELECT 1", False),
             "deferred": ("SELECT 1", True),
             "never": ("SELECT 1", False),
@@ -39,12 +44,13 @@ def test_priority_tiers(monkeypatch):
             "red": ("SELECT 1", False),
         },
     )
-    assert order[0] == "never"          # unchecked jumps the queue
-    assert order[1] == "red"            # failed check next
-    assert order[2] == "green_old"      # stalest green rotates first
-    assert order[3] == "green_new"
-    assert order[4] == "deferred"       # held back one round
-    assert order[5] == "rows_only"      # weakest signal last
+    assert order[0] == "never"          # unchecked oracled jumps the queue
+    assert order[1] == "red"            # failed oracled check next
+    assert order[2] == "rows_only"      # rows-only never checked: in window
+    assert order[3] == "ro_err"         # rows-only stale err: retried after
+    # green tail rotates by staleness regardless of oracle-ness
+    assert order[4:7] == ["ro_green", "green_old", "green_new"]
+    assert order[7] == "deferred"       # held back one round
 
 
 def test_recheck_self_clears_after_green_row(monkeypatch):

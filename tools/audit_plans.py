@@ -133,20 +133,55 @@ def single_partition_sort_lines(plan: str) -> list[str]:
     return out
 
 
+def _balanced_args(s: str, start: int) -> str | None:
+    """Contents of the parenthesized group opening at s[start] == '('."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start + 1:i]
+    return None
+
+
+def _split_top_level(args: str) -> list[str]:
+    """Split on commas at paren depth 0 only — a partition expression
+    containing a function call (its own commas) stays one element."""
+    parts, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def unpartitioned_window_lines(plan: str) -> list[str]:
     out = []
     for line in plan.splitlines():
         s = line.strip()
         if not WINDOW_NODE.match(s):
             continue
-        m = re.search(r"windowspecdefinition\(([^)]*)\)", s)
+        m = re.search(r"windowspecdefinition\(", s)
         if not m:
             continue
-        args = m.group(1)
+        args = _balanced_args(s, m.end() - 1)
+        if args is None:
+            continue
         # partition columns precede the first sort direction; a spec whose
-        # first comma-element already carries ASC/DESC has no partition
-        first = args.split(",")[0]
-        if " ASC" in first or " DESC" in first:
+        # first TOP-LEVEL comma-element already carries ASC/DESC has no
+        # partition (naive split misparsed function-call partition exprs —
+        # the r4 ADVICE finding)
+        first = _split_top_level(args)[0]
+        if re.search(r"\b(ASC|DESC)\b", first):
             out.append(s[:160])
     return out
 
@@ -159,8 +194,9 @@ def audit(spark, sf_dir: str):
     allowlisted: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
     for name, qd in registry.REGISTRY.items():
-        if name.startswith("streaming_"):
-            continue  # streaming drives execute; plan audit is batch-only
+        if qd.executes_on_build:
+            continue  # building the plan would execute (streaming drives);
+            # plan audit is batch-only — explicit flag, not name matching
         try:
             df = qd.spark_fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
