@@ -255,7 +255,10 @@ CONTAM_ROUND = 6
 
 def benchmark_contamination(docs: DataFrame) -> DataFrame:
     """Train-set decontamination report: which training documents share a
-    word 8-gram with the evaluation benchmark, per source.
+    word 8-gram with the evaluation benchmark, per source. The per-SOURCE
+    dashboard complement of packing.decontaminate_ngrams (which emits the
+    per-doc contaminated list): this one reports every source's rate,
+    including clean sources (left join), plus the worst per-doc overlap.
 
     The benchmark set is derived in-plan (doc_id % CONTAM_BENCH_MOD == 0)
     so the query is deterministic and oracle-checkable; in production it
