@@ -1036,3 +1036,89 @@ FROM (
 )
 GROUP BY weeks_inactive ORDER BY weeks_inactive
 """.strip()
+
+
+# --- events_retention_triangle ------------------------------------------------
+
+RETENTION_ANCHOR_DAY = 19723  # epoch day of 2024-01-01 (events corpus start)
+RETENTION_EVENT = "purchase"  # retained = came back and purchased
+RETENTION_ROUND = 6
+
+
+def retention_triangle(events: DataFrame) -> DataFrame:
+    """Classic cohort retention triangle, daily grain: users bucketed by
+    the day of their FIRST purchase (cohort), counted distinct on every
+    later purchase day, reported as n_active + retention vs the cohort's
+    day-0 size. Purchase-only (the sparse "retained" action) — the full
+    event stream is saturated at test scale, which would flatten every
+    rate to 1.0.
+
+    Shape: events collapse to the DISTINCT (user, day) activity grid
+    first (one shuffle; grid is |users| x |days|, tiny next to raw
+    events), cohort day via a per-user min window over that grid (user-
+    partitioned — no global window), one aggregate for the triangle, and
+    a broadcast self-join pins day-0 sizes. All integer epoch-day math
+    (micros // day), identical in DuckDB.
+
+    Output: cohort_day, day_offset, n_active, cohort_size, retention.
+    """
+    from pyspark.sql import Window
+
+    day = (
+        (ts_micros(events) / F.lit(86_400_000_000)).cast("long")
+        - F.lit(RETENTION_ANCHOR_DAY)
+    ).cast("int")
+    grid = (
+        events.where(F.col("event_type") == RETENTION_EVENT)
+        .select("user_id", day.alias("day_idx"))
+        .distinct()
+    )
+    w_user = Window.partitionBy("user_id")
+    cohorts = grid.withColumn(
+        "cohort_day", F.min("day_idx").over(w_user)
+    )
+    tri = cohorts.groupBy(
+        "cohort_day",
+        (F.col("day_idx") - F.col("cohort_day")).alias("day_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    base = tri.where(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        tri.join(F.broadcast(base), "cohort_day")
+        .select(
+            "cohort_day", "day_offset", "n_active", "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"),
+                    RETENTION_ROUND).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def dd_retention_triangle_sql(table: str = "events") -> str:
+    return f"""
+WITH grid AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000 - {RETENTION_ANCHOR_DAY})::INT
+           AS day_idx
+  FROM {table} WHERE event_type = '{RETENTION_EVENT}'
+),
+cohorts AS (
+  SELECT user_id, day_idx,
+         min(day_idx) OVER (PARTITION BY user_id) AS cohort_day
+  FROM grid
+),
+tri AS (
+  SELECT cohort_day, day_idx - cohort_day AS day_offset,
+         count(DISTINCT user_id)::BIGINT AS n_active
+  FROM cohorts GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_day, n_active AS cohort_size FROM tri WHERE day_offset = 0
+)
+SELECT t.cohort_day, t.day_offset, t.n_active, b.cohort_size,
+       round(t.n_active * 1.0 / b.cohort_size, {RETENTION_ROUND})
+         AS retention
+FROM tri t JOIN base b USING (cohort_day)
+ORDER BY t.cohort_day, t.day_offset
+""".strip()

@@ -265,3 +265,97 @@ ranked AS (
 )
 SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+# --- matryoshka (truncated-dimension) retrieval quality -----------------------
+
+MRL_DIM = 16  # retrieval prefix: first 16 of the 64 embedding dims
+
+
+def matryoshka_recall(emb: DataFrame, k: int, n_queries: int,
+                      dim: int = MRL_DIM, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of truncated-prefix retrieval vs the full-dim exact top-k
+    — the evaluation behind Matryoshka-style cheap first-stage retrieval
+    (store/scan only the first `dim` dims, rerank survivors full-width).
+
+    ONE corpus scan: each (query, candidate) pair scores BOTH the full
+    and the prefix cosine in the same projection, then two rank windows
+    over the same shuffled pair set; recall@k = |top-k ∩ top-k_trunc|/k.
+    At 100 TB the query set is the bounded broadcast side (an eval
+    sample), so cost is one corpus pass regardless of how many metric
+    variants are scored per pair.
+
+    Output: q_id, recall_at_k (one row per query, 0.0 when disjoint).
+    """
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = (
+        emb.select(F.col(id_col).alias("c_id"),
+                   F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
+                    SCORE_ROUND).alias("cos_full"),
+            F.round(
+                V.cosine_similarity(F.slice("q_vec", 1, dim),
+                                    F.slice("c_vec", 1, dim)),
+                SCORE_ROUND,
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_full"), F.asc("c_id")
+    )
+    w_trunc = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_trunc"), F.asc("c_id")
+    )
+    ranked = pairs.select(
+        "q_id",
+        F.row_number().over(w_full).alias("rf"),
+        F.row_number().over(w_trunc).alias("rt"),
+    )
+    hit = F.when((F.col("rf") <= k) & (F.col("rt") <= k), 1).otherwise(0)
+    return (
+        ranked.groupBy("q_id")
+        .agg(F.round(F.sum(hit) / k, 6).alias("recall_at_k"))
+        .orderBy("q_id")
+    )
+
+
+def dd_matryoshka_recall_sql(k: int, n_queries: int, dim: int = MRL_DIM,
+                             table: str = "embeddings",
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> str:
+    sim_full = V.dd_cosine_similarity("q.q_vec", f"c.{vec_col}")
+    sim_trunc = V.dd_cosine_similarity(
+        f"list_slice(q.q_vec, 1, {dim})",
+        f"list_slice(c.{vec_col}, 1, {dim})",
+    )
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+  WHERE {id_col} < {n_queries}
+),
+pairs AS (
+  SELECT q.q_id, c.{id_col} AS c_id,
+         round({sim_full}, {SCORE_ROUND}) AS cos_full,
+         round({sim_trunc}, {SCORE_ROUND}) AS cos_trunc
+  FROM {table} c CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY cos_full DESC, c_id ASC) AS rf,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY cos_trunc DESC, c_id ASC) AS rt
+  FROM pairs
+)
+SELECT q_id,
+       round(sum(CASE WHEN rf <= {k} AND rt <= {k} THEN 1 ELSE 0 END)
+             * 1.0 / {k}, 6) AS recall_at_k
+FROM ranked GROUP BY q_id ORDER BY q_id
+""".strip()

@@ -129,3 +129,11 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=analytics.dd_events_user_churn_buckets_sql())
 def events_user_churn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_user_churn_buckets(_t(spark, sf_dir, "events"))
+
+
+@register("events_retention_triangle",
+          oracle=analytics.dd_retention_triangle_sql(), defer_gate=True)
+def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (distinct user-week grid ->
+    per-user min window -> one aggregate; integer epoch-week math)."""
+    return analytics.retention_triangle(_t(spark, sf_dir, "events"))

@@ -526,3 +526,14 @@ def corpus_benchmark_contamination(spark: SparkSession,
     word-8-gram overlap report (broadcast benchmark shingles; the corpus
     is never shuffled on shingle)."""
     return curation.benchmark_contamination(_docs(spark, sf_dir))
+
+
+@register("embeddings_matryoshka_recall",
+          oracle=knn.dd_matryoshka_recall_sql(ANN_K, ANN_N_QUERIES),
+          defer_gate=True)
+def embeddings_matryoshka_recall(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Recall@k of truncated-prefix (first 16 of 64 dims) retrieval vs
+    the full-dim exact top-k — one corpus scan scores both metrics per
+    pair, two rank windows (Matryoshka cheap-first-stage evaluation)."""
+    return knn.matryoshka_recall(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
