@@ -123,13 +123,23 @@ def read_fts_layout(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
 _OPEN: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 # Warm-probe freshness memo:
-# (appId, sf_dir, name, layout_root) -> (out_dir, file sig).
+# (appId, sf_dir, name, layout_root) -> (out_dir, file sig, dir sig).
 # Lets a repeat probe validate layout freshness with pure driver-side
 # os.stat (microseconds) instead of re-resolving the corpus DataFrame and
 # calling inputFiles() through the JVM (~0.2s per probe — the r4
-# bm25_topk/bm25_batch_topk bench regression). Regenerated testdata
-# changes size/mtime -> sig mismatch -> full fingerprint path rebuilds.
-_FRESH: dict[tuple[str, str, str, str], tuple[str, "object"]] = {}
+# bm25_topk/bm25_batch_topk bench regression). The file sig catches
+# modified/deleted source files; the PARENT-DIRECTORY sig catches files
+# ADDED to the corpus (append writes create entries -> dir mtime bumps),
+# which re-statting only the recorded files would miss. Either mismatch
+# falls back to the full fingerprint path and rebuilds.
+_FRESH: dict[tuple[str, str, str, str],
+             tuple[str, "object", "object"]] = {}
+
+
+def _dir_sig(sig) -> tuple:
+    """Stat signature of the distinct parent directories of `sig`'s files."""
+    dirs = sorted({os.path.dirname(p) for p, _, _ in sig})
+    return stat_sig(dirs)
 
 
 def ensure_fts_layout(spark: SparkSession,
@@ -160,11 +170,12 @@ def ensure_fts_layout(spark: SparkSession,
     fast_key = (app_id, os.path.abspath(sf_dir), name, _layout_root(root))
     fresh = _FRESH.get(fast_key) if callable(docs) else None
     if fresh is not None:
-        out_dir, sig = fresh
+        out_dir, sig, dsig = fresh
         memo_key = (app_id, out_dir)
         if memo_key in _OPEN:
             try:
-                if sig and stat_sig([p for p, _, _ in sig]) == sig:
+                if (sig and stat_sig([p for p, _, _ in sig]) == sig
+                        and _dir_sig(sig) == dsig):
                     return _OPEN[memo_key]
             except OSError:
                 pass  # source files moved/deleted: fall through, rebuild
@@ -190,7 +201,10 @@ def ensure_fts_layout(spark: SparkSession,
             _gc_stale_siblings(out_dir)
         _OPEN[memo_key] = read_fts_layout(spark, out_dir)
     if sig and was_thunk:
-        _FRESH[fast_key] = (out_dir, sig)
+        try:
+            _FRESH[fast_key] = (out_dir, sig, _dir_sig(sig))
+        except OSError:
+            pass  # dirs raced away: no fast path, correctness unaffected
     return _OPEN[memo_key]
 
 

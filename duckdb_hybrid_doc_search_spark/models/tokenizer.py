@@ -55,7 +55,7 @@ def jp_heuristic_tokenize(text: str) -> list[str]:
     return out
 
 
-_LINDERA_TOKENIZER = None
+_LINDERA_TOKENIZERS: dict[str, object] = {}  # keyed by dict_type
 
 
 def lindera_tokenize(text: str, dict_type: str = "ipadic") -> list[str]:
@@ -70,8 +70,7 @@ def lindera_tokenize(text: str, dict_type: str = "ipadic") -> list[str]:
     byte-identical to the checked-in ipadic goldens
     (tests/goldens/lindera_ipadic_sample_tokens.json).
     """
-    global _LINDERA_TOKENIZER
-    if _LINDERA_TOKENIZER is None:
+    if dict_type not in _LINDERA_TOKENIZERS:
         try:
             from lindera_py import (  # type: ignore[import-not-found]
                 Segmenter, Tokenizer, load_dictionary)
@@ -81,9 +80,9 @@ def lindera_tokenize(text: str, dict_type: str = "ipadic") -> list[str]:
                 "use tokenizer backend 'jp_heuristic' for Japanese text"
             ) from e
         dictionary = load_dictionary(dict_type)  # pragma: no cover
-        _LINDERA_TOKENIZER = Tokenizer(  # pragma: no cover
+        _LINDERA_TOKENIZERS[dict_type] = Tokenizer(  # pragma: no cover
             Segmenter("normal", dictionary)
         )
     return [  # pragma: no cover
-        t.text for t in _LINDERA_TOKENIZER.tokenize(text)
+        t.text for t in _LINDERA_TOKENIZERS[dict_type].tokenize(text)
     ]

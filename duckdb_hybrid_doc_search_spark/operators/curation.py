@@ -264,9 +264,15 @@ def benchmark_contamination(docs: DataFrame) -> DataFrame:
     so the query is deterministic and oracle-checkable; in production it
     is the eval suites' text. Scale shape: the benchmark's distinct
     shingle set is benchmark-sized (eval suites are tiny next to a 100 TB
-    corpus) and BROADCAST, so the train side is ONE tokenize/shingle pass
-    + a map-side hash semi-probe + a per-doc partial aggregate — the
-    corpus is never shuffled on shingle.
+    corpus) and BROADCAST; per-doc shingle dedup happens MAP-SIDE
+    (array_distinct before the explode — never a corpus-wide distinct
+    shuffle), so the train side is one tokenize/shingle pass + a
+    broadcast semi-probe + a per-doc aggregate over only the matched
+    survivors. The only corpus-keyed shuffles are the per-doc overlap
+    aggregate (bounded by actual matches) and the final per-source
+    rollup. The repartition exists for input-split parallelism at test
+    scale (one small parquet file = one split); cluster-scale inputs
+    already arrive split.
 
     Output per source: n_train, n_contaminated, contamination_rate,
     max_overlap (worst per-doc count of overlapping benchmark 8-grams).
@@ -278,9 +284,12 @@ def benchmark_contamination(docs: DataFrame) -> DataFrame:
     sh = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", tokenize(F.col("text")).alias("t"))
-        .select("doc_id",
-                F.explode(shingles(F.col("t"), CONTAM_N)).alias("s"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("t"), CONTAM_N))
+            ).alias("s"),
+        )
     )
     bench_sh = sh.where(is_bench).select("s").distinct()
     overlap = (

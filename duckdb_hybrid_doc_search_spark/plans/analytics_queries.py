@@ -134,6 +134,6 @@ def events_user_churn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_retention_triangle",
           oracle=analytics.dd_retention_triangle_sql(), defer_gate=True)
 def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention triangle (distinct user-week grid ->
-    per-user min window -> one aggregate; integer epoch-week math)."""
+    """Daily purchase-cohort retention triangle (distinct user-day grid
+    -> per-user min window -> one aggregate; integer epoch-day math)."""
     return analytics.retention_triangle(_t(spark, sf_dir, "events"))

@@ -129,11 +129,14 @@ def _gate_ordered() -> list[str]:
 
     def rank(item: tuple[int, tuple[str, QueryDef]]) -> tuple[int, int, int]:
         order, (name, qd) = item
-        if qd.defer_gate:
-            # late additions held back one round so they don't displace
-            # the priority set from the window
-            return (4, 0, order)
         checked = hist.get(name)
+        if qd.defer_gate and checked is None and name not in RECHECK:
+            # late additions held back one round so they don't displace
+            # the priority set from the window. Applies ONLY while the
+            # query has no driver history: once checked (esp. a FAILED
+            # row) or RECHECK-flagged, the normal tiers govern — a stale
+            # defer flag must never park a red query out of the window.
+            return (4, 0, order)
         if qd.oracle is None:
             # rows-only: weaker signal, but nonzero — entries that never
             # earned a non-err driver row queue right behind the oracled

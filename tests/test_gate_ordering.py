@@ -76,3 +76,27 @@ def test_recheck_self_clears_after_green_row(monkeypatch):
         recheck={"q": 4}, defs=defs,
     )
     assert order[0] == "q"
+
+
+def test_defer_gate_only_parks_unchecked_queries(monkeypatch):
+    """defer_gate holds back NEW queries only: once a driver row exists —
+    especially a red one — or a RECHECK flag is set, the normal tiers
+    govern, so a stale defer flag can never park a failed query outside
+    the gate window."""
+    defs = {"d_red": ("SELECT 1", True), "d_green": ("SELECT 1", True),
+            "d_new": ("SELECT 1", True), "plain": ("SELECT 1", False)}
+    order = _rank_with(
+        monkeypatch,
+        hist={"d_red": (4, False), "d_green": (2, True),
+              "plain": (3, True)},
+        recheck={},
+        defs=defs,
+    )
+    assert order[0] == "d_red"            # red row: retried despite flag
+    assert order[1:3] == ["d_green", "plain"]  # green tail by staleness
+    assert order[3] == "d_new"            # truly new: held back
+    # RECHECK also overrides the flag
+    order = _rank_with(
+        monkeypatch, hist={}, recheck={"d_new": 5}, defs=defs,
+    )
+    assert order[0] == "d_new"
