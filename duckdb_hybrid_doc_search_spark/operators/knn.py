@@ -359,3 +359,112 @@ SELECT q_id,
              * 1.0 / {k}, 6) AS recall_at_k
 FROM ranked GROUP BY q_id ORDER BY q_id
 """.strip()
+
+
+# --- kNN label classification (embedding-quality evaluation) ------------------
+
+CLS_K = 5  # neighbors per vote
+
+
+def knn_classify_accuracy(emb: DataFrame, k: int, n_queries: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label") -> DataFrame:
+    """Leave-one-out kNN majority-vote accuracy per class — the standard
+    "are these embeddings any good" probe over the labeled vector table:
+    each query vector is classified by its k nearest neighbors' labels
+    (self excluded; cosine ties broken by id, vote ties by smaller label)
+    and scored against its true label.
+
+    Scale shape: the evaluation query set is the bounded broadcast side;
+    the corpus streams once; per-query state after the scan is k rows.
+
+    Output per true label: n, n_correct, accuracy.
+    """
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    pairs = (
+        emb.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(label_col).alias("c_label"),
+        )
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id", "q_label", "c_id", "c_label",
+            F.round(V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
+                    SCORE_ROUND).alias("cos_sim"),
+        )
+    )
+    w_nn = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("c_id")
+    )
+    nn = pairs.withColumn("rnk", F.row_number().over(w_nn)).where(
+        F.col("rnk") <= k
+    )
+    votes = nn.groupBy("q_id", "q_label", "c_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.asc("c_label")
+    )
+    pred = votes.withColumn("rv", F.row_number().over(w_vote)).where(
+        F.col("rv") == 1
+    )
+    correct = F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.round(F.sum(correct) / F.count(F.lit(1)), 6)
+            .alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+def dd_knn_classify_sql(k: int, n_queries: int, table: str = "embeddings",
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label") -> str:
+    sim = V.dd_cosine_similarity("q.q_vec", f"c.{vec_col}")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec, {label_col} AS q_label
+  FROM {table} WHERE {id_col} < {n_queries}
+),
+pairs AS (
+  SELECT q.q_id, q.q_label, c.{id_col} AS c_id, c.{label_col} AS c_label,
+         round({sim}, {SCORE_ROUND}) AS cos_sim
+  FROM {table} c CROSS JOIN q
+  WHERE c.{id_col} <> q.q_id
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, c_id ASC) AS rnk
+    FROM pairs
+  ) WHERE rnk <= {k}
+),
+votes AS (
+  SELECT q_id, q_label, c_label, count(*)::BIGINT AS n_votes
+  FROM nn GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY n_votes DESC, c_label ASC) AS rv
+    FROM votes
+  ) WHERE rv = 1
+)
+SELECT q_label AS label, count(*)::BIGINT AS n,
+       sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct,
+       round(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS accuracy
+FROM pred GROUP BY q_label ORDER BY label
+""".strip()

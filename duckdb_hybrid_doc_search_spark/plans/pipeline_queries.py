@@ -537,3 +537,17 @@ def embeddings_matryoshka_recall(spark: SparkSession,
     the full-dim exact top-k — one corpus scan scores both metrics per
     pair, two rank windows (Matryoshka cheap-first-stage evaluation)."""
     return knn.matryoshka_recall(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
+CLS_N_QUERIES = 50
+
+
+@register("embeddings_knn_classify",
+          oracle=knn.dd_knn_classify_sql(knn.CLS_K, CLS_N_QUERIES),
+          defer_gate=True)
+def embeddings_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN majority-vote accuracy per class over the
+    labeled vector table (cosine, k=5; broadcast query sample, one
+    corpus scan) — the embedding-quality evaluation probe."""
+    return knn.knn_classify_accuracy(_emb(spark, sf_dir), knn.CLS_K,
+                                     CLS_N_QUERIES)

@@ -51,6 +51,8 @@ QUERIES = [
     "basket_part_pairs",             # per-order self-join pair mining
     "events_session_paths",          # session windows + path aggregate
     "orders_merge_upsert",           # full-outer MERGE + summary agg
+    "corpus_benchmark_contamination",  # shingle pass + broadcast semi-probe
+    "events_retention_triangle",     # distinct grid + per-user min window
 ]
 
 
@@ -123,8 +125,20 @@ def main() -> None:
         + ". One session for all points; min of 2 timed runs after "
         "warm-up; noop sink.",
     ]
-    with open(os.path.join(_HERE, "SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(_HERE, "SCALING.md")
+    # preserve sections other tools own (tools/stream_bench.py appends a
+    # "## STREAMBENCH" block — a full rewrite here must not drop it)
+    extra = ""
+    try:
+        with open(path) as f:
+            old = f.read()
+        i = old.find("## STREAMBENCH")
+        if i >= 0:
+            extra = "\n" + old[i:].rstrip("\n") + "\n"
+    except OSError:
+        pass
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + extra)
     print(f"wrote SCALING.md ({len(QUERIES)} queries x {len(SFS)} SFs)")
     spark.stop()
 
