@@ -657,15 +657,58 @@ def _kmeans_assign(embeddings: DataFrame, cents: list[tuple[int, list[float]]]):
     return best["cid"].alias("cluster_id"), best["d2"].alias("d2")
 
 
+def _kmeans_assign_arrow(embeddings: DataFrame,
+                         cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(cluster_id, d2, embedding) via one Arrow-batched GEMM pass —
+    the TRAINER's assignment. Numerically it is the same nearest-centroid
+    rule as the catalyst `_kmeans_assign` (ties to lower centroid id:
+    centroid rows are cid-sorted and argmin takes the first minimum),
+    but per-batch numpy `|x|^2 + |c|^2 - 2 x·C^T` replaces K interpreted
+    zip_with/aggregate lambdas per row: the iterative loop was spending
+    ~1.3 s/iteration at sf0.1 in HOF interpretation + per-iteration
+    codegen of fresh centroid literals (r5 measurement, PERF_NOTES.md),
+    while the Arrow pass keeps a constant plan shape across iterations."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    C = np.array([cents[i][1] for i in order], dtype=np.float64)
+    cids = np.array([cents[i][0] for i in order], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = np.maximum(
+                (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T),
+                0.0,
+            )
+            best = d2.argmin(axis=1)  # first min = lowest cid (cid-sorted)
+            yield pd.DataFrame({
+                "cluster_id": cids[best],
+                "d2": d2[np.arange(len(best)), best],
+                "embedding": pdf["embedding"],
+            })
+
+    return embeddings.select("embedding").mapInPandas(
+        fn, "cluster_id long, d2 double, embedding array<float>"
+    )
+
+
 def embeddings_kmeans_train(embeddings: DataFrame) -> DataFrame:
     """Full Lloyd's k-means, KMEANS_ITERS iterations: per iteration one
-    codegen'd assignment pass (broadcast centroid literals) and one
-    K-row aggregate computing the new means + inertia. The driver loop
-    holds only K×dim floats — the classic distributed-kmeans shape; no
-    per-row Python, no N×K join materialization.
+    Arrow-GEMM assignment pass (`_kmeans_assign_arrow`) and one K-row
+    aggregate computing the new means + inertia. The driver loop holds
+    only K×dim floats — the classic distributed-kmeans shape; no N×K
+    join materialization, and the per-iteration plan shape is constant
+    so nothing recompiles between passes.
 
     Rows-only (seeded float iteration isn't SQL-expressible across
-    engines); tests pin inertia monotonicity and partition totals.
+    engines); tests pin inertia monotonicity and partition totals. The
+    oracle-gated single step (`embeddings_kmeans_step`) stays on the
+    catalyst literal-centroid expression, which IS DuckDB-checkable.
 
     Output: one row per (iteration, cluster_id) with n, mean_d2.
     """
@@ -680,10 +723,10 @@ def embeddings_kmeans_train(embeddings: DataFrame) -> DataFrame:
     ]
     history = []
     spark = embeddings.sparkSession
+    dim = len(cents[0][1])
     for it in range(KMEANS_ITERS):
-        cluster_id, d2 = _kmeans_assign(embeddings, cents)
         stats = (
-            embeddings.select(cluster_id, d2, "embedding")
+            _kmeans_assign_arrow(embeddings, cents)
             .groupBy("cluster_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -691,7 +734,7 @@ def embeddings_kmeans_train(embeddings: DataFrame) -> DataFrame:
                 F.array(
                     *[
                         F.avg(F.col("embedding").getItem(i))
-                        for i in range(len(cents[0][1]))
+                        for i in range(dim)
                     ]
                 ).alias("mean_vec"),
             )
@@ -961,20 +1004,20 @@ def embeddings_pca_power(embeddings: DataFrame) -> DataFrame:
     v[0] = 1.0
     history = []
     for it in range(PCA_ITERS):
-        # v inlined as a literal vector: each step does recompile the
-        # plan (the literal changes), but the measured alternative — a
-        # broadcast one-row v DataFrame with a stable plan — was SLOWER
-        # (8.9s vs 7.0s at sf0.1 over 6 iters): the join machinery costs
-        # more than the recompile, and at real data volumes both vanish
-        # against the scan
-        dot_xv = vector.dot(F.col("x"), vector.lit_vector(v))
-        row = centered.agg(
-            *[
-                F.avg(dot_xv * F.col("x").getItem(j)).alias(f"w{j}")
-                for j in range(dim)
-            ]
-        ).first()
-        w = [float(row[f"w{j}"]) for j in range(dim)]
+        # Arrow-GEMM partial sums: each partition emits ONE D-row frame
+        # of sum_i dot(x_i, v)·x_i partials; the driver merges D×
+        # partitions rows. Earlier variants were measured and rejected
+        # (r5, sf0.1, 6 iters): literal-v catalyst aggregate 5.8s (D
+        # interpreted avg expressions recompiled per step), broadcast
+        # one-row v DataFrame 8.9s (join machinery). The numpy pass runs
+        # the same step in ~1 job of batch GEMMs with a constant plan
+        # shape, and the driver still only ever sees D-sized state.
+        w_parts = _pca_step_partials(centered, v, dim).collect()
+        total_n = sum(r["n"] for r in w_parts if r["pos"] == 0)
+        sums = [0.0] * dim
+        for r in w_parts:
+            sums[r["pos"]] += r["s"]
+        w = [s / total_n for s in sums]
         nrm = math.sqrt(sum(c * c for c in w)) or 1.0
         new_v = [c / nrm for c in w]
         cos_prev = sum(a * b for a, b in zip(new_v, v))
@@ -984,6 +1027,32 @@ def embeddings_pca_power(embeddings: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         history, "iteration int, eigenvalue double, cos_prev double"
     )
+
+
+def _pca_step_partials(centered: DataFrame, v: list[float],
+                       dim: int) -> DataFrame:
+    """Per-partition partial sums of dot(x, v)·x as (pos, s, n) rows —
+    D rows per partition, merged driver-side by embeddings_pca_power."""
+    import numpy as np
+    import pandas as pd
+
+    vv = np.array(v, dtype=np.float64)
+
+    def fn(batches):
+        S = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["x"].tolist(), dtype=np.float64)
+            S += (X @ vv) @ X
+            n += len(X)
+        yield pd.DataFrame({
+            "pos": np.arange(dim, dtype=np.int32), "s": S,
+            "n": np.full(dim, n, dtype=np.int64),
+        })
+
+    return centered.mapInPandas(fn, "pos int, s double, n long")
 
 
 # --- events_user_churn_buckets ----------------------------------------------

@@ -119,9 +119,9 @@ def events_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embeddings_pca_power", oracle=None)
 def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction by power iteration (one D-expression
-    aggregate per step, covariance never materialized); rows-only —
-    iterative float fixpoint with convergence trace recorded."""
+    """Top principal direction by power iteration (one Arrow-GEMM
+    partial-sum pass per step, covariance never materialized); rows-only
+    — iterative float fixpoint with convergence trace recorded."""
     return analytics.embeddings_pca_power(_t(spark, sf_dir, "embeddings"))
 
 
