@@ -468,3 +468,166 @@ SELECT q_label AS label, count(*)::BIGINT AS n,
              * 1.0 / count(*), 6) AS accuracy
 FROM pred GROUP BY q_label ORDER BY label
 """.strip()
+
+
+# --- IVF nprobe tuning curve ---------------------------------------------------
+
+NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def ivf_nprobe_curve(emb: DataFrame, k: int, n_queries: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Recall@k vs scan cost across the NPROBE_SWEEP — the tuning curve
+    every IVF deployment reads before picking nprobe (quality rises with
+    probes, cost rises linearly; the knee is the operating point).
+
+    ONE pass: candidates are gathered once at max(sweep) probes with
+    their probe rank attached, each candidate's cosine is scored once,
+    then the sweep values fan out by an explode and each (nprobe, query)
+    slice ranks the candidates whose probe rank qualifies. Recall is
+    against the exact brute-force top-k; mean_candidates records the
+    per-query scan cost that bought it.
+
+    Output per nprobe: mean_recall, mean_candidates.
+    """
+    cent, assign = ivf_assign(emb, id_col, vec_col)
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id", "q_vec", "cent_id",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("qsim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= max(NPROBE_SWEEP))
+        .select("q_id", "q_vec", F.col("cent_id").alias("cell"),
+                F.col("rn").alias("probe_rn"))
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .join(
+            emb.select(F.col(id_col).alias("c_id"),
+                       F.col(vec_col).alias("c_vec")),
+            "c_id",
+        )
+        .select(
+            "q_id", "probe_rn", "c_id",
+            F.round(V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
+                    SCORE_ROUND).alias("cos_sim"),
+        )
+    )
+    fanned = cand.select(
+        "*",
+        F.explode(F.array(*[F.lit(n) for n in NPROBE_SWEEP])).alias("nprobe"),
+    ).where(F.col("probe_rn") <= F.col("nprobe"))
+    wk = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cos_sim"), F.asc("c_id")
+    )
+    approx = (
+        fanned.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("nprobe", "q_id", "c_id")
+    )
+    brute = knn_join(
+        queries,
+        emb.select(F.col(id_col).alias("c_id"),
+                   F.col(vec_col).alias("c_vec")),
+        k,
+    ).select("q_id", "c_id")
+    hits = approx.join(brute, ["q_id", "c_id"]).groupBy(
+        "nprobe", "q_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_cand = fanned.groupBy("nprobe", "q_id").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    per_q = n_cand.join(hits, ["nprobe", "q_id"], "left")
+    return (
+        per_q.groupBy("nprobe")
+        .agg(
+            F.round(F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / k), 6)
+            .alias("mean_recall"),
+            F.round(F.avg("n_cand"), 6).alias("mean_candidates"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def dd_ivf_nprobe_curve_sql(k: int, n_queries: int,
+                            table: str = "embeddings",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    csim = V.dd_cosine_similarity("e.c_vec", "c.cvec")
+    qsim = V.dd_cosine_similarity("q.q_vec", "c.cvec")
+    sim = V.dd_cosine_similarity("p.q_vec", "e2.c_vec")
+    bsim = V.dd_cosine_similarity("q.q_vec", "e.c_vec")
+    sweep_vals = ", ".join(f"({n})" for n in NPROBE_SWEEP)
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
+  WHERE {id_col} % {CENTROID_MOD} = 0
+),
+e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
+assign AS (
+  SELECT c_id, cent_id AS cell FROM (
+    SELECT e.c_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.c_id
+             ORDER BY round({csim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+      WHERE {id_col} < {n_queries}),
+probes AS (
+  SELECT q_id, q_vec, cent_id AS cell, rn AS probe_rn FROM (
+    SELECT q.q_id, q.q_vec, c.cent_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({qsim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {max(NPROBE_SWEEP)}
+),
+cand AS (
+  SELECT p.q_id, p.probe_rn, a.c_id,
+         round({sim}, {SCORE_ROUND}) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  JOIN e e2 ON e2.c_id = a.c_id
+),
+fanned AS (
+  SELECT cand.*, s.nprobe
+  FROM cand CROSS JOIN (VALUES {sweep_vals}) s(nprobe)
+  WHERE probe_rn <= s.nprobe
+),
+approx AS (
+  SELECT nprobe, q_id, c_id FROM (
+    SELECT nprobe, q_id, c_id,
+           row_number() OVER (PARTITION BY nprobe, q_id
+             ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM fanned
+  ) WHERE rank <= {k}
+),
+brute AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, e.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({bsim}, {SCORE_ROUND}) DESC, e.c_id ASC) AS rank
+    FROM e CROSS JOIN q
+  ) WHERE rank <= {k}
+),
+hits AS (
+  SELECT a.nprobe, a.q_id, count(*)::BIGINT AS n_hit
+  FROM approx a JOIN brute b ON a.q_id = b.q_id AND a.c_id = b.c_id
+  GROUP BY 1, 2
+),
+n_cand AS (
+  SELECT nprobe, q_id, count(*)::BIGINT AS n_cand
+  FROM fanned GROUP BY 1, 2
+)
+SELECT n.nprobe, round(avg(coalesce(h.n_hit, 0) * 1.0 / {k}), 6)
+         AS mean_recall,
+       round(avg(n.n_cand), 6) AS mean_candidates
+FROM n_cand n LEFT JOIN hits h ON n.nprobe = h.nprobe AND n.q_id = h.q_id
+GROUP BY n.nprobe ORDER BY n.nprobe
+""".strip()

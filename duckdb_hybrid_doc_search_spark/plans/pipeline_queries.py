@@ -551,3 +551,13 @@ def embeddings_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan) — the embedding-quality evaluation probe."""
     return knn.knn_classify_accuracy(_emb(spark, sf_dir), knn.CLS_K,
                                      CLS_N_QUERIES)
+
+
+@register("ann_ivf_nprobe_curve",
+          oracle=knn.dd_ivf_nprobe_curve_sql(ANN_K, ANN_N_QUERIES),
+          defer_gate=True)
+def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@k + mean candidates scanned per query
+    across nprobe in {1,2,4,8} — one candidate pass at max nprobe,
+    exploded per sweep value."""
+    return knn.ivf_nprobe_curve(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
