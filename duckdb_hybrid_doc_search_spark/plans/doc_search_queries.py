@@ -257,3 +257,22 @@ def search_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocomplete: top completions per high-traffic 3-char prefix,
     computed entirely over the vocabulary-sized docfreq table."""
     return results.term_prefix_completions(_fts_index(spark, sf_dir))
+
+
+FILTER_LANG = "en"
+
+
+@register(
+    "hybrid_search_filtered",
+    oracle=engine.dd_hybrid_search_filtered_sql(QUERY, FILTER_LANG, TOP_K),
+    defer_gate=True,
+)
+def hybrid_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered hybrid search (lang = 'en'): the filter lands
+    BEFORE each branch's top-k so all k results satisfy it — the
+    pre-filter shape production engines serve (post-filtering a top-k
+    under-fills whenever the filter is selective)."""
+    return engine.hybrid_search_filtered(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), QUERY, FILTER_LANG,
+        TOP_K, index=_fts_index(spark, sf_dir),
+    )

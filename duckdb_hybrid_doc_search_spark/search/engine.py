@@ -225,3 +225,90 @@ FROM merged m JOIN documents d USING (doc_id)
 WHERE round({score_expr}, {SCORE_ROUND}) > {threshold}
 ORDER BY score DESC, m.doc_id ASC LIMIT {top_k}
 """.strip()
+
+
+def hybrid_search_filtered(docs: DataFrame, embeddings: DataFrame,
+                           query: str, lang: str,
+                           top_k: int = TOP_K_DEFAULT,
+                           threshold: float = SCORE_THRESHOLD,
+                           index: dict[str, DataFrame] | None = None
+                           ) -> DataFrame:
+    """Hybrid search restricted to documents with a given metadata value
+    (lang) — the filtered-search shape every production engine serves.
+
+    The filter lands BEFORE each branch's top-k (pre-filtering), so all
+    k results satisfy it; post-filtering a top-k would return fewer than
+    k (or zero) rows whenever the filter is selective. BM25 stats stay
+    corpus-global (the standard choice: IDF describes the corpus, the
+    filter restricts candidates). Both branches apply the filter as a
+    semi-join against the filtered id set; at scale that set is a
+    pushed-down scan of the narrow documents projection.
+    """
+    qterms = tokenize_query(query)
+    qvec = hash_embed_text(query)
+    allowed = docs.where(F.col("lang") == lang).select("doc_id")
+
+    if index is None:
+        index = build_fts_index(docs)
+    fts = (
+        bm25_scores(index, qterms)
+        .join(allowed, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+        .withColumnRenamed("score", "fts_score")
+    )
+    emb_allowed = embeddings.join(
+        allowed.select(F.col("doc_id").alias("vec_id")), "vec_id",
+        "left_semi",
+    )
+    vss = cosine_distance_topk(emb_allowed, qvec, top_k)
+
+    fused = (
+        fts.join(vss, "doc_id", "full_outer")
+        .withColumn(
+            "score",
+            F.round(fuse_scores(F.col("fts_score"), F.col("vss_score")),
+                    SCORE_ROUND),
+        )
+    )
+    return (
+        F.broadcast(fused).join(docs, "doc_id", "inner")
+        .where(F.col("score") > F.lit(threshold))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+        .select("doc_id", "score", "fts_score", "vss_score", *DISPLAY_COLS)
+    )
+
+
+def dd_hybrid_search_filtered_sql(query: str, lang: str,
+                                  top_k: int = TOP_K_DEFAULT,
+                                  threshold: float = SCORE_THRESHOLD) -> str:
+    """DuckDB oracle for :func:`hybrid_search_filtered`."""
+    qterms = tokenize_query(query)
+    qvec = hash_embed_text(query)
+    score_expr = dd_fuse_scores("m.fts_score", "m.vss_score")
+    display = ", ".join(f"d.{c}" for c in DISPLAY_COLS)
+    emb_filtered = (
+        "(SELECT e.* FROM embeddings e JOIN documents dd "
+        f"ON e.vec_id = dd.doc_id WHERE dd.lang = '{lang}')"
+    )
+    return f"""
+WITH {dd_fts_index_ctes()},
+{dd_bm25_scored_cte(qterms)},
+allowed AS (SELECT doc_id FROM documents WHERE lang = '{lang}'),
+fts_topk AS (
+  SELECT doc_id, score AS fts_score FROM bm25_scored
+  WHERE doc_id IN (SELECT doc_id FROM allowed)
+  ORDER BY score DESC, doc_id ASC LIMIT {top_k}
+),
+{dd_vss_scored_cte(qvec, top_k, table=emb_filtered)},
+merged AS (
+  SELECT doc_id, f.fts_score, v.vss_score
+  FROM fts_topk f FULL OUTER JOIN vss_scored v USING (doc_id)
+)
+SELECT m.doc_id, round({score_expr}, {SCORE_ROUND}) AS score,
+       m.fts_score, m.vss_score, {display}
+FROM merged m JOIN documents d USING (doc_id)
+WHERE round({score_expr}, {SCORE_ROUND}) > {threshold}
+ORDER BY score DESC, m.doc_id ASC LIMIT {top_k}
+""".strip()
