@@ -820,3 +820,90 @@ def dedup_graph_pagerank(docs: DataFrame) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def dedup_graph_triangles(docs: DataFrame) -> DataFrame:
+    """Triangle census of the near-dup candidate graph: n_nodes, n_edges,
+    n_triangles, n_wedges, and the global clustering coefficient
+    (3T / wedges) — the density diagnostic that tells a dedup pipeline
+    whether its candidate pairs form tight cliques (true dup groups) or
+    sprawling chains (LSH band collisions worth re-tuning).
+
+    Counting uses the id-ordered join (a<b<c over canonical pairs): two
+    joins on the PAIR table, never the corpus. The pair set is LSH
+    bucket-local, so the join input is orders of magnitude smaller than
+    the corpus; for skew-heavy graphs swap id-ordering for degree
+    orientation (same output, bounded wedge fan-out per node).
+    """
+    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    # wedges at b: edges (a,b),(b,c) with a<b<c — plus wedges at the low
+    # and high endpoints; total wedges = sum over nodes of C(deg,2)
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_triangles", "n_wedges",
+            F.round(
+                F.when(F.col("n_wedges") > 0,
+                       3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def dd_dedup_graph_triangles_sql(table: str = "documents") -> str:
+    return f"""
+WITH pairs AS (
+  {dd_dedup_minhash_lsh_sql(table)}
+),
+edges AS (SELECT doc_a, doc_b FROM pairs),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT doc_a AS node FROM edges
+    UNION ALL
+    SELECT doc_b AS node FROM edges
+  ) GROUP BY node
+),
+wedges AS (
+  SELECT (sum(deg * (deg - 1) / 2))::BIGINT AS n_wedges,
+         count(*)::BIGINT AS n_nodes
+  FROM deg
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.doc_b = e2.doc_a
+  WHERE EXISTS (
+    SELECT 1 FROM edges e3
+    WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+  )
+),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM edges)
+SELECT w.n_nodes, ne.n_edges, t.n_triangles, w.n_wedges,
+       round(CASE WHEN w.n_wedges > 0
+                  THEN 3.0 * t.n_triangles / w.n_wedges
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM wedges w CROSS JOIN ne CROSS JOIN tri t
+""".strip()

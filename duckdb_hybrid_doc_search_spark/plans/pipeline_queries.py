@@ -561,3 +561,13 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     across nprobe in {1,2,4,8} — one candidate pass at max nprobe,
     exploded per sweep value."""
     return knn.ivf_nprobe_curve(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
+@register("dedup_graph_triangles",
+          oracle=dedup.dd_dedup_graph_triangles_sql(), defer_gate=True)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the LSH
+    candidate graph (id-ordered pair joins over the bucket-local pair
+    set) — dense cliques mean true dup groups, chains mean band-collision
+    noise."""
+    return dedup.dedup_graph_triangles(_docs(spark, sf_dir))
