@@ -907,3 +907,76 @@ SELECT w.n_nodes, ne.n_edges, t.n_triangles, w.n_wedges,
                   ELSE 0.0 END, 6) AS clustering_coeff
 FROM wedges w CROSS JOIN ne CROSS JOIN tri t
 """.strip()
+
+
+DEDUP_THRESHOLD_SWEEP = (0.5, 0.625, 0.75, 0.875, 1.0)
+
+
+def dedup_threshold_curve(docs: DataFrame) -> DataFrame:
+    """Dedup aggressiveness curve: candidate pairs, docs flagged, and
+    flagged fraction at each est-Jaccard cutoff in the sweep — the
+    tuning table a pipeline reads before picking its near-dup threshold
+    (too low deletes paraphrases, too high keeps templated spam).
+
+    ONE LSH pass: the banded pair set is computed once at the loosest
+    threshold, each sweep value fans out by an explode and re-filters —
+    the candidate generation (the expensive part) is never repeated.
+    """
+    pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b", "est_jaccard")
+    n_docs = docs.select(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    fanned = pairs.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(t) for t in DEDUP_THRESHOLD_SWEEP])
+        ).alias("threshold"),
+    ).where(F.col("est_jaccard") >= F.col("threshold"))
+    flagged = fanned.select(
+        "threshold", F.col("doc_b").alias("doc_id")
+    ).distinct()
+    per_t = (
+        fanned.groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .join(
+            flagged.groupBy("threshold")
+            .agg(F.count(F.lit(1)).alias("n_flagged")),
+            "threshold",
+        )
+    )
+    return (
+        per_t.crossJoin(F.broadcast(n_docs))
+        .select(
+            "threshold", "n_pairs", "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_docs"), 6)
+            .alias("flagged_frac"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def dd_dedup_threshold_curve_sql(table: str = "documents") -> str:
+    sweep_vals = ", ".join(f"({t})" for t in DEDUP_THRESHOLD_SWEEP)
+    return f"""
+WITH pairs AS (
+  {dd_dedup_minhash_lsh_sql(table)}
+),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM {table}),
+fanned AS (
+  SELECT p.doc_a, p.doc_b, p.est_jaccard, s.threshold
+  FROM pairs p CROSS JOIN (VALUES {sweep_vals}) s(threshold)
+  WHERE p.est_jaccard >= s.threshold
+),
+per_t AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs
+  FROM fanned GROUP BY threshold
+),
+fl AS (
+  SELECT threshold, count(DISTINCT doc_b)::BIGINT AS n_flagged
+  FROM fanned GROUP BY threshold
+)
+SELECT p.threshold, p.n_pairs, fl.n_flagged,
+       round(fl.n_flagged / nd.n_docs, 6) AS flagged_frac
+FROM per_t p JOIN fl USING (threshold) CROSS JOIN nd
+ORDER BY p.threshold
+""".strip()

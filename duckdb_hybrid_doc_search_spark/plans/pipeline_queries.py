@@ -571,3 +571,12 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     set) — dense cliques mean true dup groups, chains mean band-collision
     noise."""
     return dedup.dedup_graph_triangles(_docs(spark, sf_dir))
+
+
+@register("dedup_threshold_curve",
+          oracle=dedup.dd_dedup_threshold_curve_sql(), defer_gate=True)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup tuning curve: pairs / flagged docs / flagged fraction at
+    each est-Jaccard cutoff — one LSH pass, thresholds fanned by
+    explode."""
+    return dedup.dedup_threshold_curve(_docs(spark, sf_dir))
