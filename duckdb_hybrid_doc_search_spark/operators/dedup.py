@@ -834,8 +834,13 @@ def dedup_graph_triangles(docs: DataFrame) -> DataFrame:
     bucket-local, so the join input is orders of magnitude smaller than
     the corpus; for skew-heavy graphs swap id-ordering for degree
     orientation (same output, bounded wedge fan-out per node).
+
+    The edge table feeds SIX subtrees (degree union x2, the three
+    triangle sides, the edge count), so it is localCheckpoint'ed once —
+    the same discipline as dedup_graph_pagerank — instead of re-running
+    the LSH band join per consumer.
     """
-    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint()
     # wedges at b: edges (a,b),(b,c) with a<b<c — plus wedges at the low
     # and high endpoints; total wedges = sum over nodes of C(deg,2)
     deg = (
@@ -918,13 +923,22 @@ def dedup_threshold_curve(docs: DataFrame) -> DataFrame:
     tuning table a pipeline reads before picking its near-dup threshold
     (too low deletes paraphrases, too high keeps templated spam).
 
-    ONE LSH pass: the banded pair set is computed once at the loosest
-    threshold, each sweep value fans out by an explode and re-filters —
-    the candidate generation (the expensive part) is never repeated.
+    ONE LSH pass and ONE aggregation: the banded pair set is computed
+    once at the loosest threshold, each sweep value fans out by an
+    explode, and pairs + distinct flagged docs aggregate together per
+    threshold. Cutoffs with zero qualifying pairs still get a row
+    (n_pairs = 0) via the left join from the sweep list — a tuning table
+    with silently missing rows would misread as "cutoff not evaluated".
     """
     pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b", "est_jaccard")
     n_docs = docs.select(
         F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    sweep = n_docs.select(
+        F.explode(
+            F.array(*[F.lit(t) for t in DEDUP_THRESHOLD_SWEEP])
+        ).alias("threshold"),
+        "n_docs",
     )
     fanned = pairs.select(
         "*",
@@ -932,51 +946,47 @@ def dedup_threshold_curve(docs: DataFrame) -> DataFrame:
             F.array(*[F.lit(t) for t in DEDUP_THRESHOLD_SWEEP])
         ).alias("threshold"),
     ).where(F.col("est_jaccard") >= F.col("threshold"))
-    flagged = fanned.select(
-        "threshold", F.col("doc_b").alias("doc_id")
-    ).distinct()
-    per_t = (
-        fanned.groupBy("threshold")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .join(
-            flagged.groupBy("threshold")
-            .agg(F.count(F.lit(1)).alias("n_flagged")),
-            "threshold",
-        )
+    stats = fanned.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("doc_b").alias("n_flagged"),
     )
     return (
-        per_t.crossJoin(F.broadcast(n_docs))
+        sweep.join(stats, "threshold", "left")
         .select(
-            "threshold", "n_pairs", "n_flagged",
-            F.round(F.col("n_flagged") / F.col("n_docs"), 6)
-            .alias("flagged_frac"),
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+            F.round(
+                F.coalesce(F.col("n_flagged"), F.lit(0)) / F.col("n_docs"), 6
+            ).alias("flagged_frac"),
         )
         .orderBy("threshold")
     )
 
 
 def dd_dedup_threshold_curve_sql(table: str = "documents") -> str:
-    sweep_vals = ", ".join(f"({t})" for t in DEDUP_THRESHOLD_SWEEP)
+    # ::DOUBLE — a bare VALUES (0.5) is DECIMAL(4,3) in DuckDB, which the
+    # driver harness renders as '0.500' and hash-mismatches Spark's 0.5
+    sweep_vals = ", ".join(f"({t}::DOUBLE)" for t in DEDUP_THRESHOLD_SWEEP)
     return f"""
 WITH pairs AS (
   {dd_dedup_minhash_lsh_sql(table)}
 ),
 nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM {table}),
+sweep AS (SELECT threshold FROM (VALUES {sweep_vals}) s(threshold)),
 fanned AS (
   SELECT p.doc_a, p.doc_b, p.est_jaccard, s.threshold
-  FROM pairs p CROSS JOIN (VALUES {sweep_vals}) s(threshold)
+  FROM pairs p CROSS JOIN sweep s
   WHERE p.est_jaccard >= s.threshold
 ),
-per_t AS (
-  SELECT threshold, count(*)::BIGINT AS n_pairs
-  FROM fanned GROUP BY threshold
-),
-fl AS (
-  SELECT threshold, count(DISTINCT doc_b)::BIGINT AS n_flagged
+stats AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs,
+         count(DISTINCT doc_b)::BIGINT AS n_flagged
   FROM fanned GROUP BY threshold
 )
-SELECT p.threshold, p.n_pairs, fl.n_flagged,
-       round(fl.n_flagged / nd.n_docs, 6) AS flagged_frac
-FROM per_t p JOIN fl USING (threshold) CROSS JOIN nd
-ORDER BY p.threshold
+SELECT s.threshold, coalesce(st.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(st.n_flagged, 0)::BIGINT AS n_flagged,
+       round(coalesce(st.n_flagged, 0) / nd.n_docs, 6) AS flagged_frac
+FROM sweep s LEFT JOIN stats st USING (threshold) CROSS JOIN nd
+ORDER BY s.threshold
 """.strip()

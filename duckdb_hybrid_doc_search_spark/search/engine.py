@@ -38,26 +38,36 @@ DISPLAY_COLS = ["lang", "source"]
 def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
                   top_k: int = TOP_K_DEFAULT, rerank: bool = False,
                   threshold: float = SCORE_THRESHOLD,
-                  index: dict[str, DataFrame] | None = None) -> DataFrame:
+                  index: dict[str, DataFrame] | None = None,
+                  allowed: DataFrame | None = None) -> DataFrame:
     """Full hybrid search over (documents, embeddings) driver tables.
 
     Returns doc_id, score, fts_score, vss_score + display columns, ordered
     by score desc (doc_id tiebreak), <= top_k rows. Pass `index` (e.g. a
     written `index/fts_layout` handle) to probe a prebuilt FTS index
-    instead of deriving it in-plan.
+    instead of deriving it in-plan. Pass `allowed` (a doc_id set) to
+    pre-filter BOTH branches before their top-k (metadata-filtered
+    search: all k results qualify; IDF stays corpus-global).
     """
     qterms = tokenize_query(query)
     qvec = hash_embed_text(query)
 
     if index is None:
         index = build_fts_index(docs)
+    fts = bm25_scores(index, qterms)
+    vss_corpus = embeddings
+    if allowed is not None:
+        fts = fts.join(allowed, "doc_id", "left_semi")
+        vss_corpus = embeddings.join(
+            allowed.select(F.col("doc_id").alias("vec_id")), "vec_id",
+            "left_semi",
+        )
     fts = (
-        bm25_scores(index, qterms)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        fts.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(top_k)
         .withColumnRenamed("score", "fts_score")
     )
-    vss = cosine_distance_topk(embeddings, qvec, top_k)
+    vss = cosine_distance_topk(vss_corpus, qvec, top_k)
 
     fused = (
         fts.join(vss, "doc_id", "full_outer")
@@ -197,8 +207,14 @@ ORDER BY score DESC, m.doc_id ASC LIMIT {top_k}
 
 def dd_hybrid_search_sql(query: str, top_k: int = TOP_K_DEFAULT,
                          rerank: bool = False,
-                         threshold: float = SCORE_THRESHOLD) -> str:
-    """DuckDB oracle for :func:`hybrid_search` over the same parquet views."""
+                         threshold: float = SCORE_THRESHOLD,
+                         lang: str | None = None) -> str:
+    """DuckDB oracle for :func:`hybrid_search` over the same parquet views.
+
+    `lang` mirrors the engine's `allowed` pre-filter: both branches are
+    restricted before their top-k (one oracle builder for every hybrid
+    variant, so fusion semantics cannot silently diverge between them).
+    """
     qterms = tokenize_query(query)
     qvec = hash_embed_text(query)
     score_expr = (
@@ -207,14 +223,26 @@ def dd_hybrid_search_sql(query: str, top_k: int = TOP_K_DEFAULT,
         else dd_fuse_scores("m.fts_score", "m.vss_score")
     )
     display = ", ".join(f"d.{c}" for c in DISPLAY_COLS)
+    allowed_cte = fts_filter = ""
+    emb_table = "embeddings"
+    if lang is not None:
+        allowed_cte = (
+            f"allowed AS (SELECT doc_id FROM documents "
+            f"WHERE lang = '{lang}'),\n"
+        )
+        fts_filter = "  WHERE doc_id IN (SELECT doc_id FROM allowed)\n"
+        emb_table = (
+            "(SELECT e.* FROM embeddings e JOIN allowed a "
+            "ON e.vec_id = a.doc_id)"
+        )
     return f"""
 WITH {dd_fts_index_ctes()},
 {dd_bm25_scored_cte(qterms)},
-fts_topk AS (
+{allowed_cte}fts_topk AS (
   SELECT doc_id, score AS fts_score FROM bm25_scored
-  ORDER BY score DESC, doc_id ASC LIMIT {top_k}
+{fts_filter}  ORDER BY score DESC, doc_id ASC LIMIT {top_k}
 ),
-{dd_vss_scored_cte(qvec, top_k)},
+{dd_vss_scored_cte(qvec, top_k, table=emb_table)},
 merged AS (
   SELECT doc_id, f.fts_score, v.vss_score
   FROM fts_topk f FULL OUTER JOIN vss_scored v USING (doc_id)
@@ -240,75 +268,21 @@ def hybrid_search_filtered(docs: DataFrame, embeddings: DataFrame,
     k results satisfy it; post-filtering a top-k would return fewer than
     k (or zero) rows whenever the filter is selective. BM25 stats stay
     corpus-global (the standard choice: IDF describes the corpus, the
-    filter restricts candidates). Both branches apply the filter as a
-    semi-join against the filtered id set; at scale that set is a
-    pushed-down scan of the narrow documents projection.
+    filter restricts candidates). Thin wrapper over :func:`hybrid_search`
+    with `allowed` = the lang-filtered id set — fusion/threshold/
+    tie-break semantics live in exactly one place.
     """
-    qterms = tokenize_query(query)
-    qvec = hash_embed_text(query)
-    allowed = docs.where(F.col("lang") == lang).select("doc_id")
-
-    if index is None:
-        index = build_fts_index(docs)
-    fts = (
-        bm25_scores(index, qterms)
-        .join(allowed, "doc_id", "left_semi")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(top_k)
-        .withColumnRenamed("score", "fts_score")
-    )
-    emb_allowed = embeddings.join(
-        allowed.select(F.col("doc_id").alias("vec_id")), "vec_id",
-        "left_semi",
-    )
-    vss = cosine_distance_topk(emb_allowed, qvec, top_k)
-
-    fused = (
-        fts.join(vss, "doc_id", "full_outer")
-        .withColumn(
-            "score",
-            F.round(fuse_scores(F.col("fts_score"), F.col("vss_score")),
-                    SCORE_ROUND),
-        )
-    )
-    return (
-        F.broadcast(fused).join(docs, "doc_id", "inner")
-        .where(F.col("score") > F.lit(threshold))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(top_k)
-        .select("doc_id", "score", "fts_score", "vss_score", *DISPLAY_COLS)
+    return hybrid_search(
+        docs, embeddings, query, top_k, rerank=False, threshold=threshold,
+        index=index, allowed=docs.where(F.col("lang") == lang)
+        .select("doc_id"),
     )
 
 
 def dd_hybrid_search_filtered_sql(query: str, lang: str,
                                   top_k: int = TOP_K_DEFAULT,
                                   threshold: float = SCORE_THRESHOLD) -> str:
-    """DuckDB oracle for :func:`hybrid_search_filtered`."""
-    qterms = tokenize_query(query)
-    qvec = hash_embed_text(query)
-    score_expr = dd_fuse_scores("m.fts_score", "m.vss_score")
-    display = ", ".join(f"d.{c}" for c in DISPLAY_COLS)
-    emb_filtered = (
-        "(SELECT e.* FROM embeddings e JOIN documents dd "
-        f"ON e.vec_id = dd.doc_id WHERE dd.lang = '{lang}')"
-    )
-    return f"""
-WITH {dd_fts_index_ctes()},
-{dd_bm25_scored_cte(qterms)},
-allowed AS (SELECT doc_id FROM documents WHERE lang = '{lang}'),
-fts_topk AS (
-  SELECT doc_id, score AS fts_score FROM bm25_scored
-  WHERE doc_id IN (SELECT doc_id FROM allowed)
-  ORDER BY score DESC, doc_id ASC LIMIT {top_k}
-),
-{dd_vss_scored_cte(qvec, top_k, table=emb_filtered)},
-merged AS (
-  SELECT doc_id, f.fts_score, v.vss_score
-  FROM fts_topk f FULL OUTER JOIN vss_scored v USING (doc_id)
-)
-SELECT m.doc_id, round({score_expr}, {SCORE_ROUND}) AS score,
-       m.fts_score, m.vss_score, {display}
-FROM merged m JOIN documents d USING (doc_id)
-WHERE round({score_expr}, {SCORE_ROUND}) > {threshold}
-ORDER BY score DESC, m.doc_id ASC LIMIT {top_k}
-""".strip()
+    """DuckDB oracle for :func:`hybrid_search_filtered` — delegates to the
+    single hybrid oracle builder."""
+    return dd_hybrid_search_sql(query, top_k, rerank=False,
+                                threshold=threshold, lang=lang)
