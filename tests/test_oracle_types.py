@@ -57,3 +57,33 @@ def test_no_hugeint_in_any_oracle(con):
         "oracle SQL produces 128-bit integer columns the driver hashes "
         f"differently from Spark LongType — cast to ::BIGINT: {offenders}"
     )
+
+
+def test_decimal_oracle_columns_match_spark_decimals(con, spark, sf_dir):
+    """DECIMAL oracle columns are legitimate ONLY where the Spark side is
+    also decimal: the driver renders DuckDB Decimal via str() ('0.500')
+    and Spark float via repr ('0.5'), so a DECIMAL column paired with a
+    Spark DOUBLE hash-mismatches even when values are equal — the round-5
+    dedup_threshold_curve bug (a bare VALUES (0.5) literal is
+    DECIMAL(4,3)). Compares each oracle's DECIMAL columns against the
+    registered Spark query's schema by column name."""
+    offenders = {}
+    qs = entry.queries()
+    for name, sql in entry.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        dec_cols = [col for col, typ, *_ in desc if "DECIMAL" in typ.upper()]
+        if not dec_cols:
+            continue
+        sdf = qs[name](spark, sf_dir)
+        stypes = {f.name: f.dataType.typeName() for f in sdf.schema.fields}
+        bad = [
+            c for c in dec_cols
+            if not stypes.get(c, "").startswith("decimal")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle DECIMAL columns whose Spark twin is not decimal — the "
+        "driver's string-render hash will mismatch; cast the oracle to "
+        f"::DOUBLE (or Spark to decimal): {offenders}"
+    )
