@@ -349,3 +349,94 @@ SELECT source, count(*)::BIGINT AS n_train,
 FROM train t LEFT JOIN overlap o USING (doc_id)
 GROUP BY source ORDER BY source
 """.strip()
+
+
+# --- corpus_ngram_novelty -----------------------------------------------------
+
+NOVELTY_N = 8
+
+
+def ngram_novelty_by_source(docs: DataFrame) -> DataFrame:
+    """Novelty scoring: per source, how much of each document's content
+    is FIRST-OCCURRENCE text (word 8-grams whose minimum owning doc_id is
+    the document itself) — the dedup-adjacent diagnostic separating
+    sources that contribute new text from sources that re-serve it.
+
+    Scale shape: NO shingle-keyed big-big join. The per-shingle min-owner
+    aggregate (one linear shuffle) IS the novel-count table — each
+    shingle credits exactly its first owner — so per-doc novelty needs
+    only doc-sized joins after two linear aggregates. Per-doc shingle
+    dedup is map-side (array_distinct before explode).
+
+    Output per source: n_docs, mean_novelty, n_fully_novel.
+    """
+    from ..functions.text import shingles, tokenize
+
+    spark = docs.sparkSession
+    sh = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokenize(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("t"), NOVELTY_N))
+            ).alias("s"),
+        )
+    )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    owners = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = owners.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    per_doc = (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"))
+            .alias("novelty"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("mean_novelty"),
+            F.sum(F.when(F.col("novelty") == 1.0, 1).otherwise(0))
+            .cast("long").alias("n_fully_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+def dd_ngram_novelty_sql(table: str = "documents") -> str:
+    from ..functions.text import dd_shingles, dd_tokenize
+
+    toks = dd_tokenize("text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM {table}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({dd_shingles('t', NOVELTY_N)}) AS s
+  FROM toks
+),
+totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id
+),
+owners AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+novel AS (
+  SELECT first_doc AS doc_id, count(*)::BIGINT AS n_novel
+  FROM owners GROUP BY first_doc
+),
+per_doc AS (
+  SELECT t.doc_id,
+         coalesce(n.n_novel, 0) * 1.0 / t.n_shingles AS novelty
+  FROM totals t LEFT JOIN novel n USING (doc_id)
+)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       round(avg(p.novelty), 6) AS mean_novelty,
+       sum(CASE WHEN p.novelty = 1.0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_fully_novel
+FROM {table} d JOIN per_doc p USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+""".strip()

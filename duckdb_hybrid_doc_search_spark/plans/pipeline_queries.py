@@ -580,3 +580,12 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     each est-Jaccard cutoff — one LSH pass, thresholds fanned by
     explode."""
     return dedup.dedup_threshold_curve(_docs(spark, sf_dir))
+
+
+@register("corpus_ngram_novelty",
+          oracle=curation.dd_ngram_novelty_sql(), defer_gate=True)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source first-occurrence novelty (word 8-grams; the min-owner
+    aggregate doubles as the novel-count table — no shingle-keyed
+    big-big join)."""
+    return curation.ngram_novelty_by_source(_docs(spark, sf_dir))
