@@ -790,11 +790,13 @@ def dedup_graph_pagerank(docs: DataFrame) -> DataFrame:
         "node", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint()
     base = (1.0 - PR_DAMPING) / n_nodes
+    # degree is loop-invariant: attach it to the edge table ONCE so each
+    # round is a single join + aggregate instead of two joins
+    edges_deg = edges.join(deg, "src").localCheckpoint()
     for it in range(PR_ITERS):
         contrib = (
-            edges.join(nodes, edges["src"] == nodes["node"])
-            .join(ranks.select(F.col("node").alias("rn"), "rank"),
-                  F.col("src") == F.col("rn"))
+            edges_deg.join(ranks.select(F.col("node").alias("rn"), "rank"),
+                           F.col("src") == F.col("rn"))
             .select(F.col("dst").alias("node"),
                     (F.col("rank") / F.col("deg")).alias("c"))
         )
