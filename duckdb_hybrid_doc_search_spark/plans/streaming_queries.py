@@ -1,47 +1,86 @@
-"""Streaming twins as registered queries (rows-only, bench=False).
+"""Streaming twins as registered queries (bench=False).
 
 Each callable drives the bounded file-stream to completion
 (processAllAvailable over the sf_dir events parquet) and returns the
 final result DataFrame — so the streaming surface is part of the same
-driver contract as everything else. Correctness is enforced by the
-stream==batch equality tests in tests/test_streaming.py (batch is the
-specification); these registrations are execution coverage, not timing
-coverage (a bounded-stream drive measures orchestration, not engine
-throughput — excluded from the bench loop).
+driver contract as everything else, INCLUDING the DuckDB hash gate:
+on a bounded source the final streaming state equals the batch result,
+so each twin carries the batch oracle (windowed agg = the batch agg;
+CDC upsert = the compacted emission log; sessionizer = every session
+except each user's still-open last one). tests/test_streaming.py
+additionally pins stream==batch equality on the RocksDB provider.
+Excluded from the bench loop (a bounded drive measures orchestration,
+not engine throughput — tools/stream_bench.py records that number).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators import events as _events
+from ..streaming import events as _streaming
 from .registry import register
 
 
-@register("streaming_windowed_agg", oracle=None, bench=False,
-          executes_on_build=True)
+@register("streaming_windowed_agg", bench=False, executes_on_build=True,
+          oracle=_events.dd_windowed_agg_sql())
 def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window agg driven to completion (twin of
-    events_windowed_agg; equality-tested in test_streaming.py)."""
+    events_windowed_agg; complete-mode final table == the batch agg)."""
     from ..streaming.events import run_streaming_windowed_agg
 
     return run_streaming_windowed_agg(spark, sf_dir, "reg_ev_win")
 
 
-@register("streaming_sessionize", oracle=None, bench=False,
-          executes_on_build=True)
+@register("streaming_sessionize", bench=False, executes_on_build=True,
+          oracle=_streaming.dd_closed_sessions_sql())
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState gap sessionizer driven to completion (twin
-    of events_sessionization for closed sessions)."""
+    of events_sessionization restricted to CLOSED sessions — every
+    session except each user's still-open last one)."""
     from ..streaming.events import run_streaming_sessionize
 
     return run_streaming_sessionize(spark, sf_dir, "reg_ev_sess")
 
 
-@register("streaming_latest_per_user", oracle=None, bench=False,
-          executes_on_build=True)
+@register("streaming_latest_per_user", bench=False, executes_on_build=True,
+          oracle=_events.dd_latest_event_per_user_sql())
 def streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful CDC upsert snapshot driven to completion (twin of
-    events_latest_per_user)."""
+    events_latest_per_user). The append-mode sink logs one snapshot row
+    per (user, touching batch); emissions are monotone in (us, event_id)
+    per user, so compacting the log by per-user max(struct) yields the
+    final snapshot regardless of micro-batch count."""
+    from ..operators.events import VALUE_ROUND
     from ..streaming.events import run_streaming_latest_per_user
 
-    return run_streaming_latest_per_user(spark, sf_dir, "reg_ev_latest")
+    log = run_streaming_latest_per_user(spark, sf_dir, "reg_ev_latest")
+    best = F.max(F.struct("us", "event_id", "event_type", "value"))
+    return (
+        log.groupBy("user_id")
+        .agg(best.alias("b"))
+        .select(
+            "user_id", F.col("b.event_id").alias("event_id"),
+            F.col("b.us").alias("us"),
+            F.col("b.event_type").alias("event_type"),
+            F.round(F.col("b.value"), VALUE_ROUND).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register("streaming_dedup", bench=False, executes_on_build=True,
+          oracle="""
+SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+FROM events
+""".strip())
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked exactly-once intake driven to completion. The events
+    table's ids are unique, so dedup is the identity projection — the
+    oracle checks the stateful path neither drops nor duplicates rows;
+    replay-duplicate behavior is pinned separately in
+    tests/test_streaming.py, and throughput in STREAMBENCH."""
+    from ..streaming.events import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir, "reg_ev_dedup")

@@ -677,3 +677,21 @@ def run_streaming_latest_per_user(
               FROM {query_name}
             ) WHERE rn = 1"""
     )
+
+
+def dd_closed_sessions_sql() -> str:
+    """DuckDB oracle for the bounded streaming sessionizer: the batch
+    session table MINUS each user's last session (which stays open in
+    state — every other session is provably emitted, because the next
+    session's first event is what closes it)."""
+    from ..operators.events import dd_sessionize_sql
+
+    return f"""
+WITH agg AS (
+  {dd_sessionize_sql()}
+),
+last AS (SELECT user_id, max(session_no) AS last_no FROM agg GROUP BY user_id)
+SELECT a.user_id, a.n_events, a.sum_value, a.start_us, a.end_us
+FROM agg a JOIN last l ON a.user_id = l.user_id
+WHERE a.session_no <> l.last_no
+""".strip()
