@@ -1191,3 +1191,151 @@ SELECT t.cohort_day, t.day_offset, t.n_active, b.cohort_size,
 FROM tri t JOIN base b USING (cohort_day)
 ORDER BY t.cohort_day, t.day_offset
 """.strip()
+
+
+# --- events_ab_welch_ttest ------------------------------------------------------
+
+AB_GROUP_A = "click"
+AB_GROUP_B = "purchase"
+
+
+def ab_welch_ttest(events: DataFrame) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on `value` between two
+    event types — the A/B significance primitive every experimentation
+    pipeline runs. Closed form: per-group n / mean / sample variance from
+    ONE shared-partial aggregate, then t = (m_a - m_b) / sqrt(v_a/n_a +
+    v_b/n_b) and the Welch-Satterthwaite df — pure arithmetic on a 2-row
+    table, scan-bound at any scale.
+
+    Output: one row with per-group stats, t_stat, and df.
+    """
+    g = (
+        events.where(F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = g.where(F.col("event_type") == AB_GROUP_A).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = g.where(F.col("event_type") == AB_GROUP_B).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)
+    df = (
+        (sa + sb) * (sa + sb)
+        / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1))
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a", F.round("mean_a", TREND_ROUND).alias("mean_a"),
+        F.round("var_a", TREND_ROUND).alias("var_a"),
+        "n_b", F.round("mean_b", TREND_ROUND).alias("mean_b"),
+        F.round("var_b", TREND_ROUND).alias("var_b"),
+        F.round(t, TREND_ROUND).alias("t_stat"),
+        F.round(df, TREND_ROUND).alias("df"),
+    )
+
+
+def dd_ab_welch_ttest_sql(table: str = "events") -> str:
+    return f"""
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS n, avg(value) AS mean,
+         var_samp(value) AS var
+  FROM {table}
+  WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+  GROUP BY event_type
+),
+a AS (SELECT n AS n_a, mean AS mean_a, var AS var_a FROM g
+      WHERE event_type = '{AB_GROUP_A}'),
+b AS (SELECT n AS n_b, mean AS mean_b, var AS var_b FROM g
+      WHERE event_type = '{AB_GROUP_B}')
+SELECT n_a, round(mean_a, {TREND_ROUND}) AS mean_a,
+       round(var_a, {TREND_ROUND}) AS var_a,
+       n_b, round(mean_b, {TREND_ROUND}) AS mean_b,
+       round(var_b, {TREND_ROUND}) AS var_b,
+       round((mean_a - mean_b)
+             / sqrt(var_a / n_a + var_b / n_b), {TREND_ROUND}) AS t_stat,
+       round(pow(var_a / n_a + var_b / n_b, 2)
+             / (pow(var_a / n_a, 2) / (n_a - 1)
+                + pow(var_b / n_b, 2) / (n_b - 1)), {TREND_ROUND}) AS df
+FROM a CROSS JOIN b
+""".strip()
+
+
+# --- lineitem_benford_check -----------------------------------------------------
+
+
+def benford_check(lineitem: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of l_extendedprice — the
+    fraud/synthetic-data smoke test: observed share of each leading
+    digit vs the Benford expectation log10(1 + 1/d), plus the chi-square
+    contribution per digit. One scan, one 9-row aggregate.
+
+    (Synthetic TPC-H prices are NOT Benford-distributed — the recorded
+    deviation is the point: the check flags exactly this kind of
+    generated data.)
+    """
+    import math
+
+    d = F.substring(F.col("l_extendedprice").cast("string"), 1, 1).cast("int")
+    counts = (
+        lineitem.select(d.alias("digit"))
+        .where(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    expected = F.lit(None).cast("double")
+    for dd in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == dd, F.lit(math.log10(1 + 1 / dd))
+        ).otherwise(expected)
+    obs = F.col("n") / F.col("total")
+    chi = (
+        (obs - expected) * (obs - expected) / expected * F.col("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            F.round(obs, TREND_ROUND).alias("observed_share"),
+            F.round(expected, TREND_ROUND).alias("benford_share"),
+            F.round(chi, TREND_ROUND).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+def dd_benford_check_sql(table: str = "lineitem") -> str:
+    import math
+
+    # ::DOUBLE on the literal — a long numeric literal is DECIMAL in
+    # DuckDB, which the driver renders as '0.301030' vs double '0.30103'
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {math.log10(1 + 1 / d)!r}::DOUBLE"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+  SELECT substr(l_extendedprice::VARCHAR, 1, 1)::INT AS digit,
+         count(*)::BIGINT AS n
+  FROM {table}
+  WHERE substr(l_extendedprice::VARCHAR, 1, 1)::INT BETWEEN 1 AND 9
+  GROUP BY 1
+),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM counts)
+SELECT digit, n,
+       round(n / total, {TREND_ROUND}) AS observed_share,
+       round(CASE {cases} END, {TREND_ROUND}) AS benford_share,
+       round(pow(n / total - (CASE {cases} END), 2)
+             / (CASE {cases} END) * total, {TREND_ROUND}) AS chi2_contrib
+FROM counts CROSS JOIN tot
+ORDER BY digit
+""".strip()

@@ -137,3 +137,20 @@ def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase-cohort retention triangle (distinct user-day grid
     -> per-user min window -> one aggregate; integer epoch-day math)."""
     return analytics.retention_triangle(_t(spark, sf_dir, "events"))
+
+
+@register("events_ab_welch_ttest",
+          oracle=analytics.dd_ab_welch_ttest_sql(), defer_gate=True)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on value between two
+    event types (one shared-partial aggregate + closed-form t and df)."""
+    return analytics.ab_welch_ttest(_t(spark, sf_dir, "events"))
+
+
+@register("lineitem_benford_check",
+          oracle=analytics.dd_benford_check_sql(), defer_gate=True)
+def lineitem_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of extended prices: observed vs
+    log10(1+1/d) share + per-digit chi-square contribution (one 9-row
+    aggregate)."""
+    return analytics.benford_check(_t(spark, sf_dir, "lineitem"))
