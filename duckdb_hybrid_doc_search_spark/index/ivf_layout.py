@@ -105,3 +105,54 @@ def ivf_partitioned_topk(spark: SparkSession, out_dir: str,
         scored.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
     )
+
+
+def append_ivf_vectors(spark: SparkSession, out_dir: str,
+                       new_emb: DataFrame) -> None:
+    """Incremental index maintenance: assign NEW vectors to the layout's
+    EXISTING centroids and append them to their cell partitions — no
+    rebuild, no rewrite of existing files (the maintenance story a 100 TB
+    vector index needs: ingest appends to the hot cells' directories,
+    probes keep pruning by partition).
+
+    The centroid set is FROZEN at build time — it is read back from the
+    layout itself (centroids are corpus vectors with
+    vec_id % CENTROID_MOD == 0, each residing in its own cell), so the
+    cell definition never drifts under appends; re-centering is a
+    rebuild, by design. Caller contract: new vec_ids are disjoint from
+    the layout's (same as FTS index_incremental), and a dir mutated by
+    appends is managed explicitly — the ensure_ivf_layout fingerprint
+    cache keys on the SOURCE table and must not be pointed at it.
+    """
+    from pyspark.sql import Window
+
+    from ..config import SCORE_ROUND
+    from ..functions import vector as V
+    from ..operators.knn import CENTROID_MOD
+
+    existing = spark.read.parquet(out_dir)
+    cent = existing.where(
+        F.col("vec_id") % CENTROID_MOD == 0
+    ).select(F.col("vec_id").alias("cent_id"),
+             F.col("embedding").alias("cvec"))
+    sims = (
+        new_emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "c_id", "cent_id",
+            F.round(V.cosine_similarity(F.col("c_vec"), F.col("cvec")),
+                    SCORE_ROUND).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("c_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_id", F.col("cent_id").alias("cell"))
+    )
+    (
+        new_emb.join(assign, new_emb["vec_id"] == assign["c_id"])
+        .select("vec_id", "embedding", "cell")
+        .write.mode("append").partitionBy("cell").parquet(out_dir)
+    )

@@ -62,3 +62,66 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     # recall clears a sanity floor
     assert all(q in approx and q in approx[q] for q in exact)
     assert mean_recall >= 0.3, f"mean IVF recall {mean_recall:.2f}"
+
+
+def test_append_ivf_vectors_incremental(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: building on 80% then appending 20%
+    equals building once over everything with the SAME frozen centroid
+    set, existing data files are never rewritten, and the probe still
+    partition-prunes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        append_ivf_vectors, ivf_partitioned_topk, write_ivf_partitioned)
+    from duckdb_hybrid_doc_search_spark.operators.knn import CENTROID_MOD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # centroid vectors (vec_id % MOD == 0) must all be in the BASE build
+    # (the frozen-centroid contract); the append batch is a disjoint
+    # non-centroid slice
+    is_new = (F.col("vec_id") % CENTROID_MOD != 0) & (
+        F.col("vec_id") % 5 == 3
+    )
+    base, new = emb.where(~is_new), emb.where(is_new)
+    assert new.count() > 0
+
+    inc_dir = str(tmp_path / "inc")
+    write_ivf_partitioned(base, inc_dir)
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(inc_dir) for f in fs
+        if f.endswith(".parquet")
+    }
+    append_ivf_vectors(spark, inc_dir, new)
+    # existing data files untouched (append adds files, rewrites nothing)
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(inc_dir) for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after and len(files_after) > len(
+        files_before
+    )
+
+    full_dir = str(tmp_path / "full")
+    write_ivf_partitioned(emb, full_dir)
+    # same rows in the same cells...
+    inc_rows = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(inc_dir).collect()
+    )
+    full_rows = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(full_dir).collect()
+    )
+    assert inc_rows == full_rows
+    # ...and identical probe results
+    got = sorted(
+        map(tuple, ivf_partitioned_topk(spark, inc_dir, emb, 10).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_partitioned_topk(spark, full_dir, emb, 10).collect())
+    )
+    assert got == want
