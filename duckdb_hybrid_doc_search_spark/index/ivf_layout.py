@@ -20,11 +20,21 @@ from ..operators.knn import NPROBE, ivf_assign
 
 
 def write_ivf_partitioned(emb: DataFrame, out_dir: str) -> None:
-    """embeddings + cell assignment, partitioned by cell on disk."""
-    _, assign = ivf_assign(emb)
+    """embeddings + cell assignment, partitioned by cell on disk. The
+    (tiny) centroid table is ALSO written, to `<out_dir>_centroids` —
+    incremental appends read it back instead of scanning the whole
+    layout for vec_id % CENTROID_MOD rows (a rebuild-sized read at
+    100 TB). Written next to, not inside, the cell root: a subdirectory
+    would be misread as data by the partitioned scan."""
+    cent, assign = ivf_assign(emb)
     emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
         "vec_id", "embedding", "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+    cent.write.mode("overwrite").parquet(_centroid_dir(out_dir))
+
+
+def _centroid_dir(out_dir: str) -> str:
+    return out_dir.rstrip("/") + "_centroids"
 
 
 def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
@@ -115,41 +125,44 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     vector index needs: ingest appends to the hot cells' directories,
     probes keep pruning by partition).
 
-    The centroid set is FROZEN at build time — it is read back from the
-    layout itself (centroids are corpus vectors with
-    vec_id % CENTROID_MOD == 0, each residing in its own cell), so the
-    cell definition never drifts under appends; re-centering is a
-    rebuild, by design. Caller contract: new vec_ids are disjoint from
-    the layout's (same as FTS index_incremental), and a dir mutated by
-    appends is managed explicitly — the ensure_ivf_layout fingerprint
-    cache keys on the SOURCE table and must not be pointed at it.
+    The centroid set is FROZEN at build time — read back from the
+    build's `_centroids` side table (falling back to scanning the layout
+    for vec_id % CENTROID_MOD rows, for layouts written before the side
+    table existed), so the cell definition never drifts under appends;
+    re-centering is a rebuild, by design. A batch containing a
+    centroid-modulus vec_id is REJECTED: writing it as a plain cell
+    member while query-time ivf_assign would treat it as a centroid
+    silently probes a nonexistent cell. Caller contract: new vec_ids are
+    disjoint from the layout's (same as FTS index_incremental), and a
+    dir mutated by appends is managed explicitly — the ensure_ivf_layout
+    fingerprint cache keys on the SOURCE table and must not be pointed
+    at it.
     """
-    from pyspark.sql import Window
+    from ..operators.knn import CENTROID_MOD, assign_to_centroids
 
-    from ..config import SCORE_ROUND
-    from ..functions import vector as V
-    from ..operators.knn import CENTROID_MOD
-
-    existing = spark.read.parquet(out_dir)
-    cent = existing.where(
+    n_cent_ids = new_emb.where(
         F.col("vec_id") % CENTROID_MOD == 0
-    ).select(F.col("vec_id").alias("cent_id"),
-             F.col("embedding").alias("cvec"))
-    sims = (
-        new_emb.select(F.col("vec_id").alias("c_id"),
-                       F.col("embedding").alias("c_vec"))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "c_id", "cent_id",
-            F.round(V.cosine_similarity(F.col("c_vec"), F.col("cvec")),
-                    SCORE_ROUND).alias("csim"),
+    ).count()
+    if n_cent_ids:
+        raise ValueError(
+            f"append batch contains {n_cent_ids} vec_id(s) with "
+            f"vec_id % {CENTROID_MOD} == 0: those ids are centroid slots "
+            "under the frozen-centroid contract — appending them as "
+            "plain members would make probes target a nonexistent cell. "
+            "Rebuild the layout to re-center instead."
         )
-    )
-    w = Window.partitionBy("c_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assign = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("c_id", F.col("cent_id").alias("cell"))
+    cdir = _centroid_dir(out_dir)
+    if os.path.exists(cdir):
+        cent = spark.read.parquet(cdir)
+    else:  # pre-side-table layout: one full recovery scan, then rebuildable
+        cent = spark.read.parquet(out_dir).where(
+            F.col("vec_id") % CENTROID_MOD == 0
+        ).select(F.col("vec_id").alias("cent_id"),
+                 F.col("embedding").alias("cvec"))
+    assign = assign_to_centroids(
+        new_emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec")),
+        cent,
     )
     (
         new_emb.join(assign, new_emb["vec_id"] == assign["c_id"])

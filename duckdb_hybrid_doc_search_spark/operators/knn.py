@@ -67,6 +67,27 @@ CENTROID_MOD = 50  # deterministic centroid pick: vec_id % CENTROID_MOD == 0
 NPROBE = 2
 
 
+def assign_to_centroids(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(c_id, cell): nearest-centroid assignment by cosine, tie -> lower
+    centroid id. `vecs` has (c_id, c_vec); `cent` has (cent_id, cvec) and
+    is broadcast. The SINGLE source of the assignment rule — build-time
+    assignment (ivf_assign) and incremental appends
+    (index/ivf_layout.append_ivf_vectors) must use the same rounding and
+    tie-break or appended cells drift from built cells."""
+    sims = vecs.crossJoin(F.broadcast(cent)).select(
+        "c_id",
+        "cent_id",
+        F.round(V.cosine_similarity(F.col("c_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("csim"),
+    )
+    w = Window.partitionBy("c_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_id", F.col("cent_id").alias("cell"))
+    )
+
+
 def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) for the IVF index.
@@ -79,19 +100,9 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
     cent = emb.where(F.col(id_col) % CENTROID_MOD == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
     )
-    sims = emb.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-    ).crossJoin(F.broadcast(cent)).select(
-        "c_id",
-        "cent_id",
-        F.round(V.cosine_similarity(F.col("c_vec"), F.col("cvec")),
-                SCORE_ROUND).alias("csim"),
-    )
-    w = Window.partitionBy("c_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assign = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("c_id", F.col("cent_id").alias("cell"))
+    assign = assign_to_centroids(
+        emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        cent,
     )
     return cent, assign
 

@@ -11,6 +11,12 @@ except each user's still-open last one). tests/test_streaming.py
 additionally pins stream==batch equality on the RocksDB provider.
 Excluded from the bench loop (a bounded drive measures orchestration,
 not engine throughput — tools/stream_bench.py records that number).
+
+Deliberately registered WITHOUT defer_gate (unlike other mid-round
+additions): converting the streaming surface from rows-only to
+hash-gated THIS round is the r4 verdict's explicit ask, and the window
+math holds — ~31 oracled priorities + ~19 rows-only still fit the
+driver's ~50-row window with the >=5 rows-only quota intact.
 """
 
 from __future__ import annotations
@@ -48,26 +54,19 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=_events.dd_latest_event_per_user_sql())
 def streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful CDC upsert snapshot driven to completion (twin of
-    events_latest_per_user). The append-mode sink logs one snapshot row
-    per (user, touching batch); emissions are monotone in (us, event_id)
-    per user, so compacting the log by per-user max(struct) yields the
-    final snapshot regardless of micro-batch count."""
+    events_latest_per_user). run_streaming_latest_per_user already
+    compacts the append-mode emission log to one row per user (per-user
+    max (us, event_id) — emissions are monotone, so the compaction is
+    batch-count independent); this wrapper only aligns the value
+    rounding and ordering with the batch oracle."""
     from ..operators.events import VALUE_ROUND
     from ..streaming.events import run_streaming_latest_per_user
 
-    log = run_streaming_latest_per_user(spark, sf_dir, "reg_ev_latest")
-    best = F.max(F.struct("us", "event_id", "event_type", "value"))
-    return (
-        log.groupBy("user_id")
-        .agg(best.alias("b"))
-        .select(
-            "user_id", F.col("b.event_id").alias("event_id"),
-            F.col("b.us").alias("us"),
-            F.col("b.event_type").alias("event_type"),
-            F.round(F.col("b.value"), VALUE_ROUND).alias("value"),
-        )
-        .orderBy("user_id")
-    )
+    snap = run_streaming_latest_per_user(spark, sf_dir, "reg_ev_latest")
+    return snap.select(
+        "user_id", "event_id", "us", "event_type",
+        F.round("value", VALUE_ROUND).alias("value"),
+    ).orderBy("user_id")
 
 
 @register("streaming_dedup", bench=False, executes_on_build=True,

@@ -125,3 +125,27 @@ def test_append_ivf_vectors_incremental(spark, sf_dir, tmp_path):
         map(tuple, ivf_partitioned_topk(spark, full_dir, emb, 10).collect())
     )
     assert got == want
+
+
+def test_append_rejects_centroid_modulus_ids(spark, sf_dir, tmp_path):
+    """A batch carrying a vec_id that lands on a centroid slot must be
+    rejected — appended as a plain member it would make query-time
+    probes target a nonexistent cell."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        append_ivf_vectors, write_ivf_partitioned)
+    from duckdb_hybrid_doc_search_spark.operators.knn import CENTROID_MOD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path / "ivf")
+    write_ivf_partitioned(emb, out)
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    bad_id = ((max_id // CENTROID_MOD) + 1) * CENTROID_MOD
+    bad = emb.limit(1).select(
+        F.lit(bad_id).cast("long").alias("vec_id"), "embedding",
+        "label",
+    )
+    with pytest.raises(ValueError, match="centroid slots"):
+        append_ivf_vectors(spark, out, bad)
