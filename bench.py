@@ -102,14 +102,14 @@ def _this_round(here: str) -> int:
     return max(ns) + 1
 
 
-def _status_totals(spark) -> dict[str, int] | None:
-    """Cumulative shuffle/input bytes across all completed stages, via the
-    UI status REST API (bench enables the UI). None if unreachable.
+def _stage_list(spark) -> list[dict] | None:
+    """Raw stage dicts via the UI status REST API (bench enables the UI).
+    None if unreachable.
 
     The base URL comes from THIS app's sparkContext.uiWebUrl — a fixed
     port 4040 would silently read whichever other Spark app (e.g. a
-    concurrent pytest session) grabbed it first, recording ~0 deltas —
-    and the app id is still cross-checked against applicationId."""
+    concurrent pytest session) grabbed it first — and the app id is
+    still cross-checked against applicationId."""
     import urllib.request
 
     try:
@@ -124,14 +124,30 @@ def _status_totals(spark) -> dict[str, int] | None:
         with urllib.request.urlopen(
             f"{base}/applications/{app_id}/stages", timeout=5
         ) as r:
-            stages = json.load(r)
-        return {
-            "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
-            "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
-            "input": sum(s.get("inputBytes", 0) for s in stages),
-        }
+            return json.load(r)
     except Exception:
         return None
+
+
+def _max_stage_id(stages: list[dict]) -> int:
+    return max((s.get("stageId", -1) for s in stages), default=-1)
+
+
+def _bytes_in_range(stages: list[dict], after_id: int) -> dict[str, int]:
+    """Sum shuffle/input bytes over stages with stageId > after_id.
+
+    Stage IDs are monotonic and bench runs queries strictly sequentially,
+    so an ID range attributes stages to exactly one query. The previous
+    approach diffed whole-app cumulative totals, which go NEGATIVE when
+    the UI store evicts old stages between snapshots (spark.ui.
+    retainedStages) — precisely on the iterative/localCheckpoint queries
+    that create hundreds of stages (VERDICT r5 #3)."""
+    sel = [s for s in stages if s.get("stageId", -1) > after_id]
+    return {
+        "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in sel),
+        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in sel),
+        "input": sum(s.get("inputBytes", 0) for s in sel),
+    }
 
 
 def main() -> None:
@@ -157,31 +173,48 @@ def main() -> None:
     timings: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}
     total = 0.0
+    # (name, stage id before its timed runs) of the query whose byte
+    # attribution is still open — closed at the TOP of the next iteration
+    # so the listener bus has had >100ms (spark.ui.liveUpdate.period) to
+    # flush the final stage's metrics into the status store
+    pending: tuple[str, int] | None = None
     for name, fn in sorted(qs.items()):
+        stages = _stage_list(spark)
+        if pending is not None and stages is not None:
+            pname, pmax = pending
+            # two identical timed executions -> halve for per-execution
+            # bytes ("measure, don't guess": the recorded shuffle/input
+            # volume backs every plan-shape claim)
+            shuffle[pname] = {
+                k: v // 2 for k, v in _bytes_in_range(stages, pmax).items()
+            }
+        pending = None
         # first execution compiles the plan (whole-stage codegen); then the
         # MIN of two timed runs approximates steady-state engine throughput
         # while shrugging off noisy-neighbor CPU contention on the host.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        before = _status_totals(spark)
+        stages = _stage_list(spark)
+        if stages is not None:
+            pending = (name, _max_stage_id(stages))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        after = _status_totals(spark)
-        if before is not None and after is not None:
-            # two identical timed executions -> halve the deltas for the
-            # per-execution bytes ("measure, don't guess": the recorded
-            # shuffle/input volume backs every plan-shape claim)
-            shuffle[name] = {
-                k: (after[k] - before[k]) // 2 for k in after
-            }
         timings[name] = round(best, 4)
         total += best
         # storage discipline: queries that persist() intermediates (dedup
         # shingle/signature tables) must not accumulate across the ~100-
         # query session — executor storage stays bounded by ONE query
         spark.catalog.clearCache()
+    if pending is not None:
+        time.sleep(0.3)  # let the listener bus flush the last stages
+        stages = _stage_list(spark)
+        if stages is not None:
+            shuffle[pending[0]] = {
+                k: v // 2
+                for k, v in _bytes_in_range(stages, pending[1]).items()
+            }
 
     here = os.path.dirname(os.path.abspath(__file__))
     this_round = _this_round(here)

@@ -2075,6 +2075,12 @@ def part_type_arrays(part: DataFrame) -> DataFrame:
     collect_set per brand is bounded by the TYPE DOMAIN (6 values in
     this dataset), not by row count — the precondition for any collect_* at
     scale; unbounded-domain collects belong in explode/aggregate form.
+
+    The emitted columns are all scalars: the driver's pandas
+    canonicalizer sort_values()-hashes every column, and a raw
+    ``array<string>`` column is unhashable there (the one red row in
+    CORRECTNESS_r05). The collection functions are still exercised
+    inside the plan — the array just leaves it as ``array_join`` CSV.
     """
     per_bc = part.groupBy("p_brand", "p_type").agg(
         F.count(F.lit(1)).alias("c")
@@ -2091,7 +2097,7 @@ def part_type_arrays(part: DataFrame) -> DataFrame:
         )
         .select(
             "p_brand",
-            "types",
+            F.array_join("types", ",").alias("types"),
             F.size("types").alias("n_types"),
             F.array_contains("types", ARRAY_PROBE_TYPE)
             .alias("has_probe"),
@@ -2108,7 +2114,8 @@ WITH per_bc AS (
   FROM part GROUP BY p_brand, p_type
 )
 SELECT p_brand,
-       list_sort(list(DISTINCT p_type)) AS types,
+       list_aggregate(list_sort(list(DISTINCT p_type)),
+                      'string_agg', ',') AS types,
        len(list_sort(list(DISTINCT p_type)))::INT AS n_types,
        list_contains(list(DISTINCT p_type),
                      '{ARRAY_PROBE_TYPE}') AS has_probe,

@@ -132,7 +132,7 @@ def events_user_churn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("events_retention_triangle",
-          oracle=analytics.dd_retention_triangle_sql(), defer_gate=True)
+          oracle=analytics.dd_retention_triangle_sql())
 def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase-cohort retention triangle (distinct user-day grid
     -> per-user min window -> one aggregate; integer epoch-day math)."""
@@ -140,7 +140,7 @@ def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("events_ab_welch_ttest",
-          oracle=analytics.dd_ab_welch_ttest_sql(), defer_gate=True)
+          oracle=analytics.dd_ab_welch_ttest_sql())
 def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance two-sample t-test on value between two
     event types (one shared-partial aggregate + closed-form t and df)."""
@@ -148,7 +148,7 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("lineitem_benford_check",
-          oracle=analytics.dd_benford_check_sql(), defer_gate=True)
+          oracle=analytics.dd_benford_check_sql())
 def lineitem_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of extended prices: observed vs
     log10(1+1/d) share + per-digit chi-square contribution (one 9-row

@@ -265,7 +265,6 @@ FILTER_LANG = "en"
 @register(
     "hybrid_search_filtered",
     oracle=engine.dd_hybrid_search_filtered_sql(QUERY, FILTER_LANG, TOP_K),
-    defer_gate=True,
 )
 def hybrid_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered hybrid search (lang = 'en'): the filter lands

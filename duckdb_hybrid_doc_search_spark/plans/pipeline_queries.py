@@ -518,8 +518,7 @@ def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("corpus_benchmark_contamination",
-          oracle=curation.dd_benchmark_contamination_sql(),
-          defer_gate=True)
+          oracle=curation.dd_benchmark_contamination_sql())
 def corpus_benchmark_contamination(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Train-set decontamination vs an in-plan benchmark set: per-source
@@ -529,8 +528,7 @@ def corpus_benchmark_contamination(spark: SparkSession,
 
 
 @register("embeddings_matryoshka_recall",
-          oracle=knn.dd_matryoshka_recall_sql(ANN_K, ANN_N_QUERIES),
-          defer_gate=True)
+          oracle=knn.dd_matryoshka_recall_sql(ANN_K, ANN_N_QUERIES))
 def embeddings_matryoshka_recall(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Recall@k of truncated-prefix (first 16 of 64 dims) retrieval vs
@@ -543,8 +541,7 @@ CLS_N_QUERIES = 50
 
 
 @register("embeddings_knn_classify",
-          oracle=knn.dd_knn_classify_sql(knn.CLS_K, CLS_N_QUERIES),
-          defer_gate=True)
+          oracle=knn.dd_knn_classify_sql(knn.CLS_K, CLS_N_QUERIES))
 def embeddings_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN majority-vote accuracy per class over the
     labeled vector table (cosine, k=5; broadcast query sample, one
@@ -554,8 +551,7 @@ def embeddings_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("ann_ivf_nprobe_curve",
-          oracle=knn.dd_ivf_nprobe_curve_sql(ANN_K, ANN_N_QUERIES),
-          defer_gate=True)
+          oracle=knn.dd_ivf_nprobe_curve_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF tuning curve: recall@k + mean candidates scanned per query
     across nprobe in {1,2,4,8} — one candidate pass at max nprobe,
@@ -564,7 +560,7 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_graph_triangles",
-          oracle=dedup.dd_dedup_graph_triangles_sql(), defer_gate=True)
+          oracle=dedup.dd_dedup_graph_triangles_sql())
 def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census + global clustering coefficient of the LSH
     candidate graph (id-ordered pair joins over the bucket-local pair
@@ -574,7 +570,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_threshold_curve",
-          oracle=dedup.dd_dedup_threshold_curve_sql(), defer_gate=True)
+          oracle=dedup.dd_dedup_threshold_curve_sql())
 def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup tuning curve: pairs / flagged docs / flagged fraction at
     each est-Jaccard cutoff — one LSH pass, thresholds fanned by
@@ -583,7 +579,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("corpus_ngram_novelty",
-          oracle=curation.dd_ngram_novelty_sql(), defer_gate=True)
+          oracle=curation.dd_ngram_novelty_sql())
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source first-occurrence novelty (word 8-grams; the min-owner
     aggregate doubles as the novel-count table — no shingle-keyed

@@ -77,11 +77,16 @@ RECHECK: dict[str, int] = {
     "markdown_chunk_fixtures": 5,
     # round 5 single-levenshtein rewrite (operators/mining.py spell_suggest)
     "search_spell_suggest": 5,
+    # round 6: `types` now leaves the plan as array_join CSV (both sides)
+    # so the driver's pandas canonicalizer can sort/hash the frame — the
+    # raw array<string> column was CORRECTNESS_r05's one red row.
+    "part_type_arrays": 6,
 }
 
 
-def _check_history() -> dict[str, tuple[int, bool]]:
-    """name -> (newest round with a driver row, green at that round).
+def _check_history() -> dict[str, tuple[int, bool, str | None]]:
+    """name -> (newest round with a driver row, green at that round,
+    err string at that round or None).
 
     The external gate only verifies the first ~50 entries of ``queries()``
     per round, so ordering is coverage policy. Reading the UNION of all
@@ -98,7 +103,7 @@ def _check_history() -> dict[str, tuple[int, bool]]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)
     )))
-    hist: dict[str, tuple[int, bool]] = {}
+    hist: dict[str, tuple[int, bool, str | None]] = {}
     rounds: list[tuple[int, dict]] = []
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -120,12 +125,27 @@ def _check_history() -> dict[str, tuple[int, bool]]:
                 and row.get("hash_match", True)
                 and not row.get("err")
             )
-            hist[name] = (n, green)
+            err = row.get("err") if isinstance(row, dict) else None
+            hist[name] = (n, green, str(err) if err else None)
     return hist
 
 
 def _gate_ordered() -> list[str]:
     hist = _check_history()
+
+    # An ``err: no_oracle`` driver row is TERMINAL: the driver cannot
+    # check oracle-less entries at all (r5 burned ~20 of ~50 window
+    # slots proving this), so retrying them every round starves real
+    # coverage. They park behind the green tail — except ONE rotating
+    # probe slot (the stalest such entry) kept in case the driver
+    # gains rows-only checking later.
+    no_oracle_parked = {
+        name for name, (_, green, err) in hist.items()
+        if not green and err == "no_oracle"
+        and name in REGISTRY and REGISTRY[name].oracle is None
+    }
+    probe = (min(no_oracle_parked, key=lambda n: hist[n][0])
+             if no_oracle_parked else None)
 
     def rank(item: tuple[int, tuple[str, QueryDef]]) -> tuple[int, int, int]:
         order, (name, qd) = item
@@ -138,19 +158,22 @@ def _gate_ordered() -> list[str]:
             # defer flag must never park a red query out of the window.
             return (4, 0, order)
         if qd.oracle is None:
-            # rows-only: weaker signal, but nonzero — entries that never
-            # earned a non-err driver row queue right behind the oracled
-            # priorities so they are not structurally invisible to the
-            # gate (VERDICT r4 #3); once green they join the stale tail.
+            # rows-only: weaker signal, but nonzero — a never-checked
+            # entry still earns one probe row; after that, no_oracle
+            # errs are terminal (see above), other errs retry.
             if checked is None:
                 return (2, 0, order)
-            last_round, green = checked
+            last_round, green, err = checked
+            if name in no_oracle_parked:
+                if name == probe:
+                    return (2, 1, last_round)  # rotating probe slot
+                return (5, 0, last_round)  # terminal: behind green tail
             if not green:
-                return (2, 1, last_round)  # stale err row: retry
+                return (2, 1, last_round)  # genuine err row: retry
             return (3, 0, last_round)
         if checked is None:
             return (0, 0, order)  # never had any driver row: jump the queue
-        last_round, green = checked
+        last_round, green, _err = checked
         recheck_pending = (
             name in RECHECK and (last_round < RECHECK[name] or not green)
         )

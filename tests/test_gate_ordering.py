@@ -3,9 +3,11 @@
 The external driver verifies only the first ~50 entries of queries() per
 round, so _gate_ordered IS coverage policy: never-checked oracled queries
 jump the queue, failed/changed ones re-check next, rows-only entries that
-never earned a non-err driver row queue behind those (weaker signal, but
-not structurally invisible), green ones rotate by staleness, and
-deliberately-deferred entries wait one round.
+never earned a driver row get ONE probe behind those, green ones rotate
+by staleness, deliberately-deferred entries wait one round — and entries
+whose only driver row is ``err: no_oracle`` are TERMINAL (the driver has
+proven it cannot check them; retrying burns the window) except for one
+rotating probe slot.
 """
 
 from __future__ import annotations
@@ -14,7 +16,12 @@ from duckdb_hybrid_doc_search_spark.plans import registry
 
 
 def _rank_with(monkeypatch, hist, recheck, defs):
-    """Run _gate_ordered against synthetic history/registry state."""
+    """Run _gate_ordered against synthetic history/registry state.
+
+    hist values: (round, green) or (round, green, err) — 2-tuples get
+    err=None appended, matching _check_history's 3-tuple shape.
+    """
+    hist = {k: (v if len(v) == 3 else (*v, None)) for k, v in hist.items()}
     monkeypatch.setattr(registry, "_check_history", lambda: hist)
     monkeypatch.setattr(registry, "RECHECK", recheck)
     monkeypatch.setattr(registry, "_LOADED", True)
@@ -30,7 +37,7 @@ def test_priority_tiers(monkeypatch):
     order = _rank_with(
         monkeypatch,
         hist={"green_old": (1, True), "green_new": (3, True),
-              "red": (3, False), "ro_err": (2, False),
+              "red": (3, False), "ro_err": (2, False, "boom"),
               "ro_green": (1, True)},
         recheck={},
         defs={
@@ -47,10 +54,35 @@ def test_priority_tiers(monkeypatch):
     assert order[0] == "never"          # unchecked oracled jumps the queue
     assert order[1] == "red"            # failed oracled check next
     assert order[2] == "rows_only"      # rows-only never checked: in window
-    assert order[3] == "ro_err"         # rows-only stale err: retried after
+    assert order[3] == "ro_err"         # rows-only genuine err: retried
     # green tail rotates by staleness regardless of oracle-ness
     assert order[4:7] == ["ro_green", "green_old", "green_new"]
     assert order[7] == "deferred"       # held back one round
+
+
+def test_no_oracle_err_is_terminal(monkeypatch):
+    """err:no_oracle rows park BEHIND the green tail — the driver proved
+    it cannot check them, so they must not burn window slots — except one
+    rotating probe slot (the stalest) kept in the retry tier."""
+    defs = {
+        "no1": (None, False), "no2": (None, False), "no3": (None, False),
+        "green": ("SELECT 1", False),
+        "ro_real_err": (None, False),
+    }
+    order = _rank_with(
+        monkeypatch,
+        hist={"no1": (5, False, "no_oracle"), "no2": (4, False, "no_oracle"),
+              "no3": (5, False, "no_oracle"), "green": (2, True),
+              "ro_real_err": (3, False, "Py4JJavaError: ...")},
+        recheck={},
+        defs=defs,
+    )
+    # the stalest no_oracle entry (no2, round 4) is the rotating probe and
+    # a genuine rows-only failure still retries; both rank before greens
+    assert set(order[:2]) == {"no2", "ro_real_err"}
+    assert order[2] == "green"
+    # the other no_oracle entries are terminal: strictly behind the greens
+    assert set(order[3:]) == {"no1", "no3"}
 
 
 def test_recheck_self_clears_after_green_row(monkeypatch):
