@@ -2,10 +2,12 @@
 
 The tool handler closes over a long-lived DocSearchEngine (persisted index
 DataFrames) and returns {"results": [...]} exactly like the reference
-(server.py:95). FastMCP is not installed in this container, so the server
-is gated behind an import-try: without it, `serve` exits with a clear
-message instead of a stack trace; the handler itself is importable and
-tested directly.
+(server.py:95). When FastMCP is installed it runs the server exactly like
+the reference; when it is not, the stdio transport falls back to the
+built-in minimal MCP implementation (mcp_stdio.py — newline-delimited
+JSON-RPC 2.0 per the public MCP spec), so ``serve`` genuinely works in
+this container and is protocol-tested in tests/test_mcp_protocol.py.
+Only streamable-http requires the external package.
 """
 
 from __future__ import annotations
@@ -38,11 +40,14 @@ def run_server(db: str, transport: str = "stdio", host: str = "0.0.0.0",
     try:
         from mcp.server.fastmcp import FastMCP  # type: ignore
     except ImportError:
+        FastMCP = None
+
+    if FastMCP is None and transport != "stdio":
         print(
-            "MCP server requires the 'mcp' package (not installed in this "
-            "environment). The search engine itself is fully functional — "
-            "use the `search` command or the Python API "
-            "(search.doc_engine.DocSearchEngine).",
+            "MCP streamable-http transport requires the 'mcp' package "
+            "(not installed in this environment). The stdio transport "
+            "works without it, as do the `search` command and the Python "
+            "API (search.doc_engine.DocSearchEngine).",
             file=sys.stderr,
         )
         return 2
@@ -51,13 +56,23 @@ def run_server(db: str, transport: str = "stdio", host: str = "0.0.0.0",
     from .session import get_spark
 
     engine = DocSearchEngine(get_spark("mcp-server"), db, embedding_model)
+    tool = make_search_tool(engine, add_path_prefix, remove_path_prefix)
+
+    if FastMCP is None:
+        # built-in minimal stdio transport (public MCP spec shapes)
+        from .mcp_stdio import SEARCH_TOOL_SCHEMA, serve_stdio
+
+        return serve_stdio(
+            tool_name, tool_description or "Search for local documents",
+            SEARCH_TOOL_SCHEMA, tool,
+        )
+
     mcp = (
         FastMCP(name="hybrid-doc-search", host=host, port=port,
                 streamable_http_path=path)
         if transport == "streamable-http"
         else FastMCP(name="hybrid-doc-search")
     )
-    tool = make_search_tool(engine, add_path_prefix, remove_path_prefix)
     mcp.tool(name=tool_name, description=tool_description)(tool)
     mcp.run(transport="stdio" if transport == "stdio" else "streamable-http")
     return 0

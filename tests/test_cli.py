@@ -52,12 +52,16 @@ def test_cli_version(capsys):
     assert capsys.readouterr().out.strip()
 
 
-def test_cli_serve_without_mcp_exits_2(cli_index):
+def test_cli_serve_http_without_mcp_exits_2(cli_index):
+    """streamable-http still needs the external package; stdio does NOT —
+    it falls back to the built-in transport (tests/test_mcp_protocol.py
+    drives that over a real subprocess round-trip)."""
     import importlib.util
 
     if importlib.util.find_spec("mcp") is not None:
         pytest.skip("mcp installed; fallback unreachable")
-    rc = cli.main(["serve", "--db", cli_index])
+    rc = cli.main(["serve", "--db", cli_index,
+                   "--transport", "streamable-http"])
     assert rc == 2
 
 
