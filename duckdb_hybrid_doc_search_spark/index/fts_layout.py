@@ -137,9 +137,22 @@ _FRESH: dict[tuple[str, str, str, str],
 
 
 def _dir_sig(sig) -> tuple:
-    """Stat signature of the distinct parent directories of `sig`'s files."""
+    """Stat signature of the distinct parent directories of `sig`'s
+    files, PLUS each directory's entry count.
+
+    The (size, mtime_ns) stats alone are spoofable by a corpus
+    regenerated with preserved timestamps (cp -p / rsync -a) or on a
+    coarse-mtime filesystem; the listdir length is an independent beacon
+    that catches added/removed files in those cases. A same-count
+    timestamp-preserving REPLACEMENT still passes the fast path — that
+    residual caveat is inherent to stat-based freshness and is shared
+    with the slow path's file-level fingerprint; callers needing
+    content-level certainty must pass a concrete DataFrame (which always
+    takes the full fingerprint path) rather than a thunk.
+    """
     dirs = sorted({os.path.dirname(p) for p, _, _ in sig})
-    return stat_sig(dirs)
+    counts = tuple(len(os.listdir(d)) for d in dirs)
+    return (stat_sig(dirs), counts)
 
 
 def ensure_fts_layout(spark: SparkSession,

@@ -132,11 +132,20 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     re-centering is a rebuild, by design. A batch containing a
     centroid-modulus vec_id is REJECTED: writing it as a plain cell
     member while query-time ivf_assign would treat it as a centroid
-    silently probes a nonexistent cell. Caller contract: new vec_ids are
-    disjoint from the layout's (same as FTS index_incremental), and a
-    dir mutated by appends is managed explicitly — the ensure_ivf_layout
-    fingerprint cache keys on the SOURCE table and must not be pointed
-    at it.
+    silently probes a nonexistent cell. The disjoint-vec_id contract is
+    ENFORCED, not just documented: the batch is semi-joined against the
+    vec_ids already present in the cells it would land in (a partition-
+    PRUNED scan bounded by the batch's target cells, never the full
+    layout) and overlaps raise — appending an existing id would write
+    duplicate rows that probes then return as duplicate candidates.
+    Deterministic frozen-centroid assignment means a re-appended
+    identical embedding always lands in its original cell, so the pruned
+    check catches exactly the duplicate-row corruption; an id REUSED
+    with a different vector may land in another cell and stays in the
+    caller contract (catching it needs a full-layout id scan — a
+    rebuild-sized read at 100 TB). A dir mutated by appends is managed
+    explicitly — the ensure_ivf_layout fingerprint cache keys on the
+    SOURCE table and must not be pointed at it.
     """
     from ..operators.knn import CENTROID_MOD, assign_to_centroids
 
@@ -164,8 +173,25 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
                        F.col("embedding").alias("c_vec")),
         cent,
     )
-    (
-        new_emb.join(assign, new_emb["vec_id"] == assign["c_id"])
-        .select("vec_id", "embedding", "cell")
-        .write.mode("append").partitionBy("cell").parquet(out_dir)
+    batch = new_emb.join(
+        assign, new_emb["vec_id"] == assign["c_id"]
+    ).select("vec_id", "embedding", "cell")
+    # disjointness guard (pruned): only the target cells are scanned, and
+    # only their vec_id column; the append batch is the broadcast side
+    target_cells = sorted(
+        r.cell for r in assign.select("cell").distinct().collect()
     )
+    n_dup = (
+        probe_cells(spark, out_dir, target_cells)
+        .select("vec_id")
+        .join(F.broadcast(new_emb.select("vec_id")), "vec_id")
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"append batch overlaps the layout on {n_dup} vec_id(s): "
+            "appending an existing id writes duplicate rows into its "
+            "cell partition and probes would return duplicate "
+            "candidates. Append batches must carry NEW vec_ids only."
+        )
+    batch.write.mode("append").partitionBy("cell").parquet(out_dir)

@@ -149,3 +149,25 @@ def test_append_rejects_centroid_modulus_ids(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="centroid slots"):
         append_ivf_vectors(spark, out, bad)
+
+
+def test_append_rejects_duplicate_vec_ids(spark, sf_dir, tmp_path):
+    """A batch whose vec_ids already exist in the layout must be rejected
+    (pruned overlap check): appending them would write duplicate rows
+    into cell partitions and probes would return duplicate candidates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        append_ivf_vectors, write_ivf_partitioned)
+    from duckdb_hybrid_doc_search_spark.operators.knn import CENTROID_MOD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path / "ivf")
+    write_ivf_partitioned(emb, out)
+    # re-append three existing non-centroid rows verbatim: deterministic
+    # frozen-centroid assignment lands them in their original cells, so
+    # the pruned check must see them
+    dup = emb.where(F.col("vec_id") % CENTROID_MOD != 0).limit(3)
+    with pytest.raises(ValueError, match="overlaps the layout"):
+        append_ivf_vectors(spark, out, dup)

@@ -74,6 +74,12 @@ def test_decimal_oracle_columns_match_spark_decimals(con, spark, sf_dir):
         dec_cols = [col for col, typ, *_ in desc if "DECIMAL" in typ.upper()]
         if not dec_cols:
             continue
+        from duckdb_hybrid_doc_search_spark.plans import registry
+        if registry.REGISTRY[name].executes_on_build:
+            # calling the Spark side EXECUTES work (e.g. drives a bounded
+            # stream) — too heavy for a schema-only lint; such a query
+            # would surface in its own stream==batch equality suite
+            continue
         sdf = qs[name](spark, sf_dir)
         stypes = {f.name: f.dataType.typeName() for f in sdf.schema.fields}
         bad = [
