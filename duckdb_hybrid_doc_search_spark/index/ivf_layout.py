@@ -67,6 +67,56 @@ def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
     return out_dir
 
 
+# append-probe split rule: ~20% of non-centroid ids arrive via append
+APPEND_SPLIT_MOD = 5
+APPEND_SPLIT_REM = 3
+
+
+def ensure_ivf_append_layout(spark: SparkSession, emb: DataFrame,
+                             sf_dir: str, root: str | None = None) -> str:
+    """Build (once) a layout that REACHED its final state through
+    incremental maintenance: base build over ~80% of the vectors, the
+    remaining ~20% (non-centroid ids with vec_id % 5 == 3) appended via
+    :func:`append_ivf_vectors`. Probing it is how the registered
+    ``ann_ivf_append_probe`` query earns a driver row for the append
+    path: frozen-centroid append equivalence means the result must equal
+    the one-shot oracle over the full table.
+
+    Cached separately from ensure_ivf_layout (appends mutate the dir, so
+    it must never share the build-once cache); a ``_APPEND_DONE``
+    sentinel marks the completed build+append sequence and the dir key
+    carries the source fingerprint so regenerated data rebuilds.
+    """
+    import shutil
+
+    from ..operators.knn import CENTROID_MOD
+    from .fingerprint import layout_fingerprint
+
+    if root is None:
+        repo_dir = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ))
+        root = os.path.join(repo_dir, "spark-warehouse", "ivf_append_layout")
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
+    )
+    out_dir = os.path.join(root, key)
+    sentinel = os.path.join(out_dir, "_APPEND_DONE")
+    if os.path.exists(sentinel):
+        return out_dir
+    if os.path.exists(out_dir):  # partial prior attempt: start clean
+        shutil.rmtree(out_dir)
+    is_new = (F.col("vec_id") % CENTROID_MOD != 0) & (
+        F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM
+    )
+    write_ivf_partitioned(emb.where(~is_new), out_dir)
+    append_ivf_vectors(spark, out_dir, emb.where(is_new))
+    with open(sentinel, "w"):
+        pass
+    return out_dir
+
+
 def probe_cells(spark: SparkSession, out_dir: str,
                 cells: list[int]) -> DataFrame:
     """Read ONLY the probed cell partitions (pruned scan)."""

@@ -206,6 +206,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_partitioned_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
 
 
+@register("ann_ivf_append_probe",
+          oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE probe: the layout reached its state through
+    incremental append (base build over ~80%, the rest via
+    append_ivf_vectors' frozen-centroid path, index/ivf_layout.py), then
+    is probed exactly like ann_ivf_topk. The oracle is the one-shot IVF
+    SQL over the FULL table — append equivalence (appended layout ==
+    full rebuild) is thereby driver-checked, not just pytest-asserted."""
+    from ..index.ivf_layout import (ensure_ivf_append_layout,
+                                    ivf_partitioned_topk)
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivf_append_layout(spark, emb, sf_dir)
+    return ivf_partitioned_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
+
+
 # --- JSONL source ------------------------------------------------------------
 
 _JSONL_PATH = __import__("pathlib").Path(__file__).resolve(
