@@ -36,23 +36,33 @@ os.environ["PYTHONPATH"] = (
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 ROOT = "/root/testdata"
 
-# representative per-family headliners (fact-table bound, not k-bound)
+# representative per-family headliners: (name, driving table).
+# The driving table picks the fit segment: lineitem/orders/events grow
+# 10x across sf0.01 -> sf0.1; documents/embeddings are size-capped at
+# sf0.01 (500 -> 5000 across sf0.001 -> sf0.01, flat after), so
+# doc/vector-bound queries fit THAT segment — fitting them on the
+# capped one would just measure noise around a constant.
 QUERIES = [
-    "tpch_q1_pricing_summary",      # scan + hash aggregate
-    "tpch_q9_product_profit",        # star join
-    "events_sessionization",         # per-user windows
-    "events_rolling_active_users",   # explode + two aggregates
-    "dedup_minhash_lsh",             # shingle/minhash + banded self-join
-    "text_token_stats",              # per-doc text expressions
-    "text_bigram_pmi",               # two tokenize passes + key joins
-    "orders_cohort_ltv",             # window min + grouped agg
-    "lineitem_stats_moments",        # moment aggregate
-    "corpus_curation_pipeline",      # composed keep-set
-    "basket_part_pairs",             # per-order self-join pair mining
-    "events_session_paths",          # session windows + path aggregate
-    "orders_merge_upsert",           # full-outer MERGE + summary agg
-    "corpus_benchmark_contamination",  # shingle pass + broadcast semi-probe
-    "events_retention_triangle",     # distinct grid + per-user min window
+    ("tpch_q1_pricing_summary", "lineitem"),   # scan + hash aggregate
+    ("tpch_q9_product_profit", "lineitem"),    # star join
+    ("events_sessionization", "events"),       # per-user windows
+    ("events_rolling_active_users", "events"),  # explode + two aggregates
+    ("dedup_minhash_lsh", "documents"),        # shingle/minhash + LSH join
+    ("text_token_stats", "documents"),         # per-doc text expressions
+    ("text_bigram_pmi", "documents"),          # two tokenize passes + joins
+    ("orders_cohort_ltv", "orders"),           # window min + grouped agg
+    ("lineitem_stats_moments", "lineitem"),    # moment aggregate
+    ("corpus_curation_pipeline", "documents"),  # composed keep-set
+    ("basket_part_pairs", "lineitem"),         # per-order pair mining
+    ("events_session_paths", "events"),        # session windows + paths
+    ("orders_merge_upsert", "orders"),         # full-outer MERGE + agg
+    ("corpus_benchmark_contamination", "documents"),  # shingles + probe
+    ("events_retention_triangle", "events"),   # distinct grid + min window
+    # the round-5 heavy tail (VERDICT r5 #6): iterative / candidate-heavy
+    ("dedup_graph_pagerank", "documents"),     # power iteration on LSH graph
+    ("dedup_graph_triangles", "documents"),    # wedge join on LSH edges
+    ("ann_ivf_nprobe_curve", "embeddings"),    # one-pass probe sweep
+    ("embeddings_knn_classify", "embeddings"),  # broadcast brute-force kNN
 ]
 
 
@@ -65,12 +75,22 @@ def main() -> None:
     registry._load_all()
     spark = get_spark("scale-probe")
 
+    tables = sorted({t for _, t in QUERIES})
     rows = {
-        sf: spark.read.parquet(f"{ROOT}/{sf}/lineitem.parquet").count()
-        for sf in SFS
+        t: {
+            sf: spark.read.parquet(f"{ROOT}/{sf}/{t}.parquet").count()
+            for sf in SFS
+        }
+        for t in tables
     }
+    # every table grows across sf0.01 -> sf0.1 (fact tables 10x;
+    # documents 500 -> 5000, embeddings 500 -> 2000 — they are capped at
+    # the LOW end instead, identical at sf0.001 and sf0.01), so the fit
+    # segment is uniform and the driving table supplies the actual row
+    # growth in the slope denominator (10x vs 4x matters for embeddings)
+    seg = {t: ("sf0.01", "sf0.1") for t in tables}
     out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name, _t in QUERIES:
         fn = registry.REGISTRY[name].spark_fn
         out[name] = {}
         for sf in SFS:
@@ -89,9 +109,9 @@ def main() -> None:
     lines = [
         "# SCALING — measured wall time vs data size (tools/scale_probe.py)",
         "",
-        "Slope = d log(time) / d log(rows) over sf0.01 -> sf0.1 (10x",
-        "lineitem/orders/events rows; sf0.001 recorded but excluded from",
-        "the fit). How to read it at LOCAL sizes:",
+        "Slope = d log(time) / d log(rows) over sf0.01 -> sf0.1, with",
+        "rows counted on each query's DRIVING table (see caveat).",
+        "How to read it at LOCAL sizes:",
         "",
         "- slope ~1.0: data-bound (linear) already at 600k rows;",
         "- slope well under 1.0: fixed per-query cost (task scheduling,",
@@ -101,27 +121,37 @@ def main() -> None:
         "- slope > ~1.2: superlinear work — a regression the plan gates",
         "  (tests/test_plans.py) exist to prevent. None recorded.",
         "",
-        "Caveat: the documents/embeddings tables are size-capped at",
-        "sf0.01 (5000 rows at both sf0.01 and sf0.1), so text/dedup/",
-        "search rows are expected flat across that segment; their scale",
-        "arguments live in the plan shapes (SCALE.md), not this table.",
+        "Caveat: documents/embeddings are capped at the LOW end (500",
+        "rows at both sf0.001 and sf0.01; 5000/2000 at sf0.1), so for",
+        "doc/vector-bound queries the sf0.001 and sf0.01 points are the",
+        "same data — the slope uses the driving table's actual row",
+        "growth (10x for documents, 4x for embeddings) as denominator.",
         "",
-        "| query | sf0.001 s | sf0.01 s | sf0.1 s | slope(0.01→0.1) |",
-        "|---|---|---|---|---|",
+        "| query | driving table | sf0.001 s | sf0.01 s | sf0.1 s "
+        "| segment | slope |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for name, t in out.items():
+    for name, t in QUERIES:
+        ts = out[name]
+        lo, hi = seg[t]
+        # clamp to 1ms: a sub-ms point (cached/trivial at tiny sf) would
+        # otherwise blow up the log ratio
         slope = (
-            math.log(t["sf0.1"] / t["sf0.01"])
-            / math.log(rows["sf0.1"] / rows["sf0.01"])
+            math.log(max(ts[hi], 1e-3) / max(ts[lo], 1e-3))
+            / math.log(rows[t][hi] / rows[t][lo])
         )
         lines.append(
-            f"| {name} | {t['sf0.001']} | {t['sf0.01']} | {t['sf0.1']} "
-            f"| {slope:.2f} |"
+            f"| {name} | {t} | {ts['sf0.001']} | {ts['sf0.01']} "
+            f"| {ts['sf0.1']} | {lo.removeprefix('sf')}→"
+            f"{hi.removeprefix('sf')} | {slope:.2f} |"
         )
     lines += [
         "",
-        f"Input rows (lineitem): "
-        + ", ".join(f"{sf}={rows[sf]}" for sf in SFS)
+        "Input rows: "
+        + "; ".join(
+            f"{t}: " + ", ".join(f"{sf}={rows[t][sf]}" for sf in SFS)
+            for t in tables
+        )
         + ". One session for all points; min of 2 timed runs after "
         "warm-up; noop sink.",
     ]
