@@ -40,6 +40,14 @@ def lit_vector(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance via the dot identity ||a||² - 2a·b + ||b||² —
+    three left-to-right folds, so the DuckDB twin (dd_l2sq, same
+    identity) is bit-comparable before rounding; an elementwise
+    sum-of-squares would fold in a different order."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
 # --- DuckDB fragments ------------------------------------------------------
 
 
@@ -59,3 +67,8 @@ def dd_cosine_similarity(a: str, b: str) -> str:
 
 def dd_cosine_distance(a: str, b: str) -> str:
     return f"(1.0 - {dd_cosine_similarity(a, b)})"
+
+
+def dd_l2sq(a: str, b: str) -> str:
+    """Same dot-identity formula as :func:`l2sq` for bit-parity."""
+    return f"({dd_dot(a, a)} - 2.0 * {dd_dot(a, b)} + {dd_dot(b, b)})"

@@ -642,3 +642,244 @@ SELECT n.nprobe, round(avg(coalesce(h.n_hit, 0) * 1.0 / {k}), 6)
 FROM n_cand n LEFT JOIN hits h ON n.nprobe = h.nprobe AND n.q_id = h.q_id
 GROUP BY n.nprobe ORDER BY n.nprobe
 """.strip()
+
+
+# --- product quantization (IVF-PQ-style compressed ANN) -----------------------
+
+PQ_M = 4         # subspaces (64-dim embeddings -> 4 x 16-dim subvectors)
+PQ_CB_MOD = 25   # deterministic codebook pick: vec_id % PQ_CB_MOD == 0
+PQ_DIM = 64      # testdata embedding width
+
+
+def _pq_long(df: DataFrame, id_alias: str, vec_col: str,
+             dim: int, m: int) -> DataFrame:
+    """Long-form subvectors: one row per (id, subspace) with the slice.
+
+    posexplode of a per-row array of slices — a single projection, no
+    M-way union, stays in whole-stage codegen."""
+    sub = dim // m
+    slices = F.array(*[
+        F.slice(F.col(vec_col), i * sub + 1, sub) for i in range(m)
+    ])
+    return df.select(
+        F.col(id_alias),
+        F.posexplode(slices).alias("m", "sub"),
+    )
+
+
+def pq_codebook(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int = PQ_DIM,
+                m: int = PQ_M) -> DataFrame:
+    """(m, code, cw): per-subspace codewords sliced from a deterministic
+    sample of corpus vectors (vec_id % PQ_CB_MOD == 0 — the same k-means
+    stand-in rule as IVF centroids, which keeps the DuckDB oracle exact;
+    a trained codebook would plug in here via embeddings_kmeans_train).
+    K x M subvectors — a few KB, always the broadcast side."""
+    cb = emb.where(F.col(id_col) % PQ_CB_MOD == 0).select(
+        F.col(id_col).alias("code"), F.col(vec_col).alias("cw_full")
+    )
+    return _pq_long(cb, "code", "cw_full", dim, m).select(
+        "m", "code", F.col("sub").alias("cw")
+    )
+
+
+def pq_encode(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", dim: int = PQ_DIM,
+              m: int = PQ_M) -> DataFrame:
+    """(vec_id, m, code): nearest-codeword assignment per subspace
+    (rounded squared-L2, tie -> lower code) — the PQ compression step.
+
+    Scale shape: the K x M codebook is broadcast, so encode is one map-
+    side pass over the corpus; the argmin collapses map-side via partial
+    aggregation (min over a (d, code) struct = lexicographic argmin), so
+    shuffle volume is the ENCODED size (M short rows per vector), i.e.
+    the ~dim*4/M-fold compression is realized before the exchange."""
+    corp = _pq_long(
+        emb.select(F.col(id_col).alias("vid"), vec_col), "vid",
+        vec_col, dim, m,
+    )
+    d = F.round(V.l2sq(F.col("sub"), F.col("cw")), SCORE_ROUND)
+    return (
+        corp.join(F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m)),
+                  "m")
+        .select("vid", "m", d.alias("d"), "code")
+        .groupBy("vid", "m")
+        .agg(F.min(F.struct("d", "code")).alias("mn"))
+        .select(F.col("vid").alias("vec_id"), "m",
+                F.col("mn.code").alias("code"))
+    )
+
+
+def pq_topk(emb: DataFrame, k: int, n_queries: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            dim: int = PQ_DIM, m: int = PQ_M) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: each
+    query precomputes a (m, code) -> distance lookup table against the
+    codebook (n_q x M x K rows — broadcast), then candidates are scored
+    by SUMMING M table lookups over their codes — never touching the
+    raw vectors. This is the scan that makes 100 TB of vectors readable:
+    the codes table is ~dim*4/M times smaller than the embeddings and
+    the per-candidate cost is M adds.
+
+    Output: q_id, c_id, adc_dist (ascending = nearer), rank — approximate
+    by construction; pq_recall records the quality.
+    """
+    codes = pq_encode(emb, id_col, vec_col, dim, m)
+    q_long = _pq_long(
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), vec_col),
+        "q_id", vec_col, dim, m,
+    )
+    lut = (
+        q_long.join(F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m)),
+                    "m")
+        .select("q_id", "m", "code",
+                F.round(V.l2sq(F.col("sub"), F.col("cw")),
+                        SCORE_ROUND).alias("d"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.round(F.sum("d"), SCORE_ROUND).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_recall(emb: DataFrame, k: int, n_queries: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = PQ_DIM, m: int = PQ_M) -> DataFrame:
+    """Recall@k of PQ/ADC retrieval vs the exact cosine top-k, per query
+    — the recorded quality number for the compressed scan (same evaluation
+    pattern as matryoshka_recall / ivf_nprobe_curve)."""
+    approx = pq_topk(emb, k, n_queries, id_col, vec_col, dim, m).select(
+        "q_id", "c_id"
+    )
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = knn_join(
+        queries,
+        emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        k,
+    ).select("q_id", "c_id")
+    hits = approx.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / k, 6)
+            .alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _dd_pq_common(n_queries: int, table: str, id_col: str, vec_col: str,
+                  dim: int, m: int) -> str:
+    """Shared CTE prefix: subspace grid, codebook, encoded corpus, query
+    LUT, ADC scores — mirrors pq_encode/pq_topk exactly (same slice
+    bounds, rounding, and tie rules)."""
+    sub = dim // m
+    ms = ", ".join(f"({i})" for i in range(m))
+    lo = f"(s.m * {sub} + 1)"
+    hi = f"((s.m + 1) * {sub})"
+    d_enc = V.dd_l2sq("c.sub", "b.cw")
+    d_lut = V.dd_l2sq("q.sub", "b.cw")
+    return f"""
+subs AS (SELECT m FROM (VALUES {ms}) t(m)),
+cbsub AS (
+  SELECT s.m, {id_col} AS code,
+         list_slice({vec_col}, {lo}, {hi}) AS cw
+  FROM {table} CROSS JOIN subs s WHERE {id_col} % {PQ_CB_MOD} = 0
+),
+corp AS (
+  SELECT {id_col} AS vid, s.m,
+         list_slice({vec_col}, {lo}, {hi}) AS sub
+  FROM {table} CROSS JOIN subs s
+),
+enc AS (
+  SELECT vid, m, code FROM (
+    SELECT c.vid, c.m, b.code,
+           row_number() OVER (PARTITION BY c.vid, c.m
+             ORDER BY round({d_enc}, {SCORE_ROUND}) ASC, b.code ASC) AS rn
+    FROM corp c JOIN cbsub b ON c.m = b.m
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT {id_col} AS q_id, s.m,
+         list_slice({vec_col}, {lo}, {hi}) AS sub
+  FROM {table} CROSS JOIN subs s WHERE {id_col} < {n_queries}
+),
+lut AS (
+  SELECT q.q_id, b.m, b.code,
+         round({d_lut}, {SCORE_ROUND}) AS d
+  FROM qsub q JOIN cbsub b ON q.m = b.m
+),
+adc AS (
+  SELECT l.q_id, e.vid AS c_id, round(sum(l.d), {SCORE_ROUND}) AS adc_dist
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+  GROUP BY l.q_id, e.vid
+)
+""".strip()
+
+
+def dd_pq_topk_sql(k: int, n_queries: int = 10, table: str = "embeddings",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = PQ_DIM, m: int = PQ_M) -> str:
+    common = _dd_pq_common(n_queries, table, id_col, vec_col, dim, m)
+    return f"""
+WITH {common}
+SELECT q_id, c_id, adc_dist, rank FROM (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc_dist ASC, c_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+""".strip()
+
+
+def dd_pq_recall_sql(k: int, n_queries: int = 10, table: str = "embeddings",
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int = PQ_DIM, m: int = PQ_M) -> str:
+    common = _dd_pq_common(n_queries, table, id_col, vec_col, dim, m)
+    sim = V.dd_cosine_similarity("q.q_vec", f"c.{vec_col}")
+    return f"""
+WITH {common},
+approx AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_dist ASC, c_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+),
+q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+  WHERE {id_col} < {n_queries}
+),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.{id_col} AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({sim}, {SCORE_ROUND}) DESC,
+                      c.{id_col} ASC) AS rank
+    FROM {table} c CROSS JOIN q
+  ) WHERE rank <= {k}
+),
+hits AS (
+  SELECT a.q_id, count(*) AS n_hit
+  FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id,
+       round(coalesce(h.n_hit, 0) * 1.0 / {k}, 6) AS recall_at_k
+FROM q LEFT JOIN hits h ON q.q_id = h.q_id
+ORDER BY q.q_id
+""".strip()

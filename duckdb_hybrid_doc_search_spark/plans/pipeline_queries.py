@@ -206,6 +206,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_partitioned_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
 
 
+@register("ann_pq_topk", oracle=knn.dd_pq_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: corpus compressed to M=4 per-
+    subspace codes against a deterministic codebook, queries scored by
+    summing M lookup-table entries — the compressed-scan ANN family
+    (IVF prunes WHERE to read; PQ shrinks WHAT is read ~64x). Approximate
+    by construction; ann_pq_recall records the quality."""
+    return knn.pq_topk(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
+@register("ann_pq_recall", oracle=knn.dd_pq_recall_sql(ANN_K, ANN_N_QUERIES))
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC scan vs the exact cosine top-k per query —
+    the compression-quality number, recorded not hoped."""
+    return knn.pq_recall(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
 @register("ann_ivf_append_probe",
           oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

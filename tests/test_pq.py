@@ -1,0 +1,91 @@
+"""Product-quantization ANN (operators/knn.py PQ section).
+
+Parity with the DuckDB twin is covered by test_oracle_parity
+(ann_pq_topk / ann_pq_recall); here: structural invariants of the
+encoding and the quality floor of the ADC scan on this corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.operators import knn
+
+K, NQ = 10, 10
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_pq_encode_shape_and_code_domain(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    codes = knn.pq_encode(emb)
+    # exactly M codes per vector
+    assert codes.count() == n * knn.PQ_M
+    per_vec = codes.groupBy("vec_id").count().where(
+        F.col("count") != knn.PQ_M
+    )
+    assert per_vec.count() == 0
+    # every code is a codebook member id (vec_id % PQ_CB_MOD == 0)
+    assert codes.where(F.col("code") % knn.PQ_CB_MOD != 0).count() == 0
+    # subspace index domain
+    assert codes.where(
+        (F.col("m") < 0) | (F.col("m") >= knn.PQ_M)
+    ).count() == 0
+
+
+def test_pq_selfmatch_and_recall_floor(spark, sf_dir):
+    """A query's own vector must stay rank-1 under ADC (its codes are
+    the per-subspace argmin for itself, so its ADC distance is the
+    minimum achievable for that query) — losing it would be an encode
+    bug, not approximation. Mean recall on random vectors with the
+    deterministic codebook is LOW by design (the quality story for a
+    trained codebook lives in embeddings_kmeans_train); the floor just
+    catches collapse."""
+    emb = _emb(spark, sf_dir)
+    top = knn.pq_topk(emb, K, NQ)
+    self_rows = top.where(F.col("q_id") == F.col("c_id")).select(
+        "q_id", "rank"
+    ).collect()
+    assert sorted(r.q_id for r in self_rows) == list(range(NQ))
+    assert all(r.rank == 1 for r in self_rows)
+
+    rec = knn.pq_recall(emb, K, NQ).collect()
+    assert len(rec) == NQ
+    mean = sum(r.recall_at_k for r in rec) / NQ
+    assert mean >= 0.1, f"PQ recall collapsed: {mean:.2f}"
+
+
+def test_pq_adc_distance_is_sum_of_lut_entries(spark, sf_dir):
+    """ADC reconstructs exactly: for one (query, candidate) pair, the
+    scored adc_dist equals the sum of the M per-subspace codeword
+    distances computed directly."""
+    emb = _emb(spark, sf_dir)
+    top = knn.pq_topk(emb, K, NQ)
+    row = top.where(
+        (F.col("q_id") == 0) & (F.col("c_id") != 0)
+    ).orderBy("rank").first()
+    codes = {
+        r.m: r.code
+        for r in knn.pq_encode(emb).where(
+            F.col("vec_id") == row.c_id
+        ).collect()
+    }
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.where(
+            F.col("vec_id").isin([0] + sorted(set(codes.values())))
+        ).collect()
+    }
+    sub = knn.PQ_DIM // knn.PQ_M
+    total = 0.0
+    for m in range(knn.PQ_M):
+        q = vecs[0][m * sub:(m + 1) * sub]
+        c = vecs[codes[m]][m * sub:(m + 1) * sub]
+        dqq = sum(float(x) * float(x) for x in q)
+        dqc = sum(float(x) * float(y) for x, y in zip(q, c))
+        dcc = sum(float(x) * float(x) for x in c)
+        total += round(dqq - 2.0 * dqc + dcc, 6)
+    assert abs(round(total, 6) - row.adc_dist) <= 2e-6
