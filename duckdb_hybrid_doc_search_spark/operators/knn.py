@@ -781,11 +781,11 @@ def pq_recall(emb: DataFrame, k: int, n_queries: int = 10,
     )
 
 
-def _dd_pq_common(n_queries: int, table: str, id_col: str, vec_col: str,
-                  dim: int, m: int) -> str:
+def _dd_pq_base(n_queries: int, table: str, id_col: str, vec_col: str,
+                dim: int, m: int) -> str:
     """Shared CTE prefix: subspace grid, codebook, encoded corpus, query
-    LUT, ADC scores — mirrors pq_encode/pq_topk exactly (same slice
-    bounds, rounding, and tie rules)."""
+    LUT — mirrors pq_encode exactly (same slice bounds, rounding, and
+    tie rules). Callers append their own candidate-set / ADC CTEs."""
     sub = dim // m
     ms = ", ".join(f"({i})" for i in range(m))
     lo = f"(s.m * {sub} + 1)"
@@ -821,7 +821,16 @@ lut AS (
   SELECT q.q_id, b.m, b.code,
          round({d_lut}, {SCORE_ROUND}) AS d
   FROM qsub q JOIN cbsub b ON q.m = b.m
-),
+)
+""".strip()
+
+
+def _dd_pq_common(n_queries: int, table: str, id_col: str, vec_col: str,
+                  dim: int, m: int) -> str:
+    """PQ base CTEs plus the full-corpus ADC scores."""
+    base = _dd_pq_base(n_queries, table, id_col, vec_col, dim, m)
+    return f"""
+{base},
 adc AS (
   SELECT l.q_id, e.vid AS c_id, round(sum(l.d), {SCORE_ROUND}) AS adc_dist
   FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
@@ -882,4 +891,111 @@ SELECT q.q_id,
        round(coalesce(h.n_hit, 0) * 1.0 / {k}, 6) AS recall_at_k
 FROM q LEFT JOIN hits h ON q.q_id = h.q_id
 ORDER BY q.q_id
+""".strip()
+
+
+def ivfpq_topk(emb: DataFrame, k: int, n_queries: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = PQ_DIM, m: int = PQ_M) -> DataFrame:
+    """The composed 100 TB ANN shape — IVF cell pruning × PQ compressed
+    scoring: a query reads only its NPROBE cells (IVF prunes WHERE to
+    look) and scores the survivors by summing M LUT lookups over their
+    codes (PQ shrinks WHAT is read ~64x). Production IVF-PQ encodes
+    RESIDUALS (vector minus its cell centroid) for tighter quantization;
+    codes here are over raw vectors so the DuckDB oracle stays exact —
+    the residual refinement slots into pq_encode without changing this
+    plan shape.
+
+    Output: q_id, c_id, adc_dist, rank (ascending distance).
+    """
+    cent, assign = ivf_assign(emb, id_col, vec_col)
+    codes = pq_encode(emb, id_col, vec_col, dim, m)
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id", "q_vec", "cent_id",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("qsim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("q_id", F.col("cent_id").alias("cell"))
+    )
+    q_long = _pq_long(
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), vec_col),
+        "q_id", vec_col, dim, m,
+    )
+    lut = (
+        q_long.join(F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m)),
+                    "m")
+        .select("q_id", "m", "code",
+                F.round(V.l2sq(F.col("sub"), F.col("cw")),
+                        SCORE_ROUND).alias("d"))
+    )
+    cand = probes.join(assign, "cell").select("q_id", "c_id")
+    scored = (
+        cand.join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum("d"), SCORE_ROUND).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def dd_ivfpq_topk_sql(k: int, n_queries: int = 10,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int = PQ_DIM,
+                      m: int = PQ_M) -> str:
+    csim = V.dd_cosine_similarity("e.c_vec", "c.cvec")
+    qsim = V.dd_cosine_similarity("q.q_vec", "c.cvec")
+    pq_base = _dd_pq_base(n_queries, table, id_col, vec_col, dim, m)
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
+  WHERE {id_col} % {CENTROID_MOD} = 0
+),
+e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
+assign AS (
+  SELECT c_id, cent_id AS cell FROM (
+    SELECT e.c_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.c_id
+             ORDER BY round({csim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+      WHERE {id_col} < {n_queries}),
+probes AS (
+  SELECT q_id, cent_id AS cell FROM (
+    SELECT q.q_id, c.cent_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({qsim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {NPROBE}
+),
+{pq_base},
+cand AS (
+  SELECT p.q_id, a.c_id FROM probes p JOIN assign a ON p.cell = a.cell
+),
+adc AS (
+  SELECT cd.q_id, cd.c_id, round(sum(l.d), {SCORE_ROUND}) AS adc_dist
+  FROM cand cd
+  JOIN enc en ON en.vid = cd.c_id
+  JOIN lut l ON l.q_id = cd.q_id AND l.m = en.m AND l.code = en.code
+  GROUP BY cd.q_id, cd.c_id
+)
+SELECT q_id, c_id, adc_dist, rank FROM (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc_dist ASC, c_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
 """.strip()

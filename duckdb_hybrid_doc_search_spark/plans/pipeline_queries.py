@@ -223,6 +223,15 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.pq_recall(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
 
 
+@register("ann_ivfpq_topk",
+          oracle=knn.dd_ivfpq_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB ANN probe: IVF prunes to NPROBE cells, PQ
+    scores the survivors by M LUT lookups over their codes — read
+    nprobe/n_cells of a ~64x-compressed table instead of the corpus."""
+    return knn.ivfpq_topk(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
 @register("ann_ivf_append_probe",
           oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

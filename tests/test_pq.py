@@ -89,3 +89,30 @@ def test_pq_adc_distance_is_sum_of_lut_entries(spark, sf_dir):
         dcc = sum(float(x) * float(x) for x in c)
         total += round(dqq - 2.0 * dqc + dcc, 6)
     assert abs(round(total, 6) - row.adc_dist) <= 2e-6
+
+
+def test_ivfpq_consistency_and_selfmatch(spark, sf_dir):
+    """IVF-PQ = PQ scoring restricted to IVF-probed cells: every scored
+    pair must carry the SAME adc_dist as the pure-PQ scan gives that
+    pair, and the self-match survives (the query's rank-1 probed cell is
+    its own assigned cell — same similarity and tie rule — and its ADC
+    distance is the per-query minimum)."""
+    emb = _emb(spark, sf_dir)
+    ivfpq = knn.ivfpq_topk(emb, K, NQ)
+    self_rows = ivfpq.where(F.col("q_id") == F.col("c_id")).select(
+        "q_id", "rank"
+    ).collect()
+    assert sorted(r.q_id for r in self_rows) == list(range(NQ))
+    assert all(r.rank == 1 for r in self_rows)
+
+    # pairwise score agreement with the full-corpus PQ scan (rank can
+    # differ — the candidate sets differ — but a pair's distance cannot)
+    big_k = 100
+    pq_scores = {
+        (r.q_id, r.c_id): r.adc_dist
+        for r in knn.pq_topk(emb, big_k, NQ).collect()
+    }
+    for r in knn.ivfpq_topk(emb, K, NQ).collect():
+        key = (r.q_id, r.c_id)
+        if key in pq_scores:
+            assert pq_scores[key] == r.adc_dist, key
