@@ -83,3 +83,68 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir, "reg_ev_dedup")
+
+
+@register("streaming_enrich_join", bench=False, executes_on_build=True,
+          oracle="""
+WITH dim(event_type, category, weight) AS (
+  VALUES ('click', 'engagement', 1.0::DOUBLE),
+         ('view', 'engagement', 0.5::DOUBLE),
+         ('purchase', 'revenue', 10.0::DOUBLE),
+         ('signup', 'growth', 5.0::DOUBLE),
+         ('error', 'ops', 0.0::DOUBLE)
+)
+SELECT e.event_id, e.user_id, e.event_type, d.category, d.weight,
+       e.value * d.weight AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+""".strip())
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join driven to completion — the third
+    canonical streaming join mode next to stream-stream interval join
+    and stateful ops: each micro-batch broadcast-joins the static
+    event-type dimension (streaming/events.event_type_dim), no state or
+    watermark needed. The oracle is the identical batch join with the
+    dim inlined as VALUES."""
+    from ..streaming.events import run_streaming_enrich
+
+    return run_streaming_enrich(spark, sf_dir, "reg_ev_enrich")
+
+
+@register("streaming_distinct_users", bench=False, executes_on_build=True,
+          oracle="""
+SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+       count(DISTINCT user_id)::BIGINT AS n_active_1d
+FROM events GROUP BY 1
+""".strip())
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed COUNT DISTINCT driven to completion: watermarked
+    dropDuplicates on (window, user_id) then a mergeable count — the
+    canonical two-stage shape for non-mergeable aggregates in streams.
+    Complete-mode final table == the batch daily distinct count."""
+    from ..streaming.events import run_streaming_windowed_distinct_users
+
+    return run_streaming_windowed_distinct_users(spark, sf_dir,
+                                                 "reg_ev_dau")
+
+
+@register("streaming_funnel", bench=False, executes_on_build=True,
+          oracle="""
+SELECT user_id,
+       min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+         ::BIGINT AS first_view,
+       min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+         ::BIGINT AS first_click,
+       min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         ::BIGINT AS first_purchase
+FROM events
+WHERE event_type IN ('view', 'click', 'purchase')
+GROUP BY user_id
+""".strip())
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style stateful funnel (applyInPandasWithState per-user
+    earliest view/click/purchase) driven to completion; emissions are
+    monotone improvements, so the column-wise min per user equals the
+    batch min-aggregate over tracked events."""
+    from ..streaming.events import run_streaming_funnel_stages
+
+    return run_streaming_funnel_stages(spark, sf_dir, "reg_ev_funnel")
