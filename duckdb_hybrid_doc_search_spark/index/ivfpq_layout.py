@@ -1,0 +1,129 @@
+"""IVF-PQ as a written layout: PQ codes partitioned by IVF cell.
+
+The storage half of the composed ANN story (operators/knn.ivfpq_topk is
+the query-time form): at 100 TB the corpus is stored ONCE as an M-codes-
+per-vector table partitioned by cell — a probe reads nprobe/n_cells of a
+~64x-compressed table (PartitionFilters prune the cells, PQ shrinks the
+bytes per row), plus two broadcast-sized side tables (centroids for cell
+routing, codebook for the ADC lookup table). Raw vectors are never read
+at query time.
+
+tests/test_ivfpq_layout.py asserts probe-result equality with the
+query-time operator and the pruned scan shape; the registered
+``ann_ivfpq_layout_probe`` query carries the same DuckDB oracle as
+``ann_ivfpq_topk`` (identical semantics, different physical source).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import SCORE_ROUND
+from ..functions import vector as V
+from ..operators.knn import (NPROBE, PQ_DIM, PQ_M, _pq_long, ivf_assign,
+                             pq_codebook, pq_encode)
+
+
+def _side_dir(out_dir: str, name: str) -> str:
+    # next to, not inside, the cell root (a subdirectory would be
+    # misread as data by the partitioned scan)
+    return out_dir.rstrip("/") + "_" + name
+
+
+def write_ivfpq_layout(emb: DataFrame, out_dir: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       dim: int = PQ_DIM, m: int = PQ_M) -> None:
+    """codes (vec_id, m, code) partitioned by cell, plus centroid and
+    codebook side tables. One encode pass; the cell column comes from
+    the same frozen assignment rule as index/ivf_layout."""
+    cent, assign = ivf_assign(emb, id_col, vec_col)
+    codes = pq_encode(emb, id_col, vec_col, dim, m)
+    (
+        codes.join(assign, codes["vec_id"] == assign["c_id"])
+        .select("vec_id", "m", "code", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+    )
+    cent.write.mode("overwrite").parquet(_side_dir(out_dir, "centroids"))
+    pq_codebook(emb, id_col, vec_col, dim, m).write.mode(
+        "overwrite"
+    ).parquet(_side_dir(out_dir, "codebook"))
+
+
+def ensure_ivfpq_layout(spark: SparkSession, emb: DataFrame,
+                        sf_dir: str, root: str | None = None) -> str:
+    """Build (once per content) and return the layout dir — same
+    fingerprint-keyed caching contract as ensure_ivf_layout."""
+    from .fingerprint import layout_fingerprint
+
+    if root is None:
+        repo_dir = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ))
+        root = os.path.join(repo_dir, "spark-warehouse", "ivfpq_layout")
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
+    )
+    out_dir = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        write_ivfpq_layout(emb, out_dir)
+    return out_dir
+
+
+def ivfpq_layout_topk(spark: SparkSession, out_dir: str, emb: DataFrame,
+                      k: int, n_queries: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = PQ_DIM, m: int = PQ_M) -> DataFrame:
+    """Same semantics as operators/knn.ivfpq_topk, but candidates come
+    from the PRUNED partition scan of the written codes table and the
+    LUT from the written codebook — the raw embeddings table supplies
+    only the query vectors (the bounded side)."""
+    cent = spark.read.parquet(_side_dir(out_dir, "centroids"))
+    cb = spark.read.parquet(_side_dir(out_dir, "codebook"))
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id", "cent_id",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("qsim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("q_id", F.col("cent_id").alias("cell"))
+    )
+    # bounded collect: NPROBE * n_queries cell ids route the pruned scan
+    probe_cell_ids = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+    codes = spark.read.parquet(out_dir).where(
+        F.col("cell").isin(probe_cell_ids)
+    )
+    q_long = _pq_long(
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), vec_col),
+        "q_id", vec_col, dim, m,
+    )
+    lut = q_long.join(F.broadcast(cb), "m").select(
+        "q_id", "m", "code",
+        F.round(V.l2sq(F.col("sub"), F.col("cw")),
+                SCORE_ROUND).alias("d"),
+    )
+    scored = (
+        probes.join(codes, "cell")
+        .select("q_id", F.col("vec_id").alias("c_id"), "m", "code")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum("d"), SCORE_ROUND).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

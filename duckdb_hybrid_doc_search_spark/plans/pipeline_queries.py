@@ -232,6 +232,21 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.ivfpq_topk(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
 
 
+@register("ann_ivfpq_layout_probe",
+          oracle=knn.dd_ivfpq_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_ivfpq_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ from DISK: probes the written cell-partitioned codes
+    layout (index/ivfpq_layout.py — PartitionFilters prune to NPROBE
+    cells of a ~64x-compressed table; raw vectors never read at query
+    time). Same oracle as ann_ivfpq_topk: identical semantics, different
+    physical source."""
+    from ..index.ivfpq_layout import ensure_ivfpq_layout, ivfpq_layout_topk
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivfpq_layout(spark, emb, sf_dir)
+    return ivfpq_layout_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
+
+
 @register("ann_ivf_append_probe",
           oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
