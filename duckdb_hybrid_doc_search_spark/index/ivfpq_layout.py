@@ -127,3 +127,70 @@ def ivfpq_layout_topk(spark: SparkSession, out_dir: str, emb: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_layout_topk(spark: SparkSession, out_dir: str, emb: DataFrame,
+                   k: int, n_queries: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = PQ_DIM, m: int = PQ_M) -> DataFrame:
+    """Pure-PQ ADC top-k over the WRITTEN codes table (all cells — no
+    IVF pruning): same semantics as operators/knn.pq_topk, but the
+    corpus encode happened at write time, which is the only place it
+    happens at 100 TB; query-time work is the LUT build (broadcast-
+    sized) plus one scan of the compressed codes."""
+    cb = spark.read.parquet(_side_dir(out_dir, "codebook"))
+    codes = spark.read.parquet(out_dir).select("vec_id", "m", "code")
+    q_long = _pq_long(
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), vec_col),
+        "q_id", vec_col, dim, m,
+    )
+    lut = q_long.join(F.broadcast(cb), "m").select(
+        "q_id", "m", "code",
+        F.round(V.l2sq(F.col("sub"), F.col("cw")),
+                SCORE_ROUND).alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.round(F.sum("d"), SCORE_ROUND).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_layout_recall(spark: SparkSession, out_dir: str, emb: DataFrame,
+                     k: int, n_queries: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of the layout-backed ADC scan vs the exact cosine top-k
+    (same output contract as operators/knn.pq_recall)."""
+    from ..operators.knn import knn_join
+
+    approx = pq_layout_topk(spark, out_dir, emb, k, n_queries,
+                            id_col, vec_col).select("q_id", "c_id")
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = knn_join(
+        queries,
+        emb.select(F.col(id_col).alias("c_id"),
+                   F.col(vec_col).alias("c_vec")),
+        k,
+    ).select("q_id", "c_id")
+    hits = approx.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / k, 6)
+            .alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )

@@ -211,16 +211,29 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k: corpus compressed to M=4 per-
     subspace codes against a deterministic codebook, queries scored by
     summing M lookup-table entries — the compressed-scan ANN family
-    (IVF prunes WHERE to read; PQ shrinks WHAT is read ~64x). Approximate
-    by construction; ann_pq_recall records the quality."""
-    return knn.pq_topk(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+    (IVF prunes WHERE to read; PQ shrinks WHAT is read ~64x). Probes the
+    PERSISTED codes layout (encode is a write-time cost, the only place
+    it happens at 100 TB); result identical to the query-time
+    knn.pq_topk spec (tests/test_ivfpq_layout.py), so the oracle is
+    unchanged. ann_pq_recall records the approximation quality."""
+    from ..index.ivfpq_layout import ensure_ivfpq_layout, pq_layout_topk
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivfpq_layout(spark, emb, sf_dir)
+    return pq_layout_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
 
 
 @register("ann_pq_recall", oracle=knn.dd_pq_recall_sql(ANN_K, ANN_N_QUERIES))
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the PQ/ADC scan vs the exact cosine top-k per query —
-    the compression-quality number, recorded not hoped."""
-    return knn.pq_recall(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+    the compression-quality number, recorded not hoped. Layout-backed
+    like ann_pq_topk; the exact side scans raw vectors by design (it is
+    the ground truth)."""
+    from ..index.ivfpq_layout import ensure_ivfpq_layout, pq_layout_recall
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivfpq_layout(spark, emb, sf_dir)
+    return pq_layout_recall(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
 
 
 @register("ann_ivfpq_topk",

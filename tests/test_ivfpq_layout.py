@@ -45,3 +45,26 @@ def test_ivfpq_layout_pruning_and_equality(spark, sf_dir, tmp_path):
         for r in ivfpq_layout_topk(spark, out, emb, 5, 10).collect()
     )
     assert got == want
+
+
+def test_pq_layout_probe_equals_querytime_spec(spark, sf_dir, tmp_path):
+    """The layout-backed pure-PQ probe (registered ann_pq_topk path)
+    returns exactly the query-time knn.pq_topk spec."""
+    from duckdb_hybrid_doc_search_spark.index.ivfpq_layout import (
+        pq_layout_recall, pq_layout_topk)
+    from duckdb_hybrid_doc_search_spark.operators.knn import (pq_recall,
+                                                              pq_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "ivfpq")
+    write_ivfpq_layout(emb, out)
+    want = sorted(map(tuple, pq_topk(emb, 5, 10).collect()))
+    got = sorted(
+        map(tuple, pq_layout_topk(spark, out, emb, 5, 10).collect())
+    )
+    assert got == want
+    want_r = sorted(map(tuple, pq_recall(emb, 5, 10).collect()))
+    got_r = sorted(
+        map(tuple, pq_layout_recall(spark, out, emb, 5, 10).collect())
+    )
+    assert got_r == want_r
