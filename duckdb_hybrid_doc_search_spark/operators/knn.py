@@ -652,8 +652,9 @@ PQ_DIM = 64      # testdata embedding width
 
 
 def _pq_long(df: DataFrame, id_alias: str, vec_col: str,
-             dim: int, m: int) -> DataFrame:
-    """Long-form subvectors: one row per (id, subspace) with the slice.
+             dim: int, m: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Long-form subvectors: one row per (id, subspace) with the slice
+    (plus any `extra` carried columns).
 
     posexplode of a per-row array of slices — a single projection, no
     M-way union, stays in whole-stage codegen."""
@@ -663,6 +664,7 @@ def _pq_long(df: DataFrame, id_alias: str, vec_col: str,
     ])
     return df.select(
         F.col(id_alias),
+        *[F.col(c) for c in extra],
         F.posexplode(slices).alias("m", "sub"),
     )
 
@@ -991,6 +993,181 @@ adc AS (
   JOIN enc en ON en.vid = cd.c_id
   JOIN lut l ON l.q_id = cd.q_id AND l.m = en.m AND l.code = en.code
   GROUP BY cd.q_id, cd.c_id
+)
+SELECT q_id, c_id, adc_dist, rank FROM (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc_dist ASC, c_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+""".strip()
+
+
+# --- residual IVF-PQ (the production encoding) --------------------------------
+
+
+def _residual(vec: "F.Column", cvec: "F.Column") -> "F.Column":
+    """Elementwise vec - centroid, widened to double BEFORE subtracting
+    so the DuckDB twin (a[i]::DOUBLE - b[i]::DOUBLE) is bit-identical."""
+    return F.zip_with(
+        vec, cvec, lambda x, y: x.cast("double") - y.cast("double")
+    )
+
+
+def ivfpq_residual_topk(emb: DataFrame, k: int, n_queries: int = 10,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int = PQ_DIM, m: int = PQ_M) -> DataFrame:
+    """Residual IVF-PQ — the PRODUCTION encoding (what FAISS-style
+    IVF-PQ indexes actually quantize): each vector is encoded as PQ
+    codes of its RESIDUAL against its cell centroid, which concentrates
+    the quantizer's dynamic range on the within-cell offset instead of
+    the absolute position. The query side builds a PER-PROBED-CELL
+    residual LUT (q - centroid, n_q x nprobe x M x K rows — still
+    broadcast-bounded), because the query's residual differs per cell.
+
+    Same plan shape as ivfpq_topk: broadcast centroid/codebook sides,
+    map-side encode with pre-exchange argmin collapse, pruned candidate
+    set, M-adds ADC scoring. Deterministic codebook (residuals of the
+    PQ_CB_MOD sample) keeps the DuckDB oracle exact.
+    """
+    cent, assign = ivf_assign(emb, id_col, vec_col)
+    resid = (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(assign.withColumnRenamed("c_id", "vid"), "vid")
+        .join(F.broadcast(cent), F.col("cell") == F.col("cent_id"))
+        .select("vid", "cell", _residual(F.col("v"), F.col("cvec"))
+                .alias("rvec"))
+    )
+    rcb = _pq_long(
+        resid.where(F.col("vid") % PQ_CB_MOD == 0)
+        .select(F.col("vid").alias("code"), "rvec"),
+        "code", "rvec", dim, m,
+    ).select("m", "code", F.col("sub").alias("cw"))
+    d_enc = F.round(V.l2sq(F.col("sub"), F.col("cw")), SCORE_ROUND)
+    codes = (
+        _pq_long(resid, "vid", "rvec", dim, m, extra=("cell",))
+        .join(F.broadcast(rcb), "m")
+        .select("vid", "cell", "m", d_enc.alias("d"), "code")
+        .groupBy("vid", "cell", "m")
+        .agg(F.min(F.struct("d", "code")).alias("mn"))
+        .select("vid", "cell", "m", F.col("mn.code").alias("code"))
+    )
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id", "q_vec", "cent_id", "cvec",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("qsim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("q_id", F.col("cent_id").alias("cell"),
+                _residual(F.col("q_vec"), F.col("cvec")).alias("q_rvec"))
+    )
+    lut = (
+        _pq_long(probes, "q_id", "q_rvec", dim, m, extra=("cell",))
+        .join(F.broadcast(rcb), "m")
+        .select("q_id", "cell", "m", "code",
+                F.round(V.l2sq(F.col("sub"), F.col("cw")),
+                        SCORE_ROUND).alias("d"))
+    )
+    scored = (
+        probes.select("q_id", "cell")
+        .join(codes.withColumnRenamed("vid", "c_id"), "cell")
+        .join(F.broadcast(lut), ["q_id", "cell", "m", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum("d"), SCORE_ROUND).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def dd_ivfpq_residual_topk_sql(k: int, n_queries: int = 10,
+                               table: str = "embeddings",
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               dim: int = PQ_DIM, m: int = PQ_M) -> str:
+    sub = dim // m
+    ms = ", ".join(f"({i})" for i in range(m))
+    csim = V.dd_cosine_similarity("e.c_vec", "c.cvec")
+    qsim = V.dd_cosine_similarity("q.q_vec", "c.cvec")
+    rsub = (f"list_transform(range(1, {dim + 1}), "
+            f"i -> e.c_vec[i]::DOUBLE - c.cvec[i]::DOUBLE)")
+    q_rsub = (f"list_transform(range(1, {dim + 1}), "
+              f"i -> q.q_vec[i]::DOUBLE - c.cvec[i]::DOUBLE)")
+    lo = f"(s.m * {sub} + 1)"
+    hi = f"((s.m + 1) * {sub})"
+    d_enc = V.dd_l2sq("r.sub", "b.cw")
+    d_lut = V.dd_l2sq("p.sub", "b.cw")
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
+  WHERE {id_col} % {CENTROID_MOD} = 0
+),
+e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
+assign AS (
+  SELECT c_id, cent_id AS cell FROM (
+    SELECT e.c_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.c_id
+             ORDER BY round({csim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT e.c_id AS vid, a.cell, {rsub} AS rvec
+  FROM e JOIN assign a ON a.c_id = e.c_id
+  JOIN cent c ON c.cent_id = a.cell
+),
+subs AS (SELECT m FROM (VALUES {ms}) t(m)),
+rcb AS (
+  SELECT s.m, vid AS code, list_slice(rvec, {lo}, {hi}) AS cw
+  FROM resid CROSS JOIN subs s WHERE vid % {PQ_CB_MOD} = 0
+),
+rlong AS (
+  SELECT vid, cell, s.m, list_slice(rvec, {lo}, {hi}) AS sub
+  FROM resid CROSS JOIN subs s
+),
+codes AS (
+  SELECT vid, cell, m, code FROM (
+    SELECT r.vid, r.cell, r.m, b.code,
+           row_number() OVER (PARTITION BY r.vid, r.m
+             ORDER BY round({d_enc}, {SCORE_ROUND}) ASC, b.code ASC) AS rn
+    FROM rlong r JOIN rcb b ON r.m = b.m
+  ) WHERE rn = 1
+),
+q AS (SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+      WHERE {id_col} < {n_queries}),
+probes AS (
+  SELECT q_id, cell, q_rvec FROM (
+    SELECT q.q_id, c.cent_id AS cell, {q_rsub} AS q_rvec,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({qsim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {NPROBE}
+),
+plong AS (
+  SELECT q_id, cell, s.m, list_slice(q_rvec, {lo}, {hi}) AS sub
+  FROM probes CROSS JOIN subs s
+),
+lut AS (
+  SELECT p.q_id, p.cell, b.m, b.code,
+         round({d_lut}, {SCORE_ROUND}) AS d
+  FROM plong p JOIN rcb b ON p.m = b.m
+),
+adc AS (
+  SELECT l.q_id, cd.vid AS c_id, round(sum(l.d), {SCORE_ROUND}) AS adc_dist
+  FROM probes p
+  JOIN codes cd ON cd.cell = p.cell
+  JOIN lut l ON l.q_id = p.q_id AND l.cell = cd.cell
+            AND l.m = cd.m AND l.code = cd.code
+  GROUP BY l.q_id, cd.vid
 )
 SELECT q_id, c_id, adc_dist, rank FROM (
   SELECT q_id, c_id, adc_dist,

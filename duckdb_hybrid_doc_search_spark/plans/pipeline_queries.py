@@ -245,6 +245,16 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.ivfpq_topk(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
 
 
+@register("ann_ivfpq_residual_topk",
+          oracle=knn.dd_ivfpq_residual_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the production encoding (codes over vector
+    minus cell centroid, per-probed-cell query LUT). Same pruned
+    compressed-scan plan shape as ann_ivfpq_topk."""
+    return knn.ivfpq_residual_topk(_emb(spark, sf_dir), ANN_K,
+                                   ANN_N_QUERIES)
+
+
 @register("ann_ivfpq_layout_probe",
           oracle=knn.dd_ivfpq_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivfpq_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

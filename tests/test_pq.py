@@ -116,3 +116,27 @@ def test_ivfpq_consistency_and_selfmatch(spark, sf_dir):
         key = (r.q_id, r.c_id)
         if key in pq_scores:
             assert pq_scores[key] == r.adc_dist, key
+
+
+def test_ivfpq_residual_structure_and_selfmatch_rate(spark, sf_dir):
+    """Residual encoding: WITHIN its own cell a query's self-match has
+    the minimal achievable ADC distance (its codes are the per-subspace
+    argmin of its own residual), but candidates from the OTHER probed
+    cell are scored against a different query residual that can quantize
+    smaller — so rank-1 self-match is a RATE here, not an invariant
+    (unlike raw PQ, where test_pq_selfmatch_and_recall_floor proves it
+    exactly). Gate: every query returns k rows, a large majority keep
+    their self-match, and the centroid query (q_id 0, zero residual)
+    works like any other."""
+    emb = _emb(spark, sf_dir)
+    rows = knn.ivfpq_residual_topk(emb, K, NQ).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert sorted(per_q) == list(range(NQ))
+    assert all(len(v) == K for v in per_q.values())
+    assert all(r.adc_dist is not None for r in rows)
+    self_hits = sum(
+        1 for r in rows if r.q_id == r.c_id and r.rank <= K
+    )
+    assert self_hits >= int(0.8 * NQ), f"self-match rate {self_hits}/{NQ}"
