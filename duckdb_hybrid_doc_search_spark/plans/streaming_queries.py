@@ -148,3 +148,47 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_streaming_funnel_stages
 
     return run_streaming_funnel_stages(spark, sf_dir, "reg_ev_funnel")
+
+
+@register("streaming_interval_join", bench=False, executes_on_build=True,
+          oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id,
+       (p.p_us - c.c_us)::BIGINT AS gap_us
+FROM c JOIN p ON c.user_id = p.user_id
+              AND p.p_us >= c.c_us
+              AND p.p_us <= c.c_us + 86400000000
+""".strip())
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join driven to completion: the
+    event stream split into click/purchase sides, every (click,
+    purchase) pair within 1 day joined with both-direction event-time
+    bounds so join state expires. Oracle = the identical batch range
+    join (86400000000 us = streaming/events.INTERVAL_JOIN_BOUND_US)."""
+    from ..streaming.events import run_streaming_interval_join
+
+    q = run_streaming_interval_join(spark, sf_dir, "reg_ev_ivjoin")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql("SELECT * FROM reg_ev_ivjoin")
+
+
+@register("streaming_asof_join", bench=False, executes_on_build=True,
+          oracle=_events.dd_asof_click_before_purchase_sql())
+def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful as-of join driven to completion: one carried value per
+    user (latest click), each purchase emits immediately with it — the
+    semantics a stream-stream interval join cannot express (latest, not
+    all-in-range). Oracle = the batch as-of spec."""
+    from ..streaming.events import run_streaming_asof_click_purchase
+
+    return run_streaming_asof_click_purchase(spark, sf_dir, "reg_ev_asof")
