@@ -63,6 +63,13 @@ QUERIES = [
     ("dedup_graph_triangles", "documents"),    # wedge join on LSH edges
     ("ann_ivf_nprobe_curve", "embeddings"),    # one-pass probe sweep
     ("embeddings_knn_classify", "embeddings"),  # broadcast brute-force kNN
+    # the round-6 PQ family: compressed-scan ANN (codes are dim*4/M
+    # smaller than vectors, so the data-dependent term is the encode +
+    # ADC sum — both single map-side passes over the corpus)
+    ("ann_pq_topk", "embeddings"),             # ADC top-k over PQ codes
+    ("ann_pq_recall", "embeddings"),           # ADC vs exact recall@k
+    ("ann_ivfpq_topk", "embeddings"),          # IVF cell prune + ADC
+    ("ann_ivfpq_residual_topk", "embeddings"),  # residual-encoded IVF-PQ
 ]
 
 
