@@ -194,3 +194,24 @@ def pq_layout_recall(spark: SparkSession, out_dir: str, emb: DataFrame,
         )
         .orderBy("q_id")
     )
+
+
+def pq_layout_rescore_topk(spark: SparkSession, out_dir: str,
+                           emb: DataFrame, k: int, n_queries: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = PQ_DIM, m: int = PQ_M,
+                           mult: int | None = None) -> DataFrame:
+    """Shortlist-then-rescore against the WRITTEN codes layout: the ADC
+    shortlist (k*mult per query) comes from the compressed codes table
+    — encode paid at write time, the 100 TB shape — and only shortlist
+    rows fetch raw vectors for the exact cosine rerank
+    (operators/knn.rescore_exact). Semantics identical to the query-time
+    knn.pq_rescore_topk (same frozen codebook rule), so they share an
+    oracle."""
+    from ..operators.knn import RESCORE_MULT, rescore_exact
+
+    mult = RESCORE_MULT if mult is None else mult
+    short = pq_layout_topk(spark, out_dir, emb, k * mult, n_queries,
+                           id_col, vec_col, dim, m).select("q_id", "c_id")
+    return rescore_exact(short, emb, k, n_queries, id_col, vec_col)

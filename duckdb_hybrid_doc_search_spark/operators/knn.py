@@ -1176,3 +1176,288 @@ SELECT q_id, c_id, adc_dist, rank FROM (
   FROM adc
 ) WHERE rank <= {k}
 """.strip()
+
+
+# --- scalar quantization (SQ8) + PQ rescore ----------------------------------
+#
+# The two remaining standard compressed-ANN shapes (FAISS SQ8 / the
+# shortlist-then-rescore pattern every production vector store runs):
+#   - SQ8: per-dimension 8-bit codes — 4x smaller than float32, near-
+#     lossless ranking (recall ~1.0), the "cheap" compression tier below
+#     PQ's ~64x;
+#   - rescore: ADC over PQ codes keeps k*RESCORE_MULT candidates, only
+#     those fetch raw vectors for exact scoring — the exact math touches
+#     O(k * mult * n_queries) rows, never the corpus.
+
+SQ_LEVELS = 255.0   # 8-bit codes 0..255
+RESCORE_MULT = 4    # PQ shortlist size = k * RESCORE_MULT
+
+
+def _to_double(vec):
+    return F.transform(vec, lambda v: v.cast("double"))
+
+
+def sq_stats(emb: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Single-row (mn_l, mx_l): per-dimension corpus min/max — the SQ8
+    'codebook'. O(dim) output regardless of corpus size, so it is always
+    the broadcast side; computing it is one explode + partial-agg pass."""
+    long = emb.select(
+        F.posexplode(_to_double(F.col(vec_col))).alias("d", "x")
+    )
+    per = long.groupBy("d").agg(F.min("x").alias("mn"),
+                                F.max("x").alias("mx"))
+    return per.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "mn"))),
+                    lambda s: s["mn"]).alias("mn_l"),
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                    lambda s: s["mx"]).alias("mx_l"),
+    )
+
+
+def _sq8_dequant(vec, mn_l, mx_l):
+    """floor-quantize each dimension to 0..255 against (mn, mx), then
+    reconstruct x' = mn + q/255 * (mx - mn); constant dims (mx == mn)
+    map to mn. The formula's association mirrors the DuckDB twin
+    token-for-token so the doubles are bit-identical before rounding."""
+    def one(x, i):
+        mn = F.element_at(mn_l, i + F.lit(1))
+        mx = F.element_at(mx_l, i + F.lit(1))
+        s = mx - mn
+        q = F.floor(
+            F.greatest(F.least((x - mn) / s, F.lit(1.0)), F.lit(0.0))
+            * F.lit(SQ_LEVELS)
+        )
+        return F.when(s == F.lit(0.0), mn).otherwise(
+            mn + q / F.lit(SQ_LEVELS) * s
+        )
+
+    return F.transform(vec, one)
+
+
+def sq8_topk(emb: DataFrame, k: int, n_queries: int = 10,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """8-bit scalar-quantized top-k: raw query vs dequantized candidate
+    squared-L2 (asymmetric, like ADC). One broadcast of the O(dim) stats
+    row, one map-side dequant pass over the corpus, one top-k shuffle —
+    the SQ8 scan of a 100 TB vector table reads 1/4 the bytes.
+    Output: q_id, c_id, sq_dist (ascending = nearer), rank."""
+    stats = sq_stats(emb, id_col, vec_col)
+    cand = emb.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("c_id"),
+        _sq8_dequant(_to_double(F.col(vec_col)),
+                     F.col("mn_l"), F.col("mx_l")).alias("deq"),
+    )
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        _to_double(F.col(vec_col)).alias("q_vec"),
+    )
+    scored = cand.crossJoin(F.broadcast(queries)).select(
+        "q_id", "c_id",
+        F.round(V.l2sq(F.col("q_vec"), F.col("deq")),
+                SCORE_ROUND).alias("sq_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("sq_dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sq8_recall(emb: DataFrame, k: int, n_queries: int = 10,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of the SQ8 scan vs exact cosine top-k per query — the
+    compression-quality number for the 4x tier (near 1.0 by design;
+    contrast with PQ's deterministic-codebook recall)."""
+    approx = sq8_topk(emb, k, n_queries, id_col, vec_col).select(
+        "q_id", "c_id"
+    )
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = knn_join(
+        queries,
+        emb.select(F.col(id_col).alias("c_id"),
+                   F.col(vec_col).alias("c_vec")),
+        k,
+    ).select("q_id", "c_id")
+    hits = approx.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / k, 6)
+            .alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def rescore_exact(short: DataFrame, emb: DataFrame, k: int,
+                  n_queries: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine rerank of a (q_id, c_id) shortlist: ONLY shortlist
+    rows fetch their raw vectors, so the exact math touches
+    O(|short|) rows, never the corpus. Output: q_id, c_id, cos_sim,
+    rank."""
+    cand = short.join(
+        emb.select(F.col(id_col).alias("c_id"),
+                   F.col(vec_col).alias("c_vec")),
+        "c_id",
+    )
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = cand.join(F.broadcast(queries), "q_id").select(
+        "q_id", "c_id",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
+                SCORE_ROUND).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_rescore_topk(emb: DataFrame, k: int, n_queries: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = PQ_DIM, m: int = PQ_M,
+                    mult: int = RESCORE_MULT) -> DataFrame:
+    """Compressed-scan shortlist + exact rerank — the production ANN
+    pattern: ADC over PQ codes reads the ~64x-compressed table and keeps
+    k*mult candidates per query; only those rows fetch their raw vectors
+    for exact cosine scoring (rescore_exact). The registered query
+    probes the WRITTEN codes layout instead
+    (index/ivfpq_layout.pq_layout_rescore_topk — same semantics, encode
+    paid at write time); this is the query-time spec."""
+    short = pq_topk(emb, k * mult, n_queries, id_col, vec_col, dim,
+                    m).select("q_id", "c_id")
+    return rescore_exact(short, emb, k, n_queries, id_col, vec_col)
+
+
+def _dd_sq8_base(n_queries: int, table: str, id_col: str,
+                 vec_col: str) -> str:
+    """Shared SQ8 CTEs — mirrors sq_stats/_sq8_dequant token-for-token
+    (same clamp, floor, association; DuckDB's lambda index i is 1-based
+    like the mn_l/mx_l subscripts)."""
+    deq = (
+        "CASE WHEN (s.mx_l[i] - s.mn_l[i]) = 0.0 THEN s.mn_l[i] "
+        "ELSE s.mn_l[i] + floor(greatest(least((x - s.mn_l[i]) / "
+        "(s.mx_l[i] - s.mn_l[i]), 1.0), 0.0) * 255.0) / 255.0 * "
+        "(s.mx_l[i] - s.mn_l[i]) END"
+    )
+    return f"""
+corp AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM {table}),
+dims AS (
+  SELECT d, min(x) AS mn, max(x) AS mx FROM (
+    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d FROM corp
+  ) GROUP BY d
+),
+stats AS (
+  SELECT list(mn ORDER BY d) AS mn_l, list(mx ORDER BY d) AS mx_l
+  FROM dims
+),
+cand AS (
+  SELECT c.vid AS c_id,
+         list_transform(c.v, (x, i) -> {deq}) AS deq
+  FROM corp c CROSS JOIN stats s
+),
+q AS (
+  SELECT vid AS q_id, v AS q_vec FROM corp WHERE vid < {n_queries}
+)
+""".strip()
+
+
+def dd_sq8_topk_sql(k: int, n_queries: int = 10,
+                    table: str = "embeddings", id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    base = _dd_sq8_base(n_queries, table, id_col, vec_col)
+    d = V.dd_l2sq("q.q_vec", "c.deq")
+    return f"""
+WITH {base}
+SELECT q_id, c_id, sq_dist, rank FROM (
+  SELECT q.q_id, c.c_id,
+         round({d}, {SCORE_ROUND}) AS sq_dist,
+         row_number() OVER (PARTITION BY q.q_id
+           ORDER BY round({d}, {SCORE_ROUND}) ASC, c.c_id ASC) AS rank
+  FROM cand c CROSS JOIN q
+) WHERE rank <= {k}
+""".strip()
+
+
+def dd_sq8_recall_sql(k: int, n_queries: int = 10,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    base = _dd_sq8_base(n_queries, table, id_col, vec_col)
+    d = V.dd_l2sq("q.q_vec", "c.deq")
+    sim = V.dd_cosine_similarity("q.q_vec", "c.v")
+    return f"""
+WITH {base},
+approx AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({d}, {SCORE_ROUND}) ASC, c.c_id ASC) AS rank
+    FROM cand c CROSS JOIN q
+  ) WHERE rank <= {k}
+),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.vid AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({sim}, {SCORE_ROUND}) DESC,
+                      c.vid ASC) AS rank
+    FROM corp c CROSS JOIN q
+  ) WHERE rank <= {k}
+),
+hits AS (
+  SELECT a.q_id, count(*) AS n_hit
+  FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id,
+       round(coalesce(h.n_hit, 0) * 1.0 / {k}, 6) AS recall_at_k
+FROM q LEFT JOIN hits h ON q.q_id = h.q_id
+ORDER BY q.q_id
+""".strip()
+
+
+def dd_pq_rescore_topk_sql(k: int, n_queries: int = 10,
+                           table: str = "embeddings",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = PQ_DIM, m: int = PQ_M,
+                           mult: int = RESCORE_MULT) -> str:
+    common = _dd_pq_common(n_queries, table, id_col, vec_col, dim, m)
+    sim = V.dd_cosine_similarity("q.q_vec", f"c.{vec_col}")
+    return f"""
+WITH {common},
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_dist ASC, c_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {k * mult}
+),
+q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+  WHERE {id_col} < {n_queries}
+)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT s.q_id, s.c_id,
+         round({sim}, {SCORE_ROUND}) AS cos_sim,
+         row_number() OVER (PARTITION BY s.q_id
+           ORDER BY round({sim}, {SCORE_ROUND}) DESC, s.c_id ASC) AS rank
+  FROM short s
+  JOIN {table} c ON c.{id_col} = s.c_id
+  JOIN q ON q.q_id = s.q_id
+) WHERE rank <= {k}
+""".strip()

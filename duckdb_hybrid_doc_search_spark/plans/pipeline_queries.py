@@ -270,6 +270,45 @@ def ann_ivfpq_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_layout_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
 
 
+@register("ann_sq8_topk", oracle=knn.dd_sq8_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized top-k — the 4x compression tier below PQ's
+    ~64x: per-dimension 0..255 codes against broadcast corpus min/max,
+    asymmetric squared-L2 (raw query vs dequantized candidate). One
+    map-side dequant pass + one top-k shuffle; near-lossless ranking
+    (ann_sq8_recall records it)."""
+    return knn.sq8_topk(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
+@register("ann_sq8_recall",
+          oracle=knn.dd_sq8_recall_sql(ANN_K, ANN_N_QUERIES))
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SQ8 scan vs exact cosine top-k — recorded
+    quality for the 4x tier (contrast with PQ's deterministic-codebook
+    recall; SQ8 should sit near 1.0)."""
+    return knn.sq8_recall(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
+@register("ann_pq_rescore_topk",
+          oracle=knn.dd_pq_rescore_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_pq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist-then-rescore — the production ANN pattern at 100 TB:
+    ADC over PQ codes keeps k*RESCORE_MULT candidates per query from the
+    compressed table; only those fetch raw vectors for exact cosine
+    rerank, so exact math touches O(k*mult*n_queries) rows, never the
+    corpus. Probes the WRITTEN codes layout (encode is a write-time
+    cost); identical to the query-time knn.pq_rescore_topk spec, so the
+    oracle is unchanged. test_pq.py pins rescored recall >= plain ADC
+    recall."""
+    from ..index.ivfpq_layout import (ensure_ivfpq_layout,
+                                      pq_layout_rescore_topk)
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivfpq_layout(spark, emb, sf_dir)
+    return pq_layout_rescore_topk(spark, out_dir, emb, ANN_K,
+                                  ANN_N_QUERIES)
+
+
 @register("ann_ivf_append_probe",
           oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

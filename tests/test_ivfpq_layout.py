@@ -68,3 +68,22 @@ def test_pq_layout_probe_equals_querytime_spec(spark, sf_dir, tmp_path):
         map(tuple, pq_layout_recall(spark, out, emb, 5, 10).collect())
     )
     assert got_r == want_r
+
+
+def test_pq_layout_rescore_equals_querytime_spec(spark, sf_dir, tmp_path):
+    """The layout-backed shortlist+rescore (registered
+    ann_pq_rescore_topk path) returns exactly the query-time
+    knn.pq_rescore_topk spec."""
+    from duckdb_hybrid_doc_search_spark.index.ivfpq_layout import (
+        pq_layout_rescore_topk)
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        pq_rescore_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "ivfpq")
+    write_ivfpq_layout(emb, out)
+    want = sorted(map(tuple, pq_rescore_topk(emb, 5, 10).collect()))
+    got = sorted(map(
+        tuple, pq_layout_rescore_topk(spark, out, emb, 5, 10).collect()
+    ))
+    assert got == want

@@ -140,3 +140,56 @@ def test_ivfpq_residual_structure_and_selfmatch_rate(spark, sf_dir):
         1 for r in rows if r.q_id == r.c_id and r.rank <= K
     )
     assert self_hits >= int(0.8 * NQ), f"self-match rate {self_hits}/{NQ}"
+
+
+def test_sq8_selfmatch_and_near_lossless_recall(spark, sf_dir):
+    """SQ8 quality contract: a query's own vector stays rank-1 (its
+    dequantized self is the closest reconstruction to itself under the
+    per-dim min/max grid), and recall@k vs exact cosine is near 1.0 —
+    8-bit per-dim codes are the near-lossless 4x tier, unlike PQ's
+    deterministic-codebook ~64x tier."""
+    emb = _emb(spark, sf_dir)
+    top = knn.sq8_topk(emb, K, NQ)
+    self_rows = top.where(F.col("q_id") == F.col("c_id")).select(
+        "q_id", "rank"
+    ).collect()
+    assert sorted(r.q_id for r in self_rows) == list(range(NQ))
+    assert all(r.rank == 1 for r in self_rows)
+
+    rec = knn.sq8_recall(emb, K, NQ).collect()
+    mean = sum(r.recall_at_k for r in rec) / NQ
+    assert mean >= 0.8, f"SQ8 recall should be near-lossless: {mean:.2f}"
+
+
+def test_pq_rescore_beats_plain_adc_recall(spark, sf_dir):
+    """Rescoring exists to repair ADC ranking errors inside the
+    shortlist: exact-reranked recall@k must be >= plain ADC recall@k
+    for every query (the shortlist contains the ADC top-k, so rerank
+    can only promote true neighbors, never lose one it had)."""
+    emb = _emb(spark, sf_dir)
+    exact = {
+        (r.q_id, r.c_id)
+        for r in knn.knn_join(
+            emb.where(F.col("vec_id") < NQ).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+            ),
+            emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec")),
+            K,
+        ).collect()
+    }
+
+    def recall(df):
+        hits = {}
+        for r in df.collect():
+            hits.setdefault(r.q_id, 0)
+            if (r.q_id, r.c_id) in exact:
+                hits[r.q_id] += 1
+        return {q: n / K for q, n in hits.items()}
+
+    plain = recall(knn.pq_topk(emb, K, NQ))
+    rescored = recall(knn.pq_rescore_topk(emb, K, NQ))
+    assert set(rescored) == set(range(NQ))
+    for q in rescored:
+        assert rescored[q] >= plain.get(q, 0.0), q
