@@ -289,6 +289,22 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.sq8_recall(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
 
 
+@register("ann_sq8_layout_probe",
+          oracle=knn.dd_sq8_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_sq8_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 from DISK: probes the written array<smallint> codes layout
+    (index/sq8_layout.py — the corpus stored once at 1/4 the bytes, raw
+    vectors never read at query time; the O(dim) stats row broadcasts).
+    Same oracle as ann_sq8_topk: identical semantics, different physical
+    source (quantize-then-store == quantize-inline, bit-pinned by
+    test_sq8_layout.py)."""
+    from ..index.sq8_layout import ensure_sq8_layout, sq8_layout_topk
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_sq8_layout(spark, emb, sf_dir)
+    return sq8_layout_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
+
+
 @register("ann_pq_rescore_topk",
           oracle=knn.dd_pq_rescore_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_pq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
