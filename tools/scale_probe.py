@@ -70,6 +70,8 @@ QUERIES = [
     ("ann_pq_recall", "embeddings"),           # ADC vs exact recall@k
     ("ann_ivfpq_topk", "embeddings"),          # IVF cell prune + ADC
     ("ann_ivfpq_residual_topk", "embeddings"),  # residual-encoded IVF-PQ
+    ("ann_sq8_layout_probe", "embeddings"),    # 8-bit codes scan from disk
+    ("ann_pq_rescore_topk", "embeddings"),     # ADC shortlist + exact rerank
 ]
 
 
