@@ -91,6 +91,17 @@ ENTRIES = [
      "first-occurrence novelty: min-owner aggregate doubles as the "
      "novel-count table — two linear shuffles, doc-sized joins, no "
      "shingle-keyed big-big join"),
+    ("ann_ivfpq_layout_probe",
+     "IVF-PQ disk probe: PartitionFilters prune codes to NPROBE cells; "
+     "codebook/LUT broadcast; raw vectors never read"),
+    ("ann_sq8_layout_probe",
+     "SQ8 disk probe: array<smallint> codes scan (1/4 the raw bytes), "
+     "map-side dequant vs the broadcast O(dim) stats row, one top-k "
+     "shuffle"),
+    ("ann_pq_rescore_topk",
+     "shortlist-then-rescore: ADC over the written codes layout keeps "
+     "k*4 per query; only shortlist rows join raw vectors for the "
+     "exact rerank"),
 ]
 
 
