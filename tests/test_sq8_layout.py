@@ -46,3 +46,32 @@ def test_sq8_layout_codes_domain_and_size(spark, sf_dir, tmp_path):
         F.sum("s")
     ).first()[0]
     assert n_codes == n * dim
+
+
+def test_sq8_reconstruction_error_bound(spark, sf_dir, tmp_path):
+    """Floor quantization is one-sided and bounded: for every stored
+    dimension, deq <= x and x - deq <= (mx - mn)/255 — the grid-cell
+    guarantee that makes the 4x tier near-lossless."""
+    import numpy as np
+
+    from duckdb_hybrid_doc_search_spark.index.sq8_layout import _side_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "sq8")
+    write_sq8_layout(emb, out)
+    stats = spark.read.parquet(_side_dir(out, "stats")).first()
+    mn = np.array(stats["mn_l"])
+    mx = np.array(stats["mx_l"])
+    step = (mx - mn) / 255.0
+    codes = {
+        r["vec_id"]: np.array(r["q8"], dtype=np.float64)
+        for r in spark.read.parquet(out).collect()
+    }
+    eps = 1e-9
+    for r in emb.select("vec_id", "embedding").collect():
+        x = np.array(r["embedding"], dtype=np.float64)
+        q = codes[r["vec_id"]]
+        deq = np.where(mx == mn, mn, mn + q / 255.0 * (mx - mn))
+        err = x - deq
+        assert (err >= -eps).all(), r["vec_id"]
+        assert (err <= step + eps).all(), r["vec_id"]
