@@ -115,14 +115,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs via banded minhash LSH, with the estimated
-    Jaccard (fraction of agreeing minhashes) filtered at JACCARD_THRESHOLD.
-
-    Output: doc_a, doc_b, est_jaccard.
-    """
-    sig = minhash_signatures(docs).cache()
-    bands = (
+def _band_sigs(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): per-band md5 over the band's seed-ordered
+    minhashes — the LSH bucket key. Shared by the self-join
+    (dedup_minhash_lsh) and the batch-vs-existing incremental form."""
+    return (
         sig.withColumn("band", (F.col("seed") / F.lit(MINHASH_ROWS)).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -139,6 +136,16 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
             ).alias("sig")
         )
     )
+
+
+def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH, with the estimated
+    Jaccard (fraction of agreeing minhashes) filtered at JACCARD_THRESHOLD.
+
+    Output: doc_a, doc_b, est_jaccard.
+    """
+    sig = minhash_signatures(docs).cache()
+    bands = _band_sigs(sig)
     cand = (
         bands.alias("a")
         .join(
@@ -991,4 +998,148 @@ SELECT s.threshold, coalesce(st.n_pairs, 0)::BIGINT AS n_pairs,
        round(coalesce(st.n_flagged, 0) / nd.n_docs, 6) AS flagged_frac
 FROM sweep s LEFT JOIN stats st USING (threshold) CROSS JOIN nd
 ORDER BY s.threshold
+""".strip()
+
+
+# --- incremental (batch-vs-existing) dedup ------------------------------------
+
+BATCH_MOD = 5  # deterministic ingestion split: doc_id % 5 == 0 is the batch
+
+
+def dedup_incremental_batch(docs: DataFrame) -> DataFrame:
+    """Ingestion-time dedup: decide each NEW batch document against the
+    already-kept corpus — the shape a real pipeline runs on every
+    arriving shard, where re-deduplicating 100 TB from scratch is not an
+    option. Deterministic split for the oracle: doc_id % BATCH_MOD == 0
+    is the batch, the rest is the existing corpus.
+
+    Tiers (exact wins over near):
+    - exact_dup: the batch doc's md5 fingerprint exists in the corpus,
+      or a lower-id batch doc shares it (within-batch keep-min rule) —
+      one hash semi-join; at 100 TB the corpus side is a persisted
+      fingerprint table (or a bloom of it), never a rescan.
+    - near_dup: >=1 existing partner shares an LSH band bucket AND the
+      minhash-estimated Jaccard clears JACCARD_THRESHOLD — the banded
+      join is batch x existing only (bucket-local, never corpus x
+      corpus); at 100 TB the existing band signatures are a WRITTEN
+      side table maintained append-only, like index/ivf_layout.
+    - kept: everything else.
+
+    Output: (doc_id, decision, n_near) per batch document, n_near =
+    count of confirmed existing near-dup partners.
+    """
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    bfp = docs.where(is_batch).select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    efp = docs.where(~is_batch).select(
+        F.md5(F.col("text")).alias("fp")
+    ).distinct()
+    bmin = bfp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact = (
+        bfp.join(efp.withColumn("in_ext", F.lit(True)), "fp", "left")
+        .join(bmin, "fp")
+        .where(F.col("in_ext").isNotNull() | (F.col("doc_id") > F.col("keep_id")))
+        .select("doc_id")
+        .distinct()
+    )
+    sig = minhash_signatures(docs).cache()
+    bands = _band_sigs(sig)
+    cand = (
+        bands.where(F.col("doc_id") % BATCH_MOD == 0).alias("a")
+        .join(
+            bands.where(F.col("doc_id") % BATCH_MOD != 0).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sig.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.seed") == F.col("sb.seed")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("sa.mh") == F.col("sb.mh"), 1.0).otherwise(0.0)
+                ),
+                SCORE_ROUND,
+            ).alias("est_jaccard")
+        )
+    )
+    near = (
+        est.where(F.col("est_jaccard") >= F.lit(JACCARD_THRESHOLD))
+        .groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        bfp.select("doc_id")
+        .join(exact.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        .join(near.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("n_near").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+    )
+
+
+def dd_dedup_incremental_batch_sql(table: str = "documents") -> str:
+    return f"""
+WITH {dd_doc_shingles_cte(table)},
+{dd_minhash_sig_cte()},
+bands AS (
+  SELECT doc_id, (seed // {MINHASH_ROWS})::INT AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bsig
+  FROM sig GROUP BY doc_id, band
+),
+batchdocs AS (
+  SELECT doc_id, md5(text) AS fp FROM {table} WHERE doc_id % {BATCH_MOD} = 0
+),
+extfp AS (
+  SELECT DISTINCT md5(text) AS fp FROM {table} WHERE doc_id % {BATCH_MOD} <> 0
+),
+bmin AS (SELECT fp, min(doc_id) AS keep_id FROM batchdocs GROUP BY fp),
+exact AS (
+  SELECT DISTINCT b.doc_id
+  FROM batchdocs b
+  LEFT JOIN extfp e ON b.fp = e.fp
+  JOIN bmin m ON b.fp = m.fp
+  WHERE e.fp IS NOT NULL OR b.doc_id > m.keep_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id % {BATCH_MOD} = 0 AND b.doc_id % {BATCH_MOD} <> 0
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), {SCORE_ROUND}) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sa.seed = sb.seed
+  GROUP BY c.doc_a, c.doc_b
+),
+near AS (
+  SELECT doc_a, count(*)::BIGINT AS n_near
+  FROM est WHERE est_jaccard >= {JACCARD_THRESHOLD} GROUP BY doc_a
+)
+SELECT b.doc_id,
+       CASE WHEN x.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.n_near IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS decision,
+       coalesce(n.n_near, 0)::BIGINT AS n_near
+FROM batchdocs b
+LEFT JOIN exact x ON b.doc_id = x.doc_id
+LEFT JOIN near n ON b.doc_id = n.doc_a
 """.strip()

@@ -37,6 +37,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_minhash_lsh(_docs(spark, sf_dir))
 
 
+@register("dedup_incremental_batch",
+          oracle=dedup.dd_dedup_incremental_batch_sql())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: each new-batch document decided against
+    the already-kept corpus (exact fingerprint semi-join, then the
+    banded LSH join restricted to batch x existing — never corpus x
+    corpus). The shape every arriving shard runs at 100 TB, where the
+    corpus side is a persisted fingerprint/signature store, not a
+    rescan. Deterministic doc_id % 5 split keeps the oracle exact."""
+    return dedup.dedup_incremental_batch(_docs(spark, sf_dir))
+
+
 @register("dedup_ngram_jaccard", oracle=dedup.dd_dedup_ngram_jaccard_sql())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_ngram_jaccard(_docs(spark, sf_dir))

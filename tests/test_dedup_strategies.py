@@ -139,3 +139,46 @@ def test_pagerank_centrality_properties(spark, sf_dir):
         for n in (row["doc_a"], row["doc_b"])
     }
     assert {row["doc_id"] for row in r1} <= pair_nodes
+
+
+def test_incremental_batch_decisions_consistent(spark, sf_dir):
+    """dedup_incremental_batch's tiers must agree with the whole-corpus
+    operators it restricts: exact_dup == batch docs whose fingerprint
+    group (dedup_exact) contains an existing doc or a lower-id batch
+    twin; near_dup == non-exact batch docs with a confirmed LSH partner
+    (dedup_minhash_lsh) on the existing side; kept == the rest."""
+    from duckdb_hybrid_doc_search_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_incremental_batch(docs).collect()}
+    batch_ids = {r["doc_id"] for r in docs.select("doc_id").collect()
+                 if r["doc_id"] % dedup.BATCH_MOD == 0}
+    assert set(out) == batch_ids
+
+    fp_rows = docs.selectExpr("doc_id", "md5(text) AS fp").collect()
+    by_fp = {}
+    for r in fp_rows:
+        by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    expect_exact = set()
+    for ids in by_fp.values():
+        b = sorted(i for i in ids if i % dedup.BATCH_MOD == 0)
+        has_ext = any(i % dedup.BATCH_MOD != 0 for i in ids)
+        for j, i in enumerate(b):
+            if has_ext or j > 0:
+                expect_exact.add(i)
+    assert {d for d, r in out.items()
+            if r["decision"] == "exact_dup"} == expect_exact
+
+    near_partners = {}
+    for r in dedup.dedup_minhash_lsh(docs).collect():
+        for a, b in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if a % dedup.BATCH_MOD == 0 and b % dedup.BATCH_MOD != 0:
+                near_partners.setdefault(a, set()).add(b)
+    expect_near = set(near_partners) - expect_exact
+    assert {d for d, r in out.items()
+            if r["decision"] == "near_dup"} == expect_near
+    for d in expect_near:
+        assert out[d]["n_near"] == len(near_partners[d]), d
+    assert all(r["decision"] == "kept" for d, r in out.items()
+               if d not in expect_exact and d not in expect_near)
