@@ -72,6 +72,7 @@ QUERIES = [
     ("ann_ivfpq_residual_topk", "embeddings"),  # residual-encoded IVF-PQ
     ("ann_sq8_layout_probe", "embeddings"),    # 8-bit codes scan from disk
     ("ann_pq_rescore_topk", "embeddings"),     # ADC shortlist + exact rerank
+    ("dedup_incremental_batch", "documents"),  # batch-vs-existing ingestion
 ]
 
 
