@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from ..operators.knn import NPROBE, ivf_assign
 
+# Encode-semantics version token in the cache key (see ivfpq_layout).
+LAYOUT_FORMAT = "v1"
+
 
 def write_ivf_partitioned(emb: DataFrame, out_dir: str) -> None:
     """embeddings + cell assignment, partitioned by cell on disk. The
@@ -59,6 +62,7 @@ def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
         root = os.path.join(repo_dir, "spark-warehouse", "ivf_layout")
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{LAYOUT_FORMAT}"
         f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
     )
     out_dir = os.path.join(root, key)
@@ -99,6 +103,7 @@ def ensure_ivf_append_layout(spark: SparkSession, emb: DataFrame,
         root = os.path.join(repo_dir, "spark-warehouse", "ivf_append_layout")
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{LAYOUT_FORMAT}"
         f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
     )
     out_dir = os.path.join(root, key)

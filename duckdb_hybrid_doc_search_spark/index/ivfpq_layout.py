@@ -27,6 +27,12 @@ from ..operators.knn import (NPROBE, PQ_DIM, PQ_M, _pq_long, ivf_assign,
                              pq_codebook, pq_encode)
 
 
+# Bump when the encode semantics change (codebook rule, code layout …):
+# the fingerprint cache keys on SOURCE data only, so without a format
+# token a semantics change would silently serve a stale layout.
+LAYOUT_FORMAT = "v2"  # v2: PQ_K-capped codebook (pq_sample_pred)
+
+
 def _side_dir(out_dir: str, name: str) -> str:
     # next to, not inside, the cell root (a subdirectory would be
     # misread as data by the partitioned scan)
@@ -66,6 +72,7 @@ def ensure_ivfpq_layout(spark: SparkSession, emb: DataFrame,
         root = os.path.join(repo_dir, "spark-warehouse", "ivfpq_layout")
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{LAYOUT_FORMAT}"
         f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
     )
     out_dir = os.path.join(root, key)

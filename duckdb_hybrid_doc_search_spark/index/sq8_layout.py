@@ -28,6 +28,10 @@ from ..functions import vector as V
 from ..operators.knn import SQ_LEVELS, _to_double, sq_stats
 
 
+# Encode-semantics version token in the cache key (see ivfpq_layout).
+LAYOUT_FORMAT = "v1"
+
+
 def _side_dir(out_dir: str, name: str) -> str:
     # next to, not inside, the codes root (a subdirectory would be
     # misread as data by the scan)
@@ -103,6 +107,7 @@ def ensure_sq8_layout(spark: SparkSession, emb: DataFrame,
         root = os.path.join(repo_dir, "spark-warehouse", "sq8_layout")
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{LAYOUT_FORMAT}"
         f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
     )
     out_dir = os.path.join(root, key)

@@ -648,7 +648,26 @@ GROUP BY n.nprobe ORDER BY n.nprobe
 
 PQ_M = 4         # subspaces (64-dim embeddings -> 4 x 16-dim subvectors)
 PQ_CB_MOD = 25   # deterministic codebook pick: vec_id % PQ_CB_MOD == 0
+PQ_K = 32        # codebook size CAP per subspace (vec_id < PQ_CB_MOD*PQ_K)
 PQ_DIM = 64      # testdata embedding width
+
+
+def pq_sample_pred(id_col):
+    """The deterministic codebook-sample predicate, shared by every PQ
+    variant (raw, residual, written layout) and the tests: every PQ_CB_MOD-th
+    vector, CAPPED at PQ_K codewords per subspace. The cap is the scale
+    contract — a real PQ codebook is a FIXED K (FAISS default 256)
+    independent of corpus size, so encode cost is O(N*K), not O(N^2/mod).
+    Without it the codebook grows with the corpus and the encode join is
+    quadratic (the r6 SCALING.md 1.0-1.17 slopes on the ivfpq rows)."""
+    return (F.col(id_col) % PQ_CB_MOD == 0) & (
+        F.col(id_col) < PQ_CB_MOD * PQ_K
+    )
+
+
+def dd_pq_sample_pred(id_col: str) -> str:
+    """DuckDB twin of pq_sample_pred — must stay token-equivalent."""
+    return f"{id_col} % {PQ_CB_MOD} = 0 AND {id_col} < {PQ_CB_MOD * PQ_K}"
 
 
 def _pq_long(df: DataFrame, id_alias: str, vec_col: str,
@@ -673,11 +692,11 @@ def pq_codebook(emb: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding", dim: int = PQ_DIM,
                 m: int = PQ_M) -> DataFrame:
     """(m, code, cw): per-subspace codewords sliced from a deterministic
-    sample of corpus vectors (vec_id % PQ_CB_MOD == 0 — the same k-means
-    stand-in rule as IVF centroids, which keeps the DuckDB oracle exact;
-    a trained codebook would plug in here via embeddings_kmeans_train).
+    sample of corpus vectors (pq_sample_pred — every PQ_CB_MOD-th id,
+    capped at PQ_K codewords so K is FIXED at scale; a trained codebook
+    would plug in here via embeddings_kmeans_train).
     K x M subvectors — a few KB, always the broadcast side."""
-    cb = emb.where(F.col(id_col) % PQ_CB_MOD == 0).select(
+    cb = emb.where(pq_sample_pred(id_col)).select(
         F.col(id_col).alias("code"), F.col(vec_col).alias("cw_full")
     )
     return _pq_long(cb, "code", "cw_full", dim, m).select(
@@ -799,7 +818,7 @@ subs AS (SELECT m FROM (VALUES {ms}) t(m)),
 cbsub AS (
   SELECT s.m, {id_col} AS code,
          list_slice({vec_col}, {lo}, {hi}) AS cw
-  FROM {table} CROSS JOIN subs s WHERE {id_col} % {PQ_CB_MOD} = 0
+  FROM {table} CROSS JOIN subs s WHERE {dd_pq_sample_pred(id_col)}
 ),
 corp AS (
   SELECT {id_col} AS vid, s.m,
@@ -1040,7 +1059,7 @@ def ivfpq_residual_topk(emb: DataFrame, k: int, n_queries: int = 10,
                 .alias("rvec"))
     )
     rcb = _pq_long(
-        resid.where(F.col("vid") % PQ_CB_MOD == 0)
+        resid.where(pq_sample_pred("vid"))
         .select(F.col("vid").alias("code"), "rvec"),
         "code", "rvec", dim, m,
     ).select("m", "code", F.col("sub").alias("cw"))
@@ -1128,7 +1147,7 @@ resid AS (
 subs AS (SELECT m FROM (VALUES {ms}) t(m)),
 rcb AS (
   SELECT s.m, vid AS code, list_slice(rvec, {lo}, {hi}) AS cw
-  FROM resid CROSS JOIN subs s WHERE vid % {PQ_CB_MOD} = 0
+  FROM resid CROSS JOIN subs s WHERE {dd_pq_sample_pred("vid")}
 ),
 rlong AS (
   SELECT vid, cell, s.m, list_slice(rvec, {lo}, {hi}) AS sub

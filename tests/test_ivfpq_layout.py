@@ -27,10 +27,10 @@ def test_ivfpq_layout_pruning_and_equality(spark, sf_dir, tmp_path):
     assert "embedding" not in codes.columns
 
     # side tables are broadcast-sized and complete
-    from duckdb_hybrid_doc_search_spark.operators.knn import PQ_CB_MOD
+    from duckdb_hybrid_doc_search_spark.operators.knn import pq_sample_pred
     cent = spark.read.parquet(_side_dir(out, "centroids"))
     cb = spark.read.parquet(_side_dir(out, "codebook"))
-    n_codewords = emb.where(F.col("vec_id") % PQ_CB_MOD == 0).count()
+    n_codewords = emb.where(pq_sample_pred("vec_id")).count()
     assert cent.count() > 0
     assert cb.count() == n_codewords * PQ_M
     assert set(cb.columns) == {"m", "code", "cw"}

@@ -28,8 +28,8 @@ def test_pq_encode_shape_and_code_domain(spark, sf_dir):
         F.col("count") != knn.PQ_M
     )
     assert per_vec.count() == 0
-    # every code is a codebook member id (vec_id % PQ_CB_MOD == 0)
-    assert codes.where(F.col("code") % knn.PQ_CB_MOD != 0).count() == 0
+    # every code is a codebook member id (pq_sample_pred)
+    assert codes.where(~knn.pq_sample_pred("code")).count() == 0
     # subspace index domain
     assert codes.where(
         (F.col("m") < 0) | (F.col("m") >= knn.PQ_M)
