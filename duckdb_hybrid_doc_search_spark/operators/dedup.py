@@ -1143,3 +1143,256 @@ FROM batchdocs b
 LEFT JOIN exact x ON b.doc_id = x.doc_id
 LEFT JOIN near n ON b.doc_id = n.doc_a
 """.strip()
+
+
+# --- SemDeDup: cluster-bucketed semantic dedup -------------------------------
+
+
+SEMDEDUP_MOD = 50  # same deterministic centroid pick as operators/knn.py
+
+
+def semdedup(emb: DataFrame,
+             threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings, then look for near-duplicate pairs ONLY within
+    a cluster — the published training-data-pipeline shape that turns the
+    inherent N^2 pair space into k independent (N/k)^2 cells. At 100 TB,
+    k ~ sqrt(N) clusters bound each cell's pairwise pass, and the
+    within-cell compute drops to a per-cell GEMM
+    (dedup_embedding_cosine's block pattern applied per cell).
+
+    Clustering here is the repo's deterministic k-means stand-in
+    (vec_id % SEMDEDUP_MOD == 0 centroids, nearest-by-cosine assignment —
+    the SAME rounding and tie rule as operators/knn.assign_to_centroids,
+    so the oracle stays exact). Keep rule, per the paper: within a
+    duplicate pair, keep the vector LESS similar to its centroid
+    (preserves cluster diversity); ties break to the lower vec_id. A
+    vector is dropped when ANY cluster-mate beats it at
+    cos_sim >= threshold — the one-shot form of the paper's greedy pass.
+
+    Output: one row per cluster — cell, n_vecs, n_dropped, drop_ratio.
+    """
+    from pyspark.sql import Window
+
+    cent = emb.where(F.col("vec_id") % SEMDEDUP_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("cvec")),
+                SCORE_ROUND).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"),
+                                             F.asc("cent_id"))
+    assigned = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"),
+                "csim")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_sim = F.round(
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")),
+        SCORE_ROUND,
+    )
+    beats = (F.col("b.csim") < F.col("a.csim")) | (
+        (F.col("b.csim") == F.col("a.csim"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .where((pair_sim >= threshold) & beats)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_drop", F.lit(1)),
+                      "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_drop").alias("n_dropped"),
+            F.round(F.count("is_drop") / F.count(F.lit(1)), 6)
+            .alias("drop_ratio"),
+        )
+        .orderBy("cell")
+    )
+
+
+def dd_semdedup_sql(table: str = "embeddings",
+                    threshold: float = COSINE_DUP_THRESHOLD) -> str:
+    cs_ec = dd_cosine_similarity("e.embedding", "c.cvec")
+    cs_ab = dd_cosine_similarity("a.embedding", "b.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM {table} WHERE vec_id % {SEMDEDUP_MOD} = 0
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         round({cs_ec}, {SCORE_ROUND}) AS csim
+  FROM {table} e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell, csim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE round({cs_ab}, {SCORE_ROUND}) >= {threshold}
+    AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+)
+SELECT a.cell, count(*)::BIGINT AS n_vecs,
+       count(d.vec_id)::BIGINT AS n_dropped,
+       round(count(d.vec_id) * 1.0 / count(*), 6) AS drop_ratio
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+GROUP BY a.cell
+ORDER BY a.cell
+""".strip()
+
+
+# --- exact substring-span dedup (hashed n-gram form) -------------------------
+
+
+SPAN_N = 8  # duplicated-span n-gram length, in tokens
+
+
+def dedup_duplicate_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Duplicated-substring detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): find
+    every token position whose length-``n`` n-gram occurs MORE THAN ONCE
+    anywhere in the corpus (other docs or elsewhere in the same doc),
+    then merge overlapping/adjacent duplicated positions into maximal
+    spans per document — the per-doc "how much of this text is copied"
+    signal that drives span-level trimming in training pipelines.
+
+    This is the hashed fixed-N form of the paper's suffix-array method
+    (the shape RefinedWeb/Dolma-style pipelines run): an inverted index
+    on the n-gram hash — one shuffle to count occurrences, one semi-join
+    back to positions, per-doc windows for the gaps-and-islands span
+    merge. Never all-pairs, never a global sort of the corpus; the
+    n-gram hash (60-bit md5, functions/hashing.py) keeps the shuffle key
+    8 bytes at 100 TB.
+
+    Output per doc: doc_id, n_tokens, n_spans, dup_tokens, dup_fraction.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    gs = F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.array_join(F.slice("t", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hg = (
+        toks.select("doc_id", F.posexplode(gs).alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                h64(F.col("g")).alias("h"))
+    )
+    duph = (
+        hg.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    dpos = hg.join(duph, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    with_prev = dpos.withColumn("prev", F.lag("pos").over(w))
+    brk = F.when(
+        F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n), 1
+    ).otherwise(0)
+    isl = with_prev.withColumn("island", F.sum(brk).over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") + n - F.min("pos")).alias("span_tokens")
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    return (
+        base.join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("dup_tokens"), F.lit(0))
+                    / F.col("n_tokens"),
+                    6,
+                )
+            )
+            .alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dd_dedup_duplicate_spans_sql(table: str = "documents",
+                                 n: int = SPAN_N) -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM {table}
+),
+base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks),
+grams AS (
+  SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS g
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {n} THEN
+             list_transform(range(1, len(t) - {n} + 2),
+                            i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))
+           ELSE [] END AS gs
+    FROM toks
+  )
+),
+hg AS (SELECT doc_id, pos, {dd_h64('g')} AS h FROM grams),
+duph AS (SELECT h FROM hg GROUP BY h HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos FROM hg WHERE h IN (SELECT h FROM duph)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dpos
+  )
+),
+spans AS (
+  SELECT doc_id, island, max(pos) + {n} - min(pos) AS span_tokens
+  FROM isl GROUP BY doc_id, island
+),
+perdoc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(span_tokens)::BIGINT AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN b.n_tokens = 0 THEN 0.0
+            ELSE round(coalesce(p.dup_tokens, 0) * 1.0 / b.n_tokens, 6)
+       END AS dup_fraction
+FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+ORDER BY b.doc_id
+""".strip()

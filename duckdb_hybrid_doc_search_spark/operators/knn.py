@@ -971,15 +971,49 @@ def ivfpq_topk(emb: DataFrame, k: int, n_queries: int = 10,
     )
 
 
-def dd_ivfpq_topk_sql(k: int, n_queries: int = 10,
-                      table: str = "embeddings", id_col: str = "vec_id",
-                      vec_col: str = "embedding", dim: int = PQ_DIM,
-                      m: int = PQ_M) -> str:
+def ivfpq_recall(emb: DataFrame, k: int, n_queries: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = PQ_DIM, m: int = PQ_M) -> DataFrame:
+    """Recall@k of the composed IVF-prune x PQ-ADC retrieval vs the
+    exact cosine top-k — the quality number for the full compressed
+    100 TB probe shape (IVF misses + quantization error together).
+    Same evaluation pattern as pq_recall / sq8_recall: the approx and
+    exact sides join on (q_id, c_id); n_queries rows out."""
+    approx = ivfpq_topk(emb, k, n_queries, id_col, vec_col, dim, m).select(
+        "q_id", "c_id"
+    )
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = knn_join(
+        queries,
+        emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        k,
+    ).select("q_id", "c_id")
+    hits = approx.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / k, 6)
+            .alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _dd_ivfpq_ctes(n_queries: int, table: str, id_col: str,
+                   vec_col: str, dim: int, m: int) -> str:
+    """The composed IVF-prune + PQ-ADC CTE body (ends at `adc`), shared
+    by the topk and recall twins so both stay token-identical."""
     csim = V.dd_cosine_similarity("e.c_vec", "c.cvec")
     qsim = V.dd_cosine_similarity("q.q_vec", "c.cvec")
     pq_base = _dd_pq_base(n_queries, table, id_col, vec_col, dim, m)
     return f"""
-WITH cent AS (
+cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
   WHERE {id_col} % {CENTROID_MOD} = 0
 ),
@@ -1013,12 +1047,59 @@ adc AS (
   JOIN lut l ON l.q_id = cd.q_id AND l.m = en.m AND l.code = en.code
   GROUP BY cd.q_id, cd.c_id
 )
+""".strip()
+
+
+def dd_ivfpq_topk_sql(k: int, n_queries: int = 10,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int = PQ_DIM,
+                      m: int = PQ_M) -> str:
+    ctes = _dd_ivfpq_ctes(n_queries, table, id_col, vec_col, dim, m)
+    return f"""
+WITH {ctes}
 SELECT q_id, c_id, adc_dist, rank FROM (
   SELECT q_id, c_id, adc_dist,
          row_number() OVER (PARTITION BY q_id
            ORDER BY adc_dist ASC, c_id ASC) AS rank
   FROM adc
 ) WHERE rank <= {k}
+""".strip()
+
+
+def dd_ivfpq_recall_sql(k: int, n_queries: int = 10,
+                        table: str = "embeddings", id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = PQ_DIM,
+                        m: int = PQ_M) -> str:
+    ctes = _dd_ivfpq_ctes(n_queries, table, id_col, vec_col, dim, m)
+    sim = V.dd_cosine_similarity("q.q_vec", f"c.{vec_col}")
+    return f"""
+WITH {ctes},
+approx AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_dist ASC, c_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.{id_col} AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({sim}, {SCORE_ROUND}) DESC,
+                      c.{id_col} ASC) AS rank
+    FROM {table} c CROSS JOIN q
+  ) WHERE rank <= {k}
+),
+hits AS (
+  SELECT a.q_id, count(*) AS n_hit
+  FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id,
+       round(coalesce(h.n_hit, 0) * 1.0 / {k}, 6) AS recall_at_k
+FROM q LEFT JOIN hits h ON q.q_id = h.q_id
+ORDER BY q.q_id
 """.strip()
 
 

@@ -64,6 +64,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
+@register("dedup_duplicate_spans",
+          oracle=dedup.dd_dedup_duplicate_spans_sql())
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (hashed n-gram form of Lee et al.
+    2022): token positions whose 8-gram repeats anywhere in the corpus,
+    merged into maximal per-doc spans — inverted index on the n-gram
+    hash + gaps-and-islands windows, never all-pairs."""
+    return dedup.dedup_duplicate_spans(_docs(spark, sf_dir))
+
+
+@register("dedup_semantic_cells", oracle=dedup.dd_semdedup_sql())
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-bucketed semantic dedup): near-dup pairs sought
+    ONLY within embedding clusters, keep-the-diverse rule per cluster —
+    the published pipeline shape that bounds the pair space to k
+    independent (N/k)^2 cells instead of one N^2."""
+    return dedup.semdedup(_emb(spark, sf_dir))
+
+
 @register("dedup_components", oracle=dedup.dd_dedup_components_sql())
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(_docs(spark, sf_dir))
@@ -265,6 +284,17 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed-scan plan shape as ann_ivfpq_topk."""
     return knn.ivfpq_residual_topk(_emb(spark, sf_dir), ANN_K,
                                    ANN_N_QUERIES)
+
+
+@register("ann_ivfpq_recall",
+          oracle=knn.dd_ivfpq_recall_sql(ANN_K, ANN_N_QUERIES))
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF-prune x PQ-ADC probe vs the exact
+    cosine top-k — the quality number for the full compressed 100 TB
+    shape, capturing IVF cell misses AND quantization error together
+    (ann_pq_recall isolates the latter; ann_ivf_nprobe_curve the
+    former)."""
+    return knn.ivfpq_recall(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
 
 
 @register("ann_ivfpq_layout_probe",

@@ -182,3 +182,34 @@ def test_incremental_batch_decisions_consistent(spark, sf_dir):
         assert out[d]["n_near"] == len(near_partners[d]), d
     assert all(r["decision"] == "kept" for d, r in out.items()
                if d not in expect_exact and d not in expect_near)
+
+
+def test_semdedup_keep_rule_crafted_geometry(spark):
+    # One centroid (vec_id 0 = [1,0]); two well-separated dup groups with
+    # wide margins around the 0.4 threshold. SemDeDup's keep rule must
+    # retain, per dup group, the member FARTHEST from the centroid:
+    #   group {0,1,2} (pairwise cos >= 0.98) -> keep 2 (lowest csim)
+    #   group {3,4}   (cos ~ 0.995)          -> keep 3 (csim 0.0 < 0.0995)
+    # cross-group sims are all <= ~0.3 < 0.4.
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),
+            (2, [1.0, 0.2]),
+            (3, [0.0, 1.0]),
+            (4, [0.1, 1.0]),
+        ],
+        schema,
+    )
+    rows = {r["cell"]: r for r in dedup.semdedup(emb).collect()}
+    assert set(rows) == {0}
+    assert rows[0]["n_vecs"] == 5
+    assert rows[0]["n_dropped"] == 3  # 0, 1 (group one), 4 (group two)
+    assert rows[0]["drop_ratio"] == 0.6

@@ -73,6 +73,9 @@ QUERIES = [
     ("ann_sq8_layout_probe", "embeddings"),    # 8-bit codes scan from disk
     ("ann_pq_rescore_topk", "embeddings"),     # ADC shortlist + exact rerank
     ("dedup_incremental_batch", "documents"),  # batch-vs-existing ingestion
+    ("ann_ivfpq_recall", "embeddings"),        # composed IVF-PQ vs exact
+    ("dedup_semantic_cells", "embeddings"),    # SemDeDup per-cell pairs
+    ("dedup_duplicate_spans", "documents"),    # n-gram inverted index + islands
 ]
 
 
