@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import SCORE_ROUND
 from ..functions.hashing import dd_h64, h64
 from . import dedup, textstats
 
@@ -439,4 +440,158 @@ SELECT d.source, count(*)::BIGINT AS n_docs,
          AS n_fully_novel
 FROM {table} d JOIN per_doc p USING (doc_id)
 GROUP BY d.source ORDER BY d.source
+""".strip()
+
+
+# --- DSIR importance resampling weights --------------------------------------
+
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(docs: DataFrame,
+                            target_lang: str = DSIR_TARGET_LANG,
+                            b: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", arXiv:2302.03169): score every raw document
+    by how much it looks like a TARGET distribution, under hashed
+    bag-of-n-gram language models. Features are word unigrams + bigrams
+    hashed into ``b`` buckets; the target model p is fit on the
+    target-language slice, the raw model q on the whole corpus; a doc's
+    log importance weight is sum_f count_f * (ln p_f - ln q_f) with
+    Laplace smoothing. Downstream pipelines resample by these weights —
+    here the weights themselves are the recorded output.
+
+    Scale shape: one token/bigram explode (the same pass the FTS build
+    runs), one groupBy on the bucket id (key space bounded at ``b``
+    buckets — the whole log-ratio model is a b-row broadcast table), then
+    a map-side broadcast join + per-doc sum. No all-pairs, no driver
+    state; at 100 TB the model fit is a b-cardinality combiner-friendly
+    aggregate.
+
+    Output per doc: doc_id, lang, n_feats, log_importance (round 6).
+    """
+    from ..functions.text import tokenize
+
+    toks = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("t"))
+    uni = F.when(
+        F.size("t") >= 1, F.col("t")
+    ).otherwise(F.array().cast("array<string>"))
+    bi = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.array_join(F.slice("t", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id", "lang", F.explode(F.concat(uni, bi)).alias("g")
+    )
+    bkt = feats.select(
+        "doc_id", "lang", (h64(F.col("g")) % b).alias("bkt")
+    )
+    rawc = bkt.groupBy("bkt").agg(F.count(F.lit(1)).alias("cq"))
+    tgtc = (
+        bkt.where(F.col("lang") == target_lang)
+        .groupBy("bkt").agg(F.count(F.lit(1)).alias("cp"))
+    )
+    tot = bkt.agg(
+        F.count(F.lit(1)).alias("tq"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("tp"),
+    )
+    lr = (
+        rawc.join(tgtc, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.round(
+                F.log((F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0))
+                      / (F.col("tp") + F.lit(b)))
+                - F.log((F.col("cq") + F.lit(1.0))
+                        / (F.col("tq") + F.lit(b))),
+                SCORE_ROUND,
+            ).alias("lw"),
+        )
+    )
+    dbkt = bkt.groupBy("doc_id", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    perdoc = (
+        dbkt.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lw")), SCORE_ROUND)
+            .alias("log_importance"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long")
+            .alias("n_feats"),
+            F.coalesce(F.col("log_importance"), F.lit(0.0))
+            .alias("log_importance"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dd_dsir_importance_weights_sql(table: str = "documents",
+                                   target_lang: str = DSIR_TARGET_LANG,
+                                   b: int = DSIR_BUCKETS) -> str:
+    from ..functions.text import dd_tokenize
+
+    toks = dd_tokenize("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {toks} AS t FROM {table}
+),
+feats AS (
+  SELECT doc_id, lang, unnest(
+    (CASE WHEN len(t) >= 1 THEN t ELSE [] END) ||
+    (CASE WHEN len(t) >= 2 THEN
+       list_transform(range(1, len(t)),
+                      i -> array_to_string(list_slice(t, i, i + 1), ' '))
+     ELSE [] END)
+  ) AS g
+  FROM toks
+),
+bkt AS (
+  SELECT doc_id, lang, {dd_h64('g')} % {b} AS bkt FROM feats
+),
+rawc AS (SELECT bkt, count(*)::BIGINT AS cq FROM bkt GROUP BY bkt),
+tgtc AS (
+  SELECT bkt, count(*)::BIGINT AS cp FROM bkt
+  WHERE lang = '{target_lang}' GROUP BY bkt
+),
+tot AS (
+  SELECT count(*)::BIGINT AS tq,
+         sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)::BIGINT
+           AS tp
+  FROM bkt
+),
+lr AS (
+  SELECT r.bkt,
+         round(ln((coalesce(c.cp, 0) + 1.0) / (t.tp + {b}))
+               - ln((r.cq + 1.0) / (t.tq + {b})), {SCORE_ROUND}) AS lw
+  FROM rawc r LEFT JOIN tgtc c ON r.bkt = c.bkt CROSS JOIN tot t
+),
+dbkt AS (
+  SELECT doc_id, bkt, count(*)::BIGINT AS c FROM bkt GROUP BY doc_id, bkt
+),
+perdoc AS (
+  SELECT d.doc_id, sum(d.c)::BIGINT AS n_feats,
+         round(sum(d.c * l.lw), {SCORE_ROUND}) AS log_importance
+  FROM dbkt d JOIN lr l ON d.bkt = l.bkt GROUP BY d.doc_id
+)
+SELECT t.doc_id, t.lang,
+       coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(p.log_importance, 0.0) AS log_importance
+FROM {table} t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
 """.strip()

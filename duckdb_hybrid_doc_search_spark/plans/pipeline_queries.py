@@ -756,6 +756,16 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_threshold_curve(_docs(spark, sf_dir))
 
 
+@register("corpus_dsir_weights",
+          oracle=curation.dd_dsir_importance_weights_sql())
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (hashed unigram+bigram LMs:
+    target = the en slice, raw = whole corpus; per-doc log weight =
+    sum of count x bucket log-ratio). The model is a 1024-row broadcast
+    table; the scoring pass is map-side."""
+    return curation.dsir_importance_weights(_docs(spark, sf_dir))
+
+
 @register("corpus_ngram_novelty",
           oracle=curation.dd_ngram_novelty_sql())
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

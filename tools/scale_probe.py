@@ -76,6 +76,7 @@ QUERIES = [
     ("ann_ivfpq_recall", "embeddings"),        # composed IVF-PQ vs exact
     ("dedup_semantic_cells", "embeddings"),    # SemDeDup per-cell pairs
     ("dedup_duplicate_spans", "documents"),    # n-gram inverted index + islands
+    ("corpus_dsir_weights", "documents"),      # hashed-ngram LM broadcast score
 ]
 
 
