@@ -595,3 +595,66 @@ SELECT t.doc_id, t.lang,
 FROM {table} t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
 ORDER BY t.doc_id
 """.strip()
+
+
+DSIR_SAMPLE_K = 100
+DSIR_U_GRID = 1_000_000
+
+
+def dsir_gumbel_sample(docs: DataFrame, k: int = DSIR_SAMPLE_K,
+                       target_lang: str = DSIR_TARGET_LANG,
+                       b: int = DSIR_BUCKETS) -> DataFrame:
+    """The resampling half of DSIR: draw ``k`` documents WITHOUT
+    replacement with probability proportional to exp(log_importance),
+    via the Gumbel-top-k trick (Kool et al. 2019, arXiv:1903.06059) —
+    argtop-k of log_w + Gumbel noise IS such a sample. The noise is
+    DETERMINISTIC (hash-uniform u on a half-open midpoint grid,
+    g = -ln(-ln(u))), so the draw is reproducible across engines and
+    runs — the property a 100 TB pipeline needs to resume or re-shard
+    without reshuffling its training set.
+
+    Scale shape: the score is a map-side expression over the weights
+    pass; the top-k is Spark's TakeOrderedAndProject (per-partition
+    top-k, driver merges k x partitions rows) — no global sort.
+
+    Output: the k selected docs — doc_id, lang, log_importance,
+    sample_score; ties at round-6 broken by doc_id.
+    """
+    w = dsir_importance_weights(docs, target_lang, b)
+    u = (
+        F.pmod(
+            h64(F.concat(F.lit("gumbel#"), F.col("doc_id").cast("string"))),
+            F.lit(DSIR_U_GRID),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(DSIR_U_GRID))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.select(
+            "doc_id",
+            "lang",
+            "log_importance",
+            F.round(F.col("log_importance") + gumbel, SCORE_ROUND)
+            .alias("sample_score"),
+        )
+        .orderBy(F.desc("sample_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dd_dsir_gumbel_sample_sql(table: str = "documents",
+                              k: int = DSIR_SAMPLE_K,
+                              target_lang: str = DSIR_TARGET_LANG,
+                              b: int = DSIR_BUCKETS) -> str:
+    weights = dd_dsir_importance_weights_sql(table, target_lang, b)
+    gh = dd_h64("'gumbel#' || doc_id::VARCHAR")
+    u = f"(({gh} % {DSIR_U_GRID}) + 0.5) / {float(DSIR_U_GRID)}"
+    return f"""
+WITH w AS ({weights})
+SELECT doc_id, lang, log_importance,
+       round(log_importance + (-ln(-ln({u}))), {SCORE_ROUND})
+         AS sample_score
+FROM w
+ORDER BY sample_score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

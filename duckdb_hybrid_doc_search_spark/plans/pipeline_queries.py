@@ -766,6 +766,16 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.dsir_importance_weights(_docs(spark, sf_dir))
 
 
+@register("corpus_dsir_resample",
+          oracle=curation.dd_dsir_gumbel_sample_sql())
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR: Gumbel-top-k over the importance
+    weights (deterministic hash-uniform noise) = a reproducible draw of
+    K docs with prob proportional to exp(log_w), executed as
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    return curation.dsir_gumbel_sample(_docs(spark, sf_dir))
+
+
 @register("corpus_ngram_novelty",
           oracle=curation.dd_ngram_novelty_sql())
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
