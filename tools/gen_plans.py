@@ -102,6 +102,19 @@ ENTRIES = [
      "shortlist-then-rescore: ADC over the written codes layout keeps "
      "k*4 per query; only shortlist rows join raw vectors for the "
      "exact rerank"),
+    ("dedup_duplicate_spans",
+     "substring-span dedup: inverted index on the 8-gram hash (one "
+     "bounded-key shuffle), semi-join back to positions, per-doc "
+     "partitioned windows for the island merge — no all-pairs"),
+    ("dedup_semantic_cells",
+     "SemDeDup: centroid set broadcast, pair join keyed on the cell id "
+     "so the pair space is k independent cells, never corpus x corpus"),
+    ("corpus_dsir_weights",
+     "DSIR: bucket-bounded model aggregate (1024 keys), log-ratio "
+     "table broadcast into a map-side per-doc scoring join"),
+    ("corpus_dsir_resample",
+     "Gumbel-top-k = TakeOrderedAndProject over the weights pass — "
+     "per-partition top-k, no global sort"),
 ]
 
 
