@@ -14,6 +14,11 @@ into the dedup family a 100 TB corpus pipeline needs (project north-star):
   candidates join on signature bands.
 - embedding cosine: exact pairwise above a threshold (test scale); the LSH
   route for production lives in operators/knn.py + this module's banding.
+- SemDeDup (semdedup): cluster-bucketed semantic dedup — pairwise only
+  within embedding cells, keep-the-diverse rule (arXiv:2303.09540).
+- duplicate spans (dedup_duplicate_spans): exact substring dedup in the
+  hashed fixed-N n-gram form (arXiv:2107.06499) — inverted index +
+  gaps-and-islands span merge.
 
 All hashing is md5-based (functions/hashing.py) so every stage is
 reproducible in the DuckDB oracle.

@@ -110,3 +110,30 @@ def test_mixture_weights_shares_sum_to_one(spark, sf_dir):
     # must not exceed its natural share
     big = max(rows, key=lambda r: r.tokens)
     assert big.mixture_share <= big.natural_share + 1e-9
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    # the whole point of DSIR: docs resembling the target (en) slice
+    # should carry higher importance than docs that don't. With the
+    # target LM fit on the en slice, mean log_importance of en docs
+    # must exceed the non-en mean by a clear margin.
+    from duckdb_hybrid_doc_search_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = curation.dsir_importance_weights(docs).collect()
+    en = [r["log_importance"] for r in w if r["lang"] == "en"]
+    other = [r["log_importance"] for r in w if r["lang"] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_dsir_resample_is_deterministic_topk(spark, sf_dir):
+    from duckdb_hybrid_doc_search_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = [tuple(r) for r in curation.dsir_gumbel_sample(docs, k=20).collect()]
+    b = [tuple(r) for r in curation.dsir_gumbel_sample(docs, k=20).collect()]
+    assert len(a) == 20
+    assert a == b  # deterministic noise -> identical draw across runs
+    scores = [r[3] for r in a]
+    assert scores == sorted(scores, reverse=True)
