@@ -777,8 +777,10 @@ def dedup_graph_pagerank(docs: DataFrame) -> DataFrame:
     fixed PR_ITERS power iterations, no convergence randomness.
 
     Output: the top-20 docs by rank (rank desc, doc_id asc) with their
-    degree — rows-only (iterative float fixpoint; no SQL oracle), the
-    recorded metric being the rank mass concentration itself.
+    degree. ORACLED despite being iterative: PR_ITERS is fixed, so the
+    DuckDB twin unrolls the power iteration as PR_ITERS chained CTEs
+    with the identical per-round formula (base + damping * sum(rank/deg))
+    -- final ranks agree to well inside the 6-dp output rounding.
     """
     pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
     sym = pairs.select(
@@ -834,6 +836,47 @@ def dedup_graph_pagerank(docs: DataFrame) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def dd_dedup_graph_pagerank_sql(table: str = "documents") -> str:
+    """Unrolled power iteration: PR_ITERS chained CTEs, each the exact
+    per-round formula of dedup_graph_pagerank (base + damping *
+    sum(rank/deg) per destination). The symmetric LSH edge set, degree
+    table, and 1/n initialization mirror the Spark build; node set is
+    closed under the symmetric edges so no round drops nodes."""
+    lsh = dd_dedup_minhash_lsh_sql(table)
+    base = f"({1.0 - PR_DAMPING!r} / nn.n)"
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT e.dst AS node,
+         {base} + {PR_DAMPING!r} * sum(r.rank / e.deg) AS rank
+  FROM ed e JOIN {prev} r ON e.src = r.node CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({lsh})),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+nodes AS (SELECT src AS node, deg FROM deg),
+nn AS (SELECT count(*) AS n FROM nodes),
+ed AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+{chain}
+SELECT node AS doc_id, rank, deg FROM (
+  SELECT r.node, round(r.rank, {PR_ROUND}) AS rank, n.deg
+  FROM {prev} r JOIN nodes n ON r.node = n.node
+)
+ORDER BY rank DESC, doc_id ASC
+LIMIT 20
+""".strip()
 
 
 def dedup_graph_triangles(docs: DataFrame) -> DataFrame:

@@ -309,3 +309,43 @@ def pack_sequences(docs: DataFrame, context_tokens: int = CONTEXT_TOKENS,
         "doc_id long, group string, bin_id long, n_tokens long, "
         "bin_tokens long",
     )
+
+
+def dd_pack_sequences_sql(table: str = "documents",
+                          context_tokens: int = CONTEXT_TOKENS,
+                          group_col: str = "lang") -> str:
+    """Recursive-CTE twin of pack_sequences: next-fit binning is exact
+    integer arithmetic over a deterministic (pri, doc_id) order, so the
+    sequential fold is SQL-expressible — the recursion steps through
+    each group's rows by row_number, carrying (bin_id, fill), exactly
+    the two integers the applyInPandas body carries."""
+    from ..functions.hashing import dd_h64
+    from ..functions.text import dd_tokenize
+
+    pri = dd_h64("'seq#' || doc_id::VARCHAR")
+    toks = dd_tokenize("text")
+    return f"""
+WITH RECURSIVE rows_o AS (
+  SELECT doc_id, {group_col} AS grp,
+         len({toks})::BIGINT AS n_tokens,
+         ({pri} % {1 << 32}) AS pri,
+         row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY ({pri} % {1 << 32}) ASC, doc_id ASC) AS rn
+  FROM {table}
+),
+rec(rn, grp, doc_id, n_tokens, bin_id, fill) AS (
+  SELECT rn, grp, doc_id, n_tokens, 0::BIGINT, n_tokens
+  FROM rows_o WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.grp, r.doc_id, r.n_tokens,
+         CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > {context_tokens}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > {context_tokens}
+              THEN r.n_tokens ELSE p.fill + r.n_tokens END
+  FROM rows_o r JOIN rec p ON r.grp = p.grp AND r.rn = p.rn + 1
+)
+SELECT doc_id, grp AS "group", bin_id, n_tokens, fill AS bin_tokens
+FROM rec
+""".strip()
+

@@ -510,7 +510,7 @@ def corpus_decontaminate_ngrams(spark: SparkSession,
     return packing.decontaminate_ngrams(_docs(spark, sf_dir))
 
 
-@register("corpus_pack_sequences", oracle=None)
+@register("corpus_pack_sequences", oracle=packing.dd_pack_sequences_sql())
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample packing into context windows (rows-only: next-fit binning
     carries running state, not expressible in plain SQL; invariants are
@@ -652,10 +652,13 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.perplexity_buckets(_docs(spark, sf_dir))
 
 
-@register("dedup_graph_pagerank", oracle=None)
+@register("dedup_graph_pagerank",
+          oracle=dedup.dd_dedup_graph_pagerank_sql())
 def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the LSH near-dup graph (canonical-copy
-    candidates by centrality); rows-only — iterative float fixpoint."""
+    candidates by centrality). Oracled despite being iterative: the
+    fixed PR_ITERS power iteration unrolls into chained CTEs with the
+    identical per-round formula."""
     return dedup.dedup_graph_pagerank(_docs(spark, sf_dir))
 
 
