@@ -275,3 +275,23 @@ def hybrid_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), _emb(spark, sf_dir), QUERY, FILTER_LANG,
         TOP_K, index=_fts_index(spark, sf_dir),
     )
+
+
+AGREEMENT_K = 50  # agreement depth: deep enough that branch overlap is
+                  # non-degenerate on the synthetic corpus (chance
+                  # overlap k^2/N; at k=5 the branches are disjoint)
+
+
+@register(
+    "search_rank_agreement",
+    oracle=results.dd_rank_agreement_sql(BATCH_QUERIES, AGREEMENT_K),
+)
+def search_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query agreement between the BM25 and cosine branches
+    (overlap@k + Spearman footrule over common docs) — the fusion-weight
+    diagnostic; one batched postings scan + one broadcast-query cosine
+    scan."""
+    return results.rank_agreement(
+        _fts_index(spark, sf_dir), _emb(spark, sf_dir),
+        BATCH_QUERIES, AGREEMENT_K,
+    )

@@ -311,3 +311,128 @@ FROM (
 WHERE rnk <= {COMPLETIONS_PER_PREFIX}
 ORDER BY t.prefix, rank
 """.strip()
+
+
+# --- lexical-vs-vector rank agreement ----------------------------------------
+
+
+def rank_agreement(index: dict[str, DataFrame], emb: DataFrame,
+                   queries: list[str], k: int) -> DataFrame:
+    """How differently the two retrieval branches see the same queries:
+    per query, the overlap@k and rank displacement (Spearman footrule
+    over the common docs) between the BM25 top-k and the cosine top-k —
+    the diagnostic every hybrid-search deployment records to decide
+    fusion weights (disjoint branches = fusion adds recall; identical
+    branches = vector index is redundant for that workload).
+
+    One batched BM25 pass (postings scanned once for all queries) + one
+    broadcast-query cosine scan; the agreement join touches 2*k*n_q rows.
+
+    Output per query: query_id, n_common, overlap_at_k, footrule.
+    """
+    from ..models.embedder import hash_embed_text
+    from ..operators.knn import knn_join
+
+    spark = emb.sparkSession
+    bm = bm25.bm25_batch_topk_from_index(index, queries, k).select(
+        "query_id", "doc_id", F.col("rank").alias("r_fts")
+    )
+    qdf = spark.createDataFrame(
+        [(i, hash_embed_text(q)) for i, q in enumerate(queries)],
+        "q_id int, q_vec array<float>",
+    )
+    cos = knn_join(
+        qdf,
+        emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec")),
+        k,
+    ).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("doc_id"),
+        F.col("rank").alias("r_vss"),
+    )
+    per = (
+        bm.join(cos, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.abs(F.col("r_fts") - F.col("r_vss"))).alias("footrule"),
+        )
+    )
+    return (
+        qdf.select(F.col("q_id").alias("query_id"))
+        .join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+            .alias("n_common"),
+            F.round(F.coalesce(F.col("n_common"), F.lit(0)) / k, 6)
+            .alias("overlap_at_k"),
+            F.coalesce(F.col("footrule"), F.lit(0)).cast("long")
+            .alias("footrule"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def dd_rank_agreement_sql(queries: list[str], k: int,
+                          table: str = "documents") -> str:
+    from ..functions import vector as V
+    from ..models.embedder import hash_embed_text
+    from ..models.tokenizer import tokenize_query
+    from ..operators.knn import dd_knn_join_sql
+
+    qvals = ", ".join(
+        f"({qi}, '" + t.replace("'", "''") + "')"
+        for qi, q in enumerate(queries)
+        for t in sorted(set(tokenize_query(q)))
+    )
+    qvecs = ", ".join(
+        f"({i}, {V.dd_lit_vector(hash_embed_text(q))})"
+        for i, q in enumerate(queries)
+    )
+    spine = ", ".join(f"({i})" for i in range(len(queries)))
+    knn = dd_knn_join_sql(
+        k, f"SELECT q_id, q_vec FROM (VALUES {qvecs}) t(q_id, q_vec)"
+    )
+    return f"""
+WITH {bm25.dd_fts_index_ctes(table)},
+qterms(query_id, term) AS (VALUES {qvals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(
+           ln(1.0 + (cs.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * {bm25.BM25_K1 + 1.0}
+           / (p.tf + {bm25.BM25_K1} * (1.0 - {bm25.BM25_B} + {bm25.BM25_B} * ds.dl / cs.avgdl))
+         ), {bm25.SCORE_ROUND}) AS score
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN docfreq d USING (term)
+  JOIN docstats ds USING (doc_id)
+  CROSS JOIN corpus_stats cs
+  GROUP BY q.query_id, p.doc_id
+),
+fts AS (
+  SELECT query_id, doc_id, rank AS r_fts FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+vss AS (
+  SELECT q_id AS query_id, c_id AS doc_id, rank AS r_vss
+  FROM ({knn})
+),
+per AS (
+  SELECT f.query_id, count(*)::BIGINT AS n_common,
+         sum(abs(f.r_fts - v.r_vss))::BIGINT AS footrule
+  FROM fts f JOIN vss v ON f.query_id = v.query_id AND f.doc_id = v.doc_id
+  GROUP BY f.query_id
+)
+SELECT s.query_id, coalesce(p.n_common, 0)::BIGINT AS n_common,
+       round(coalesce(p.n_common, 0) * 1.0 / {k}, 6) AS overlap_at_k,
+       coalesce(p.footrule, 0)::BIGINT AS footrule
+FROM (VALUES {spine}) s(query_id) LEFT JOIN per p ON s.query_id = p.query_id
+ORDER BY s.query_id
+""".strip()
