@@ -85,6 +85,22 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup(spark, sf_dir, "reg_ev_dedup")
 
 
+@register("streaming_doc_dedup", bench=False, executes_on_build=True,
+          oracle="""
+SELECT md5(text) AS fp, count(*)::BIGINT AS cnt,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""".strip())
+def streaming_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-ingestion dedup as a streaming aggregation: the state
+    store (fp -> cnt, keep_id) IS the persistent fingerprint index an
+    ingestion pipeline maintains; final state hash-matches the batch
+    dedup_exact oracle."""
+    from ..streaming.docs import run_streaming_doc_dedup
+
+    return run_streaming_doc_dedup(spark, sf_dir, "reg_doc_dedup")
+
+
 @register("streaming_enrich_join", bench=False, executes_on_build=True,
           oracle="""
 WITH dim(event_type, category, weight) AS (

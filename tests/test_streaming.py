@@ -290,3 +290,25 @@ def test_streaming_stateful_on_rocksdb_state_store(spark, sf_dir):
         for r in latest_event_per_user(ev).collect()
     }
     assert got == want
+
+
+def test_streaming_doc_dedup_matches_batch(spark, sf_dir):
+    """The streaming-aggregation fingerprint state == batch dedup_exact:
+    the ingestion-time dedup store is provably the same keep-set the
+    batch pipeline computes."""
+    from duckdb_hybrid_doc_search_spark.operators.dedup import dedup_exact
+    from duckdb_hybrid_doc_search_spark.streaming.docs import (
+        run_streaming_doc_dedup,
+    )
+
+    batch = {
+        (r.fp, r.cnt, r.keep_id)
+        for r in dedup_exact(load_table(spark, sf_dir, "documents")).collect()
+    }
+    stream = {
+        (r.fp, r.cnt, r.keep_id)
+        for r in run_streaming_doc_dedup(spark, sf_dir, "t_doc_dedup")
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
