@@ -115,6 +115,10 @@ ENTRIES = [
     ("corpus_dsir_resample",
      "Gumbel-top-k = TakeOrderedAndProject over the weights pass — "
      "per-partition top-k, no global sort"),
+    ("search_rank_agreement",
+     "branch-agreement diagnostic: ONE batched postings scan scores all "
+     "queries (broadcast query-term table), cosine side broadcasts the "
+     "query vectors; agreement join touches 2*k*n_q rows"),
 ]
 
 
