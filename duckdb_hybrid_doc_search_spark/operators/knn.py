@@ -1561,3 +1561,77 @@ SELECT q_id, c_id, cos_sim, rank FROM (
   JOIN q ON q.q_id = s.q_id
 ) WHERE rank <= {k}
 """.strip()
+
+
+# --- contrastive hard-negative mining ----------------------------------------
+
+
+def hard_negatives(emb: DataFrame, k: int, n_queries: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Mine HARD NEGATIVES for contrastive training: for each query
+    vector, the top-k most-similar vectors whose label DIFFERS — the
+    near-misses that make the best negative pairs (random negatives are
+    too easy; the highest-similarity wrong-label neighbors carry the
+    gradient). The standard pair-mining pass of every embedding-training
+    pipeline (in-batch negatives' offline counterpart).
+
+    Scale shape: identical to knn_join — the bounded query set is
+    broadcast, the corpus streams once, the label filter lands BEFORE
+    the rank window so per-query state stays k rows. Self-pairs are
+    excluded by the label inequality itself.
+
+    Output: q_id, q_label, c_id, c_label, cos_sim, rank.
+    """
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    pairs = (
+        emb.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(label_col).alias("c_label"),
+        )
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("c_label") != F.col("q_label"))
+        .select(
+            "q_id", "q_label", "c_id", "c_label",
+            F.round(
+                V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
+                SCORE_ROUND,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def dd_hard_negatives_sql(k: int, n_queries: int,
+                          table: str = "embeddings",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label") -> str:
+    sim = V.dd_cosine_similarity("q.q_vec", f"c.{vec_col}")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec, {label_col} AS q_label
+  FROM {table} WHERE {id_col} < {n_queries}
+),
+pairs AS (
+  SELECT q.q_id, q.q_label, c.{id_col} AS c_id,
+         c.{label_col} AS c_label,
+         round({sim}, {SCORE_ROUND}) AS cos_sim
+  FROM {table} c CROSS JOIN q
+  WHERE c.{label_col} <> q.q_label
+)
+SELECT q_id, q_label, c_id, c_label, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+    ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+""".strip()

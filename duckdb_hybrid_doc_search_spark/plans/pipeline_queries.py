@@ -286,6 +286,16 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ANN_N_QUERIES)
 
 
+@register("embeddings_hard_negatives",
+          oracle=knn.dd_hard_negatives_sql(ANN_K, ANN_N_QUERIES))
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the top-k most
+    similar DIFFERENT-label vectors — offline counterpart of in-batch
+    negatives; broadcast query side, label filter before the rank
+    window."""
+    return knn.hard_negatives(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+
+
 @register("ann_ivfpq_recall",
           oracle=knn.dd_ivfpq_recall_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
