@@ -60,3 +60,24 @@ def test_tfidf_top_terms_sane(spark, sf_dir):
     n_docs = docs.count()
     ubiquitous = {r.t for r in df_counts if r["count"] == n_docs}
     assert not (set(terms) & ubiquitous)
+
+
+def test_hard_negatives_all_labels_differ(spark, sf_dir):
+    from duckdb_hybrid_doc_search_spark.index.catalog import load_table
+    from duckdb_hybrid_doc_search_spark.operators.knn import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = hard_negatives(emb, 5, 10).collect()
+    assert len(rows) == 50  # 10 queries x k=5 (enough off-label vectors)
+    for r in rows:
+        assert r.c_label != r.q_label
+        assert 1 <= r.rank <= 5
+    # per query: ranks are exactly 1..5 and similarities non-increasing
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
