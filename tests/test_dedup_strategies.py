@@ -213,3 +213,28 @@ def test_semdedup_keep_rule_crafted_geometry(spark):
     assert rows[0]["n_vecs"] == 5
     assert rows[0]["n_dropped"] == 3  # 0, 1 (group one), 4 (group two)
     assert rows[0]["drop_ratio"] == 0.6
+
+
+def test_duplicate_spans_finds_planted_passage(spark):
+    # Plant one 12-token passage inside two otherwise-unique documents;
+    # with SPAN_N=8 the shared passage yields 5 duplicated 8-gram
+    # positions per doc that must merge into ONE span covering exactly
+    # the 12 planted tokens. A third document shares nothing.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    uniq1 = "one two three four five six seven eight nine ten"
+    uniq2 = "red orange yellow green blue indigo violet pink brown black"
+    uniq3 = "cat dog bird fish horse cow sheep goat pig duck"
+    docs = spark.createDataFrame(
+        [
+            (0, uniq1 + " " + shared),
+            (1, shared + " " + uniq2),
+            (2, uniq3),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_duplicate_spans(docs).collect()}
+    assert rows[2]["n_spans"] == 0 and rows[2]["dup_tokens"] == 0
+    for d in (0, 1):
+        assert rows[d]["n_spans"] == 1
+        assert rows[d]["dup_tokens"] == 12  # exactly the planted passage
+    assert rows[0]["n_tokens"] == 22 and rows[1]["n_tokens"] == 22
