@@ -62,17 +62,28 @@ def main() -> None:
         os.path.join(sf_dir, "events.parquet")
     ).count()
 
+    from duckdb_hybrid_doc_search_spark.streaming import docs as sd
+
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
+    # runner -> (drive fn, input-row count for the rows/s denominator)
     runners = {
-        "sessionize_applyInPandasWithState": se.run_streaming_sessionize,
-        "windowed_agg_watermark": se.run_streaming_windowed_agg,
-        "latest_per_user_stateful_upsert": se.run_streaming_latest_per_user,
-        "dedup_within_watermark": se.run_streaming_dedup,
+        "sessionize_applyInPandasWithState": (se.run_streaming_sessionize,
+                                              n_rows),
+        "windowed_agg_watermark": (se.run_streaming_windowed_agg, n_rows),
+        "latest_per_user_stateful_upsert": (se.run_streaming_latest_per_user,
+                                            n_rows),
+        "dedup_within_watermark": (se.run_streaming_dedup, n_rows),
         # round-6 registered twins
-        "enrich_stream_static_join": se.run_streaming_enrich,
-        "distinct_users_two_stage": se.run_streaming_windowed_distinct_users,
-        "funnel_applyInPandasWithState": se.run_streaming_funnel_stages,
-        "asof_join_stateful": se.run_streaming_asof_click_purchase,
-        "interval_join_stream_stream": _drive_interval_join,
+        "enrich_stream_static_join": (se.run_streaming_enrich, n_rows),
+        "distinct_users_two_stage":
+            (se.run_streaming_windowed_distinct_users, n_rows),
+        "funnel_applyInPandasWithState": (se.run_streaming_funnel_stages,
+                                          n_rows),
+        "asof_join_stateful": (se.run_streaming_asof_click_purchase, n_rows),
+        "interval_join_stream_stream": (_drive_interval_join, n_rows),
+        "doc_dedup_streaming_agg": (sd.run_streaming_doc_dedup, n_docs),
     }
     out: dict[str, dict] = {}
     for provider_name, provider in (("hdfs_heap", None),
@@ -81,7 +92,7 @@ def main() -> None:
             spark.conf.unset(STATE_KEY)
         else:
             spark.conf.set(STATE_KEY, provider)
-        for name, fn in runners.items():
+        for name, (fn, rows_in) in runners.items():
             # warm drive (codegen + provider init), then the timed drive
             fn(spark, sf_dir, query_name=f"sb_{provider_name}_{name}_w")
             t0 = time.perf_counter()
@@ -90,12 +101,12 @@ def main() -> None:
             sec = time.perf_counter() - t0
             out.setdefault(name, {})[provider_name] = {
                 "sec": round(sec, 3),
-                "rows_in": n_rows,
+                "rows_in": rows_in,
                 "rows_out": n_out,
-                "rows_per_sec": round(n_rows / sec),
+                "rows_per_sec": round(rows_in / sec),
             }
             print(f"{name} [{provider_name}]: {sec:.2f}s "
-                  f"({n_rows / sec:,.0f} rows/s, {n_out} out)")
+                  f"({rows_in / sec:,.0f} rows/s, {n_out} out)")
     spark.conf.unset(STATE_KEY)
 
     payload = {"sf_dir": sf_dir, "rows_in": n_rows, "queries": out}
