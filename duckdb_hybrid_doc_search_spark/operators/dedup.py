@@ -1450,3 +1450,122 @@ SELECT b.doc_id, b.n_tokens,
 FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
 ORDER BY b.doc_id
 """.strip()
+
+
+def dedup_trim_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """The ACTIONABLE half of duplicate-span detection: emit the corpus
+    with every duplicated span removed (Lee et al. 2022 drop the repeated
+    substring occurrences before training). A token survives unless some
+    duplicated n-gram's window [p, p+n-1] covers it; kept tokens rejoin
+    in position order.
+
+    Scale shape: the duplicated-position set rides the same inverted
+    8-gram index as dedup_duplicate_spans; coverage expands each dup
+    position into its n covered slots map-side (bounded x n blowup on
+    the DUP positions only, not the corpus), one anti-join keyed
+    (doc_id, pos) drops them, and the rebuild is a per-doc aggregate —
+    sorted-struct collect, the same codegen idiom the minhash band
+    signature uses. No windows, no per-row Python.
+
+    Output per doc: doc_id, n_tokens, n_removed, kept_text.
+    """
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    pos_tok = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    gs = F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.array_join(F.slice("t", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hg = (
+        toks.select("doc_id", F.posexplode(gs).alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                h64(F.col("g")).alias("h"))
+    )
+    duph = (
+        hg.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    covered = (
+        hg.join(duph, "h")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = pos_tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens")
+             - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dd_dedup_trim_spans_sql(table: str = "documents",
+                            n: int = SPAN_N) -> str:
+    toks = dd_tokenize("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM {table}
+),
+pos_tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS g
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {n} THEN
+             list_transform(range(1, len(t) - {n} + 2),
+                            i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))
+           ELSE [] END AS gs
+    FROM toks
+  )
+),
+hg AS (SELECT doc_id, pos, {dd_h64('g')} AS h FROM grams),
+duph AS (SELECT h FROM hg GROUP BY h HAVING count(*) >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, pos + off AS pos
+  FROM hg, unnest(range(0, {n})) u(off)
+  WHERE h IN (SELECT h FROM duph)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM pos_tok p LEFT JOIN covered c
+    ON p.doc_id = c.doc_id AND p.pos = c.pos
+  WHERE c.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+       (len(t.t) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(r.kept_text, '') AS kept_text
+FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+""".strip()

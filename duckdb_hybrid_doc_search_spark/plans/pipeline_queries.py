@@ -74,6 +74,16 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_duplicate_spans(_docs(spark, sf_dir))
 
 
+@register("dedup_trim_spans",
+          oracle=dedup.dd_dedup_trim_spans_sql())
+def dedup_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable output of span dedup: the corpus with every
+    duplicated span REMOVED (kept tokens rejoined in order) — the
+    text-emitting half of the Lee et al. pipeline. Coverage expands
+    only the dup positions; the rebuild is a sorted-struct aggregate."""
+    return dedup.dedup_trim_spans(_docs(spark, sf_dir))
+
+
 @register("dedup_semantic_cells", oracle=dedup.dd_semdedup_sql())
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-bucketed semantic dedup): near-dup pairs sought

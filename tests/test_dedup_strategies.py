@@ -238,3 +238,20 @@ def test_duplicate_spans_finds_planted_passage(spark):
         assert rows[d]["n_spans"] == 1
         assert rows[d]["dup_tokens"] == 12  # exactly the planted passage
     assert rows[0]["n_tokens"] == 22 and rows[1]["n_tokens"] == 22
+
+
+def test_trim_spans_removes_exactly_planted_passage(spark):
+    # same planted-passage geometry as the span test: trimming must
+    # remove the 12 shared tokens from BOTH planted docs and leave the
+    # control doc untouched, with surviving text preserved in order.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    uniq1 = "one two three four five six seven eight nine ten"
+    uniq3 = "cat dog bird fish horse cow sheep goat pig duck"
+    docs = spark.createDataFrame(
+        [(0, uniq1 + " " + shared), (1, shared), (2, uniq3)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_trim_spans(docs).collect()}
+    assert rows[0]["n_removed"] == 12 and rows[0]["kept_text"] == uniq1
+    assert rows[1]["n_removed"] == 12 and rows[1]["kept_text"] == ""
+    assert rows[2]["n_removed"] == 0 and rows[2]["kept_text"] == uniq3
