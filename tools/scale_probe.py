@@ -77,6 +77,9 @@ QUERIES = [
     ("dedup_semantic_cells", "embeddings"),    # SemDeDup per-cell pairs
     ("dedup_duplicate_spans", "documents"),    # n-gram inverted index + islands
     ("corpus_dsir_weights", "documents"),      # hashed-ngram LM broadcast score
+    ("dedup_trim_spans", "documents"),         # span removal + text rebuild
+    ("search_rank_agreement", "documents"),    # batched bm25 vs cosine branches
+    ("embeddings_hard_negatives", "embeddings"),  # label-filtered knn broadcast
 ]
 
 
