@@ -16,24 +16,34 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.knn import NPROBE, ivf_assign
+from ..operators.knn import NPROBE, centroid_pred, ivf_assign
 
 # Encode-semantics version token in the cache key (see ivfpq_layout).
-LAYOUT_FORMAT = "v1"
+LAYOUT_FORMAT = "v2"  # v2: CENTROID_K-capped centroid set (centroid_pred)
+
+# Completion sentinel written LAST, after every side table: parquet's own
+# _SUCCESS lands when the (first-written) codes dir commits, so a crash
+# between the codes write and the side-table writes would otherwise leave
+# a cached layout that looks complete but has no centroid table
+# (fts_layout.py's write-the-sentinel-last convention).
+LAYOUT_DONE = "_LAYOUT_DONE"
 
 
 def write_ivf_partitioned(emb: DataFrame, out_dir: str) -> None:
     """embeddings + cell assignment, partitioned by cell on disk. The
-    (tiny) centroid table is ALSO written, to `<out_dir>_centroids` —
+    (K-row) centroid table is ALSO written, to `<out_dir>_centroids` —
     incremental appends read it back instead of scanning the whole
-    layout for vec_id % CENTROID_MOD rows (a rebuild-sized read at
-    100 TB). Written next to, not inside, the cell root: a subdirectory
-    would be misread as data by the partitioned scan."""
+    layout for centroid_pred rows (a rebuild-sized read at 100 TB).
+    Written next to, not inside, the cell root: a subdirectory would be
+    misread as data by the partitioned scan. The LAYOUT_DONE sentinel
+    lands last, after the side table."""
     cent, assign = ivf_assign(emb)
     emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
         "vec_id", "embedding", "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
     cent.write.mode("overwrite").parquet(_centroid_dir(out_dir))
+    with open(os.path.join(out_dir, LAYOUT_DONE), "w"):
+        pass
 
 
 def _centroid_dir(out_dir: str) -> str:
@@ -66,7 +76,11 @@ def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
         f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
     )
     out_dir = os.path.join(root, key)
-    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+    if not os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
+        import shutil
+
+        if os.path.exists(out_dir):  # partial prior attempt: start clean
+            shutil.rmtree(out_dir)
         write_ivf_partitioned(emb, out_dir)
     return out_dir
 
@@ -93,7 +107,6 @@ def ensure_ivf_append_layout(spark: SparkSession, emb: DataFrame,
     """
     import shutil
 
-    from ..operators.knn import CENTROID_MOD
     from .fingerprint import layout_fingerprint
 
     if root is None:
@@ -112,7 +125,7 @@ def ensure_ivf_append_layout(spark: SparkSession, emb: DataFrame,
         return out_dir
     if os.path.exists(out_dir):  # partial prior attempt: start clean
         shutil.rmtree(out_dir)
-    is_new = (F.col("vec_id") % CENTROID_MOD != 0) & (
+    is_new = (~centroid_pred("vec_id")) & (
         F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM
     )
     write_ivf_partitioned(emb.where(~is_new), out_dir)
@@ -182,7 +195,7 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
 
     The centroid set is FROZEN at build time — read back from the
     build's `_centroids` side table (falling back to scanning the layout
-    for vec_id % CENTROID_MOD rows, for layouts written before the side
+    for centroid_pred rows, for layouts written before the side
     table existed), so the cell definition never drifts under appends;
     re-centering is a rebuild, by design. A batch containing a
     centroid-modulus vec_id is REJECTED: writing it as a plain cell
@@ -202,25 +215,23 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     explicitly — the ensure_ivf_layout fingerprint cache keys on the
     SOURCE table and must not be pointed at it.
     """
-    from ..operators.knn import CENTROID_MOD, assign_to_centroids
+    from ..operators.knn import assign_to_centroids
 
-    n_cent_ids = new_emb.where(
-        F.col("vec_id") % CENTROID_MOD == 0
-    ).count()
+    n_cent_ids = new_emb.where(centroid_pred("vec_id")).count()
     if n_cent_ids:
         raise ValueError(
-            f"append batch contains {n_cent_ids} vec_id(s) with "
-            f"vec_id % {CENTROID_MOD} == 0: those ids are centroid slots "
-            "under the frozen-centroid contract — appending them as "
-            "plain members would make probes target a nonexistent cell. "
-            "Rebuild the layout to re-center instead."
+            f"append batch contains {n_cent_ids} vec_id(s) matching "
+            "centroid_pred: those ids are centroid slots under the "
+            "frozen-centroid contract — appending them as plain members "
+            "would make probes target a nonexistent cell. Rebuild the "
+            "layout to re-center instead."
         )
     cdir = _centroid_dir(out_dir)
     if os.path.exists(cdir):
         cent = spark.read.parquet(cdir)
     else:  # pre-side-table layout: one full recovery scan, then rebuildable
         cent = spark.read.parquet(out_dir).where(
-            F.col("vec_id") % CENTROID_MOD == 0
+            centroid_pred("vec_id")
         ).select(F.col("vec_id").alias("cent_id"),
                  F.col("embedding").alias("cvec"))
     assign = assign_to_centroids(

@@ -30,7 +30,14 @@ from ..operators.knn import (NPROBE, PQ_DIM, PQ_M, _pq_long, ivf_assign,
 # Bump when the encode semantics change (codebook rule, code layout …):
 # the fingerprint cache keys on SOURCE data only, so without a format
 # token a semantics change would silently serve a stale layout.
-LAYOUT_FORMAT = "v2"  # v2: PQ_K-capped codebook (pq_sample_pred)
+LAYOUT_FORMAT = "v3"  # v3: CENTROID_K-capped centroid set (centroid_pred)
+
+# Completion sentinel written LAST, after both side tables — parquet's
+# _SUCCESS lands when the (first-written) codes dir commits, so a crash
+# between the codes write and the centroids/codebook writes would
+# otherwise leave a cached layout that looks complete but crashes every
+# probe (fts_layout.py's write-the-sentinel-last convention).
+LAYOUT_DONE = "_LAYOUT_DONE"
 
 
 def _side_dir(out_dir: str, name: str) -> str:
@@ -45,7 +52,8 @@ def write_ivfpq_layout(emb: DataFrame, out_dir: str,
                        dim: int = PQ_DIM, m: int = PQ_M) -> None:
     """codes (vec_id, m, code) partitioned by cell, plus centroid and
     codebook side tables. One encode pass; the cell column comes from
-    the same frozen assignment rule as index/ivf_layout."""
+    the same frozen assignment rule as index/ivf_layout. The LAYOUT_DONE
+    sentinel lands last, after both side tables."""
     cent, assign = ivf_assign(emb, id_col, vec_col)
     codes = pq_encode(emb, id_col, vec_col, dim, m)
     (
@@ -57,6 +65,8 @@ def write_ivfpq_layout(emb: DataFrame, out_dir: str,
     pq_codebook(emb, id_col, vec_col, dim, m).write.mode(
         "overwrite"
     ).parquet(_side_dir(out_dir, "codebook"))
+    with open(os.path.join(out_dir, LAYOUT_DONE), "w"):
+        pass
 
 
 def ensure_ivfpq_layout(spark: SparkSession, emb: DataFrame,
@@ -76,7 +86,11 @@ def ensure_ivfpq_layout(spark: SparkSession, emb: DataFrame,
         f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
     )
     out_dir = os.path.join(root, key)
-    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+    if not os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
+        import shutil
+
+        if os.path.exists(out_dir):  # partial prior attempt: start clean
+            shutil.rmtree(out_dir)
         write_ivfpq_layout(emb, out_dir)
     return out_dir
 

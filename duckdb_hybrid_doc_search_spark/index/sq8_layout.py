@@ -31,6 +31,12 @@ from ..operators.knn import SQ_LEVELS, _to_double, sq_stats
 # Encode-semantics version token in the cache key (see ivfpq_layout).
 LAYOUT_FORMAT = "v1"
 
+# Completion sentinel written LAST, after the stats side table — the
+# codes dir's _SUCCESS commits before the stats write, so a crash in
+# between would otherwise cache a 'complete' layout with no stats table
+# (fts_layout.py's write-the-sentinel-last convention).
+LAYOUT_DONE = "_LAYOUT_DONE"
+
 
 def _side_dir(out_dir: str, name: str) -> str:
     # next to, not inside, the codes root (a subdirectory would be
@@ -92,6 +98,8 @@ def write_sq8_layout(emb: DataFrame, out_dir: str,
         .write.mode("overwrite").parquet(out_dir)
     )
     stats.write.mode("overwrite").parquet(_side_dir(out_dir, "stats"))
+    with open(os.path.join(out_dir, LAYOUT_DONE), "w"):
+        pass
 
 
 def ensure_sq8_layout(spark: SparkSession, emb: DataFrame,
@@ -111,7 +119,11 @@ def ensure_sq8_layout(spark: SparkSession, emb: DataFrame,
         f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
     )
     out_dir = os.path.join(root, key)
-    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+    if not os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
+        import shutil
+
+        if os.path.exists(out_dir):  # partial prior attempt: start clean
+            shutil.rmtree(out_dir)
         write_sq8_layout(emb, out_dir)
     return out_dir
 

@@ -22,6 +22,12 @@ import sys
 from typing import Any, Callable, TextIO
 
 PROTOCOL_VERSION = "2025-03-26"
+# versions this server can actually speak — the negotiation rule is to
+# echo the CLIENT's requested version only when supported, else respond
+# with the latest version the server supports (MCP spec, Lifecycle §
+# version negotiation); echoing an arbitrary client string would claim
+# support for semantics this server does not implement
+SUPPORTED_VERSIONS = ("2025-03-26", "2024-11-05")
 
 # JSON-RPC 2.0 error codes (spec §5.1)
 PARSE_ERROR = -32700
@@ -46,6 +52,43 @@ def _result(out: TextIO, req_id: Any, result: dict[str, Any]) -> None:
 def _error(out: TextIO, req_id: Any, code: int, message: str) -> None:
     _write(out, {"jsonrpc": "2.0", "id": req_id,
                  "error": {"code": code, "message": message}})
+
+
+_JSON_TYPES: dict[str, type | tuple[type, ...]] = {
+    "string": str,
+    "integer": int,
+    "number": (int, float),
+    "boolean": bool,
+    "array": list,
+    "object": dict,
+    "null": type(None),
+}
+
+
+def _schema_violation(args: Any, schema: dict[str, Any]) -> str | None:
+    """First violation of ``args`` against a flat object schema, or None.
+
+    Checks the subset of JSON Schema the tool declarations here use:
+    required keys, no undeclared keys, and scalar/array/object type tags.
+    Run BEFORE calling the tool so invalid params are a -32602 protocol
+    error while exceptions inside the tool body stay tool results."""
+    if not isinstance(args, dict):
+        return f"arguments must be an object, got {type(args).__name__}"
+    props = schema.get("properties", {})
+    for key in schema.get("required", []):
+        if key not in args:
+            return f"missing required argument: {key!r}"
+    for key, val in args.items():
+        if key not in props:
+            return f"unexpected argument: {key!r}"
+        want = props[key].get("type")
+        pytype = _JSON_TYPES.get(want)
+        if pytype is not None and not isinstance(val, pytype):
+            return (f"argument {key!r} must be {want}, "
+                    f"got {type(val).__name__}")
+        if want == "integer" and isinstance(val, bool):
+            return f"argument {key!r} must be integer, got bool"
+    return None
 
 
 def serve_stdio(
@@ -82,12 +125,18 @@ def serve_stdio(
         method = msg.get("method")
         req_id = msg.get("id")
         params = msg.get("params") or {}
+        # JSON-RPC 2.0 §4.1: a request without an id is a notification
+        # and MUST NOT be answered — not even with id:null
+        is_notification = req_id is None
 
         if method == "initialize":
+            if is_notification:
+                continue
             client_pv = params.get("protocolVersion")
-            # echo the client's version when it's one we can speak,
+            # echo the client's version only when it's one we can speak,
             # else offer ours (MCP version-negotiation rule)
-            pv = client_pv if isinstance(client_pv, str) else PROTOCOL_VERSION
+            pv = (client_pv if client_pv in SUPPORTED_VERSIONS
+                  else PROTOCOL_VERSION)
             _result(fout, req_id, {
                 "protocolVersion": pv,
                 "capabilities": {"tools": {}},
@@ -97,8 +146,12 @@ def serve_stdio(
         elif method == "notifications/initialized":
             continue  # notification: no response
         elif method == "ping":
+            if is_notification:
+                continue
             _result(fout, req_id, {})
         elif method == "tools/list":
+            if is_notification:
+                continue
             _result(fout, req_id, {
                 "tools": [{
                     "name": tool_name,
@@ -107,17 +160,25 @@ def serve_stdio(
                 }],
             })
         elif method == "tools/call":
+            if is_notification:
+                continue
             name = params.get("name")
             if name != tool_name:
                 _error(fout, req_id, INVALID_PARAMS,
                        f"unknown tool: {name!r}")
                 continue
             args = params.get("arguments") or {}
+            # Validate against the declared schema BEFORE calling: a bad
+            # argument shape is a -32602 protocol error, but a TypeError
+            # raised INSIDE the tool body is a tool failure and must be
+            # reported as an isError result, not a protocol error —
+            # catching TypeError around the call conflates the two.
+            bad = _schema_violation(args, input_schema)
+            if bad is not None:
+                _error(fout, req_id, INVALID_PARAMS, bad)
+                continue
             try:
                 out = tool_fn(**args)
-            except TypeError as exc:  # bad/missing arguments
-                _error(fout, req_id, INVALID_PARAMS, str(exc))
-                continue
             except Exception as exc:  # tool errors are results, not
                 # protocol errors (MCP spec: isError content block)
                 _result(fout, req_id, {

@@ -1197,6 +1197,24 @@ LEFT JOIN near n ON b.doc_id = n.doc_a
 
 
 SEMDEDUP_MOD = 50  # same deterministic centroid pick as operators/knn.py
+SEMDEDUP_K = 16    # FIXED centroid-count cap — see knn.centroid_pred
+
+
+def _semdedup_cent_pred():
+    """Capped centroid pick (token-twin of knn.centroid_pred): every
+    SEMDEDUP_MOD-th vec_id, at most SEMDEDUP_K centroids. Without the
+    cap the centroid set is N/mod rows, the assignment crossJoin is
+    O(N^2/mod) and the broadcast grows with the corpus — the r6 scale
+    flaw (dedup_semantic_cells slope 0.97, the highest in SCALING.md)."""
+    return (F.col("vec_id") % SEMDEDUP_MOD == 0) & (
+        F.col("vec_id") < SEMDEDUP_MOD * SEMDEDUP_K
+    )
+
+
+def _dd_semdedup_cent_pred() -> str:
+    """DuckDB twin of _semdedup_cent_pred — must stay token-equivalent."""
+    return (f"vec_id % {SEMDEDUP_MOD} = 0 "
+            f"AND vec_id < {SEMDEDUP_MOD * SEMDEDUP_K}")
 
 
 def semdedup(emb: DataFrame,
@@ -1210,9 +1228,11 @@ def semdedup(emb: DataFrame,
     (dedup_embedding_cosine's block pattern applied per cell).
 
     Clustering here is the repo's deterministic k-means stand-in
-    (vec_id % SEMDEDUP_MOD == 0 centroids, nearest-by-cosine assignment —
-    the SAME rounding and tie rule as operators/knn.assign_to_centroids,
-    so the oracle stays exact). Keep rule, per the paper: within a
+    (_semdedup_cent_pred centroids — every SEMDEDUP_MOD-th vec_id capped
+    at a FIXED SEMDEDUP_K, nearest-by-cosine assignment — the SAME
+    rounding and tie rule as operators/knn.assign_to_centroids, so the
+    oracle stays exact; the cap keeps the centroid broadcast fixed-size
+    and assignment O(N*K) at scale). Keep rule, per the paper: within a
     duplicate pair, keep the vector LESS similar to its centroid
     (preserves cluster diversity); ties break to the lower vec_id. A
     vector is dropped when ANY cluster-mate beats it at
@@ -1222,7 +1242,7 @@ def semdedup(emb: DataFrame,
     """
     from pyspark.sql import Window
 
-    cent = emb.where(F.col("vec_id") % SEMDEDUP_MOD == 0).select(
+    cent = emb.where(_semdedup_cent_pred()).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
     sims = emb.crossJoin(F.broadcast(cent)).select(
@@ -1287,7 +1307,7 @@ def dd_semdedup_sql(table: str = "embeddings",
     return f"""
 WITH cent AS (
   SELECT vec_id AS cent_id, embedding AS cvec
-  FROM {table} WHERE vec_id % {SEMDEDUP_MOD} = 0
+  FROM {table} WHERE {_dd_semdedup_cent_pred()}
 ),
 sims AS (
   SELECT e.vec_id, e.embedding, c.cent_id,

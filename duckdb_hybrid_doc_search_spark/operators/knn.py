@@ -63,8 +63,33 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
-CENTROID_MOD = 50  # deterministic centroid pick: vec_id % CENTROID_MOD == 0
+CENTROID_MOD = 50   # deterministic centroid pick: vec_id % CENTROID_MOD == 0
+CENTROID_K = 16     # FIXED centroid-count cap: vec_id < CENTROID_MOD*CENTROID_K
 NPROBE = 2
+
+
+def centroid_pred(id_col):
+    """The deterministic IVF centroid-sample predicate, shared by every
+    IVF variant (query-time assign, written cell layout, IVF-PQ, append
+    path) and SemDeDup. Every CENTROID_MOD-th vector, CAPPED at
+    CENTROID_K centroids. The cap is the scale contract — a real IVF
+    nlist is a FIXED K (k ~ sqrt(N) chosen at train time, then frozen)
+    independent of corpus size, so assignment is O(N*K) with a fixed-size
+    centroid broadcast. Without it the centroid set is N/CENTROID_MOD
+    rows: the assignment crossJoin is O(N^2/mod) and the broadcast side
+    itself grows with the corpus — at 100 TB it does not fit. Same
+    pattern as pq_sample_pred below (which fixed the identical flaw for
+    the PQ codebook in r6); a trained centroid set would plug in here via
+    embeddings_kmeans_train."""
+    return (F.col(id_col) % CENTROID_MOD == 0) & (
+        F.col(id_col) < CENTROID_MOD * CENTROID_K
+    )
+
+
+def dd_centroid_pred(id_col: str) -> str:
+    """DuckDB twin of centroid_pred — must stay token-equivalent."""
+    return (f"{id_col} % {CENTROID_MOD} = 0 "
+            f"AND {id_col} < {CENTROID_MOD * CENTROID_K}")
 
 
 def assign_to_centroids(vecs: DataFrame, cent: DataFrame) -> DataFrame:
@@ -92,12 +117,13 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) for the IVF index.
 
-    Centroids are a deterministic subsample (vec_id % CENTROID_MOD == 0 —
-    a k-means stand-in that keeps the oracle exact); every vector is
-    assigned to its nearest centroid by cosine (tie -> lower centroid id).
-    The centroid set is tiny and broadcast; assignment is one scan.
+    Centroids are a deterministic subsample (centroid_pred — every
+    CENTROID_MOD-th id, capped at CENTROID_K centroids so K is FIXED at
+    scale; a k-means stand-in that keeps the oracle exact); every vector
+    is assigned to its nearest centroid by cosine (tie -> lower centroid
+    id). The centroid set is K rows and broadcast; assignment is one scan.
     """
-    cent = emb.where(F.col(id_col) % CENTROID_MOD == 0).select(
+    cent = emb.where(centroid_pred(id_col)).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
     )
     assign = assign_to_centroids(
@@ -157,7 +183,7 @@ def dd_ivf_topk_sql(k: int, n_queries: int = 10, table: str = "embeddings",
     return f"""
 WITH cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {id_col} % {CENTROID_MOD} = 0
+  WHERE {dd_centroid_pred(id_col)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -235,7 +261,7 @@ def dd_ivf_vss_cte(query_vec: Sequence[float], k: int,
     return f"""
 cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {id_col} % {CENTROID_MOD} = 0
+  WHERE {dd_centroid_pred(id_col)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -579,7 +605,7 @@ def dd_ivf_nprobe_curve_sql(k: int, n_queries: int,
     return f"""
 WITH cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {id_col} % {CENTROID_MOD} = 0
+  WHERE {dd_centroid_pred(id_col)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -1015,7 +1041,7 @@ def _dd_ivfpq_ctes(n_queries: int, table: str, id_col: str,
     return f"""
 cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {id_col} % {CENTROID_MOD} = 0
+  WHERE {dd_centroid_pred(id_col)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -1209,7 +1235,7 @@ def dd_ivfpq_residual_topk_sql(k: int, n_queries: int = 10,
     return f"""
 WITH cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {id_col} % {CENTROID_MOD} = 0
+  WHERE {dd_centroid_pred(id_col)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -1560,6 +1586,126 @@ SELECT q_id, c_id, cos_sim, rank FROM (
   JOIN {table} c ON c.{id_col} = s.c_id
   JOIN q ON q.q_id = s.q_id
 ) WHERE rank <= {k}
+""".strip()
+
+
+def pq_rescore_recall(emb: DataFrame, k: int, n_queries: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = PQ_DIM, m: int = PQ_M,
+                      mult: int = RESCORE_MULT) -> DataFrame:
+    """Recall@k of raw ADC vs shortlist+exact-rescore, side by side per
+    query — the number that justifies the shortlist architecture: the
+    rescore pass must recover (most of) the recall the lossy PQ scan
+    gives up, at the cost of exact math on only k*mult rows. Both
+    retrievals share the same codes/LUT; `recall_rescore >=
+    recall_adc` holds by construction whenever the true neighbor is in
+    the shortlist but outside ADC's top-k ordering.
+
+    Scale shape: three bounded per-query top-k's over the same broadcast
+    pattern as pq_topk/rescore_exact; the comparison itself joins k-row
+    sets. Output: q_id, recall_adc, recall_rescore.
+    """
+    adc = pq_topk(emb, k, n_queries, id_col, vec_col, dim, m).select(
+        "q_id", "c_id"
+    )
+    resc = pq_rescore_topk(emb, k, n_queries, id_col, vec_col, dim, m,
+                           mult).select("q_id", "c_id")
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = knn_join(
+        queries,
+        emb.select(F.col(id_col).alias("c_id"),
+                   F.col(vec_col).alias("c_vec")),
+        k,
+    ).select("q_id", "c_id")
+    hits_adc = adc.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_adc")
+    )
+    hits_resc = resc.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_resc")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits_adc, "q_id", "left")
+        .join(hits_resc, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_adc"), F.lit(0)) / k, 6)
+            .alias("recall_adc"),
+            F.round(F.coalesce(F.col("n_resc"), F.lit(0)) / k, 6)
+            .alias("recall_rescore"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def dd_pq_rescore_recall_sql(k: int, n_queries: int = 10,
+                             table: str = "embeddings",
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int = PQ_DIM, m: int = PQ_M,
+                             mult: int = RESCORE_MULT) -> str:
+    common = _dd_pq_common(n_queries, table, id_col, vec_col, dim, m)
+    sim = V.dd_cosine_similarity("q.q_vec", f"c.{vec_col}")
+    bsim = V.dd_cosine_similarity("q.q_vec", f"c.{vec_col}")
+    return f"""
+WITH {common},
+q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+  WHERE {id_col} < {n_queries}
+),
+adc_topk AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_dist ASC, c_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_dist ASC, c_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {k * mult}
+),
+resc AS (
+  SELECT q_id, c_id FROM (
+    SELECT s.q_id, s.c_id,
+           row_number() OVER (PARTITION BY s.q_id
+             ORDER BY round({sim}, {SCORE_ROUND}) DESC, s.c_id ASC) AS rank
+    FROM short s
+    JOIN {table} c ON c.{id_col} = s.c_id
+    JOIN q ON q.q_id = s.q_id
+  ) WHERE rank <= {k}
+),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.{id_col} AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({bsim}, {SCORE_ROUND}) DESC,
+                      c.{id_col} ASC) AS rank
+    FROM {table} c CROSS JOIN q
+  ) WHERE rank <= {k}
+),
+hits_adc AS (
+  SELECT a.q_id, count(*) AS n_adc
+  FROM adc_topk a JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+  GROUP BY a.q_id
+),
+hits_resc AS (
+  SELECT r.q_id, count(*) AS n_resc
+  FROM resc r JOIN exact e ON r.q_id = e.q_id AND r.c_id = e.c_id
+  GROUP BY r.q_id
+)
+SELECT q.q_id,
+       round(coalesce(ha.n_adc, 0) * 1.0 / {k}, 6) AS recall_adc,
+       round(coalesce(hr.n_resc, 0) * 1.0 / {k}, 6) AS recall_rescore
+FROM q LEFT JOIN hits_adc ha ON q.q_id = ha.q_id
+LEFT JOIN hits_resc hr ON q.q_id = hr.q_id
+ORDER BY q.q_id
 """.strip()
 
 

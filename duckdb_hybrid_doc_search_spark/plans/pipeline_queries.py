@@ -387,6 +387,20 @@ def ann_pq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ANN_N_QUERIES)
 
 
+@register("ann_pq_rescore_recall",
+          oracle=knn.dd_pq_rescore_recall_sql(ANN_K, ANN_N_QUERIES),
+          defer_gate=True)
+def ann_pq_rescore_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number that JUSTIFIES the shortlist architecture: per-query
+    recall@k of raw ADC vs shortlist+exact-rescore, side by side vs the
+    exact cosine top-k. The rescore pass must close (most of) the recall
+    gap the lossy PQ scan opens, paying exact math on only k*mult rows —
+    if recall_rescore ~= recall_adc there would be no reason to rescore;
+    test_pq.py pins the mean strictly improving on this corpus."""
+    return knn.pq_rescore_recall(_emb(spark, sf_dir), ANN_K,
+                                 ANN_N_QUERIES)
+
+
 @register("ann_ivf_append_probe",
           oracle=knn.dd_ivf_topk_sql(ANN_K, ANN_N_QUERIES))
 def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,22 @@ RECHECK: dict[str, int] = {
     # so the driver's pandas canonicalizer can sort/hash the frame — the
     # raw array<string> column was CORRECTNESS_r05's one red row.
     "part_type_arrays": 6,
+    # round 7: centroid sets capped at fixed CENTROID_K/SEMDEDUP_K
+    # (knn.centroid_pred / dedup._semdedup_cent_pred — the r6 VERDICT #1
+    # scale fix). At the driver's sf0.01 the cap is inactive (max vec_id
+    # 499 < MOD*K = 800) so results are value-identical, but every query
+    # whose assignment/oracle formula changed re-verifies:
+    "ann_ivf_topk": 7,
+    "ann_ivf_recall": 7,
+    "ann_ivf_nprobe_curve": 7,
+    "ann_ivf_append_probe": 7,
+    "ann_ivfpq_topk": 7,
+    "ann_ivfpq_residual_topk": 7,
+    "ann_ivfpq_recall": 7,
+    "ann_ivfpq_layout_probe": 7,
+    "ann_sq8_layout_probe": 7,   # layout gained the _LAYOUT_DONE sentinel
+    "dedup_semantic_cells": 7,
+    "hybrid_search_ivf_fused": 7,
 }
 
 

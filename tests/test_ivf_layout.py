@@ -75,13 +75,13 @@ def test_append_ivf_vectors_incremental(spark, sf_dir, tmp_path):
 
     from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
         append_ivf_vectors, ivf_partitioned_topk, write_ivf_partitioned)
-    from duckdb_hybrid_doc_search_spark.operators.knn import CENTROID_MOD
+    from duckdb_hybrid_doc_search_spark.operators.knn import centroid_pred
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # centroid vectors (vec_id % MOD == 0) must all be in the BASE build
+    # centroid vectors (centroid_pred rows) must all be in the BASE build
     # (the frozen-centroid contract); the append batch is a disjoint
     # non-centroid slice
-    is_new = (F.col("vec_id") % CENTROID_MOD != 0) & (
+    is_new = (~centroid_pred("vec_id")) & (
         F.col("vec_id") % 5 == 3
     )
     base, new = emb.where(~is_new), emb.where(is_new)
@@ -136,13 +136,19 @@ def test_append_rejects_centroid_modulus_ids(spark, sf_dir, tmp_path):
 
     from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
         append_ivf_vectors, write_ivf_partitioned)
-    from duckdb_hybrid_doc_search_spark.operators.knn import CENTROID_MOD
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        CENTROID_K, CENTROID_MOD)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = str(tmp_path / "ivf")
     write_ivf_partitioned(emb, out)
     max_id = emb.agg(F.max("vec_id")).first()[0]
     bad_id = ((max_id // CENTROID_MOD) + 1) * CENTROID_MOD
+    # the fabricated id must land under the fixed-K cap or it is not a
+    # centroid slot at all (capped centroid_pred)
+    assert bad_id < CENTROID_MOD * CENTROID_K, (
+        "test corpus outgrew the centroid cap; pick a free capped slot"
+    )
     bad = emb.limit(1).select(
         F.lit(bad_id).cast("long").alias("vec_id"), "embedding",
         "label",
@@ -160,7 +166,7 @@ def test_append_rejects_duplicate_vec_ids(spark, sf_dir, tmp_path):
 
     from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
         append_ivf_vectors, write_ivf_partitioned)
-    from duckdb_hybrid_doc_search_spark.operators.knn import CENTROID_MOD
+    from duckdb_hybrid_doc_search_spark.operators.knn import centroid_pred
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = str(tmp_path / "ivf")
@@ -168,6 +174,6 @@ def test_append_rejects_duplicate_vec_ids(spark, sf_dir, tmp_path):
     # re-append three existing non-centroid rows verbatim: deterministic
     # frozen-centroid assignment lands them in their original cells, so
     # the pruned check must see them
-    dup = emb.where(F.col("vec_id") % CENTROID_MOD != 0).limit(3)
+    dup = emb.where(~centroid_pred("vec_id")).limit(3)
     with pytest.raises(ValueError, match="overlaps the layout"):
         append_ivf_vectors(spark, out, dup)

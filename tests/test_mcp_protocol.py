@@ -176,3 +176,67 @@ def test_ping_and_version_negotiation_fallback():
     ])
     assert out[0]["result"]["protocolVersion"]  # server offers its own
     assert out[1]["result"] == {}
+
+
+def test_unsupported_client_version_gets_server_version():
+    # negotiation rule: echo the client's version ONLY when supported;
+    # an arbitrary string must come back as a version we actually speak
+    from duckdb_hybrid_doc_search_spark.mcp_stdio import (
+        PROTOCOL_VERSION, SUPPORTED_VERSIONS)
+
+    rc, out = _drive([
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                    "params": {"protocolVersion": "9999-01-01"}}),
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "initialize",
+                    "params": {"protocolVersion": "2024-11-05"}}),
+    ])
+    assert out[0]["result"]["protocolVersion"] == PROTOCOL_VERSION
+    assert out[1]["result"]["protocolVersion"] == "2024-11-05"
+    assert "2024-11-05" in SUPPORTED_VERSIONS
+
+
+def test_tool_body_typeerror_is_isError_not_invalid_params():
+    # a TypeError raised INSIDE the tool (after args validated against
+    # the schema) is a tool failure, not a -32602 protocol error
+    def inner_type_bug(query, top_k=5):
+        return {"n": len(None)}  # TypeError from the tool body
+
+    rc, out = _drive([
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                    "params": {"name": "search_documents",
+                               "arguments": {"query": "x"}}}),
+    ], tool=inner_type_bug)
+    res = out[0]["result"]
+    assert res["isError"] is True
+    assert "TypeError" in res["content"][0]["text"]
+
+
+def test_wrong_arg_type_is_invalid_params():
+    rc, out = _drive([
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                    "params": {"name": "search_documents",
+                               "arguments": {"query": 42}}}),
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+                    "params": {"name": "search_documents",
+                               "arguments": {"query": "x",
+                                             "top_k": "five"}}}),
+    ])
+    assert out[0]["error"]["code"] == -32602
+    assert out[1]["error"]["code"] == -32602
+
+
+def test_request_methods_as_notifications_get_no_response():
+    # JSON-RPC 2.0 forbids responding to a notification — even with
+    # id:null; ping/tools/list/tools/call without an id must be dropped
+    rc, out = _drive([
+        json.dumps({"jsonrpc": "2.0", "method": "ping"}),
+        json.dumps({"jsonrpc": "2.0", "method": "tools/list"}),
+        json.dumps({"jsonrpc": "2.0", "method": "tools/call",
+                    "params": {"name": "search_documents",
+                               "arguments": {"query": "x"}}}),
+        json.dumps({"jsonrpc": "2.0", "method": "initialize",
+                    "params": {"protocolVersion": "2025-03-26"}}),
+        json.dumps({"jsonrpc": "2.0", "id": 9, "method": "ping"}),
+    ])
+    assert rc == 0
+    assert len(out) == 1 and out[0]["id"] == 9  # only the real request

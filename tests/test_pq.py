@@ -193,3 +193,18 @@ def test_pq_rescore_beats_plain_adc_recall(spark, sf_dir):
     assert set(rescored) == set(range(NQ))
     for q in rescored:
         assert rescored[q] >= plain.get(q, 0.0), q
+
+
+def test_pq_rescore_recall_reports_the_gap_closing(spark, sf_dir):
+    """pq_rescore_recall is the side-by-side quality record: per query
+    recall_rescore >= recall_adc (rerank can only promote true neighbors
+    within the shortlist), and on this corpus the MEAN must strictly
+    improve — otherwise the rescore stage buys nothing and the registered
+    claim would be vacuous."""
+    rows = knn.pq_rescore_recall(_emb(spark, sf_dir), K, NQ).collect()
+    assert sorted(r.q_id for r in rows) == list(range(NQ))
+    for r in rows:
+        assert 0.0 <= r.recall_adc <= r.recall_rescore <= 1.0, r
+    mean_adc = sum(r.recall_adc for r in rows) / NQ
+    mean_resc = sum(r.recall_rescore for r in rows) / NQ
+    assert mean_resc > mean_adc, (mean_adc, mean_resc)
