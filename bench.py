@@ -141,13 +141,24 @@ def _bytes_in_range(stages: list[dict], after_id: int) -> dict[str, int]:
     approach diffed whole-app cumulative totals, which go NEGATIVE when
     the UI store evicts old stages between snapshots (spark.ui.
     retainedStages) — precisely on the iterative/localCheckpoint queries
-    that create hundreds of stages (VERDICT r5 #3)."""
+    that create hundreds of stages (VERDICT r5 #3).
+
+    Eviction can also bite WITHIN the range: a stage-heavy query whose
+    own early stages were evicted before the snapshot undercounts
+    silently. The status store evicts oldest-first, so the tell is the
+    minimum RETAINED stageId landing above the range start — those
+    queries get `evicted: 1` so a low byte count is never read as a
+    lean plan (ADVICE r6)."""
     sel = [s for s in stages if s.get("stageId", -1) > after_id]
-    return {
+    out = {
         "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in sel),
         "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in sel),
         "input": sum(s.get("inputBytes", 0) for s in sel),
     }
+    min_retained = min((s.get("stageId", -1) for s in stages), default=-1)
+    if min_retained > after_id + 1:
+        out["evicted"] = 1
+    return out
 
 
 def main() -> None:
@@ -170,54 +181,46 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
+    # Two timing passes separated in time and run in OPPOSITE orders, the
+    # recorded number = min across passes (r6 VERDICT #7: the headline
+    # must not depend on catching a quiet host hour). A transient host
+    # burst hits one window, not both; run-order interference (the r4
+    # customer_set_ops lesson — the preceding query's JVM state inflating
+    # the next timing) cannot repeat because each query's predecessor
+    # differs between passes. Per-segment calibration (before pass 1,
+    # between passes, after pass 2) pins how fast the host actually was
+    # in each window.
+    calib_segments = [_calibrate()]
+    inrun: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}
-    total = 0.0
-    # (name, stage id before its timed runs, timed-run count) of the
-    # query whose byte attribution is still open — closed at the TOP of
-    # the next iteration so the listener bus has had >100ms
+    # (name, stage id before its timed run) of the query whose byte
+    # attribution is still open — closed at the TOP of the next
+    # iteration so the listener bus has had >100ms
     # (spark.ui.liveUpdate.period) to flush the final stage's metrics
     # into the status store
-    pending: tuple[str, int, int] | None = None
+    pending: tuple[str, int] | None = None
     for name, fn in sorted(qs.items()):
         stages = _stage_list(spark)
         if pending is not None and stages is not None:
-            pname, pmax, pruns = pending
-            # N identical timed executions -> divide for per-execution
-            # bytes ("measure, don't guess": the recorded shuffle/input
-            # volume backs every plan-shape claim)
-            shuffle[pname] = {
-                k: v // pruns
-                for k, v in _bytes_in_range(stages, pmax).items()
-            }
+            pname, pmax = pending
+            # ONE timed execution per query in this pass -> the range sum
+            # IS the per-execution bytes ("measure, don't guess": the
+            # recorded shuffle/input volume backs every plan-shape claim)
+            shuffle[pname] = _bytes_in_range(stages, pmax)
         pending = None
-        # first execution compiles the plan (whole-stage codegen); then
-        # the MIN of up to two timed runs approximates steady-state
-        # engine throughput while shrugging off noisy-neighbor CPU
-        # contention. Below 0.25s the regression gate's absolute floor
-        # cannot trigger, so those queries keep the single timed value
-        # (a false flag still gets the end-of-run isolation retime and
-        # is excluded as noise) — that trims ~100 redundant executions
-        # as the registry grows. Everything >= 0.25s keeps min-of-2:
-        # an exemption for the slow tail was tried and read 10-20%
-        # high (residual JIT/page-cache effects in the first post-
-        # compile run), flooding the noise-triage pass.
+        # first execution compiles the plan (whole-stage codegen); the
+        # second is the pass-1 timed run. The old min-of-2-back-to-back
+        # for slow queries moved to pass 2, which retimes EVERY query in
+        # a separate window — stronger against host bursts for the same
+        # total execution count.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         stages = _stage_list(spark)
         stage_mark = _max_stage_id(stages) if stages is not None else -1
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = time.perf_counter() - t0
-        runs = 1
-        if best >= 0.25:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            runs = 2
+        inrun[name] = round(time.perf_counter() - t0, 4)
         if stages is not None:
-            pending = (name, stage_mark, runs)
-        timings[name] = round(best, 4)
-        total += best
+            pending = (name, stage_mark)
         # storage discipline: queries that persist() intermediates (dedup
         # shingle/signature tables) must not accumulate across the ~100-
         # query session — executor storage stays bounded by ONE query
@@ -226,14 +229,23 @@ def main() -> None:
         time.sleep(0.3)  # let the listener bus flush the last stages
         stages = _stage_list(spark)
         if stages is not None:
-            shuffle[pending[0]] = {
-                k: v // pending[2]
-                for k, v in _bytes_in_range(stages, pending[1]).items()
-            }
+            shuffle[pending[0]] = _bytes_in_range(stages, pending[1])
+
+    calib_segments.append(_calibrate())
+    retime: dict[str, float] = {}
+    for name, fn in sorted(qs.items(), reverse=True):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        retime[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
+    calib_segments.append(_calibrate())
+
+    timings = {n: min(inrun[n], retime[n]) for n in inrun}
+    total = sum(timings.values())
 
     here = os.path.dirname(os.path.abspath(__file__))
     this_round = _this_round(here)
-    calib = _calibrate()
+    calib = min(calib_segments)
     prior_round, prior, prior_calib = _prior_round_timings(here, this_round)
     # host-speed normalization: scale prior timings to THIS host's speed
     # via the calibration ratio (clamped to ±2x so a bogus calib can't
@@ -275,10 +287,13 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "queries_inrun": inrun,
+        "queries_retime": retime,
         "bytes_per_exec": shuffle,
         "sf": sf_val,
         "vs_round": prior_round,
         "calib_sec": calib,
+        "calib_segments": calib_segments,
         "prior_calib_sec": prior_calib,
         "host_scale": round(scale, 3),
         "regressions": regressions,
@@ -305,6 +320,7 @@ def main() -> None:
         "n_noise_regressions": len(regressions) - len(real_regressions),
         "worst_regressions": worst3,
         "calib_sec": calib,
+        "calib_segments": calib_segments,
         "host_scale": round(scale, 3),
         "detail": detail_name,
     }))

@@ -730,11 +730,13 @@ def pq_codebook(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
-def pq_encode(emb: DataFrame, id_col: str = "vec_id",
-              vec_col: str = "embedding", dim: int = PQ_DIM,
-              m: int = PQ_M) -> DataFrame:
-    """(vec_id, m, code): nearest-codeword assignment per subspace
-    (rounded squared-L2, tie -> lower code) — the PQ compression step.
+def pq_encode_with(df: DataFrame, cb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = PQ_DIM,
+                   m: int = PQ_M) -> DataFrame:
+    """(vec_id, m, code) against a PREBUILT (m, code, cw) codebook —
+    the encode used by incremental append, where the codebook is FROZEN
+    at build time and read back from the layout's side table rather than
+    rederived from the (now larger) corpus. Same math as pq_encode.
 
     Scale shape: the K x M codebook is broadcast, so encode is one map-
     side pass over the corpus; the argmin collapses map-side via partial
@@ -742,19 +744,29 @@ def pq_encode(emb: DataFrame, id_col: str = "vec_id",
     shuffle volume is the ENCODED size (M short rows per vector), i.e.
     the ~dim*4/M-fold compression is realized before the exchange."""
     corp = _pq_long(
-        emb.select(F.col(id_col).alias("vid"), vec_col), "vid",
+        df.select(F.col(id_col).alias("vid"), vec_col), "vid",
         vec_col, dim, m,
     )
     d = F.round(V.l2sq(F.col("sub"), F.col("cw")), SCORE_ROUND)
     return (
-        corp.join(F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m)),
-                  "m")
+        corp.join(F.broadcast(cb), "m")
         .select("vid", "m", d.alias("d"), "code")
         .groupBy("vid", "m")
         .agg(F.min(F.struct("d", "code")).alias("mn"))
         .select(F.col("vid").alias("vec_id"), "m",
                 F.col("mn.code").alias("code"))
     )
+
+
+def pq_encode(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", dim: int = PQ_DIM,
+              m: int = PQ_M) -> DataFrame:
+    """(vec_id, m, code): nearest-codeword assignment per subspace
+    (rounded squared-L2, tie -> lower code) — the PQ compression step,
+    with the codebook derived from the corpus itself (pq_sample_pred).
+    See pq_encode_with for the plan-shape notes."""
+    return pq_encode_with(emb, pq_codebook(emb, id_col, vec_col, dim, m),
+                          id_col, vec_col, dim, m)
 
 
 def pq_topk(emb: DataFrame, k: int, n_queries: int = 10,

@@ -61,8 +61,35 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 def _real_decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "real image decode requires Pillow (`PIL.Image.open`) which is not "
-        "installed in this container; use decode_backend='fake'"
+        "installed in this container; use decode_backend='fake' (seeded "
+        "stand-in) or 'png_pure' (stdlib PNG codec, functions/png.py)"
     )
+
+
+def _decode_image(payload: bytes, backend: str, width: int,
+                  height: int) -> np.ndarray:
+    """The decode seam every image operator dispatches through:
+    'fake' = deterministic seeded stand-in (any bytes), 'png_pure' =
+    REAL stdlib PNG decode (functions/png.py — bytes must be a PNG),
+    'real' = the Pillow slot (raises until the wheel lands)."""
+    if backend == "fake":
+        return _fake_decode_image(payload, width, height)
+    if backend == "png_pure":
+        from ..functions.png import decode_png
+
+        return decode_png(payload)
+    return _real_decode_image(payload)
+
+
+def _as_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to HxWx3: gray replicates, RGBA drops
+    alpha — so the pooling/resize math downstream is channel-stable
+    across PNG color types."""
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3]
+    return img
 
 
 def attach_media_ids(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -101,12 +128,11 @@ def extract_image_features(media: DataFrame,
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                w = int(meta["width"] or 16)
-                h = int(meta["height"] or 16)
-                if decode_backend == "fake":
-                    img = _fake_decode_image(bytes(payload), w, h)
-                else:
-                    img = _real_decode_image(bytes(payload))
+                img = _as_rgb(_decode_image(
+                    bytes(payload), decode_backend,
+                    int(meta["width"] or 16), int(meta["height"] or 16),
+                ))
+                h, w = img.shape[:2]  # true decoded dims, not metadata's
                 # 4x4 grid per-channel means -> 48 dims, truncated/padded
                 gh, gw = max(1, h // 4), max(1, w // 4)
                 pooled = [
@@ -136,12 +162,11 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                w = int(meta["width"] or 16)
-                h = int(meta["height"] or 16)
-                if decode_backend == "fake":
-                    img = _fake_decode_image(bytes(payload), w, h)
-                else:
-                    img = _real_decode_image(bytes(payload))
+                img = _as_rgb(_decode_image(
+                    bytes(payload), decode_backend,
+                    int(meta["width"] or 16), int(meta["height"] or 16),
+                ))
+                h, w = img.shape[:2]  # true decoded dims, not metadata's
                 yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
                 resized = img[yi][:, xi]
@@ -187,6 +212,53 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4,
 
     return media.select("media_id", "payload", "meta").mapInPandas(
         run, "media_id string, frame_idx int, ts_ms int, frame binary"
+    )
+
+
+def png_decode_stats(spark, png_dir: str) -> DataFrame:
+    """REAL bytes->pixels decode, driver-checkable: read every PNG under
+    ``png_dir`` (Spark's binaryFile source), decode with the stdlib PNG
+    codec (functions/png.py — zlib + all five scanline filters), and emit
+    exact-integer facts per file: dimensions, channel count, per-channel
+    pixel sums. The fixtures' pixel values are closed-form formulas over
+    (x, y) (tools/gen_png_fixtures.py), so the DuckDB oracle recomputes
+    the expected sums from generate_series — the driver row then pins the
+    whole chain formula -> encoder -> bytes on disk -> decoder -> sums,
+    with the oracle fully independent of the codec under test.
+
+    Scale shape: binaryFile packs many small files per task
+    (maxPartitionBytes), decode runs once per file inside an Arrow batch,
+    and only the per-file scalar rows leave Python — the thumbnail-corpus
+    ingest pattern. Output: file_name, width, height, channels,
+    sum_c0..sum_c3 (absent channels sum to 0)."""
+    from ..functions.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decode_png(bytes(content))
+                h, w, c = img.shape
+                sums = [int(img[:, :, i].sum(dtype=np.int64))
+                        for i in range(c)] + [0] * (4 - c)
+                out.append((path.rsplit("/", 1)[-1], w, h, c, *sums))
+            yield pd.DataFrame(
+                out,
+                columns=["file_name", "width", "height", "channels",
+                         "sum_c0", "sum_c1", "sum_c2", "sum_c3"],
+            )
+
+    files = spark.read.format("binaryFile").load(
+        png_dir.rstrip("/") + "/*.png"
+    )
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            run,
+            "file_name string, width int, height int, channels int, "
+            "sum_c0 long, sum_c1 long, sum_c2 long, sum_c3 long",
+        )
+        .orderBy("file_name")
     )
 
 

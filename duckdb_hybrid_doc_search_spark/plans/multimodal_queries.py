@@ -36,6 +36,51 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_stats(_media(spark, sf_dir))
 
 
+_PNG_DIR = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "png"
+
+# The oracle recomputes each fixture's per-channel pixel sums from the
+# SAME closed-form (x, y) formulas tools/gen_png_fixtures.py rendered —
+# generate_series is inclusive, so (0, w-1)x(0, h-1) spans the image.
+# Fully independent of the PNG codec under test: a decoder (or encoder)
+# bug breaks the hash match.
+_PNG_ORACLE = """
+WITH rgb AS (
+  SELECT 'rgb.png' AS file_name, 16 AS width, 12 AS height, 3 AS channels,
+         sum((x * 7 + y * 13) % 256)::BIGINT AS sum_c0,
+         sum((x * 3 + y * 5 + 31) % 256)::BIGINT AS sum_c1,
+         sum((x * 11 + y * 2 + 101) % 256)::BIGINT AS sum_c2,
+         0::BIGINT AS sum_c3
+  FROM generate_series(0, 15) t(x) CROSS JOIN generate_series(0, 11) s(y)
+),
+gray AS (
+  SELECT 'gray.png' AS file_name, 9 AS width, 7 AS height, 1 AS channels,
+         sum((x * 17 + y * 29 + 3) % 256)::BIGINT AS sum_c0,
+         0::BIGINT AS sum_c1, 0::BIGINT AS sum_c2, 0::BIGINT AS sum_c3
+  FROM generate_series(0, 8) t(x) CROSS JOIN generate_series(0, 6) s(y)
+),
+rgba AS (
+  SELECT 'rgba.png' AS file_name, 8 AS width, 5 AS height, 4 AS channels,
+         sum((x * 5 + y * 3) % 256)::BIGINT AS sum_c0,
+         sum((x + y * 7 + 11) % 256)::BIGINT AS sum_c1,
+         sum((x * 13 + y + 29) % 256)::BIGINT AS sum_c2,
+         sum((x * 2 + y * 19 + 128) % 256)::BIGINT AS sum_c3
+  FROM generate_series(0, 7) t(x) CROSS JOIN generate_series(0, 4) s(y)
+)
+SELECT * FROM rgb UNION ALL SELECT * FROM gray UNION ALL
+SELECT * FROM rgba ORDER BY file_name
+""".strip()
+
+
+@register("media_png_decode_stats", oracle=_PNG_ORACLE)
+def media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First media row that exercises REAL bytes->pixels decode: stdlib
+    PNG codec (functions/png.py) over the checked-in fixtures, channel
+    sums pinned against a formula-derived oracle (the fixtures' pixels
+    are closed-form in (x, y); see tools/gen_png_fixtures.py)."""
+    return mm.png_decode_stats(spark, str(_PNG_DIR))
+
+
 @register("media_image_features", oracle=None)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The feature vector is exploded to (media_id, dim_idx, value) scalar

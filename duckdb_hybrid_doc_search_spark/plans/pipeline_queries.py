@@ -387,9 +387,28 @@ def ann_pq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ANN_N_QUERIES)
 
 
+@register("ann_ivfpq_append_probe",
+          oracle=knn.dd_ivfpq_topk_sql(ANN_K, ANN_N_QUERIES))
+def ann_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODES-layout MAINTENANCE probe: the cell-partitioned PQ codes
+    table reached its state through incremental append (base build over
+    ~80%, the rest via append_ivfpq_vectors' frozen-centroid +
+    frozen-codebook path, index/ivfpq_layout.py), then is probed exactly
+    like ann_ivfpq_layout_probe. The oracle is the one-shot IVF-PQ SQL
+    over the FULL table — append equivalence (appended codes layout ==
+    full rebuild) is thereby driver-checked, not just pytest-asserted.
+    At 100 TB an unappendable codes table forces full rebuilds; this is
+    the row that proves it doesn't."""
+    from ..index.ivfpq_layout import (ensure_ivfpq_append_layout,
+                                      ivfpq_layout_topk)
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivfpq_append_layout(spark, emb, sf_dir)
+    return ivfpq_layout_topk(spark, out_dir, emb, ANN_K, ANN_N_QUERIES)
+
+
 @register("ann_pq_rescore_recall",
-          oracle=knn.dd_pq_rescore_recall_sql(ANN_K, ANN_N_QUERIES),
-          defer_gate=True)
+          oracle=knn.dd_pq_rescore_recall_sql(ANN_K, ANN_N_QUERIES))
 def ann_pq_rescore_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The number that JUSTIFIES the shortlist architecture: per-query
     recall@k of raw ADC vs shortlist+exact-rescore, side by side vs the

@@ -70,6 +70,55 @@ def test_pq_layout_probe_equals_querytime_spec(spark, sf_dir, tmp_path):
     assert got_r == want_r
 
 
+def test_append_ivfpq_vectors_incremental(spark, sf_dir, tmp_path):
+    """Append equivalence for the CODES layout: base build over a subset
+    + frozen-quantizer append of the rest == one-shot build over the
+    full table, probe-for-probe (the contract the registered
+    ann_ivfpq_append_probe query driver-checks against the one-shot
+    oracle)."""
+    import pytest
+
+    from duckdb_hybrid_doc_search_spark.index.ivfpq_layout import (
+        append_ivfpq_vectors)
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        centroid_pred, pq_sample_pred)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # every quantizer slot (centroid or codebook id) must be in the BASE
+    # build; the append batch is a disjoint non-slot slice
+    is_new = (
+        (~centroid_pred("vec_id")) & (~pq_sample_pred("vec_id"))
+        & (F.col("vec_id") % 5 == 3)
+    )
+    base, new = emb.where(~is_new), emb.where(is_new)
+    assert new.count() > 0
+
+    appended = str(tmp_path / "appended")
+    write_ivfpq_layout(base, appended)
+    append_ivfpq_vectors(spark, appended, new)
+
+    oneshot = str(tmp_path / "oneshot")
+    write_ivfpq_layout(emb, oneshot)
+
+    got = sorted(map(
+        tuple, ivfpq_layout_topk(spark, appended, emb, 5, 10).collect()
+    ))
+    want = sorted(map(
+        tuple, ivfpq_layout_topk(spark, oneshot, emb, 5, 10).collect()
+    ))
+    assert got == want
+
+    # quantizer-slot ids are rejected (frozen centroid/codebook contract)
+    slot = emb.where(pq_sample_pred("vec_id")).limit(1)
+    with pytest.raises(ValueError, match="quantizer slots"):
+        append_ivfpq_vectors(spark, appended, slot)
+
+    # duplicate vec_ids are rejected (pruned disjointness guard)
+    dup = new.limit(3)
+    with pytest.raises(ValueError, match="overlaps the layout"):
+        append_ivfpq_vectors(spark, appended, dup)
+
+
 def test_pq_layout_rescore_equals_querytime_spec(spark, sf_dir, tmp_path):
     """The layout-backed shortlist+rescore (registered
     ann_pq_rescore_topk path) returns exactly the query-time

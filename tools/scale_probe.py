@@ -82,6 +82,20 @@ QUERIES = [
     ("embeddings_hard_negatives", "embeddings"),  # label-filtered knn broadcast
 ]
 
+# Embeddings-only 10x stress point (r6 VERDICT #1 "prove the flattening"):
+# the capped centroid predicate (knn.centroid_pred / SEMDEDUP_K) holds the
+# centroid set at K=16 regardless of corpus size, so assignment time must
+# grow ~linearly in N. Before the cap, centroids were N/50 rows and these
+# queries grew ~quadratically. The synthetic table is sf0.1's embeddings
+# replicated EMB10X_FACTOR times with shifted vec_ids (only copy 0 holds
+# ids under the cap, so the centroid set stays exactly K at every factor).
+EMB10X_FACTOR = 10
+EMB10X_QUERIES = [
+    "dedup_semantic_cells",   # the r6 slope-0.97 offender
+    "ann_ivf_topk",           # query-time ivf_assign over the corpus
+    "ann_ivfpq_topk",         # assignment + encode composed
+]
+
 
 def main() -> None:
     from pyspark.sql import functions as F  # noqa: F401
@@ -172,6 +186,69 @@ def main() -> None:
         + ". One session for all points; min of 2 timed runs after "
         "warm-up; noop sink.",
     ]
+    # ---- embeddings-only 10x point (fixed-K centroid-cap proof) ----
+    import shutil
+    import tempfile
+
+    synth_root = tempfile.mkdtemp(prefix="scale_probe_emb10x_")
+    try:
+        emb = spark.read.parquet(f"{ROOT}/sf0.1/embeddings.parquet")
+        n_base = emb.count()
+        copies = emb
+        for i in range(1, EMB10X_FACTOR):
+            copies = copies.unionByName(
+                emb.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * n_base)
+                )
+            )
+        copies.write.mode("overwrite").parquet(
+            os.path.join(synth_root, "embeddings.parquet")
+        )
+        emb10x: dict[str, dict[str, float]] = {}
+        for name in EMB10X_QUERIES:
+            fn = registry.REGISTRY[name].spark_fn
+            emb10x[name] = {}
+            for label, sf_dir in (("sf0.1", f"{ROOT}/sf0.1"),
+                                  ("emb10x", synth_root)):
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                emb10x[name][label] = round(best, 4)
+                spark.catalog.clearCache()
+        lines += [
+            "",
+            "## EMB10X — fixed-K centroid cap at 10x the vectors",
+            "",
+            f"sf0.1 embeddings ({n_base} rows) replicated "
+            f"{EMB10X_FACTOR}x with shifted vec_ids "
+            f"({n_base * EMB10X_FACTOR} rows; the centroid set stays "
+            "EXACTLY CENTROID_K because only the first copy holds ids "
+            "under the cap). Slope near 1.0 = assignment is linear in N "
+            "with the capped centroid broadcast; the uncapped r6 shape "
+            "(N/50 centroids) would read ~2 here.",
+            "",
+            "| query | sf0.1 s | emb10x s | slope (10x rows) |",
+            "|---|---|---|---|",
+        ]
+        for name in EMB10X_QUERIES:
+            ts = emb10x[name]
+            slope = math.log(
+                max(ts["emb10x"], 1e-3) / max(ts["sf0.1"], 1e-3)
+            ) / math.log(EMB10X_FACTOR)
+            lines.append(
+                f"| {name} | {ts['sf0.1']} | {ts['emb10x']} "
+                f"| {slope:.2f} |"
+            )
+    finally:
+        shutil.rmtree(synth_root, ignore_errors=True)
+
     path = os.path.join(_HERE, "SCALING.md")
     # preserve sections other tools own (tools/stream_bench.py appends a
     # "## STREAMBENCH" block — a full rewrite here must not drop it)
