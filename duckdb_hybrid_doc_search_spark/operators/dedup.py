@@ -1196,25 +1196,26 @@ LEFT JOIN near n ON b.doc_id = n.doc_a
 # --- SemDeDup: cluster-bucketed semantic dedup -------------------------------
 
 
-SEMDEDUP_MOD = 50  # same deterministic centroid pick as operators/knn.py
-SEMDEDUP_K = 16    # FIXED centroid-count cap — see knn.centroid_pred
+def semdedup_mod(n: int) -> int:
+    """Deterministic centroid stride for SemDeDup: every isqrt(N)-th
+    vec_id, i.e. k ~ sqrt(N) centroids.
 
+    This is the BALANCED scaling SemDeDup needs and the fixed-K /
+    fixed-mod variants both lack: with k clusters over N vectors,
+    assignment costs O(N*k) and the within-cell pair pass costs
+    O(N^2/k) — k ~ sqrt(N) makes BOTH O(N^1.5). A fixed mod (r6,
+    k = N/50) made assignment quadratic; a fixed K (first r7 attempt)
+    made the pair pass quadratic — SCALING.md's EMB10X section measured
+    that directly (261s at 10x the vectors, slope 1.57) before this
+    rule replaced it. k is derived from the corpus COUNT, a one-scalar
+    bounded action on the Spark side and the identical scalar subquery
+    in the oracle, so both engines pick the same centroid set. At
+    100 TB, sqrt(N) centroids are a few hundred MB — SemDeDup's real
+    clustering cost, paid as a broadcast (the paper's k for LAION-440M
+    is 50k clusters ~ 3.3*sqrt(N), same order)."""
+    import math
 
-def _semdedup_cent_pred():
-    """Capped centroid pick (token-twin of knn.centroid_pred): every
-    SEMDEDUP_MOD-th vec_id, at most SEMDEDUP_K centroids. Without the
-    cap the centroid set is N/mod rows, the assignment crossJoin is
-    O(N^2/mod) and the broadcast grows with the corpus — the r6 scale
-    flaw (dedup_semantic_cells slope 0.97, the highest in SCALING.md)."""
-    return (F.col("vec_id") % SEMDEDUP_MOD == 0) & (
-        F.col("vec_id") < SEMDEDUP_MOD * SEMDEDUP_K
-    )
-
-
-def _dd_semdedup_cent_pred() -> str:
-    """DuckDB twin of _semdedup_cent_pred — must stay token-equivalent."""
-    return (f"vec_id % {SEMDEDUP_MOD} = 0 "
-            f"AND vec_id < {SEMDEDUP_MOD * SEMDEDUP_K}")
+    return max(1, math.isqrt(n))
 
 
 def semdedup(emb: DataFrame,
@@ -1227,12 +1228,16 @@ def semdedup(emb: DataFrame,
     within-cell compute drops to a per-cell GEMM
     (dedup_embedding_cosine's block pattern applied per cell).
 
-    Clustering here is the repo's deterministic k-means stand-in
-    (_semdedup_cent_pred centroids — every SEMDEDUP_MOD-th vec_id capped
-    at a FIXED SEMDEDUP_K, nearest-by-cosine assignment — the SAME
-    rounding and tie rule as operators/knn.assign_to_centroids, so the
-    oracle stays exact; the cap keeps the centroid broadcast fixed-size
-    and assignment O(N*K) at scale). Keep rule, per the paper: within a
+    Clustering here is the repo's deterministic k-means stand-in:
+    every semdedup_mod(N)-th vec_id is a centroid, i.e. k ~ sqrt(N)
+    clusters — the stride is derived from the corpus count (one bounded
+    scalar action; the oracle computes the identical scalar subquery),
+    and assignment is nearest-by-cosine with the SAME rounding and tie
+    rule as operators/knn.assign_to_centroids, so the oracle stays
+    exact. k ~ sqrt(N) is the balanced scaling (see semdedup_mod): both
+    the assignment join and the within-cell pair pass are O(N^1.5); a
+    real k-means fit (embeddings_kmeans_train) slots into the same seam
+    without changing the plan. Keep rule, per the paper: within a
     duplicate pair, keep the vector LESS similar to its centroid
     (preserves cluster diversity); ties break to the lower vec_id. A
     vector is dropped when ANY cluster-mate beats it at
@@ -1242,7 +1247,8 @@ def semdedup(emb: DataFrame,
     """
     from pyspark.sql import Window
 
-    cent = emb.where(_semdedup_cent_pred()).select(
+    mod = semdedup_mod(emb.count())
+    cent = emb.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
     sims = emb.crossJoin(F.broadcast(cent)).select(
@@ -1305,9 +1311,14 @@ def dd_semdedup_sql(table: str = "embeddings",
     cs_ec = dd_cosine_similarity("e.embedding", "c.cvec")
     cs_ab = dd_cosine_similarity("a.embedding", "b.embedding")
     return f"""
-WITH cent AS (
+WITH stride AS (
+  -- twin of semdedup_mod: k ~ sqrt(N) centroids, same scalar both engines
+  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
+  FROM {table}
+),
+cent AS (
   SELECT vec_id AS cent_id, embedding AS cvec
-  FROM {table} WHERE {_dd_semdedup_cent_pred()}
+  FROM {table} WHERE vec_id % (SELECT mod FROM stride) = 0
 ),
 sims AS (
   SELECT e.vec_id, e.embedding, c.cent_id,

@@ -1243,3 +1243,207 @@ SELECT doc_id,
              {READ_ROUND}) AS flesch
 FROM t WHERE len(toks) >= 1 ORDER BY doc_id
 """.strip()
+
+
+# --- Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, Table A1) -------
+
+# the paper's required-stopword set: a document must contain >= 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """The Gopher corpus-quality rule set as per-doc boolean gates, each
+    an EXACT integer comparison (cross-multiplication instead of ratio
+    floats, so the DuckDB twin hashes identically):
+
+    - word count in [50, 100000];
+    - mean word length in [3, 10]  (3n <= total_chars <= 10n);
+    - symbol-to-word ratio <= 0.1  (10 * (#'#' + #'...') <= n) ;
+    - <= 10% of lines start with a bullet, <= 30% end with ellipsis;
+    - >= 80% of words contain an alphabetic char  (5a >= 4n);
+    - >= 2 of the 8 required stopwords present.
+
+    Everything is a column expression over one scan — the standard
+    first-pass web-corpus filter at 100 TB is exactly this shape (no
+    joins, no shuffle until the caller aggregates the keep-set).
+    Output: doc_id, n_words, the six flags, gopher_pass.
+    """
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+    lines = F.filter(F.split(F.col("text"), "\n"),
+                     lambda l: F.trim(l) != "")
+    lw = F.lower(F.col("text"))
+    n = F.size(words).cast("long")
+    total_wchars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_hash = (F.length("text")
+              - F.length(F.regexp_replace("text", "#", ""))).cast("long")
+    n_ellipsis = (
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "\\.\\.\\.", ""))) / 3
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: l.rlike("^\\s*[-*•] ")
+    )).cast("long")
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: l.rlike("\\.\\.\\.$")
+    )).cast("long")
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.arrays_overlap(
+            F.array(s), F.filter(F.split(lw, "\\s+"), lambda t: t != "")
+        ),
+    )).cast("int")
+    flags = {
+        "f_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "f_mean_word_len": (F.lit(3) * n <= total_wchars)
+        & (total_wchars <= F.lit(10) * n),
+        "f_symbol_ratio": F.lit(10) * (n_hash + n_ellipsis) <= n,
+        "f_bullet_lines": F.lit(10) * bullet_lines <= n_lines,
+        "f_ellipsis_lines": F.lit(10) * ellipsis_lines
+        <= F.lit(3) * n_lines,
+        "f_alpha_words": F.lit(5) * alpha_words >= F.lit(4) * n,
+        "f_stopwords": n_stop >= 2,
+    }
+    gopher_pass = None
+    for c in flags.values():
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def dd_gopher_quality_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> l),
+                     l -> trim(l) <> '') AS lines,
+         text, lower(text) AS lw
+  FROM {table}
+),
+m AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n,
+         coalesce(list_sum(list_transform(words, w -> len(w))),
+                  0)::BIGINT AS total_wchars,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha_words,
+         (len(text) - len(replace(text, '#', '')))::BIGINT AS n_hash,
+         ((len(text) - len(replace(text, '...', ''))) / 3)::BIGINT
+           AS n_ellipsis,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(l, '^\\s*[-*•] ')))::BIGINT
+           AS bullet_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(l, '\\.\\.\\.$')))::BIGINT
+           AS ellipsis_lines,
+         len(list_filter([{stop_list}],
+             s -> list_contains(
+               list_filter(string_split_regex(lw, '\\s+'), x -> x <> ''),
+               s)))::INT AS n_stop
+  FROM t
+)
+SELECT doc_id, n AS n_words,
+       (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+         AS f_word_count,
+       (3 * n <= total_wchars AND total_wchars <= 10 * n)
+         AS f_mean_word_len,
+       (10 * (n_hash + n_ellipsis) <= n) AS f_symbol_ratio,
+       (10 * bullet_lines <= n_lines) AS f_bullet_lines,
+       (10 * ellipsis_lines <= 3 * n_lines) AS f_ellipsis_lines,
+       (5 * alpha_words >= 4 * n) AS f_alpha_words,
+       (n_stop >= 2) AS f_stopwords,
+       ((n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+        AND (3 * n <= total_wchars AND total_wchars <= 10 * n)
+        AND (10 * (n_hash + n_ellipsis) <= n)
+        AND (10 * bullet_lines <= n_lines)
+        AND (10 * ellipsis_lines <= 3 * n_lines)
+        AND (5 * alpha_words >= 4 * n)
+        AND (n_stop >= 2)) AS gopher_pass
+FROM m ORDER BY doc_id
+""".strip()
+
+
+# --- C4 line-level filters (Raffel et al. 2019, arXiv:1910.10683 §2.2) --------
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_line_filters(docs: DataFrame) -> DataFrame:
+    """The C4 cleaning rules as per-doc counts + gates (all exact
+    integers/booleans): a line is KEPT iff it has >= 5 words and ends in
+    terminal punctuation (. ! ? or a closing quote); a page is kept iff
+    it has >= 3 sentences (approximated, as in the paper's pipeline, by
+    terminal-punctuation marks), no 'lorem ipsum', and no '{' (code
+    boilerplate). Single scan, column expressions only — at 100 TB this
+    runs fused with ingest. Output: doc_id, n_lines, n_kept_lines,
+    n_sentences, has_lorem, has_brace, keep_page."""
+    lines = F.filter(F.split(F.col("text"), "\n"),
+                     lambda l: F.trim(l) != "")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.size(F.filter(F.split(l, "\\s+"), lambda t: t != ""))
+            >= C4_MIN_LINE_WORDS
+        ) & l.rlike('[.!?"]\\s*$'),
+    )
+    n_sent = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[.!?]", ""))
+    ).cast("long")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= C4_MIN_SENTENCES) & ~has_lorem & ~has_brace
+        ).alias("keep_page"),
+    )
+
+
+def dd_c4_line_filters_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS lines
+  FROM {table}
+)
+SELECT doc_id,
+       len(lines)::INT AS n_lines,
+       len(list_filter(lines,
+           l -> len(list_filter(string_split_regex(l, '\\s+'),
+                                x -> x <> '')) >= {C4_MIN_LINE_WORDS}
+                AND regexp_matches(l, '[.!?"]\\s*$')))::INT
+         AS n_kept_lines,
+       (len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))::BIGINT
+         AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{{') AS has_brace,
+       ((len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))
+          >= {C4_MIN_SENTENCES}
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS keep_page
+FROM t ORDER BY doc_id
+""".strip()

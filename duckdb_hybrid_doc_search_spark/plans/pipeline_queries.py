@@ -141,6 +141,28 @@ def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.term_frequencies(_docs(spark, sf_dir))
 
 
+@register("text_gopher_quality", oracle=textstats.dd_gopher_quality_sql(),
+          defer_gate=True)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule set (Rae et al. 2021, arXiv:2112.11446 Table A1)
+    as per-doc boolean gates — word-count/mean-word-length bounds,
+    symbol and bullet/ellipsis line ratios, alphabetic-word fraction,
+    required-stopword presence — every threshold an exact integer
+    cross-multiplication so the oracle hashes identically. One scan,
+    no joins: the canonical first-pass web-corpus filter shape."""
+    return textstats.gopher_quality(_docs(spark, sf_dir))
+
+
+@register("corpus_c4_line_filters",
+          oracle=textstats.dd_c4_line_filters_sql(), defer_gate=True)
+def corpus_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2019, arXiv:1910.10683 §2.2)
+    as per-doc counts + gates: terminal-punctuation + >=5-word line
+    keeps, >=3-sentence page floor, lorem-ipsum / curly-brace page
+    drops. Column expressions over one scan."""
+    return textstats.c4_line_filters(_docs(spark, sf_dir))
+
+
 # --- similarity search -------------------------------------------------------
 
 

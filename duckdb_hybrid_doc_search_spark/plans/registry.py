@@ -81,11 +81,13 @@ RECHECK: dict[str, int] = {
     # so the driver's pandas canonicalizer can sort/hash the frame — the
     # raw array<string> column was CORRECTNESS_r05's one red row.
     "part_type_arrays": 6,
-    # round 7: centroid sets capped at fixed CENTROID_K/SEMDEDUP_K
-    # (knn.centroid_pred / dedup._semdedup_cent_pred — the r6 VERDICT #1
-    # scale fix). At the driver's sf0.01 the cap is inactive (max vec_id
-    # 499 < MOD*K = 800) so results are value-identical, but every query
-    # whose assignment/oracle formula changed re-verifies:
+    # round 7: IVF centroid sets capped at fixed CENTROID_K
+    # (knn.centroid_pred) and SemDeDup moved to k ~ sqrt(N) centroids
+    # (dedup.semdedup_mod) — the r6 VERDICT #1 scale fix. At the
+    # driver's sf0.01 the IVF cap is inactive (max vec_id 499 < MOD*K =
+    # 800) so those results are value-identical; SemDeDup's centroid set
+    # genuinely changed. Every query whose assignment/oracle formula
+    # changed re-verifies:
     "ann_ivf_topk": 7,
     "ann_ivf_recall": 7,
     "ann_ivf_nprobe_curve": 7,

@@ -185,11 +185,13 @@ def test_incremental_batch_decisions_consistent(spark, sf_dir):
 
 
 def test_semdedup_keep_rule_crafted_geometry(spark):
-    # One centroid (vec_id 0 = [1,0]); two well-separated dup groups with
-    # wide margins around the 0.4 threshold. SemDeDup's keep rule must
-    # retain, per dup group, the member FARTHEST from the centroid:
-    #   group {0,1,2} (pairwise cos >= 0.98) -> keep 2 (lowest csim)
-    #   group {3,4}   (cos ~ 0.995)          -> keep 3 (csim 0.0 < 0.0995)
+    # One centroid (vec_id 0 = [1,0]): with 5 rows semdedup_mod(5) = 2,
+    # so ODD vec_ids keep every other row out of the centroid set. Two
+    # well-separated dup groups with wide margins around the 0.4
+    # threshold. SemDeDup's keep rule must retain, per dup group, the
+    # member FARTHEST from the centroid:
+    #   group {0,1,3} (pairwise cos >= 0.98) -> keep 3 (lowest csim)
+    #   group {5,7}   (cos ~ 0.995)          -> keep 5 (csim 0.0 < 0.0995)
     # cross-group sims are all <= ~0.3 < 0.4.
     from pyspark.sql.types import (ArrayType, FloatType, LongType,
                                    StructField, StructType)
@@ -202,16 +204,16 @@ def test_semdedup_keep_rule_crafted_geometry(spark):
         [
             (0, [1.0, 0.0]),
             (1, [1.0, 0.1]),
-            (2, [1.0, 0.2]),
-            (3, [0.0, 1.0]),
-            (4, [0.1, 1.0]),
+            (3, [1.0, 0.2]),
+            (5, [0.0, 1.0]),
+            (7, [0.1, 1.0]),
         ],
         schema,
     )
     rows = {r["cell"]: r for r in dedup.semdedup(emb).collect()}
     assert set(rows) == {0}
     assert rows[0]["n_vecs"] == 5
-    assert rows[0]["n_dropped"] == 3  # 0, 1 (group one), 4 (group two)
+    assert rows[0]["n_dropped"] == 3  # 0, 1 (group one), 7 (group two)
     assert rows[0]["drop_ratio"] == 0.6
 
 

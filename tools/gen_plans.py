@@ -119,6 +119,13 @@ ENTRIES = [
      "branch-agreement diagnostic: ONE batched postings scan scores all "
      "queries (broadcast query-term table), cosine side broadcasts the "
      "query vectors; agreement join touches 2*k*n_q rows"),
+    ("ann_ivfpq_append_probe",
+     "append-built codes layout probed like the one-shot build: "
+     "PartitionFilters prune to NPROBE cells — incremental maintenance "
+     "leaves the probe plan unchanged"),
+    ("media_png_decode_stats",
+     "binaryFile source packs small files per task; PNG decode is one "
+     "Arrow mapInPandas crossing emitting scalar rows only"),
 ]
 
 
