@@ -118,87 +118,104 @@ def serve_stdio(
         except json.JSONDecodeError:
             _error(fout, None, PARSE_ERROR, "parse error")
             continue
-        if not isinstance(msg, dict) or msg.get("jsonrpc") != "2.0":
-            _error(fout, msg.get("id") if isinstance(msg, dict) else None,
-                   INVALID_REQUEST, "invalid request")
-            continue
-        method = msg.get("method")
-        req_id = msg.get("id")
-        params = msg.get("params") or {}
-        # JSON-RPC 2.0 §4.1: a request without an id is a notification
-        # and MUST NOT be answered — not even with id:null
-        is_notification = req_id is None
-
-        if method == "initialize":
-            if is_notification:
-                continue
-            client_pv = params.get("protocolVersion")
-            # echo the client's version only when it's one we can speak,
-            # else offer ours (MCP version-negotiation rule)
-            pv = (client_pv if client_pv in SUPPORTED_VERSIONS
-                  else PROTOCOL_VERSION)
-            _result(fout, req_id, {
-                "protocolVersion": pv,
-                "capabilities": {"tools": {}},
-                "serverInfo": {"name": server_name,
-                               "version": server_version},
-            })
-        elif method == "notifications/initialized":
-            continue  # notification: no response
-        elif method == "ping":
-            if is_notification:
-                continue
-            _result(fout, req_id, {})
-        elif method == "tools/list":
-            if is_notification:
-                continue
-            _result(fout, req_id, {
-                "tools": [{
-                    "name": tool_name,
-                    "description": tool_description,
-                    "inputSchema": input_schema,
-                }],
-            })
-        elif method == "tools/call":
-            if is_notification:
-                continue
-            name = params.get("name")
-            if name != tool_name:
-                _error(fout, req_id, INVALID_PARAMS,
-                       f"unknown tool: {name!r}")
-                continue
-            args = params.get("arguments") or {}
-            # Validate against the declared schema BEFORE calling: a bad
-            # argument shape is a -32602 protocol error, but a TypeError
-            # raised INSIDE the tool body is a tool failure and must be
-            # reported as an isError result, not a protocol error —
-            # catching TypeError around the call conflates the two.
-            bad = _schema_violation(args, input_schema)
-            if bad is not None:
-                _error(fout, req_id, INVALID_PARAMS, bad)
-                continue
-            try:
-                out = tool_fn(**args)
-            except Exception as exc:  # tool errors are results, not
-                # protocol errors (MCP spec: isError content block)
-                _result(fout, req_id, {
-                    "content": [{"type": "text",
-                                 "text": f"{type(exc).__name__}: {exc}"}],
-                    "isError": True,
-                })
-                continue
-            _result(fout, req_id, {
-                "content": [{"type": "text",
-                             "text": json.dumps(out, ensure_ascii=False)}],
-                "structuredContent": out,
-                "isError": False,
-            })
-        elif req_id is not None:
-            _error(fout, req_id, METHOD_NOT_FOUND,
-                   f"method not found: {method!r}")
-        # unknown notifications (no id) are silently ignored per JSON-RPC
+        resp = dispatch(msg, tool_name, tool_description, input_schema,
+                        tool_fn, server_name, server_version)
+        if resp is not None:
+            _write(fout, resp)
 
     return 0
+
+
+def dispatch(
+    msg: Any,
+    tool_name: str,
+    tool_description: str,
+    input_schema: dict[str, Any],
+    tool_fn: Callable[..., dict[str, Any]],
+    server_name: str = "hybrid-doc-search",
+    server_version: str = "0.1.0",
+) -> dict[str, Any] | None:
+    """Handle ONE already-parsed JSON-RPC message; return the response
+    dict, or None when the message is a notification (JSON-RPC 2.0 §4.1
+    forbids answering those, even with id:null).
+
+    Transport-independent: the stdio loop above and the streamable-HTTP
+    transport (mcp_http.py) both route through here, so protocol
+    semantics (version negotiation, schema-validated params, isError
+    tool results) are defined exactly once.
+    """
+
+    def result(req_id: Any, payload: dict[str, Any]) -> dict[str, Any]:
+        return {"jsonrpc": "2.0", "id": req_id, "result": payload}
+
+    def error(req_id: Any, code: int, message: str) -> dict[str, Any]:
+        return {"jsonrpc": "2.0", "id": req_id,
+                "error": {"code": code, "message": message}}
+
+    if not isinstance(msg, dict) or msg.get("jsonrpc") != "2.0":
+        return error(msg.get("id") if isinstance(msg, dict) else None,
+                     INVALID_REQUEST, "invalid request")
+    method = msg.get("method")
+    req_id = msg.get("id")
+    params = msg.get("params") or {}
+    # a request without an id is a notification: no response, ever
+    is_notification = req_id is None
+
+    if method == "notifications/initialized":
+        return None
+    if is_notification:
+        return None  # unknown/other notifications: silently ignored
+    if method == "initialize":
+        client_pv = params.get("protocolVersion")
+        # echo the client's version only when it's one we can speak,
+        # else offer ours (MCP version-negotiation rule)
+        pv = (client_pv if client_pv in SUPPORTED_VERSIONS
+              else PROTOCOL_VERSION)
+        return result(req_id, {
+            "protocolVersion": pv,
+            "capabilities": {"tools": {}},
+            "serverInfo": {"name": server_name,
+                           "version": server_version},
+        })
+    if method == "ping":
+        return result(req_id, {})
+    if method == "tools/list":
+        return result(req_id, {
+            "tools": [{
+                "name": tool_name,
+                "description": tool_description,
+                "inputSchema": input_schema,
+            }],
+        })
+    if method == "tools/call":
+        name = params.get("name")
+        if name != tool_name:
+            return error(req_id, INVALID_PARAMS, f"unknown tool: {name!r}")
+        args = params.get("arguments") or {}
+        # Validate against the declared schema BEFORE calling: a bad
+        # argument shape is a -32602 protocol error, but a TypeError
+        # raised INSIDE the tool body is a tool failure and must be
+        # reported as an isError result, not a protocol error —
+        # catching TypeError around the call conflates the two.
+        bad = _schema_violation(args, input_schema)
+        if bad is not None:
+            return error(req_id, INVALID_PARAMS, bad)
+        try:
+            out = tool_fn(**args)
+        except Exception as exc:  # tool errors are results, not
+            # protocol errors (MCP spec: isError content block)
+            return result(req_id, {
+                "content": [{"type": "text",
+                             "text": f"{type(exc).__name__}: {exc}"}],
+                "isError": True,
+            })
+        return result(req_id, {
+            "content": [{"type": "text",
+                         "text": json.dumps(out, ensure_ascii=False)}],
+            "structuredContent": out,
+            "isError": False,
+        })
+    return error(req_id, METHOD_NOT_FOUND, f"method not found: {method!r}")
 
 
 SEARCH_TOOL_SCHEMA: dict[str, Any] = {

@@ -1617,11 +1617,15 @@ def pq_rescore_recall(emb: DataFrame, k: int, n_queries: int = 10,
     pattern as pq_topk/rescore_exact; the comparison itself joins k-row
     sets. Output: q_id, recall_adc, recall_rescore.
     """
-    adc = pq_topk(emb, k, n_queries, id_col, vec_col, dim, m).select(
-        "q_id", "c_id"
-    )
-    resc = pq_rescore_topk(emb, k, n_queries, id_col, vec_col, dim, m,
-                           mult).select("q_id", "c_id")
+    # ONE ADC pass serves both sides: the shortlist is pq_topk at
+    # k*mult, and raw-ADC top-k is its rank <= k prefix (same ordering,
+    # same tie rule) — at 100 TB the compressed scan is the dominant
+    # cost, so it must not run twice for a diagnostic.
+    short_full = pq_topk(emb, k * mult, n_queries, id_col, vec_col,
+                         dim, m).select("q_id", "c_id", "rank")
+    adc = short_full.where(F.col("rank") <= k).select("q_id", "c_id")
+    resc = rescore_exact(short_full.select("q_id", "c_id"), emb, k,
+                         n_queries, id_col, vec_col).select("q_id", "c_id")
     queries = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )

@@ -1447,3 +1447,169 @@ SELECT doc_id,
         AND NOT contains(text, '{{')) AS keep_page
 FROM t ORDER BY doc_id
 """.strip()
+
+
+# --- Gopher repetition rules (arXiv:2112.11446 Table A1, bottom half) ---------
+
+# (n, kind, scaled threshold as (lhs_mult, rhs_mult)): flag passes iff
+# lhs_mult * chars_in_grams <= rhs_mult * total_chars — the paper's
+# "fraction of characters in the most common n-gram" (top) and
+# "fraction of characters inside duplicated n-grams" (dup) thresholds
+# 0.20/0.18/0.16 and 0.15/0.10, cross-multiplied to exact integers.
+GOPHER_REP_RULES = [
+    (2, "top", 5, 1),     # top-2-gram chars / total <= 0.20
+    (3, "top", 50, 9),    # <= 0.18
+    (4, "top", 25, 4),    # <= 0.16
+    (5, "dup", 20, 3),    # dup-5-gram chars / total <= 0.15
+    (10, "dup", 10, 1),   # <= 0.10
+]
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """The repetition half of the Gopher rule set: per doc, the
+    character mass of the most-frequent n-gram (n=2,3,4) and of all
+    DUPLICATED n-grams (n=5,10, every occurrence counted), each gated
+    against the paper's threshold by integer cross-multiplication.
+
+    Scale shape: every n-size's grams are emitted by ONE generator
+    expression and exploded once, so the whole rule set costs a single
+    (doc_id, n, gram) aggregate — the same shuffle as one shingle pass,
+    not five. Gram mass = occurrences * gram character length; the
+    denominator is the raw text length. Output: doc_id, total_chars,
+    top2/top3/top4_chars, dup5/dup10_chars, the five flags, rep_pass.
+    """
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+    sizes = sorted({n for n, _, _, _ in GOPHER_REP_RULES})
+
+    # closure factory, NOT a default-arg lambda: pyspark dispatches
+    # higher-order-function callbacks on lambda ARITY, so `lambda i, n=n`
+    # would be called as (element, index) and bind n to the array index
+    def _gram_maker(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(words, i, n), " ").alias("gram"),
+        )
+
+    # array<struct<n,gram>> holding every n-gram of every rule size
+    gram_arrays = [
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(words) - F.lit(n - 1), F.lit(0)),
+            ),
+            _gram_maker(n),
+        )
+        for n in sizes
+    ]
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counted = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.length(F.first("gram")).cast("long").alias("glen"),
+    )
+    mass = F.col("cnt") * F.col("glen")
+    per_doc = counted.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, mass)).alias(f"top{n}_raw")
+            for n, kind, _, _ in GOPHER_REP_RULES if kind == "top"
+        ],
+        *[
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("cnt") >= 2), mass)
+            ).alias(f"dup{n}_raw")
+            for n, kind, _, _ in GOPHER_REP_RULES if kind == "dup"
+        ],
+    )
+    base = docs.select(
+        "doc_id", F.length("text").cast("long").alias("total_chars")
+    ).join(per_doc, "doc_id", "left")
+    cols = {
+        f"{kind}{n}_chars": F.coalesce(
+            F.col(f"{kind}{n}_raw"), F.lit(0).cast("long")
+        )
+        for n, kind, _, _ in GOPHER_REP_RULES
+    }
+    flags = {
+        f"f_{kind}{n}": F.lit(lm) * cols[f"{kind}{n}_chars"]
+        <= F.lit(rm) * F.col("total_chars")
+        for n, kind, lm, rm in GOPHER_REP_RULES
+    }
+    rep_pass = None
+    for c in flags.values():
+        rep_pass = c if rep_pass is None else (rep_pass & c)
+    return base.select(
+        "doc_id",
+        "total_chars",
+        *[c.alias(name) for name, c in cols.items()],
+        *[c.alias(name) for name, c in flags.items()],
+        rep_pass.alias("rep_pass"),
+    )
+
+
+def dd_gopher_repetition_sql(table: str = "documents") -> str:
+    sizes = sorted({n for n, _, _, _ in GOPHER_REP_RULES})
+    gram_selects = "\nUNION ALL\n".join(
+        f"""  SELECT doc_id, {n} AS n,
+         unnest(list_transform(
+           range(1, greatest(len(words) - {n - 1}, 0) + 1),
+           i -> array_to_string(list_slice(words, i, i + {n - 1}), ' ')
+         )) AS gram
+  FROM t"""
+        for n in sizes
+    )
+    top_aggs = ",\n         ".join(
+        f"max(CASE WHEN n = {n} THEN cnt * glen END) AS top{n}_raw"
+        for n, kind, _, _ in GOPHER_REP_RULES if kind == "top"
+    )
+    dup_aggs = ",\n         ".join(
+        f"sum(CASE WHEN n = {n} AND cnt >= 2 THEN cnt * glen END)"
+        f" AS dup{n}_raw"
+        for n, kind, _, _ in GOPHER_REP_RULES if kind == "dup"
+    )
+    col_exprs = ",\n       ".join(
+        f"coalesce({kind}{n}_raw, 0)::BIGINT AS {kind}{n}_chars"
+        for n, kind, _, _ in GOPHER_REP_RULES
+    )
+    flag_exprs = ",\n       ".join(
+        f"({lm} * coalesce({kind}{n}_raw, 0) <= {rm} * total_chars)"
+        f" AS f_{kind}{n}"
+        for n, kind, lm, rm in GOPHER_REP_RULES
+    )
+    pass_expr = " AND ".join(
+        f"({lm} * coalesce({kind}{n}_raw, 0) <= {rm} * total_chars)"
+        for n, kind, lm, rm in GOPHER_REP_RULES
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS words
+  FROM {table}
+),
+grams AS (
+{gram_selects}
+),
+counted AS (
+  SELECT doc_id, n, gram,
+         count(*)::BIGINT AS cnt, len(gram)::BIGINT AS glen
+  FROM grams GROUP BY doc_id, n, gram
+),
+per_doc AS (
+  SELECT doc_id,
+         {top_aggs},
+         {dup_aggs}
+  FROM counted GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, len(d.text)::BIGINT AS total_chars,
+         p.* EXCLUDE (doc_id)
+  FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+)
+SELECT doc_id, total_chars,
+       {col_exprs},
+       {flag_exprs},
+       ({pass_expr}) AS rep_pass
+FROM base ORDER BY doc_id
+""".strip()

@@ -153,6 +153,17 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_quality(_docs(spark, sf_dir))
 
 
+@register("text_gopher_repetition",
+          oracle=textstats.dd_gopher_repetition_sql(), defer_gate=True)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher rules (arXiv:2112.11446 Table
+    A1): top-2/3/4-gram character mass and duplicated-5/10-gram
+    character mass, each gated by integer cross-multiplication against
+    the paper's thresholds. All five n-gram sizes ride ONE explode and
+    one (doc_id, n, gram) aggregate — a single shingle-shaped shuffle."""
+    return textstats.gopher_repetition(_docs(spark, sf_dir))
+
+
 @register("corpus_c4_line_filters",
           oracle=textstats.dd_c4_line_filters_sql(), defer_gate=True)
 def corpus_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,11 +3,13 @@
 The tool handler closes over a long-lived DocSearchEngine (persisted index
 DataFrames) and returns {"results": [...]} exactly like the reference
 (server.py:95). When FastMCP is installed it runs the server exactly like
-the reference; when it is not, the stdio transport falls back to the
-built-in minimal MCP implementation (mcp_stdio.py — newline-delimited
-JSON-RPC 2.0 per the public MCP spec), so ``serve`` genuinely works in
-this container and is protocol-tested in tests/test_mcp_protocol.py.
-Only streamable-http requires the external package.
+the reference; when it is not, BOTH transports fall back to built-in
+minimal MCP implementations per the public spec — stdio (mcp_stdio.py,
+newline-delimited JSON-RPC 2.0) and streamable-http (mcp_http.py,
+single-endpoint POST + Mcp-Session-Id lifecycle) — sharing one dispatch
+so they answer identically. ``serve`` genuinely works on both transports
+in this container; each is protocol-tested AND subprocess-round-trip
+tested in tests/test_mcp_protocol.py.
 """
 
 from __future__ import annotations
@@ -42,16 +44,6 @@ def run_server(db: str, transport: str = "stdio", host: str = "0.0.0.0",
     except ImportError:
         FastMCP = None
 
-    if FastMCP is None and transport != "stdio":
-        print(
-            "MCP streamable-http transport requires the 'mcp' package "
-            "(not installed in this environment). The stdio transport "
-            "works without it, as do the `search` command and the Python "
-            "API (search.doc_engine.DocSearchEngine).",
-            file=sys.stderr,
-        )
-        return 2
-
     from .search.doc_engine import DocSearchEngine
     from .session import get_spark
 
@@ -59,12 +51,24 @@ def run_server(db: str, transport: str = "stdio", host: str = "0.0.0.0",
     tool = make_search_tool(engine, add_path_prefix, remove_path_prefix)
 
     if FastMCP is None:
-        # built-in minimal stdio transport (public MCP spec shapes)
+        # built-in minimal transports (public MCP spec shapes); both
+        # route through mcp_stdio.dispatch so semantics match FastMCP's
         from .mcp_stdio import SEARCH_TOOL_SCHEMA, serve_stdio
 
-        return serve_stdio(
+        if transport == "stdio":
+            return serve_stdio(
+                tool_name,
+                tool_description or "Search for local documents",
+                SEARCH_TOOL_SCHEMA, tool,
+            )
+        from .mcp_http import serve_http
+
+        print(f"MCP streamable-http on http://{host}:{port}{path} "
+              "(built-in transport; install 'mcp' for FastMCP)",
+              file=sys.stderr)
+        return serve_http(
             tool_name, tool_description or "Search for local documents",
-            SEARCH_TOOL_SCHEMA, tool,
+            SEARCH_TOOL_SCHEMA, tool, host=host, port=port, path=path,
         )
 
     mcp = (

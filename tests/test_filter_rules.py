@@ -1,0 +1,96 @@
+"""Crafted-document pins for the paper filter rule sets (Gopher quality
++ repetition, C4 line filters) — the oracle parity gate checks value
+equality on the corpus; these pin the SEMANTICS on documents built to
+trip each rule exactly once."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from duckdb_hybrid_doc_search_spark.operators import textstats
+
+SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and then walks back "
+    "to the barn with a friend that came along to have a look at the "
+    "field where all of them like to rest when the day turns warm and "
+    "quiet near the old stone wall that has stood there for years."
+)
+
+
+def test_gopher_quality_flags(spark):
+    rows = [
+        (0, GOOD),                                # passes everything
+        (1, "too short to count"),                # < 50 words
+        (2, GOOD + " " + "# " * 40),              # symbol ratio blown
+        (3, "\n".join(["- bullet line with the words of and that have"]
+                      * 20)),                     # all lines bullets
+        (4, " ".join(["12345"] * 60)),            # no alpha, no stopwords
+    ]
+    out = {r.doc_id: r for r in
+           textstats.gopher_quality(_docs(spark, rows)).collect()}
+    assert out[0].gopher_pass
+    assert not out[1].f_word_count and not out[1].gopher_pass
+    assert not out[2].f_symbol_ratio and not out[2].gopher_pass
+    assert not out[3].f_bullet_lines and not out[3].gopher_pass
+    assert not out[4].f_alpha_words and not out[4].f_stopwords
+    assert not out[4].gopher_pass
+
+
+def test_gopher_repetition_flags(spark):
+    rows = [
+        (0, GOOD),                                  # natural text passes
+        # one 2-gram ("ha ha") repeated until it owns >20% of the chars
+        (1, GOOD + " " + "ha ha" * 1 + " ha" * 40),
+        # a 10-gram passage duplicated: >10% of chars inside dup 10-grams
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    out = {r.doc_id: r for r in
+           textstats.gopher_repetition(_docs(spark, rows)).collect()}
+    assert out[0].rep_pass
+    assert not out[1].f_top2 and not out[1].rep_pass
+    assert not out[2].f_dup10 and not out[2].rep_pass
+    # mass accounting: doc 2's duplicated 10-gram block covers the doc
+    assert out[2].dup10_chars > 0
+    assert out[2].total_chars > 0
+
+
+def test_c4_line_filters(spark):
+    rows = [
+        (0, "This line has five words here.\nshort line\n"
+            "Another proper sentence with enough words follows here.\n"
+            "Ends with punctuation but too short."),
+        (1, "lorem ipsum dolor sit amet and more words follow here."),
+        (2, "A js blob { with braces and words and sentences. More. "
+            "Even more."),
+        (3, "One sentence only no punctuation"),
+    ]
+    out = {r.doc_id: r for r in
+           textstats.c4_line_filters(_docs(spark, rows)).collect()}
+    # doc 0: 4 non-empty lines; kept = lines with >=5 words ending in
+    # punctuation (line 1, 3, and 4 has 6 words -> kept too)
+    assert out[0].n_lines == 4
+    assert out[0].n_kept_lines == 3
+    assert out[0].keep_page  # >= 3 sentences, no lorem, no brace
+    assert out[1].has_lorem and not out[1].keep_page
+    assert out[2].has_brace and not out[2].keep_page
+    assert out[3].n_sentences == 0 and not out[3].keep_page
+
+
+@pytest.mark.parametrize("n,expected", [(0, 1), (1, 1), (4, 2), (100, 10),
+                                        (99, 9), (10_000, 100)])
+def test_semdedup_mod_is_isqrt(n, expected):
+    from duckdb_hybrid_doc_search_spark.operators.dedup import semdedup_mod
+
+    assert semdedup_mod(n) == expected
