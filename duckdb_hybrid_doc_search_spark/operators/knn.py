@@ -133,15 +133,13 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
     return cent, assign
 
 
-def ivf_topk(emb: DataFrame, k: int, n_queries: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-bucketed ANN: probe the NPROBE nearest cells per query, exact
-    top-k inside the probed cells only — the 100 TB scale path where the
-    full-corpus scan of cosine_distance_topk is replaced by reading ~
-    nprobe/n_cells of the data. Approximate by construction; recall vs the
-    exact scan is a quality metric, not a correctness bug (flagged, not
-    hidden — SURVEY.md §4.1)."""
-    cent, assign = ivf_assign(emb, id_col, vec_col)
+def _ivf_probe_topk(emb: DataFrame, cent: DataFrame, assign: DataFrame,
+                    k: int, n_queries: int, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """The IVF probe given an arbitrary (cent_id, cvec) centroid table
+    and its (c_id, cell) assignment — shared by the deterministic-sample
+    index (ivf_topk) and the kmeans-trained variant (ivf_kmeans_recall):
+    the centroid SOURCE is a pluggable seam, the probe plan is one."""
     queries = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -170,6 +168,18 @@ def ivf_topk(emb: DataFrame, k: int, n_queries: int = 10,
         scored.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_topk(emb: DataFrame, k: int, n_queries: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-bucketed ANN: probe the NPROBE nearest cells per query, exact
+    top-k inside the probed cells only — the 100 TB scale path where the
+    full-corpus scan of cosine_distance_topk is replaced by reading ~
+    nprobe/n_cells of the data. Approximate by construction; recall vs the
+    exact scan is a quality metric, not a correctness bug (flagged, not
+    hidden — SURVEY.md §4.1)."""
+    cent, assign = ivf_assign(emb, id_col, vec_col)
+    return _ivf_probe_topk(emb, cent, assign, k, n_queries, id_col, vec_col)
 
 
 # --- DuckDB oracle SQL ------------------------------------------------------
@@ -1797,3 +1807,110 @@ SELECT q_id, q_label, c_id, c_label, cos_sim, rank FROM (
   FROM pairs
 ) WHERE rank <= {k}
 """.strip()
+
+
+# --- kmeans-trained centroids plugged into the IVF seam -----------------------
+
+KMEANS_IVF_ITERS = 4
+
+
+def kmeans_centroids(emb: DataFrame, k: int = CENTROID_K,
+                     iters: int = KMEANS_IVF_ITERS,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """TRAINED centroid table for the IVF seam: Lloyd's k-means (init =
+    first k rows by id, the embeddings_kmeans_train recipe), returning
+    (cent_id, cvec) shaped exactly like ivf_assign's deterministic
+    sample — so trained centroids drop into _ivf_probe_topk,
+    assign_to_centroids, SemDeDup, or the written layouts unchanged.
+
+    Scale shape: the driver loop holds only k x dim floats; each
+    iteration is one Arrow-GEMM assignment pass plus a k-row aggregate
+    (analytics._kmeans_assign_arrow — constant plan shape across
+    iterations). Centroid coords round to SCORE_ROUND so downstream
+    tie-breaks stay stable. Index build cost, paid once at write time.
+    """
+    from .analytics import _kmeans_assign_arrow
+
+    init = (
+        emb.orderBy(id_col).select(id_col, vec_col).limit(k).collect()
+    )
+    cents = [(i, [float(x) for x in r[vec_col]])
+             for i, r in enumerate(init)]
+    dim = len(cents[0][1])
+    emb_only = emb.select(F.col(vec_col).alias("embedding"))
+    for _ in range(iters):
+        stats = (
+            _kmeans_assign_arrow(emb_only, cents)
+            .groupBy("cluster_id")
+            .agg(F.array(*[F.avg(F.col("embedding").getItem(i))
+                           for i in range(dim)]).alias("mean_vec"))
+            .collect()
+        )
+        new = {int(r["cluster_id"]): [float(x) for x in r["mean_vec"]]
+               for r in stats}
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    rounded = [
+        (cid, [round(x, SCORE_ROUND) for x in vec]) for cid, vec in cents
+    ]
+    return emb.sparkSession.createDataFrame(
+        rounded, f"cent_id long, cvec array<double>"
+    )
+
+
+def ivf_kmeans_recall(emb: DataFrame, k: int, n_queries: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-query recall@k of the IVF probe with TRAINED centroids vs
+    with the deterministic id-sample, side by side against the exact
+    cosine top-k — the diagnostic that shows the centroid source is a
+    pluggable quality knob on an unchanged probe plan (the claim the
+    deterministic sample's docstrings make; this row records it).
+
+    Rows-only by design: the kmeans iteration is a float loop whose
+    assignment boundaries can flip across engines (same reason
+    embeddings_kmeans_train is rows-only); the probe itself reuses the
+    oracled _ivf_probe_topk plan. Output: q_id, recall_kmeans,
+    recall_sample.
+    """
+    tcent = kmeans_centroids(emb, CENTROID_K, KMEANS_IVF_ITERS,
+                             id_col, vec_col)
+    tassign = assign_to_centroids(
+        emb.select(F.col(id_col).alias("c_id"),
+                   F.col(vec_col).alias("c_vec")),
+        tcent,
+    )
+    trained = _ivf_probe_topk(emb, tcent, tassign, k, n_queries,
+                              id_col, vec_col).select("q_id", "c_id")
+    sampled = ivf_topk(emb, k, n_queries, id_col, vec_col).select(
+        "q_id", "c_id"
+    )
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = knn_join(
+        queries,
+        emb.select(F.col(id_col).alias("c_id"),
+                   F.col(vec_col).alias("c_vec")),
+        k,
+    ).select("q_id", "c_id")
+    hits_t = trained.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    hits_s = sampled.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits_t, "q_id", "left")
+        .join(hits_s, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_t"), F.lit(0)) / k, 6)
+            .alias("recall_kmeans"),
+            F.round(F.coalesce(F.col("n_s"), F.lit(0)) / k, 6)
+            .alias("recall_sample"),
+        )
+        .orderBy("q_id")
+    )

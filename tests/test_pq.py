@@ -195,6 +195,28 @@ def test_pq_rescore_beats_plain_adc_recall(spark, sf_dir):
         assert rescored[q] >= plain.get(q, 0.0), q
 
 
+def test_ivf_kmeans_centroids_plug_into_the_probe(spark, sf_dir):
+    """Trained centroids are a drop-in for the deterministic sample:
+    same probe plan, k rows, valid recalls for every query — and the
+    trained index must not be WORSE on average than the id-sample one
+    beyond noise (it sees the data; the sample doesn't)."""
+    emb = _emb(spark, sf_dir)
+    cent = knn.kmeans_centroids(emb)
+    assert cent.count() == knn.CENTROID_K
+    assert cent.columns == ["cent_id", "cvec"]
+
+    rows = knn.ivf_kmeans_recall(emb, K, NQ).collect()
+    assert sorted(r.q_id for r in rows) == list(range(NQ))
+    for r in rows:
+        assert 0.0 <= r.recall_kmeans <= 1.0
+        assert 0.0 <= r.recall_sample <= 1.0
+    mean_t = sum(r.recall_kmeans for r in rows) / NQ
+    mean_s = sum(r.recall_sample for r in rows) / NQ
+    assert mean_t > 0.0
+    # generous tolerance: tiny corpus, 4 Lloyd iterations
+    assert mean_t >= mean_s - 0.2, (mean_t, mean_s)
+
+
 def test_pq_rescore_recall_reports_the_gap_closing(spark, sf_dir):
     """pq_rescore_recall is the side-by-side quality record: per query
     recall_rescore >= recall_adc (rerank can only promote true neighbors

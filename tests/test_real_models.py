@@ -132,15 +132,20 @@ def test_cross_encoder_fallback_returns_none():
     assert cross_encoder_scores("q", ["t"], "any-model") is None
 
 
-def test_mcp_server_fallback_exit_code():
-    """Without the package only streamable-http is unavailable (exit 2);
-    stdio now serves via the built-in transport — proven end-to-end in
-    tests/test_mcp_protocol.py."""
+def test_mcp_server_fallback_no_longer_gates_http():
+    """Without the package BOTH transports now serve via the built-in
+    implementations (mcp_stdio.py / mcp_http.py) — the old exit-2 gate
+    for streamable-http is gone. With an invalid db the failure must be
+    the engine's FileNotFoundError (raised BEFORE any transport starts),
+    not a transport-availability error; the serving paths themselves are
+    proven end-to-end in tests/test_mcp_protocol.py."""
     if HAS_MCP:
         pytest.skip("package present; fallback unreachable")
     from duckdb_hybrid_doc_search_spark.server import run_server
 
-    assert run_server("/nonexistent", transport="streamable-http") == 2
+    for transport in ("stdio", "streamable-http"):
+        with pytest.raises(FileNotFoundError):
+            run_server("/nonexistent", transport=transport)
 
 
 @pytest.mark.skipif(not HAS_ST, reason="sentence-transformers not installed")

@@ -126,6 +126,10 @@ ENTRIES = [
     ("media_png_decode_stats",
      "binaryFile source packs small files per task; PNG decode is one "
      "Arrow mapInPandas crossing emitting scalar rows only"),
+    ("text_gopher_repetition",
+     "posexplode + per-doc lead() window builds all five Gopher n-gram "
+     "sizes codegen-side; one shared (doc_id, n, gram) aggregate, "
+     "windows partitioned per doc"),
 ]
 
 

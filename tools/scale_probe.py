@@ -80,6 +80,8 @@ QUERIES = [
     ("dedup_trim_spans", "documents"),         # span removal + text rebuild
     ("search_rank_agreement", "documents"),    # batched bm25 vs cosine branches
     ("embeddings_hard_negatives", "embeddings"),  # label-filtered knn broadcast
+    # round 7: all five Gopher n-gram sizes ride ONE explode + aggregate
+    ("text_gopher_repetition", "documents"),   # (doc, n, gram) shingle shuffle
 ]
 
 # Embeddings-only 10x stress point (r6 VERDICT #1 "prove the flattening"):
