@@ -194,10 +194,16 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     probes keep pruning by partition).
 
     The centroid set is FROZEN at build time — read back from the
-    build's `_centroids` side table (falling back to scanning the layout
-    for centroid_pred rows, for layouts written before the side
-    table existed), so the cell definition never drifts under appends;
-    re-centering is a rebuild, by design. A batch containing a
+    build's `_centroids` side table, so the cell definition never
+    drifts under appends; re-centering is a rebuild, by design. A
+    layout WITHOUT the side table is REFUSED: such layouts predate the
+    CENTROID_K cap, so re-deriving their centroid set from the current
+    centroid_pred reconstructs at most CENTROID_K centroids while the
+    on-disk cells span the old uncapped set — appends would be assigned
+    against a centroid set inconsistent with existing membership,
+    silently corrupting cell assignment and recall. (Recovering from
+    the layout's distinct cell values is also unsound: it misses
+    empty cells, which were live assignment targets at build time.) A batch containing a
     centroid-modulus vec_id is REJECTED: writing it as a plain cell
     member while query-time ivf_assign would treat it as a centroid
     silently probes a nonexistent cell. The disjoint-vec_id contract is
@@ -227,13 +233,15 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
             "layout to re-center instead."
         )
     cdir = _centroid_dir(out_dir)
-    if os.path.exists(cdir):
-        cent = spark.read.parquet(cdir)
-    else:  # pre-side-table layout: one full recovery scan, then rebuildable
-        cent = spark.read.parquet(out_dir).where(
-            centroid_pred("vec_id")
-        ).select(F.col("vec_id").alias("cent_id"),
-                 F.col("embedding").alias("cvec"))
+    if not os.path.exists(cdir):
+        raise ValueError(
+            f"layout at {out_dir} has no _centroids side table: it "
+            "predates the capped centroid rule, and no recovery scan "
+            "can reconstruct its build-time centroid set consistently "
+            "with existing cell membership (see docstring). Rebuild "
+            "the layout (write_ivf_partitioned) before appending."
+        )
+    cent = spark.read.parquet(cdir)
     assign = assign_to_centroids(
         new_emb.select(F.col("vec_id").alias("c_id"),
                        F.col("embedding").alias("c_vec")),

@@ -158,6 +158,13 @@ def dispatch(
     method = msg.get("method")
     req_id = msg.get("id")
     params = msg.get("params") or {}
+    # a client-sent RESPONSE (has result/error, no method) is not
+    # answerable: JSON-RPC 2.0 forbids responding to a response, and the
+    # MCP streamable-HTTP spec says posted client responses get 202 with
+    # no body — returning None here keeps stdio silent and lets the HTTP
+    # transport emit 202 instead of a bogus -32601
+    if method is None and ("result" in msg or "error" in msg):
+        return None
     # a request without an id is a notification: no response, ever
     is_notification = req_id is None
 

@@ -1260,8 +1260,12 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
 
     - word count in [50, 100000];
     - mean word length in [3, 10]  (3n <= total_chars <= 10n);
-    - symbol-to-word ratio <= 0.1  (10 * (#'#' + #'...') <= n) ;
-    - <= 10% of lines start with a bullet, <= 30% end with ellipsis;
+    - symbol-to-word ratio <= 0.1 PER SYMBOL (10 * #'#' <= n AND
+      10 * #'...' <= n — Table A1 applies the 0.1 threshold to the hash
+      symbol and the ellipsis each on its own, not pooled);
+    - <= 90% of lines start with a bullet (the paper REMOVES documents
+      with more than 90% bullet lines — a list-formatted doc is fine),
+      <= 30% end with ellipsis;
     - >= 80% of words contain an alphabetic char  (5a >= 4n);
     - >= 2 of the 8 required stopwords present.
 
@@ -1304,8 +1308,9 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         "f_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
         "f_mean_word_len": (F.lit(3) * n <= total_wchars)
         & (total_wchars <= F.lit(10) * n),
-        "f_symbol_ratio": F.lit(10) * (n_hash + n_ellipsis) <= n,
-        "f_bullet_lines": F.lit(10) * bullet_lines <= n_lines,
+        "f_symbol_hash": F.lit(10) * n_hash <= n,
+        "f_symbol_ellipsis": F.lit(10) * n_ellipsis <= n,
+        "f_bullet_lines": F.lit(10) * bullet_lines <= F.lit(9) * n_lines,
         "f_ellipsis_lines": F.lit(10) * ellipsis_lines
         <= F.lit(3) * n_lines,
         "f_alpha_words": F.lit(5) * alpha_words >= F.lit(4) * n,
@@ -1363,15 +1368,17 @@ SELECT doc_id, n AS n_words,
          AS f_word_count,
        (3 * n <= total_wchars AND total_wchars <= 10 * n)
          AS f_mean_word_len,
-       (10 * (n_hash + n_ellipsis) <= n) AS f_symbol_ratio,
-       (10 * bullet_lines <= n_lines) AS f_bullet_lines,
+       (10 * n_hash <= n) AS f_symbol_hash,
+       (10 * n_ellipsis <= n) AS f_symbol_ellipsis,
+       (10 * bullet_lines <= 9 * n_lines) AS f_bullet_lines,
        (10 * ellipsis_lines <= 3 * n_lines) AS f_ellipsis_lines,
        (5 * alpha_words >= 4 * n) AS f_alpha_words,
        (n_stop >= 2) AS f_stopwords,
        ((n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
         AND (3 * n <= total_wchars AND total_wchars <= 10 * n)
-        AND (10 * (n_hash + n_ellipsis) <= n)
-        AND (10 * bullet_lines <= n_lines)
+        AND (10 * n_hash <= n)
+        AND (10 * n_ellipsis <= n)
+        AND (10 * bullet_lines <= 9 * n_lines)
         AND (10 * ellipsis_lines <= 3 * n_lines)
         AND (5 * alpha_words >= 4 * n)
         AND (n_stop >= 2)) AS gopher_pass
@@ -1480,8 +1487,13 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     cut built grams with nested slice+array_join inside transform()
     (interpreted per element) and measured 9.5x slower at sf0.1 (19.4s
     -> 2.05s). Gram mass = occurrences * gram character length; the
-    denominator is the raw text length. Output: doc_id, total_chars,
-    top2/top3/top4_chars, dup5/dup10_chars, the five flags, rep_pass.
+    denominator is the raw text length. The "top" gram is the MOST
+    FREQUENT n-gram (max count, per the paper's "fraction of characters
+    in the most common n-gram"), tie-broken deterministically by longer
+    gram — NOT the gram with maximal character mass, which would let a
+    long twice-occurring gram outweigh a short frequent one. Output:
+    doc_id, total_chars, top2/top3/top4_chars, dup5/dup10_chars, the
+    five flags, rep_pass.
     """
     from pyspark.sql import Window
 
@@ -1520,9 +1532,19 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         F.length(F.first("gram")).cast("long").alias("glen"),
     )
     mass = F.col("cnt") * F.col("glen")
+    # most-frequent gram via max over struct(cnt, glen): Spark orders
+    # structs lexicographically by field, so this picks the max count
+    # and tie-breaks by the longer gram — deterministic, and the mass
+    # only depends on (cnt, glen) so the gram string itself is moot
     per_doc = counted.groupBy("doc_id").agg(
         *[
-            F.max(F.when(F.col("n") == n, mass)).alias(f"top{n}_raw")
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.struct(F.col("cnt").alias("cnt"),
+                             F.col("glen").alias("glen")),
+                )
+            ).alias(f"top{n}_s")
             for n, kind, _, _ in GOPHER_REP_RULES if kind == "top"
         ],
         *[
@@ -1535,12 +1557,14 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     base = docs.select(
         "doc_id", F.length("text").cast("long").alias("total_chars")
     ).join(per_doc, "doc_id", "left")
-    cols = {
-        f"{kind}{n}_chars": F.coalesce(
-            F.col(f"{kind}{n}_raw"), F.lit(0).cast("long")
-        )
-        for n, kind, _, _ in GOPHER_REP_RULES
-    }
+    cols = {}
+    for n, kind, _, _ in GOPHER_REP_RULES:
+        if kind == "top":
+            s = F.col(f"top{n}_s")
+            raw = s.getField("cnt") * s.getField("glen")
+        else:
+            raw = F.col(f"dup{n}_raw")
+        cols[f"{kind}{n}_chars"] = F.coalesce(raw, F.lit(0).cast("long"))
     flags = {
         f"f_{kind}{n}": F.lit(lm) * cols[f"{kind}{n}_chars"]
         <= F.lit(rm) * F.col("total_chars")
@@ -1569,8 +1593,12 @@ def dd_gopher_repetition_sql(table: str = "documents") -> str:
   FROM t"""
         for n in sizes
     )
+    # most-frequent gram = max over struct(cnt, glen): DuckDB compares
+    # structs field-by-field in definition order, mirroring Spark's
+    # struct max (max count, tie-break longer gram)
     top_aggs = ",\n         ".join(
-        f"max(CASE WHEN n = {n} THEN cnt * glen END) AS top{n}_raw"
+        f"max(CASE WHEN n = {n} THEN struct_pack(cnt := cnt,"
+        f" glen := glen) END) AS top{n}_s"
         for n, kind, _, _ in GOPHER_REP_RULES if kind == "top"
     )
     dup_aggs = ",\n         ".join(
@@ -1578,17 +1606,23 @@ def dd_gopher_repetition_sql(table: str = "documents") -> str:
         f" AS dup{n}_raw"
         for n, kind, _, _ in GOPHER_REP_RULES if kind == "dup"
     )
-    col_exprs = ",\n       ".join(
-        f"coalesce({kind}{n}_raw, 0)::BIGINT AS {kind}{n}_chars"
+
+    def _mass(n: int, kind: str) -> str:
+        if kind == "top":
+            return (f"coalesce(struct_extract(top{n}_s, 'cnt')"
+                    f" * struct_extract(top{n}_s, 'glen'), 0)::BIGINT")
+        return f"coalesce(dup{n}_raw, 0)::BIGINT"
+
+    col_exprs = ",\n         ".join(
+        f"{_mass(n, kind)} AS {kind}{n}_chars"
         for n, kind, _, _ in GOPHER_REP_RULES
     )
     flag_exprs = ",\n       ".join(
-        f"({lm} * coalesce({kind}{n}_raw, 0) <= {rm} * total_chars)"
-        f" AS f_{kind}{n}"
+        f"({lm} * {kind}{n}_chars <= {rm} * total_chars) AS f_{kind}{n}"
         for n, kind, lm, rm in GOPHER_REP_RULES
     )
     pass_expr = " AND ".join(
-        f"({lm} * coalesce({kind}{n}_raw, 0) <= {rm} * total_chars)"
+        f"({lm} * {kind}{n}_chars <= {rm} * total_chars)"
         for n, kind, lm, rm in GOPHER_REP_RULES
     )
     return f"""
@@ -1616,10 +1650,15 @@ base AS (
   SELECT d.doc_id, len(d.text)::BIGINT AS total_chars,
          p.* EXCLUDE (doc_id)
   FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+massed AS (
+  SELECT doc_id, total_chars,
+         {col_exprs}
+  FROM base
 )
 SELECT doc_id, total_chars,
-       {col_exprs},
+       {", ".join(f"{kind}{n}_chars" for n, kind, _, _ in GOPHER_REP_RULES)},
        {flag_exprs},
        ({pass_expr}) AS rep_pass
-FROM base ORDER BY doc_id
+FROM massed ORDER BY doc_id
 """.strip()

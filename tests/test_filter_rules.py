@@ -34,17 +34,28 @@ def test_gopher_quality_flags(spark):
         (1, "too short to count"),                # < 50 words
         (2, GOOD + " " + "# " * 40),              # symbol ratio blown
         (3, "\n".join(["- bullet line with the words of and that have"]
-                      * 20)),                     # all lines bullets
+                      * 20)),                     # 100% bullet lines
         (4, " ".join(["12345"] * 60)),            # no alpha, no stopwords
+        # half the lines are bullets: the paper only removes docs with
+        # MORE THAN 90% bullet lines, so this must KEEP (the pre-r8 gate
+        # wrongly filtered at >10%)
+        (5, "\n".join(["- a bullet line with the words of and that have",
+                       "a plain line with the words of and that have"]
+                      * 5)),
+        # ellipsis-heavy but hash-free: the 0.1 symbol threshold applies
+        # PER SYMBOL, so hash passes while ellipsis fails
+        (6, GOOD + " " + "... " * 40),
     ]
     out = {r.doc_id: r for r in
            textstats.gopher_quality(_docs(spark, rows)).collect()}
     assert out[0].gopher_pass
     assert not out[1].f_word_count and not out[1].gopher_pass
-    assert not out[2].f_symbol_ratio and not out[2].gopher_pass
+    assert not out[2].f_symbol_hash and not out[2].gopher_pass
     assert not out[3].f_bullet_lines and not out[3].gopher_pass
     assert not out[4].f_alpha_words and not out[4].f_stopwords
     assert not out[4].gopher_pass
+    assert out[5].f_bullet_lines
+    assert out[6].f_symbol_hash and not out[6].f_symbol_ellipsis
 
 
 def test_gopher_repetition_flags(spark):
@@ -64,6 +75,19 @@ def test_gopher_repetition_flags(spark):
     # mass accounting: doc 2's duplicated 10-gram block covers the doc
     assert out[2].dup10_chars > 0
     assert out[2].total_chars > 0
+
+
+def test_gopher_top_gram_is_most_frequent(spark):
+    """The 'top' gram is the MOST FREQUENT n-gram, not the one with
+    maximal character mass: 'x y' occurs 5 times (mass 5*3=15) while the
+    long pair occurs twice with mass 2*35=70 — the gate must use 15."""
+    text = ("x y x y x y x y x y "
+            "longlonglongword1 longlonglongword2 "
+            "longlonglongword1 longlonglongword2")
+    out = textstats.gopher_repetition(
+        _docs(spark, [(0, text)])
+    ).collect()[0]
+    assert out.top2_chars == 15  # 5 occurrences * len('x y')
 
 
 def test_c4_line_filters(spark):

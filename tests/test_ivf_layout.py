@@ -177,3 +177,29 @@ def test_append_rejects_duplicate_vec_ids(spark, sf_dir, tmp_path):
     dup = emb.where(~centroid_pred("vec_id")).limit(3)
     with pytest.raises(ValueError, match="overlaps the layout"):
         append_ivf_vectors(spark, out, dup)
+
+
+def test_append_refuses_pre_side_table_layouts(spark, sf_dir, tmp_path):
+    """A layout missing the `_centroids` side table predates the capped
+    centroid rule — its build-time centroid set cannot be reconstructed
+    consistently with existing cell membership, so append must refuse
+    and demand a rebuild (r7 ADVICE: the old recovery scan silently
+    assigned against at most CENTROID_K centroids while the on-disk
+    cells spanned the uncapped set)."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        append_ivf_vectors, write_ivf_partitioned)
+    from duckdb_hybrid_doc_search_spark.operators.knn import centroid_pred
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path / "ivf")
+    write_ivf_partitioned(emb.where(F.col("vec_id") % 5 != 3), out)
+    shutil.rmtree(out + "_centroids")  # simulate a pre-side-table layout
+    new = emb.where((~centroid_pred("vec_id"))
+                    & (F.col("vec_id") % 5 == 3)).limit(3)
+    with pytest.raises(ValueError, match="no _centroids side table"):
+        append_ivf_vectors(spark, out, new)

@@ -425,3 +425,18 @@ def test_request_methods_as_notifications_get_no_response():
     ])
     assert rc == 0
     assert len(out) == 1 and out[0]["id"] == 9  # only the real request
+
+
+def test_client_responses_are_not_answered():
+    # a posted client RESPONSE (result/error present, no method) is not
+    # answerable: JSON-RPC 2.0 forbids responding to a response and the
+    # MCP streamable-HTTP spec accepts them with 202 and no body — the
+    # pre-r8 dispatch fell through to a bogus -32601
+    rc, out = _drive([
+        json.dumps({"jsonrpc": "2.0", "id": 1, "result": {"ok": True}}),
+        json.dumps({"jsonrpc": "2.0", "id": 2,
+                    "error": {"code": -32000, "message": "client-side"}}),
+        json.dumps({"jsonrpc": "2.0", "id": 9, "method": "ping"}),
+    ])
+    assert rc == 0
+    assert len(out) == 1 and out[0]["id"] == 9  # only the real request
