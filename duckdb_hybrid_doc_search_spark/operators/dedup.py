@@ -1064,14 +1064,19 @@ def dedup_incremental_batch(docs: DataFrame) -> DataFrame:
     Tiers (exact wins over near):
     - exact_dup: the batch doc's md5 fingerprint exists in the corpus,
       or a lower-id batch doc shares it (within-batch keep-min rule) —
-      one hash semi-join; at 100 TB the corpus side is a persisted
-      fingerprint table (or a bloom of it), never a rescan.
+      one hash semi-join.
     - near_dup: >=1 existing partner shares an LSH band bucket AND the
       minhash-estimated Jaccard clears JACCARD_THRESHOLD — the banded
       join is batch x existing only (bucket-local, never corpus x
-      corpus); at 100 TB the existing band signatures are a WRITTEN
-      side table maintained append-only, like index/ivf_layout.
+      corpus).
     - kept: everything else.
+
+    This self-contained form computes BOTH sides' signatures in-plan —
+    the reference semantics and the oracle's shape. The production form
+    at 100 TB is :func:`dedup_incremental_probe` over the written
+    append-only signature store (``index/dedup_layout``), which spends
+    compute on the arriving batch only; both share
+    :func:`_incremental_decide` and are value-identical.
 
     Output: (doc_id, decision, n_near) per batch document, n_near =
     count of confirmed existing near-dup partners.
@@ -1083,6 +1088,50 @@ def dedup_incremental_batch(docs: DataFrame) -> DataFrame:
     efp = docs.where(~is_batch).select(
         F.md5(F.col("text")).alias("fp")
     ).distinct()
+    sig = minhash_signatures(docs).cache()
+    bands = _band_sigs(sig)
+    return _incremental_decide(
+        bfp, efp,
+        bands.where(F.col("doc_id") % BATCH_MOD == 0),
+        bands.where(F.col("doc_id") % BATCH_MOD != 0),
+        sig.where(F.col("doc_id") % BATCH_MOD == 0),
+        sig.where(F.col("doc_id") % BATCH_MOD != 0),
+    )
+
+
+def dedup_incremental_probe(spark, docs: DataFrame,
+                            layout_dir: str) -> DataFrame:
+    """Same semantics and output as :func:`dedup_incremental_batch`, but
+    the EXISTING side comes from the written signature store
+    (``index/dedup_layout``) instead of being recomputed from text —
+    the shape every arriving shard actually runs at 100 TB. Compute is
+    batch-proportional: shingles/minhash run over the batch only; the
+    existing side is a column-pruned scan of written hash tables (the
+    r7 bench's one real regression was exactly the recompute this
+    removes). Signatures are per-doc deterministic, so the result is
+    value-identical to the self-contained form and shares its oracle.
+    """
+    from ..index.dedup_layout import read_bands, read_fp, read_sigs
+
+    batch = docs.where(F.col("doc_id") % BATCH_MOD == 0)
+    bfp = batch.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    efp = read_fp(spark, layout_dir).select("fp").distinct()
+    bsig = minhash_signatures(batch).cache()
+    return _incremental_decide(
+        bfp, efp,
+        _band_sigs(bsig), read_bands(spark, layout_dir),
+        bsig, read_sigs(spark, layout_dir),
+    )
+
+
+def _incremental_decide(bfp: DataFrame, efp: DataFrame,
+                        bands_batch: DataFrame, bands_ext: DataFrame,
+                        sig_batch: DataFrame,
+                        sig_ext: DataFrame) -> DataFrame:
+    """Decision core shared by the self-contained and layout-probe forms:
+    exact tier (fingerprint semi-join + within-batch keep-min), candidate
+    tier (batch x existing banded LSH join — bucket-local, never corpus x
+    corpus), verify tier (minhash-estimated Jaccard >= threshold)."""
     bmin = bfp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     exact = (
         bfp.join(efp.withColumn("in_ext", F.lit(True)), "fp", "left")
@@ -1091,12 +1140,10 @@ def dedup_incremental_batch(docs: DataFrame) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    sig = minhash_signatures(docs).cache()
-    bands = _band_sigs(sig)
     cand = (
-        bands.where(F.col("doc_id") % BATCH_MOD == 0).alias("a")
+        bands_batch.alias("a")
         .join(
-            bands.where(F.col("doc_id") % BATCH_MOD != 0).alias("b"),
+            bands_ext.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig")),
         )
@@ -1106,9 +1153,9 @@ def dedup_incremental_batch(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     est = (
-        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sig_batch.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            sig.alias("sb"),
+            sig_ext.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.seed") == F.col("sb.seed")),
         )
@@ -1311,10 +1358,23 @@ def dd_semdedup_sql(table: str = "embeddings",
     cs_ec = dd_cosine_similarity("e.embedding", "c.cvec")
     cs_ab = dd_cosine_similarity("a.embedding", "b.embedding")
     return f"""
-WITH stride AS (
-  -- twin of semdedup_mod: k ~ sqrt(N) centroids, same scalar both engines
-  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS mod
-  FROM {table}
+WITH cnt AS (
+  SELECT count(*)::BIGINT AS n FROM {table}
+),
+stride AS (
+  -- twin of semdedup_mod: k ~ sqrt(N) centroids, same scalar both
+  -- engines. EXACT integer sqrt, not floor(sqrt()): the double guess is
+  -- corrected over +-2 by integer comparison (g*g <= n), so counts
+  -- where float sqrt rounds across an integer boundary (n just below a
+  -- perfect square, n > ~2^52 — the 100TB regime) still match Python's
+  -- math.isqrt on the Spark side instead of picking a different
+  -- centroid set.
+  SELECT greatest(1, max(g)) AS mod FROM (
+    SELECT n, unnest(generate_series(
+             greatest(CAST(floor(sqrt(n)) AS BIGINT) - 2, 0),
+             CAST(floor(sqrt(n)) AS BIGINT) + 2)) AS g
+    FROM cnt
+  ) WHERE g * g <= n
 ),
 cent AS (
   SELECT vec_id AS cent_id, embedding AS cvec

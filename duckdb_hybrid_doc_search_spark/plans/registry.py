@@ -97,8 +97,22 @@ RECHECK: dict[str, int] = {
     "ann_ivfpq_recall": 7,
     "ann_ivfpq_layout_probe": 7,
     "ann_sq8_layout_probe": 7,   # layout gained the _LAYOUT_DONE sentinel
-    "dedup_semantic_cells": 7,
+    "dedup_semantic_cells": 8,   # r8: oracle stride now EXACT integer
+    # sqrt (r7 ADVICE: floor(sqrt()) in double could diverge from
+    # math.isqrt at boundary counts) — value-identical at sf0.01, but
+    # the oracle text changed so re-verify
     "hybrid_search_ivf_fused": 7,
+    # r8 (r7 ADVICE medium): Gopher bullet-line gate corrected to the
+    # paper's >90% removal rule (was >10%), symbol ratio split per
+    # symbol, and the "top" n-gram picked by max COUNT (tie-break longer
+    # gram) instead of max character mass. Both queries have no driver
+    # row yet (were defer_gate) so RECHECK is belt-and-braces.
+    "text_gopher_quality": 8,
+    "text_gopher_repetition": 8,
+    # r8: dedup_incremental_batch now probes the written signature store
+    # (index/dedup_layout) instead of recomputing the existing side —
+    # value-identical by construction, but the registered plan changed
+    "dedup_incremental_batch": 8,
 }
 
 

@@ -1,0 +1,81 @@
+"""The written minhash-signature store (index/dedup_layout) behind
+incremental dedup: probe == self-contained form, append maintenance
+doesn't drift, id-overlap and missing-store appends refuse."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.index.dedup_layout import (
+    append_dedup_signatures, ensure_dedup_append_layout,
+    ensure_dedup_layout, write_dedup_signatures)
+from duckdb_hybrid_doc_search_spark.operators import dedup
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_probe_equals_self_contained(spark, sf_dir, tmp_path):
+    """The layout-probe form must be value-identical to the r7
+    self-contained form (per-doc-deterministic signatures)."""
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    out = str(tmp_path / "sig")
+    write_dedup_signatures(existing, out)
+    probe = dedup.dedup_incremental_probe(spark, docs, out)
+    direct = dedup.dedup_incremental_batch(docs)
+    assert _rows(probe) == _rows(direct)
+
+
+def test_append_maintained_store_matches_one_shot(spark, sf_dir, tmp_path):
+    """base build + append == one-shot build, probed result identical."""
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    base = str(tmp_path / "base")
+    split = F.col("doc_id") % 7 == 3
+    write_dedup_signatures(existing.where(~split), base)
+    append_dedup_signatures(spark, base, existing.where(split))
+    probe = dedup.dedup_incremental_probe(spark, docs, base)
+    direct = dedup.dedup_incremental_batch(docs)
+    assert _rows(probe) == _rows(direct)
+
+
+def test_append_rejects_duplicate_doc_ids(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    out = str(tmp_path / "sig")
+    write_dedup_signatures(existing, out)
+    with pytest.raises(ValueError, match="overlaps the signature store"):
+        append_dedup_signatures(spark, out, existing.limit(2))
+
+
+def test_append_refuses_missing_store(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir).limit(2)
+    with pytest.raises(ValueError, match="no completed signature layout"):
+        append_dedup_signatures(spark, str(tmp_path / "nope"), docs)
+
+
+def test_ensure_layouts_cache_and_agree(spark, sf_dir, tmp_path):
+    """ensure_* builds once (sentinel present -> second call is a no-op
+    returning the same dir) and the append-maintained variant probes to
+    the same decisions as the one-shot variant."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    root1 = str(tmp_path / "r1")
+    root2 = str(tmp_path / "r2")
+    d1 = ensure_dedup_layout(spark, existing, sf_dir, root=root1)
+    m1 = os.path.getmtime(os.path.join(d1, "_LAYOUT_DONE"))
+    assert ensure_dedup_layout(spark, existing, sf_dir, root=root1) == d1
+    assert os.path.getmtime(os.path.join(d1, "_LAYOUT_DONE")) == m1
+    d2 = ensure_dedup_append_layout(spark, existing, sf_dir, root=root2)
+    p1 = dedup.dedup_incremental_probe(spark, docs, d1)
+    p2 = dedup.dedup_incremental_probe(spark, docs, d2)
+    assert _rows(p1) == _rows(p2)
