@@ -38,15 +38,38 @@ ROCKSDB = (
 STATE_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
+#: per-micro-batch state-operator metrics of the LAST interval-join
+#: drive (VERDICT r7 #7: the twin is 4-10x the others, and the record
+#: must show why — the state-write volume, not a plan bug). Keyed by
+#: batchId; populated by _drive_interval_join, persisted into
+#: STREAMBENCH.json.
+_LAST_STATE_METRICS: list[dict] = []
+
+
 def _drive_interval_join(spark, sf_dir, query_name="sb_ivjoin"):
     """Adapter: run_streaming_interval_join returns the live query, not
-    the driven result — drive it to completion like the other runners."""
+    the driven result — drive it to completion like the other runners,
+    and capture per-micro-batch state-operator metrics before stop()
+    (they are gone once the query stops)."""
     from duckdb_hybrid_doc_search_spark.streaming.events import (
         run_streaming_interval_join)
 
     q = run_streaming_interval_join(spark, sf_dir, query_name)
     try:
         q.processAllAvailable()
+        _LAST_STATE_METRICS.clear()
+        for prog in q.recentProgress:
+            for so in prog.get("stateOperators", []):
+                _LAST_STATE_METRICS.append({
+                    "batch_id": prog.get("batchId"),
+                    "operator": so.get("operatorName"),
+                    "rows_total": so.get("numRowsTotal"),
+                    "rows_updated": so.get("numRowsUpdated"),
+                    "rows_removed": so.get("numRowsRemoved"),
+                    "updates_ms": so.get("allUpdatesTimeMs"),
+                    "removals_ms": so.get("allRemovalsTimeMs"),
+                    "commit_ms": so.get("commitTimeMs"),
+                })
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
@@ -99,12 +122,15 @@ def main() -> None:
             res = fn(spark, sf_dir, query_name=f"sb_{provider_name}_{name}")
             n_out = res.count()
             sec = time.perf_counter() - t0
-            out.setdefault(name, {})[provider_name] = {
+            rec = {
                 "sec": round(sec, 3),
                 "rows_in": rows_in,
                 "rows_out": n_out,
                 "rows_per_sec": round(rows_in / sec),
             }
+            if name == "interval_join_stream_stream":
+                rec["state_per_batch"] = list(_LAST_STATE_METRICS)
+            out.setdefault(name, {})[provider_name] = rec
             print(f"{name} [{provider_name}]: {sec:.2f}s "
                   f"({rows_in / sec:,.0f} rows/s, {n_out} out)")
     spark.conf.unset(STATE_KEY)
