@@ -1131,19 +1131,34 @@ def _incremental_decide(bfp: DataFrame, efp: DataFrame,
     """Decision core shared by the self-contained and layout-probe forms:
     exact tier (fingerprint semi-join + within-batch keep-min), candidate
     tier (batch x existing banded LSH join — bucket-local, never corpus x
-    corpus), verify tier (minhash-estimated Jaccard >= threshold)."""
+    corpus), verify tier (minhash-estimated Jaccard >= threshold).
+
+    Plan shape: the BATCH side is small by definition (one arriving
+    shard vs the kept corpus), so every join against an existing-side
+    table broadcasts batch-derived keys — the big tables (corpus
+    fingerprints, band keys, signatures) are only ever SCANNED and
+    map-side filtered, never shuffled. Without the hints the 100x
+    INCDEDUP probe shuffled the full bands (3.2M rows) and sigs (6.4M
+    rows) tables and read as slow as recomputing them (r8 profiling);
+    with them the per-shard work is batch-proportional for real.
+    """
     bmin = bfp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # corpus fingerprints: map-side semi-filter by the batch's fps, THEN
+    # the (now tiny) surviving set broadcasts into the left join
+    efp_hit = efp.join(F.broadcast(bfp.select("fp").distinct()),
+                       "fp", "leftsemi")
     exact = (
-        bfp.join(efp.withColumn("in_ext", F.lit(True)), "fp", "left")
+        bfp.join(F.broadcast(efp_hit.withColumn("in_ext", F.lit(True))),
+                 "fp", "left")
         .join(bmin, "fp")
         .where(F.col("in_ext").isNotNull() | (F.col("doc_id") > F.col("keep_id")))
         .select("doc_id")
         .distinct()
     )
     cand = (
-        bands_batch.alias("a")
+        bands_ext.alias("b")
         .join(
-            bands_ext.alias("b"),
+            F.broadcast(bands_batch.alias("a")),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig")),
         )
@@ -1152,10 +1167,17 @@ def _incremental_decide(bfp: DataFrame, efp: DataFrame,
         )
         .distinct()
     )
+    # verify tier reads only the candidate partners' signatures: the
+    # corpus sig table is map-side semi-filtered by the (LSH-bounded)
+    # candidate ids before any shuffle
+    sig_ext_hit = sig_ext.join(
+        F.broadcast(cand.select(F.col("doc_b").alias("doc_id")).distinct()),
+        "doc_id", "leftsemi",
+    )
     est = (
         cand.join(sig_batch.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            sig_ext.alias("sb"),
+            sig_ext_hit.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.seed") == F.col("sb.seed")),
         )
@@ -1292,12 +1314,23 @@ def semdedup(emb: DataFrame,
 
     Output: one row per cluster — cell, n_vecs, n_dropped, drop_ratio.
     """
-    from pyspark.sql import Window
-
     mod = semdedup_mod(emb.count())
     cent = emb.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
+    return _semdedup_with_centroids(emb, cent, threshold)
+
+
+def _semdedup_with_centroids(emb: DataFrame, cent: DataFrame,
+                             threshold: float) -> DataFrame:
+    """SemDeDup's cell-bounded plan with a PLUGGABLE centroid table
+    (cent_id, cvec) — the seam a real k-means fit slots into without
+    changing the plan shape (assignment crossJoin vs a broadcast
+    centroid table, per-vector argmax window, within-cell pair join).
+    ``semdedup`` passes the deterministic sqrt(N) id-stride;
+    ``semdedup_kmeans_cells`` passes Lloyd-trained centroids."""
+    from pyspark.sql import Window
+
     sims = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -1351,6 +1384,55 @@ def semdedup(emb: DataFrame,
         )
         .orderBy("cell")
     )
+
+
+def semdedup_kmeans_cells(emb: DataFrame,
+                          threshold: float = COSINE_DUP_THRESHOLD,
+                          ) -> DataFrame:
+    """Trained-centroid SemDeDup diagnostic (rows-only; VERDICT r7 #6):
+    run the UNCHANGED cell-bounded plan twice — once with the
+    deterministic sqrt(N) id-stride centroids (the oracled
+    dedup_semantic_cells form) and once with Lloyd-trained centroids at
+    the SAME k (operators/knn.kmeans_centroids) — and report corpus-level
+    drop statistics side by side. This records the claim the seam's
+    docstrings make: the centroid source is a build-time quality knob;
+    the assignment/pair plan (and its O(N^1.5) envelope at k ~ sqrt(N))
+    does not change.
+
+    Rows-only for the same reason as embeddings_kmeans_train: the Lloyd
+    float loop's assignment boundaries are not cross-engine stable.
+    Output: one row per variant — variant, n_cells, n_vecs, n_dropped,
+    drop_ratio — plus a 'delta' row (kmeans minus stride drop_ratio).
+    """
+    from .knn import kmeans_centroids
+
+    n = emb.count()
+    k = max(1, n // semdedup_mod(n))  # same centroid COUNT as the stride
+    stride_cells = semdedup(emb, threshold)
+    trained = kmeans_centroids(emb, k=k)
+    kmeans_cells = _semdedup_with_centroids(emb, trained, threshold)
+
+    def summarize(cells: DataFrame, name: str) -> DataFrame:
+        return cells.agg(
+            F.lit(name).alias("variant"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_vecs").alias("n_vecs"),
+            F.sum("n_dropped").alias("n_dropped"),
+            F.round(F.sum("n_dropped") / F.sum("n_vecs"), 6)
+            .alias("drop_ratio"),
+        )
+
+    s = summarize(stride_cells, "stride").alias("s")
+    t = summarize(kmeans_cells, "kmeans").alias("t")
+    delta = s.crossJoin(t).select(
+        F.lit("delta").alias("variant"),
+        (F.col("t.n_cells") - F.col("s.n_cells")).alias("n_cells"),
+        (F.col("t.n_vecs") - F.col("s.n_vecs")).alias("n_vecs"),
+        (F.col("t.n_dropped") - F.col("s.n_dropped")).alias("n_dropped"),
+        F.round(F.col("t.drop_ratio") - F.col("s.drop_ratio"), 6)
+        .alias("drop_ratio"),
+    )
+    return s.unionByName(t).unionByName(delta).orderBy("variant")
 
 
 def dd_semdedup_sql(table: str = "embeddings",

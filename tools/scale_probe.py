@@ -251,6 +251,112 @@ def main() -> None:
     finally:
         shutil.rmtree(synth_root, ignore_errors=True)
 
+    # ---- incremental-dedup 10x-corpus point (batch-proportional proof) --
+    # VERDICT r7 #1's done-criterion: hold the arriving BATCH fixed, grow
+    # the EXISTING corpus 10x, and show the signature-store probe's cost
+    # stays ~flat while the old self-contained form (recompute both
+    # sides) grows ~linearly with the corpus. Existing-side copies shift
+    # doc_ids by a multiple of BATCH_MOD so the batch stays EXACTLY the
+    # base corpus's doc_id%5==0 rows at every factor.
+    from duckdb_hybrid_doc_search_spark.index.dedup_layout import (
+        ensure_dedup_layout)
+    from duckdb_hybrid_doc_search_spark.operators import dedup as dd
+
+    # Factor 100, not 10: at 40k docs BOTH forms are still fixed-
+    # overhead-dominated (first run read slopes 0.11 vs 0.08 — no
+    # contrast); at 400k the recompute form's corpus-proportional
+    # minhash work dominates and the split becomes visible.
+    INCDEDUP_FACTOR = 100
+    inc_root = tempfile.mkdtemp(prefix="scale_probe_incdedup_")
+    try:
+        docs = spark.read.parquet(f"{ROOT}/sf0.1/documents.parquet")
+        existing = docs.where(F.col("doc_id") % dd.BATCH_MOD != 0)
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        shift = ((max_id // dd.BATCH_MOD) + 1) * dd.BATCH_MOD
+        synth = docs
+        for i in range(1, INCDEDUP_FACTOR):
+            synth = synth.unionByName(
+                existing.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * shift)
+                )
+            )
+        synth_dir = os.path.join(inc_root, "x100")
+        os.makedirs(synth_dir)
+        synth.write.mode("overwrite").parquet(
+            os.path.join(synth_dir, "documents.parquet")
+        )
+
+        def time_min2(build):
+            # clearCache BEFORE each timed execution, not just after the
+            # pair: the recompute form .cache()s its signature table, and
+            # a warm cache carried from the warm-up run would time "joins
+            # only" — understating the corpus-proportional minhash work
+            # this section exists to expose (first r8 run read recompute
+            # 4.1s at 100x corpus; honest cost is ~52s). The probe pays
+            # its (batch-sized) signature cache identically.
+            spark.catalog.clearCache()
+            build().write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            return round(best, 4)
+
+        inc: dict[str, dict[str, float]] = {"probe": {}, "recompute": {}}
+        for label, sf_dir in (("sf0.1", f"{ROOT}/sf0.1"),
+                              ("corpus100x", synth_dir)):
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            ex = d.where(F.col("doc_id") % dd.BATCH_MOD != 0)
+            # synth layouts live (and die) with the temp dir — the
+            # default warehouse root must not accumulate x100-keyed
+            # garbage across probe runs
+            layout = ensure_dedup_layout(
+                spark, ex, sf_dir,
+                root=None if label == "sf0.1"
+                else os.path.join(inc_root, "layouts"),
+            )  # untimed build
+            inc["probe"][label] = time_min2(
+                lambda: dd.dedup_incremental_probe(spark, d, layout)
+            )
+            inc["recompute"][label] = time_min2(
+                lambda: dd.dedup_incremental_batch(d)
+            )
+        lines += [
+            "",
+            "## INCDEDUP — signature-store probe at 100x the existing corpus",
+            "",
+            "sf0.1 documents with the EXISTING side (doc_id%5!=0, 4000 "
+            "rows) replicated 100x under shifted ids; the arriving batch "
+            "(1000 rows) is IDENTICAL at both points. `probe` = the "
+            "registered dedup_incremental_batch path since r8 (written "
+            "signature store, per-shard compute over the batch only; the "
+            "store build is write-time cost, untimed here like every "
+            "other layout probe). `recompute` = the pre-r8 "
+            "self-contained form (re-tokenize + re-minhash BOTH sides "
+            "per shard). Slope near 0 for the probe = per-shard cost is "
+            "batch-proportional; the recompute slope approaching 1 is "
+            "exactly the corpus-proportional cost the store removes. "
+            "(A 10x factor showed NO contrast — both forms fixed-"
+            "overhead-dominated at 40k docs — hence 100x.)",
+            "",
+            "| form | sf0.1 s | corpus100x s | slope (100x existing) |",
+            "|---|---|---|---|",
+        ]
+        for form in ("probe", "recompute"):
+            ts = inc[form]
+            slope = math.log(
+                max(ts["corpus100x"], 1e-3) / max(ts["sf0.1"], 1e-3)
+            ) / math.log(100)
+            lines.append(
+                f"| {form} | {ts['sf0.1']} | {ts['corpus100x']} "
+                f"| {slope:.2f} |"
+            )
+    finally:
+        shutil.rmtree(inc_root, ignore_errors=True)
+
     path = os.path.join(_HERE, "SCALING.md")
     # preserve sections other tools own (tools/stream_bench.py appends a
     # "## STREAMBENCH" block — a full rewrite here must not drop it)
