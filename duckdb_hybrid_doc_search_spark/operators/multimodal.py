@@ -71,13 +71,20 @@ def _decode_image(payload: bytes, backend: str, width: int,
     """The decode seam every image operator dispatches through:
     'fake' = deterministic seeded stand-in (any bytes), 'png_pure' =
     REAL stdlib PNG decode (functions/png.py — bytes must be a PNG),
-    'real' = the Pillow slot (raises until the wheel lands)."""
+    'bmp_pure' = REAL stdlib BMP decode (functions/bmp.py — row
+    padding / vertical flip / BGR swizzle, the layout failure class PNG
+    doesn't cover), 'real' = the Pillow slot (raises until the wheel
+    lands)."""
     if backend == "fake":
         return _fake_decode_image(payload, width, height)
     if backend == "png_pure":
         from ..functions.png import decode_png
 
         return decode_png(payload)
+    if backend == "bmp_pure":
+        from ..functions.bmp import decode_bmp
+
+        return decode_bmp(payload)
     return _real_decode_image(payload)
 
 
@@ -233,11 +240,31 @@ def png_decode_stats(spark, png_dir: str) -> DataFrame:
     sum_c0..sum_c3 (absent channels sum to 0)."""
     from ..functions.png import decode_png
 
+    return _decode_stats(spark, png_dir, "*.png", decode_png)
+
+
+def bmp_decode_stats(spark, bmp_dir: str) -> DataFrame:
+    """BMP twin of :func:`png_decode_stats`: REAL bytes->pixels decode
+    via the stdlib BMP codec (functions/bmp.py). Where PNG pins the
+    filter/entropy chain, BMP pins the LAYOUT chain — 4-byte row
+    padding, bottom-up vs top-down storage, BGR(A)->RGB(A) swizzle —
+    each broken rule flips a channel sum, and the oracle recomputes the
+    sums from the fixtures' closed-form formulas
+    (tools/gen_bmp_fixtures.py), independent of the codec."""
+    from ..functions.bmp import decode_bmp
+
+    return _decode_stats(spark, bmp_dir, "*.bmp", decode_bmp)
+
+
+def _decode_stats(spark, media_dir: str, glob: str, decoder) -> DataFrame:
+    """Shared decode-stats shape: binaryFile scan -> one Arrow crossing
+    -> per-file exact-integer facts (dims, channels, channel sums)."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                img = decode_png(bytes(content))
+                img = decoder(bytes(content))
                 h, w, c = img.shape
                 sums = [int(img[:, :, i].sum(dtype=np.int64))
                         for i in range(c)] + [0] * (4 - c)
@@ -249,7 +276,7 @@ def png_decode_stats(spark, png_dir: str) -> DataFrame:
             )
 
     files = spark.read.format("binaryFile").load(
-        png_dir.rstrip("/") + "/*.png"
+        media_dir.rstrip("/") + "/" + glob
     )
     return (
         files.select("path", "content")
@@ -296,9 +323,12 @@ def audio_window_features(media: DataFrame,
 
     The fake backend treats the raw bytes as the PCM stream, so the
     framing arithmetic, per-window pooling, and the one Arrow-batched
-    Python crossing are all real; a codec library would only replace the
-    bytes->samples step (`_real_decode_audio` raises with the missing-lib
-    name, same contract as the image/video stubs).
+    Python crossing are all real; ``decode_backend="wav_pure"`` decodes
+    REAL WAV bytes via the stdlib wave module (functions/wav.py,
+    channels averaged to mono — proof the seam only replaces the
+    bytes->samples step); a compressed-codec library slots into
+    `_real_decode_audio` (raises with the missing-lib name, same
+    contract as the image/video stubs).
 
     Output: media_id, window_idx, start_byte, rms, peak — one row per
     window, fanned out INSIDE the batch (no per-window task overhead).
@@ -308,10 +338,17 @@ def audio_window_features(media: DataFrame,
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                if decode_backend != "fake":
+                if decode_backend == "wav_pure":
+                    from ..functions.wav import decode_wav
+
+                    samples = decode_wav(
+                        bytes(payload)
+                    )[0].astype(np.float64).mean(axis=1)
+                elif decode_backend != "fake":
                     _real_decode_audio(bytes(payload))
-                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
-                samples = samples.astype(np.float64) - 128.0
+                else:
+                    samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    samples = samples.astype(np.float64) - 128.0
                 n = len(samples)
                 idx = 0
                 for start in range(0, max(1, n - AUDIO_WINDOW_BYTES + 1),
@@ -346,7 +383,66 @@ def audio_window_features(media: DataFrame,
 
 def _real_decode_audio(payload: bytes) -> "np.ndarray":
     raise NotImplementedError(
-        "real audio decode needs soundfile/pyav (not installed in this "
-        "environment); the fake backend exercises the full Spark-side "
-        "framing/pooling contract"
+        "real COMPRESSED audio decode needs soundfile/pyav (not installed "
+        "in this environment); uncompressed WAV/PCM is REAL here via the "
+        "stdlib wave module (functions/wav.py, wav_window_stats)"
+    )
+
+
+WAV_WINDOW_FRAMES = 256
+WAV_HOP_FRAMES = 128
+
+
+def wav_window_stats(spark, wav_dir: str) -> DataFrame:
+    """REAL bytes->samples audio decode, driver-checkable: read every
+    WAV under ``wav_dir`` (binaryFile source), parse with CPython's own
+    stdlib ``wave`` module (functions/wav.py), frame each channel into
+    overlapping windows (256 frames, hop 128 — the STFT access pattern,
+    ragged tail kept), and emit EXACT INTEGER facts per window: frame
+    count, sum of squares, peak absolute sample. The fixtures' samples
+    are closed-form integer formulas over the frame index
+    (tools/gen_wav_fixtures.py), so the DuckDB oracle recomputes every
+    window from generate_series — independent of the parser under test,
+    no float parity surface at all.
+
+    Scale shape: identical to png/bmp_decode_stats — binaryFile packs
+    small files per task, one Arrow crossing per batch, only scalar
+    rows leave Python. Output: file_name, channel, window_idx,
+    start_frame, n_frames, sum_sq, peak."""
+    from ..functions.wav import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                samples, _rate = decode_wav(bytes(content))
+                fname = path.rsplit("/", 1)[-1]
+                n = samples.shape[0]
+                for c in range(samples.shape[1]):
+                    ch = samples[:, c].astype(np.int64)
+                    for widx, start in enumerate(
+                        range(0, n, WAV_HOP_FRAMES)
+                    ):
+                        w = ch[start:start + WAV_WINDOW_FRAMES]
+                        out.append((
+                            fname, c, widx, start, len(w),
+                            int((w * w).sum()), int(np.abs(w).max()),
+                        ))
+            yield pd.DataFrame(
+                out,
+                columns=["file_name", "channel", "window_idx",
+                         "start_frame", "n_frames", "sum_sq", "peak"],
+            )
+
+    files = spark.read.format("binaryFile").load(
+        wav_dir.rstrip("/") + "/*.wav"
+    )
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            run,
+            "file_name string, channel int, window_idx int, "
+            "start_frame int, n_frames int, sum_sq long, peak long",
+        )
+        .orderBy("file_name", "channel", "window_idx")
     )

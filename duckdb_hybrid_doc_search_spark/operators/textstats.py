@@ -1456,6 +1456,123 @@ FROM t ORDER BY doc_id
 """.strip()
 
 
+# --- filter funnel: per-rule attrition across the composed rule sets ---------
+
+# ordered (stage name, flag column): the sequential application order a
+# real pipeline runs — cheap structural gates first, n-gram repetition
+# last. Order changes WHICH stage gets the blame for a doc failing
+# several rules (the funnel semantics), not the final keep-set.
+FUNNEL_STAGES = [
+    ("word_count", "f_word_count"),
+    ("mean_word_len", "f_mean_word_len"),
+    ("symbol_hash", "f_symbol_hash"),
+    ("symbol_ellipsis", "f_symbol_ellipsis"),
+    ("bullet_lines", "f_bullet_lines"),
+    ("ellipsis_lines", "f_ellipsis_lines"),
+    ("alpha_words", "f_alpha_words"),
+    ("stopwords", "f_stopwords"),
+    ("gopher_repetition", "rep_pass"),
+    ("c4_page", "keep_page"),
+]
+
+
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """Per-rule attrition funnel across the composed curation rules
+    (Gopher quality -> Gopher repetition -> C4 page gates): for each
+    stage, how many docs reached it, how many it removed, how many
+    survived — the report every large-scale curation pipeline publishes
+    (e.g. RefinedWeb Fig. 2's removal-rate table).
+
+    One flag pass per rule family (quality = a single scan of column
+    expressions; repetition = the shared n-gram aggregate; C4 = a
+    single scan), joined once on doc_id — then each doc reduces to its
+    funnel DEPTH (index of the first failing stage, n_stages if none
+    fails), a single int per doc, so the funnel itself is a <=11-row
+    aggregate joined to a broadcast stage table: per-STAGE cost is
+    zero extra scans at any corpus size (the naive form rescans the
+    corpus once per rule to count survivors).
+    Output: stage_idx, stage, n_in, n_removed, n_out (exact integers).
+    """
+    flags7 = [c for _, c in FUNNEL_STAGES if c.startswith("f_")]
+    j = (
+        gopher_quality(docs).select("doc_id", *flags7)
+        .join(gopher_repetition(docs).select("doc_id", "rep_pass"),
+              "doc_id")
+        .join(c4_line_filters(docs).select("doc_id", "keep_page"),
+              "doc_id")
+    )
+    depth = None
+    for i, (_, col) in enumerate(FUNNEL_STAGES):
+        cond = ~F.col(col)
+        depth = (F.when(cond, i) if depth is None
+                 else depth.when(cond, i))
+    depth = depth.otherwise(len(FUNNEL_STAGES))
+    counts = j.select(depth.alias("depth")).groupBy("depth").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stages = docs.sparkSession.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(FUNNEL_STAGES)],
+        "stage_idx int, stage string",
+    )
+    return (
+        stages.join(
+            F.broadcast(counts),
+            counts["depth"] >= stages["stage_idx"], "left",
+        )
+        .groupBy("stage_idx", "stage")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_in"),
+            F.coalesce(
+                F.sum(F.when(F.col("depth") == F.col("stage_idx"),
+                             F.col("cnt"))),
+                F.lit(0),
+            ).cast("long").alias("n_removed"),
+            (F.coalesce(F.sum("cnt"), F.lit(0)) - F.coalesce(
+                F.sum(F.when(F.col("depth") == F.col("stage_idx"),
+                             F.col("cnt"))), F.lit(0)
+            )).cast("long").alias("n_out"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def dd_filter_funnel_sql(table: str = "documents") -> str:
+    depth_case = " ".join(
+        f"WHEN NOT {col} THEN {i}"
+        for i, (_, col) in enumerate(FUNNEL_STAGES)
+    )
+    stage_values = ", ".join(
+        f"({i}, '{name}')" for i, (name, _) in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+WITH gq AS ({dd_gopher_quality_sql(table)}),
+gr AS ({dd_gopher_repetition_sql(table)}),
+c4 AS ({dd_c4_line_filters_sql(table)}),
+j AS (
+  SELECT gq.doc_id, gq.f_word_count, gq.f_mean_word_len,
+         gq.f_symbol_hash, gq.f_symbol_ellipsis, gq.f_bullet_lines,
+         gq.f_ellipsis_lines, gq.f_alpha_words, gq.f_stopwords,
+         gr.rep_pass, c4.keep_page
+  FROM gq JOIN gr USING (doc_id) JOIN c4 USING (doc_id)
+),
+depths AS (
+  SELECT CASE {depth_case} ELSE {len(FUNNEL_STAGES)} END AS depth FROM j
+),
+counts AS (SELECT depth, count(*)::BIGINT AS cnt FROM depths GROUP BY depth),
+stages(stage_idx, stage) AS (VALUES {stage_values})
+SELECT s.stage_idx, s.stage,
+       coalesce(sum(c.cnt), 0)::BIGINT AS n_in,
+       coalesce(sum(CASE WHEN c.depth = s.stage_idx THEN c.cnt END),
+                0)::BIGINT AS n_removed,
+       (coalesce(sum(c.cnt), 0)
+        - coalesce(sum(CASE WHEN c.depth = s.stage_idx THEN c.cnt END),
+                   0))::BIGINT AS n_out
+FROM stages s LEFT JOIN counts c ON c.depth >= s.stage_idx
+GROUP BY s.stage_idx, s.stage
+ORDER BY s.stage_idx
+""".strip()
+
+
 # --- Gopher repetition rules (arXiv:2112.11446 Table A1, bottom half) ---------
 
 # (n, kind, scaled threshold as (lhs_mult, rhs_mult)): flag passes iff

@@ -123,6 +123,19 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semdedup(_emb(spark, sf_dir))
 
 
+@register("dedup_semantic_kmeans_cells", oracle=None, bench=False,
+          executes_on_build=True)
+def dedup_semantic_kmeans_cells(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Trained-centroid SemDeDup diagnostic: the unchanged cell-bounded
+    plan run with Lloyd-trained centroids at the same k as the sqrt(N)
+    id-stride, drop statistics side by side plus a delta row — proves
+    the centroid seam is a build-time pluggable on the dedup side too
+    (rows-only: the Lloyd float loop is not cross-engine SQL-stable;
+    executes_on_build: counts + trains centroids when invoked)."""
+    return dedup.semdedup_kmeans_cells(_emb(spark, sf_dir))
+
+
 @register("dedup_components", oracle=dedup.dd_dedup_components_sql())
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(_docs(spark, sf_dir))
@@ -192,6 +205,16 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds every rule size's grams codegen-side; all sizes share one
     (doc_id, n, gram) aggregate (9.5x over the interpreted-HOF form)."""
     return textstats.gopher_repetition(_docs(spark, sf_dir))
+
+
+@register("corpus_filter_funnel", oracle=textstats.dd_filter_funnel_sql())
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule attrition across the composed curation rules (Gopher
+    quality -> repetition -> C4 page gates): n_in / n_removed / n_out
+    per stage — the removal-rate report real pipelines publish
+    (RefinedWeb Fig. 2 shape). One flag pass; each doc reduces to its
+    first-failing-stage index, so the funnel is a <=11-row aggregate."""
+    return textstats.filter_funnel(_docs(spark, sf_dir))
 
 
 @register("corpus_c4_line_filters",

@@ -12,6 +12,8 @@ import inspect
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from duckdb_hybrid_doc_search_spark.index.catalog import load_table
 from duckdb_hybrid_doc_search_spark.operators import dedup
 
@@ -257,3 +259,23 @@ def test_trim_spans_removes_exactly_planted_passage(spark):
     assert rows[0]["n_removed"] == 12 and rows[0]["kept_text"] == uniq1
     assert rows[1]["n_removed"] == 12 and rows[1]["kept_text"] == ""
     assert rows[2]["n_removed"] == 0 and rows[2]["kept_text"] == uniq3
+
+
+def test_semdedup_kmeans_cells_diagnostic(spark, sf_dir):
+    """The trained-centroid diagnostic: stride row must equal the oracled
+    dedup_semantic_cells aggregate, both variants cover every vector,
+    and the delta row is the exact kmeans-minus-stride arithmetic."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {r["variant"]: r
+           for r in dedup.semdedup_kmeans_cells(emb).collect()}
+    assert set(out) == {"stride", "kmeans", "delta"}
+    cells = dedup.semdedup(emb).agg(
+        F.count(F.lit(1)), F.sum("n_vecs"), F.sum("n_dropped")
+    ).first()
+    assert (out["stride"]["n_cells"], out["stride"]["n_vecs"],
+            out["stride"]["n_dropped"]) == tuple(cells)
+    n = emb.count()
+    assert out["kmeans"]["n_vecs"] == n and out["stride"]["n_vecs"] == n
+    for col in ("n_cells", "n_vecs", "n_dropped"):
+        assert out["delta"][col] == out["kmeans"][col] - out["stride"][col]
+    assert out["delta"]["n_vecs"] == 0

@@ -130,6 +130,27 @@ ENTRIES = [
      "posexplode + per-doc lead() window builds all five Gopher n-gram "
      "sizes codegen-side; one shared (doc_id, n, gram) aggregate, "
      "windows partitioned per doc"),
+    ("dedup_incremental_batch",
+     "batch-vs-existing dedup probing the WRITTEN signature store: "
+     "shingle/minhash compute over the arriving batch only; the "
+     "existing side is a column-pruned parquet scan of fp/band/sig "
+     "hash tables — per-shard cost batch-proportional (r8)"),
+    ("dedup_incremental_layout_probe",
+     "same probe plan against a store reached via base-build + append "
+     "maintenance — appends leave the probe plan unchanged, same "
+     "full-corpus oracle"),
+    ("media_png_features",
+     "decode -> 4x4-grid feature pooling end-to-end on real PNG bytes: "
+     "one Arrow mapInPandas crossing, scalar (file, dim, value) rows "
+     "out; oracle recomputes the means from pixel formulas"),
+    ("media_wav_window_stats",
+     "stdlib-wave PCM decode -> hop-128 windowed integer stats; "
+     "binaryFile packs files per task, one Arrow crossing, scalar "
+     "rows out"),
+    ("corpus_filter_funnel",
+     "every doc reduces to its first-failing-stage index in the flag "
+     "pass, so the funnel is a <=11-row broadcast aggregate — no "
+     "per-stage rescans at any corpus size"),
 ]
 
 
