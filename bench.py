@@ -58,15 +58,46 @@ def _calibrate() -> float:
     return round(best, 4)
 
 
+def _calibrate_parallel(n_threads: int) -> float:
+    """All-core probe (one kernel copy per thread, min-of-3 wall): the
+    workload runs on local[32], and whole-machine contention inflates it
+    even when a free core lets the 1-thread probe read "host fine" —
+    r7's record showed exactly that contradiction (uniform +15-20% query
+    drift, 1-thread calib 11% FASTER; VERDICT r7 #4). The kernel is
+    sha256-only: hashlib releases the GIL for multi-MB buffers, so the
+    threads genuinely occupy n_threads cores (the 1-thread kernel's
+    numpy tail is GIL-bound at this size — measured 28x serialization
+    when reused here — and BLAS's own threading would oversubscribe).
+    The regression diff normalizes by this probe's round-over-round
+    ratio whenever both rounds recorded it, falling back to the
+    1-thread ratio against pre-r8 records."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    blob = b"\x5a" * (1 << 22)
+
+    def kernel(_):
+        for _ in range(40):
+            hashlib.sha256(blob).digest()
+
+    best = float("inf")
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(ex.map(kernel, range(n_threads)))
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _prior_round_timings(
     here: str, this_round: int
-) -> tuple[int | None, dict[str, float], float | None]:
-    """Per-query timings (+ calibration, when recorded) of the newest
+) -> tuple[int | None, dict[str, float], float | None, float | None]:
+    """Per-query timings (+ calibrations, when recorded) of the newest
     PRIOR round (never this round's own detail file — re-runs within a
     round must not diff against themselves), for the regression diff.
     Prefers this harness's own BENCH_DETAIL_r{N}.json (always has the
     full map); falls back to the driver's BENCH_r{N}.json parsed tail."""
-    best_n, timings, calib = None, {}, None
+    best_n, timings, calib, calib_par = None, {}, None, None
     patterns = (
         (r"BENCH_DETAIL_r(\d+)\.json$", lambda d: d.get("queries") or {}),
         (r"BENCH_r(\d+)\.json$",
@@ -87,9 +118,10 @@ def _prior_round_timings(
                 if qs:
                     best_n, timings = n, qs
                     calib = d.get("calib_sec")
+                    calib_par = d.get("calib_par_sec")
             except (json.JSONDecodeError, OSError):
                 continue
-    return best_n, timings, calib
+    return best_n, timings, calib, calib_par
 
 
 def _this_round(here: str) -> int:
@@ -190,7 +222,9 @@ def main() -> None:
     # differs between passes. Per-segment calibration (before pass 1,
     # between passes, after pass 2) pins how fast the host actually was
     # in each window.
+    n_par = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     calib_segments = [_calibrate()]
+    calib_par_segments = [_calibrate_parallel(n_par)]
     inrun: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}
     # (name, stage id before its timed run) of the query whose byte
@@ -232,6 +266,7 @@ def main() -> None:
             shuffle[pending[0]] = _bytes_in_range(stages, pending[1])
 
     calib_segments.append(_calibrate())
+    calib_par_segments.append(_calibrate_parallel(n_par))
     retime: dict[str, float] = {}
     for name, fn in sorted(qs.items(), reverse=True):
         t0 = time.perf_counter()
@@ -239,6 +274,7 @@ def main() -> None:
         retime[name] = round(time.perf_counter() - t0, 4)
         spark.catalog.clearCache()
     calib_segments.append(_calibrate())
+    calib_par_segments.append(_calibrate_parallel(n_par))
 
     timings = {n: min(inrun[n], retime[n]) for n in inrun}
     total = sum(timings.values())
@@ -246,13 +282,21 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     this_round = _this_round(here)
     calib = min(calib_segments)
-    prior_round, prior, prior_calib = _prior_round_timings(here, this_round)
-    # host-speed normalization: scale prior timings to THIS host's speed
-    # via the calibration ratio (clamped to ±2x so a bogus calib can't
-    # hide a real regression entirely)
-    scale = 1.0
-    if prior_calib and prior_calib > 0:
+    calib_par = min(calib_par_segments)
+    prior_round, prior, prior_calib, prior_calib_par = _prior_round_timings(
+        here, this_round)
+    # host-speed normalization: scale prior timings to THIS host's speed.
+    # Prefer the ALL-CORE probe's ratio (sees whole-machine contention
+    # the 1-thread probe is blind to — VERDICT r7 #4); fall back to the
+    # 1-thread ratio against pre-r8 records that lack it. Clamped to ±2x
+    # so a bogus calib can't hide a real regression entirely.
+    scale, scale_src = 1.0, None
+    if prior_calib_par and prior_calib_par > 0:
+        scale = min(2.0, max(0.5, calib_par / prior_calib_par))
+        scale_src = "parallel"
+    elif prior_calib and prior_calib > 0:
         scale = min(2.0, max(0.5, calib / prior_calib))
+        scale_src = "single_thread"
     # >=1.5x AND >=0.25s absolute (after normalization) so sub-second
     # jitter doesn't read as a regression; "new" queries have no prior
     regressions = {
@@ -294,8 +338,13 @@ def main() -> None:
         "vs_round": prior_round,
         "calib_sec": calib,
         "calib_segments": calib_segments,
+        "calib_par_sec": calib_par,
+        "calib_par_segments": calib_par_segments,
+        "calib_par_threads": n_par,
         "prior_calib_sec": prior_calib,
+        "prior_calib_par_sec": prior_calib_par,
         "host_scale": round(scale, 3),
+        "host_scale_src": scale_src,
         "regressions": regressions,
         "new_queries": sorted(set(timings) - set(prior)),
     }
@@ -321,7 +370,10 @@ def main() -> None:
         "worst_regressions": worst3,
         "calib_sec": calib,
         "calib_segments": calib_segments,
+        "calib_par_sec": calib_par,
+        "calib_par_segments": calib_par_segments,
         "host_scale": round(scale, 3),
+        "host_scale_src": scale_src,
         "detail": detail_name,
     }))
     spark.stop()
