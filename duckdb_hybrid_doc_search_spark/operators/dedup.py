@@ -1111,12 +1111,25 @@ def dedup_incremental_probe(spark, docs: DataFrame,
     removes). Signatures are per-doc deterministic, so the result is
     value-identical to the self-contained form and shares its oracle.
     """
+    return decide_batch_against_store(
+        spark, docs.where(F.col("doc_id") % BATCH_MOD == 0), layout_dir
+    )
+
+
+def decide_batch_against_store(spark, batch_docs: DataFrame,
+                               layout_dir: str) -> DataFrame:
+    """Decide ONE arriving shard (any (doc_id, text) frame) against the
+    written signature store — the unit the streaming ingestion loop
+    runs per micro-batch (streaming/docs.run_streaming_incremental_
+    dedup): decide the shard, append the kept docs' signatures to the
+    store, repeat. Within-shard duplicates resolve by keep-min id;
+    cross-shard duplicates are the store's job (the earlier shard's
+    append made them visible)."""
     from ..index.dedup_layout import read_bands, read_fp, read_sigs
 
-    batch = docs.where(F.col("doc_id") % BATCH_MOD == 0)
-    bfp = batch.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    bfp = batch_docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
     efp = read_fp(spark, layout_dir).select("fp").distinct()
-    bsig = minhash_signatures(batch).cache()
+    bsig = minhash_signatures(batch_docs).cache()
     return _incremental_decide(
         bfp, efp,
         _band_sigs(bsig), read_bands(spark, layout_dir),

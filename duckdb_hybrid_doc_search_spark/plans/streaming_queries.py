@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as _dedup
 from ..operators import events as _events
 from ..streaming import events as _streaming
 from .registry import register
@@ -99,6 +100,22 @@ def streaming_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.docs import run_streaming_doc_dedup
 
     return run_streaming_doc_dedup(spark, sf_dir, "reg_doc_dedup")
+
+
+@register("streaming_incremental_dedup", bench=False,
+          executes_on_build=True,
+          oracle=_dedup.dd_dedup_incremental_batch_sql())
+def streaming_incremental_dedup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The full ingestion-dedup LOOP as a structured stream: each
+    foreachBatch slice is decided against the written signature store
+    (exact + LSH near tiers), then the kept docs' signatures append to
+    the store for the next shard. The bounded drive's accumulated
+    decisions hash-match the batch dedup_incremental_batch oracle —
+    a fully oracled streaming row, like streaming_doc_dedup."""
+    from ..streaming.docs import run_streaming_incremental_dedup
+
+    return run_streaming_incremental_dedup(spark, sf_dir, "reg_inc_dedup")
 
 
 @register("streaming_enrich_join", bench=False, executes_on_build=True,

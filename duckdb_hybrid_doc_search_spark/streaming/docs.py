@@ -61,3 +61,73 @@ def run_streaming_doc_dedup(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
+                                    query_name: str = "inc_dedup",
+                                    ) -> DataFrame:
+    """The full ingestion-dedup LOOP as a structured stream: arriving
+    batch documents (doc_id % BATCH_MOD == 0) flow through foreachBatch;
+    each micro-batch is decided against the WRITTEN signature store
+    (operators/dedup.decide_batch_against_store — exact fingerprint
+    tier, LSH-banded near tier, minhash verify), then the slice's KEPT
+    documents' signatures are APPENDED to the store so the next shard
+    sees them — the decide -> append -> repeat loop a 100 TB corpus
+    runs continuously. foreachBatch is the honest vehicle: the LSH
+    verify aggregate is not expressible as a stream-static equi-join,
+    and production ingestion dedup runs exactly this pattern.
+
+    The store starts as a COPY of the build over the existing side
+    (base layout untouched — appends must never mutate the shared
+    fingerprint-keyed cache), rooted in a per-run temp dir. The bounded
+    file source delivers the table as one micro-batch, so the final
+    decisions equal the batch operator's output (the stream==batch
+    gate in tests/test_streaming_docs.py); the multi-shard semantics
+    of the same loop — cross-shard duplicates caught via the store
+    after the earlier shard's append — are pinned by the non-streaming
+    loop test alongside it.
+    """
+    import shutil
+    import tempfile
+
+    from ..index.dedup_layout import (append_dedup_signatures,
+                                      ensure_dedup_layout)
+    from ..operators.dedup import BATCH_MOD, decide_batch_against_store
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    existing = docs.where(F.col("doc_id") % BATCH_MOD != 0)
+    base = ensure_dedup_layout(spark, existing, sf_dir)
+    run_root = tempfile.mkdtemp(prefix="stream_incdedup_")
+    store = f"{run_root}/store"
+    shutil.copytree(base, store)
+
+    decided: list = []  # driver-held slices; unioned into the result
+
+    def decide_slice(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.where(F.col("doc_id") % BATCH_MOD == 0)
+        out = decide_batch_against_store(spark, batch, store)
+        rows = out.collect()
+        decided.append(rows)
+        kept = {r["doc_id"] for r in rows if r["decision"] == "kept"}
+        if kept:
+            append_dedup_signatures(
+                spark, store,
+                batch.where(F.col("doc_id").isin(sorted(kept))),
+            )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(decide_slice)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(run_root, ignore_errors=True)
+    all_rows = [r for rows in decided for r in rows]
+    return spark.createDataFrame(
+        all_rows, "doc_id long, decision string, n_near long"
+    )

@@ -312,3 +312,74 @@ def test_streaming_doc_dedup_matches_batch(spark, sf_dir):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir):
+    """The foreachBatch ingestion loop's accumulated decisions == the
+    batch incremental-dedup operator (the store starts as the existing
+    side's build; the single bounded micro-batch carries the whole
+    arriving batch, so within-batch keep-min semantics align)."""
+    from duckdb_hybrid_doc_search_spark.operators.dedup import (
+        dedup_incremental_batch,
+    )
+    from duckdb_hybrid_doc_search_spark.streaming.docs import (
+        run_streaming_incremental_dedup,
+    )
+
+    batch = {
+        tuple(r)
+        for r in dedup_incremental_batch(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in run_streaming_incremental_dedup(
+            spark, sf_dir, "t_inc_dedup"
+        ).collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
+
+
+def test_incremental_dedup_multi_shard_loop(spark, sf_dir, tmp_path):
+    """The decide -> append -> repeat loop across SHARDS: a shard-2 doc
+    duplicating a shard-1 KEPT doc must come back exact_dup via the
+    STORE (the earlier shard's append made it visible), not via
+    within-shard keep-min."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.dedup_layout import (
+        append_dedup_signatures, write_dedup_signatures,
+    )
+    from duckdb_hybrid_doc_search_spark.operators.dedup import (
+        BATCH_MOD, decide_batch_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % BATCH_MOD != 0)
+    store = str(tmp_path / "store")
+    write_dedup_signatures(existing, store)
+
+    batch = docs.where(F.col("doc_id") % BATCH_MOD == 0)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    shard1 = batch.limit(4)
+    d1 = {r["doc_id"]: r["decision"]
+          for r in decide_batch_against_store(spark, shard1, store)
+          .collect()}
+    kept1 = sorted(i for i, dec in d1.items() if dec == "kept")
+    assert kept1, "shard 1 must keep something for the loop to mean anything"
+    append_dedup_signatures(
+        spark, store, shard1.where(F.col("doc_id").isin(kept1))
+    )
+    # shard 2 = verbatim copies of shard-1 KEPT docs under fresh ids
+    shift = ((max_id // BATCH_MOD) + 1) * BATCH_MOD
+    shard2 = (
+        shard1.where(F.col("doc_id").isin(kept1))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+    )
+    d2 = {r["doc_id"]: r["decision"]
+          for r in decide_batch_against_store(spark, shard2, store)
+          .collect()}
+    assert all(dec == "exact_dup" for dec in d2.values()), d2
+    assert len(d2) == len(kept1)

@@ -107,6 +107,11 @@ def main() -> None:
         "asof_join_stateful": (se.run_streaming_asof_click_purchase, n_rows),
         "interval_join_stream_stream": (_drive_interval_join, n_rows),
         "doc_dedup_streaming_agg": (sd.run_streaming_doc_dedup, n_docs),
+        # r8: the decide->append->repeat ingestion loop (foreachBatch
+        # against the written signature store); rows/s denominator is
+        # the full docs table (the loop filters to the batch side)
+        "incremental_dedup_loop": (sd.run_streaming_incremental_dedup,
+                                   n_docs),
     }
     out: dict[str, dict] = {}
     for provider_name, provider in (("hdfs_heap", None),
