@@ -256,6 +256,66 @@ def bmp_decode_stats(spark, bmp_dir: str) -> DataFrame:
     return _decode_stats(spark, bmp_dir, "*.bmp", decode_bmp)
 
 
+def sniff_image_format(data: bytes) -> str:
+    """Magic-bytes format dispatch — the FIRST thing a mixed-format
+    media ingest does with an opaque payload column. Returns 'png',
+    'bmp', or raises ValueError (unknown bytes must fail loudly, not
+    decode as garbage)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    raise ValueError(f"unrecognized image signature {data[:8]!r}")
+
+
+def mixed_decode_stats(spark, root_dir: str) -> DataFrame:
+    """Mixed-format decode over one scan: binaryFile descends the media
+    fixture tree, each payload is dispatched by ITS OWN magic bytes to
+    the matching stdlib codec, and the per-file exact-integer facts come
+    back with the detected format — the real shape of a 100 TB media
+    ingest, where a single payload column carries many formats and the
+    reader, not the path, decides the codec. Same scale contract as
+    png/bmp_decode_stats (files packed per task, one Arrow crossing,
+    scalar rows out)."""
+    from ..functions.bmp import decode_bmp
+    from ..functions.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                fmt = sniff_image_format(data)
+                img = decode_png(data) if fmt == "png" else decode_bmp(data)
+                h, w, c = img.shape
+                sums = [int(img[:, :, i].sum(dtype=np.int64))
+                        for i in range(c)] + [0] * (4 - c)
+                out.append((fmt, path.rsplit("/", 1)[-1], w, h, c, *sums))
+            yield pd.DataFrame(
+                out,
+                columns=["format", "file_name", "width", "height",
+                         "channels", "sum_c0", "sum_c1", "sum_c2",
+                         "sum_c3"],
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.{png,bmp}")
+        .load(root_dir)
+    )
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            run,
+            "format string, file_name string, width int, height int, "
+            "channels int, sum_c0 long, sum_c1 long, sum_c2 long, "
+            "sum_c3 long",
+        )
+        .orderBy("file_name")
+    )
+
+
 def _decode_stats(spark, media_dir: str, glob: str, decoder) -> DataFrame:
     """Shared decode-stats shape: binaryFile scan -> one Arrow crossing
     -> per-file exact-integer facts (dims, channels, channel sums)."""

@@ -172,6 +172,28 @@ def media_wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.wav_window_stats(spark, str(_WAV_DIR))
 
 
+_FIXTURES_ROOT = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures"
+
+_MIXED_ORACLE = f"""
+SELECT * FROM (
+  SELECT 'png' AS format, * FROM ({_PNG_ORACLE})
+  UNION ALL
+  SELECT 'bmp' AS format, * FROM ({_BMP_ORACLE})
+) ORDER BY file_name
+""".strip()
+
+
+@register("media_mixed_decode_stats", oracle=_MIXED_ORACLE)
+def media_mixed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format ingest in one scan: every PNG and BMP fixture under
+    the media tree dispatched by its own magic bytes to the matching
+    stdlib codec — the payload column, not the path, picks the decoder.
+    Oracle = the union of both formula oracles plus the detected
+    format, so a dispatch bug (or a codec mix-up) flips the hash."""
+    return mm.mixed_decode_stats(spark, str(_FIXTURES_ROOT))
+
+
 def _png_media(spark: SparkSession) -> DataFrame:
     """The PNG fixtures as a MEDIA_SCHEMA-shaped table (media_id = file
     name so oracle rows are stable; meta dims null — png_pure reads the

@@ -121,3 +121,16 @@ def test_bmp_pure_backend_through_image_operators(spark):
     dims = {n: (f[30], f[31]) for n, f in feats.items()}
     assert dims == {"rgb_up.bmp": (5.0, 6.0), "rgb_down.bmp": (7.0, 4.0),
                     "rgba_up.bmp": (6.0, 3.0)}
+
+
+def test_sniff_image_format():
+    from duckdb_hybrid_doc_search_spark.operators.multimodal import (
+        sniff_image_format)
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert sniff_image_format(encode_bmp(img)) == "bmp"
+    from duckdb_hybrid_doc_search_spark.functions.png import encode_png
+
+    assert sniff_image_format(encode_png(img)) == "png"
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_image_format(b"RIFFxxxxWAVE")
