@@ -91,13 +91,16 @@ def _calibrate_parallel(n_threads: int) -> float:
 
 def _prior_round_timings(
     here: str, this_round: int
-) -> tuple[int | None, dict[str, float], float | None, float | None]:
-    """Per-query timings (+ calibrations, when recorded) of the newest
-    PRIOR round (never this round's own detail file — re-runs within a
-    round must not diff against themselves), for the regression diff.
-    Prefers this harness's own BENCH_DETAIL_r{N}.json (always has the
-    full map); falls back to the driver's BENCH_r{N}.json parsed tail."""
+) -> tuple[int | None, dict[str, float], float | None, float | None,
+           int | None]:
+    """Per-query timings (+ calibrations and the parallel probe's
+    thread count, when recorded) of the newest PRIOR round (never this
+    round's own detail file — re-runs within a round must not diff
+    against themselves), for the regression diff. Prefers this
+    harness's own BENCH_DETAIL_r{N}.json (always has the full map);
+    falls back to the driver's BENCH_r{N}.json parsed tail."""
     best_n, timings, calib, calib_par = None, {}, None, None
+    calib_par_threads = None
     patterns = (
         (r"BENCH_DETAIL_r(\d+)\.json$", lambda d: d.get("queries") or {}),
         (r"BENCH_r(\d+)\.json$",
@@ -119,9 +122,10 @@ def _prior_round_timings(
                     best_n, timings = n, qs
                     calib = d.get("calib_sec")
                     calib_par = d.get("calib_par_sec")
+                    calib_par_threads = d.get("calib_par_threads")
             except (json.JSONDecodeError, OSError):
                 continue
-    return best_n, timings, calib, calib_par
+    return best_n, timings, calib, calib_par, calib_par_threads
 
 
 def _this_round(here: str) -> int:
@@ -222,7 +226,10 @@ def main() -> None:
     # differs between passes. Per-segment calibration (before pass 1,
     # between passes, after pass 2) pins how fast the host actually was
     # in each window.
-    n_par = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        n_par = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        n_par = os.cpu_count() or 8
     calib_segments = [_calibrate()]
     calib_par_segments = [_calibrate_parallel(n_par)]
     inrun: dict[str, float] = {}
@@ -283,15 +290,19 @@ def main() -> None:
     this_round = _this_round(here)
     calib = min(calib_segments)
     calib_par = min(calib_par_segments)
-    prior_round, prior, prior_calib, prior_calib_par = _prior_round_timings(
-        here, this_round)
+    (prior_round, prior, prior_calib, prior_calib_par,
+     prior_calib_par_threads) = _prior_round_timings(here, this_round)
     # host-speed normalization: scale prior timings to THIS host's speed.
     # Prefer the ALL-CORE probe's ratio (sees whole-machine contention
-    # the 1-thread probe is blind to — VERDICT r7 #4); fall back to the
-    # 1-thread ratio against pre-r8 records that lack it. Clamped to ±2x
-    # so a bogus calib can't hide a real regression entirely.
+    # the 1-thread probe is blind to — VERDICT r7 #4) — but ONLY when
+    # both rounds probed with the SAME thread count: a changed
+    # SPARK_GRAFT_CPUS / core count changes the probe's work, and the
+    # ratio would read that as host speed. Fall back to the 1-thread
+    # ratio otherwise. Clamped to ±2x so a bogus calib can't hide a
+    # real regression entirely.
     scale, scale_src = 1.0, None
-    if prior_calib_par and prior_calib_par > 0:
+    if (prior_calib_par and prior_calib_par > 0
+            and prior_calib_par_threads == n_par):
         scale = min(2.0, max(0.5, calib_par / prior_calib_par))
         scale_src = "parallel"
     elif prior_calib and prior_calib > 0:

@@ -31,7 +31,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             n_ch = w.getnchannels()
             rate = w.getframerate()
             frames = w.readframes(w.getnframes())
-    except wave.Error as exc:
+    # wave.open raises EOFError (from the chunk module) on truncated
+    # RIFF data, not wave.Error — both are "not a decodable WAV" to
+    # callers sorting dirty media
+    except (wave.Error, EOFError) as exc:
         raise ValueError(f"not a WAV: {exc}") from exc
     samples = np.frombuffer(frames, dtype="<i2").reshape(-1, n_ch)
     return samples, rate

@@ -90,6 +90,19 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
     docs only and append them — no rebuild, no rewrite of existing files
     (each arriving shard's kept survivors join the store this way).
 
+    CRASH-SAFE and IDEMPOTENT per batch (r8 review finding): the three
+    tiers are written to a staging dir, then their files are renamed
+    into the live tables under a deterministic append id (sha256 of the
+    batch's sorted doc_ids) with the fp tier moved LAST — so "fp rows
+    present" implies "bands and sigs rows present" and a mid-append
+    crash can never leave docs visible to the exact tier but invisible
+    to the LSH/verify tiers. A retry of the SAME batch (Structured
+    Streaming's at-least-once foreachBatch redelivery, or a caller
+    retry after a crash) first removes any files carrying its append id
+    from all three tiers, so partial leftovers are cleaned instead of
+    double-appended (partial sig duplication would skew the per-pair
+    Jaccard average).
+
     The id-disjointness contract is ENFORCED: the batch's doc_ids are
     semi-joined (batch broadcast) against the store's fp table — an
     overlapping id would write duplicate signature rows, which the
@@ -98,6 +111,10 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
     the same guard runs against a bloom filter of the id column
     maintained next to the sentinel.
     """
+    import glob
+    import hashlib
+    import shutil
+
     if not os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
         raise ValueError(
             f"no completed signature layout at {out_dir}: refusing to "
@@ -105,6 +122,18 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
             "(write_dedup_signatures)."
         )
     paths = _tables(out_dir)
+    batch_ids = sorted(
+        r["doc_id"] for r in new_docs.select("doc_id").distinct().collect()
+    )
+    append_id = hashlib.sha256(
+        ",".join(map(str, batch_ids)).encode()
+    ).hexdigest()[:16]
+    # clean leftovers of a crashed/retried attempt of THIS batch before
+    # the overlap check, so its own partial fp rows don't read as a
+    # genuine overlap
+    for path in paths.values():
+        for f in glob.glob(os.path.join(path, f"append-{append_id}-*")):
+            os.remove(f)
     n_dup = (
         spark.read.parquet(paths["fp"])
         .select("doc_id")
@@ -118,9 +147,25 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
             "and the banded join would report self-partners. Append "
             "batches must carry NEW doc_ids only."
         )
+    stage = os.path.join(out_dir, "_staging", append_id)
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
     frames = _signature_frames(new_docs)
-    for name, path in paths.items():
-        frames[name].write.mode("append").parquet(path)
+    for name in paths:
+        frames[name].write.mode("overwrite").parquet(
+            os.path.join(stage, name)
+        )
+    # rename (atomic per file, same filesystem) into the live tables;
+    # fp LAST — its presence marks the append complete
+    for name in ("sigs", "bands", "fp"):
+        staged = sorted(glob.glob(
+            os.path.join(stage, name, "part-*.parquet")
+        ))
+        for i, f in enumerate(staged):
+            os.rename(f, os.path.join(
+                paths[name], f"append-{append_id}-{i}.parquet"
+            ))
+    shutil.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
 
 
 def read_fp(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -136,12 +181,9 @@ def read_sigs(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _layout_root(root: str | None, leaf: str) -> str:
-    if root is not None:
-        return root
-    repo_dir = os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))
-    ))
-    return os.path.join(repo_dir, "spark-warehouse", leaf)
+    from .fingerprint import warehouse_root
+
+    return warehouse_root(leaf, root)
 
 
 def _layout_key(docs: DataFrame, sf_dir: str) -> str:

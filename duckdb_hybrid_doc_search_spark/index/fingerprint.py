@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 FileSig = tuple[tuple[str, int, int], ...]
 
 
+def warehouse_root(leaf: str, root: str | None = None) -> str:
+    """Default layout root: ``<repo>/spark-warehouse/<leaf>``, unless
+    the caller supplied an explicit ``root``. One definition for every
+    written layout (fts/ivf/ivfpq/sq8/dedup) — the repo-root derivation
+    must change in exactly one place."""
+    if root is not None:
+        return root
+    repo_dir = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    ))
+    return os.path.join(repo_dir, "spark-warehouse", leaf)
+
+
 def source_file_stats(df: DataFrame) -> FileSig | None:
     """Sorted (path, size, mtime_ns) over the plan's input files, or None
     when the plan is fileless / remote. The signature is re-checkable with

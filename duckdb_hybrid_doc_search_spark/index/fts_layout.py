@@ -48,12 +48,9 @@ _LAYOUT_VERSION = 2
 
 
 def _layout_root(root: str | None) -> str:
-    if root is not None:
-        return root
-    repo_dir = os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))
-    ))
-    return os.path.join(repo_dir, "spark-warehouse", "fts_layout")
+    from .fingerprint import warehouse_root
+
+    return warehouse_root("fts_layout", root)
 
 
 def content_fingerprint(docs: DataFrame, id_col: str = "doc_id",

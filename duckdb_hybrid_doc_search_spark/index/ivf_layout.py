@@ -63,13 +63,9 @@ def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
     of silently probing stale cells. Rooted at the repo directory, not
     the process CWD.
     """
-    from .fingerprint import layout_fingerprint
+    from .fingerprint import layout_fingerprint, warehouse_root
 
-    if root is None:
-        repo_dir = os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        ))
-        root = os.path.join(repo_dir, "spark-warehouse", "ivf_layout")
+    root = warehouse_root("ivf_layout", root)
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
         f"-{LAYOUT_FORMAT}"
@@ -107,13 +103,9 @@ def ensure_ivf_append_layout(spark: SparkSession, emb: DataFrame,
     """
     import shutil
 
-    from .fingerprint import layout_fingerprint
+    from .fingerprint import layout_fingerprint, warehouse_root
 
-    if root is None:
-        repo_dir = os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        ))
-        root = os.path.join(repo_dir, "spark-warehouse", "ivf_append_layout")
+    root = warehouse_root("ivf_append_layout", root)
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
         f"-{LAYOUT_FORMAT}"

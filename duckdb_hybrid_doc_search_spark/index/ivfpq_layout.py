@@ -75,11 +75,9 @@ def ensure_ivfpq_layout(spark: SparkSession, emb: DataFrame,
     fingerprint-keyed caching contract as ensure_ivf_layout."""
     from .fingerprint import layout_fingerprint
 
-    if root is None:
-        repo_dir = os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        ))
-        root = os.path.join(repo_dir, "spark-warehouse", "ivfpq_layout")
+    from .fingerprint import warehouse_root
+
+    root = warehouse_root("ivfpq_layout", root)
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
         f"-{LAYOUT_FORMAT}"
@@ -247,12 +245,9 @@ def ensure_ivfpq_append_layout(spark: SparkSession, emb: DataFrame,
     from ..operators.knn import centroid_pred, pq_sample_pred
     from .fingerprint import layout_fingerprint
 
-    if root is None:
-        repo_dir = os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        ))
-        root = os.path.join(repo_dir, "spark-warehouse",
-                            "ivfpq_append_layout")
+    from .fingerprint import warehouse_root
+
+    root = warehouse_root("ivfpq_append_layout", root)
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
         f"-{LAYOUT_FORMAT}"

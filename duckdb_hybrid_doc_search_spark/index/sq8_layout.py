@@ -108,11 +108,9 @@ def ensure_sq8_layout(spark: SparkSession, emb: DataFrame,
     fingerprint-keyed caching contract as ensure_ivfpq_layout."""
     from .fingerprint import layout_fingerprint
 
-    if root is None:
-        repo_dir = os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        ))
-        root = os.path.join(repo_dir, "spark-warehouse", "sq8_layout")
+    from .fingerprint import warehouse_root
+
+    root = warehouse_root("sq8_layout", root)
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
         f"-{LAYOUT_FORMAT}"

@@ -1419,8 +1419,15 @@ def semdedup_kmeans_cells(emb: DataFrame,
     """
     from .knn import kmeans_centroids
 
-    n = emb.count()
-    k = max(1, n // semdedup_mod(n))  # same centroid COUNT as the stride
+    # the stride's ACTUAL centroid count — counted from the same
+    # predicate, not approximated as n // mod: vec_ids need not be
+    # contiguous (post-dedup corpora), and even for 0..n-1 ids the
+    # stride picks ceil(n / mod) centroids while n // mod floors, so
+    # the "same k" claim would be off by one (or unboundedly, with
+    # sparse ids) and the delta row would partly measure centroid
+    # COUNT instead of centroid quality
+    mod = semdedup_mod(emb.count())
+    k = max(1, emb.where(F.col("vec_id") % mod == 0).count())
     stride_cells = semdedup(emb, threshold)
     trained = kmeans_centroids(emb, k=k)
     kmeans_cells = _semdedup_with_centroids(emb, trained, threshold)

@@ -268,15 +268,17 @@ def sniff_image_format(data: bytes) -> str:
     raise ValueError(f"unrecognized image signature {data[:8]!r}")
 
 
-def mixed_decode_stats(spark, root_dir: str) -> DataFrame:
-    """Mixed-format decode over one scan: binaryFile descends the media
-    fixture tree, each payload is dispatched by ITS OWN magic bytes to
-    the matching stdlib codec, and the per-file exact-integer facts come
-    back with the detected format — the real shape of a 100 TB media
-    ingest, where a single payload column carries many formats and the
-    reader, not the path, decides the codec. Same scale contract as
-    png/bmp_decode_stats (files packed per task, one Arrow crossing,
-    scalar rows out)."""
+def mixed_decode_stats(spark, media_dirs: list[str]) -> DataFrame:
+    """Mixed-format decode over one scan: binaryFile reads the GIVEN
+    media dirs (explicit list, not a recursive tree walk — a future
+    fixture dir, e.g. corrupt-file error-path fixtures, must not
+    silently enter this oracle-pinned row), each payload is dispatched
+    by ITS OWN magic bytes to the matching stdlib codec, and the
+    per-file exact-integer facts come back with the detected format —
+    the real shape of a 100 TB media ingest, where a single payload
+    column carries many formats and the reader, not the path, decides
+    the codec. Same scale contract as png/bmp_decode_stats (files
+    packed per task, one Arrow crossing, scalar rows out)."""
     from ..functions.bmp import decode_bmp
     from ..functions.png import decode_png
 
@@ -300,9 +302,8 @@ def mixed_decode_stats(spark, root_dir: str) -> DataFrame:
 
     files = (
         spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.{png,bmp}")
-        .load(root_dir)
+        .load(list(media_dirs))
     )
     return (
         files.select("path", "content")

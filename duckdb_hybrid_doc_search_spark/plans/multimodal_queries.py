@@ -172,9 +172,6 @@ def media_wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.wav_window_stats(spark, str(_WAV_DIR))
 
 
-_FIXTURES_ROOT = __import__("pathlib").Path(__file__).resolve(
-).parent.parent.parent / "fixtures"
-
 _MIXED_ORACLE = f"""
 SELECT * FROM (
   SELECT 'png' AS format, * FROM ({_PNG_ORACLE})
@@ -186,12 +183,14 @@ SELECT * FROM (
 
 @register("media_mixed_decode_stats", oracle=_MIXED_ORACLE)
 def media_mixed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-format ingest in one scan: every PNG and BMP fixture under
-    the media tree dispatched by its own magic bytes to the matching
-    stdlib codec — the payload column, not the path, picks the decoder.
-    Oracle = the union of both formula oracles plus the detected
-    format, so a dispatch bug (or a codec mix-up) flips the hash."""
-    return mm.mixed_decode_stats(spark, str(_FIXTURES_ROOT))
+    """Mixed-format ingest in one scan: every PNG and BMP fixture (the
+    two codec dirs listed explicitly — future fixture dirs must not
+    silently join this oracle-pinned row) dispatched by its own magic
+    bytes to the matching stdlib codec — the payload column, not the
+    path, picks the decoder. Oracle = the union of both formula oracles
+    plus the detected format, so a dispatch bug (or a codec mix-up)
+    flips the hash."""
+    return mm.mixed_decode_stats(spark, [str(_PNG_DIR), str(_BMP_DIR)])
 
 
 def _png_media(spark: SparkSession) -> DataFrame:

@@ -101,18 +101,28 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     store = f"{run_root}/store"
     shutil.copytree(base, store)
 
-    decided: list = []  # driver-held slices; unioned into the result
+    # driver-held slices keyed by micro-batch id: foreachBatch is
+    # at-least-once (a failed batch is re-delivered with the SAME id),
+    # so a retry overwrites its own slice instead of duplicating rows;
+    # the store append below is idempotent per batch for the same
+    # reason (append_dedup_signatures cleans its own append-id's
+    # leftovers before re-appending)
+    decided: dict[int, list] = {}
 
     def decide_slice(bdf: DataFrame, batch_id: int) -> None:
         batch = bdf.where(F.col("doc_id") % BATCH_MOD == 0)
         out = decide_batch_against_store(spark, batch, store)
         rows = out.collect()
-        decided.append(rows)
-        kept = {r["doc_id"] for r in rows if r["decision"] == "kept"}
+        decided[batch_id] = rows
+        kept = [(r["doc_id"],) for r in rows if r["decision"] == "kept"]
         if kept:
+            # broadcast semi-join, not isin(): a realistic shard keeps
+            # tens of thousands of ids — one literal each would bloat
+            # the plan instead of hash-probing
+            kept_df = spark.createDataFrame(kept, "doc_id long")
             append_dedup_signatures(
                 spark, store,
-                batch.where(F.col("doc_id").isin(sorted(kept))),
+                batch.join(F.broadcast(kept_df), "doc_id", "leftsemi"),
             )
 
     q = (
@@ -127,7 +137,7 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
         shutil.rmtree(run_root, ignore_errors=True)
-    all_rows = [r for rows in decided for r in rows]
+    all_rows = [r for _, rows in sorted(decided.items()) for r in rows]
     return spark.createDataFrame(
         all_rows, "doc_id long, decision string, n_near long"
     )

@@ -34,12 +34,12 @@ def test_prior_round_skips_own_round_and_prefers_detail(tmp_path):
     (tmp_path / "BENCH_DETAIL_r3.json").write_text(json.dumps(
         {"queries": {"q": 99.0}}
     ))
-    n, timings, calib, _cpar = bench._prior_round_timings(
+    n, timings, calib, _cpar, _cth = bench._prior_round_timings(
         str(tmp_path), this_round=3)
     assert n == 2 and timings == {"q": 2.0} and calib == 0.12
     # with no detail file, fall back to the driver's parsed tail
     (tmp_path / "BENCH_DETAIL_r2.json").unlink()
-    n, timings, calib, _cpar = bench._prior_round_timings(
+    n, timings, calib, _cpar, _cth = bench._prior_round_timings(
         str(tmp_path), this_round=3)
     assert n == 1 and timings == {"q": 1.0} and calib is None
 
@@ -50,7 +50,7 @@ def test_unparseable_files_are_skipped(tmp_path):
     (tmp_path / "BENCH_r1.json").write_text(json.dumps(
         {"parsed": {"queries": {"q": 1.5}}}
     ))
-    n, timings, _calib, _cpar = bench._prior_round_timings(
+    n, timings, _calib, _cpar, _cth = bench._prior_round_timings(
         str(tmp_path), this_round=3)
     assert n == 1 and timings == {"q": 1.5}
 
