@@ -79,3 +79,36 @@ def test_ensure_layouts_cache_and_agree(spark, sf_dir, tmp_path):
     p1 = dedup.dedup_incremental_probe(spark, docs, d1)
     p2 = dedup.dedup_incremental_probe(spark, docs, d2)
     assert _rows(p1) == _rows(p2)
+
+
+def test_append_crash_recovery_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash-safety pin for the staged append: simulate a crash AFTER
+    the bands/sigs tiers moved but BEFORE the fp tier (delete the
+    appended fp files), then retry the SAME batch — the retry must
+    clean its own orphans (no overlap error, no duplicated signature
+    rows) and the final store must probe identically to a one-shot
+    build."""
+    import glob
+    import os
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    split = F.col("doc_id") % 7 == 3
+    out = str(tmp_path / "sig")
+    write_dedup_signatures(existing.where(~split), out)
+    batch = existing.where(split)
+    append_dedup_signatures(spark, out, batch)
+    # simulate the crash window: fp tier's append files never landed
+    fp_appended = glob.glob(os.path.join(out, "fp", "append-*"))
+    assert fp_appended, "append must write id-tagged fp files"
+    for f in fp_appended:
+        os.remove(f)
+    # retry of the same batch: must not raise, must not double-append
+    append_dedup_signatures(spark, out, batch)
+    n_sig = spark.read.parquet(os.path.join(out, "sigs")).count()
+    from duckdb_hybrid_doc_search_spark.operators.dedup import (
+        MINHASH_NUM)
+    assert n_sig == existing.count() * MINHASH_NUM  # no duplicates
+    probe = dedup.dedup_incremental_probe(spark, docs, out)
+    direct = dedup.dedup_incremental_batch(docs)
+    assert _rows(probe) == _rows(direct)
