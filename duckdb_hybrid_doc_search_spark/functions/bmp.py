@@ -48,6 +48,16 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP compression {comp}")
     if bpp not in (24, 32):
         raise ValueError(f"unsupported BMP bit depth {bpp}")
+    # header fields are untrusted: an offset inside the headers would
+    # silently decode header bytes as pixels, and w <= 0 turns into an
+    # opaque numpy stride error instead of the loud-failure contract
+    # sniff_image_format promises for dirty media (r8 advisor finding)
+    if offset < 14 + hsize:
+        raise ValueError(
+            f"malformed BMP: pixel-data offset {offset} inside headers"
+        )
+    if w <= 0:
+        raise ValueError(f"malformed BMP: non-positive width {w}")
     top_down = h < 0
     h = abs(h)
     channels = bpp // 8
@@ -63,6 +73,39 @@ def decode_bmp(data: bytes) -> np.ndarray:
     out = rows.copy()
     out[:, :, 0], out[:, :, 2] = rows[:, :, 2], rows[:, :, 0]
     return out
+
+
+def split_bmp_container(data: bytes) -> list[bytes]:
+    """Split a concatenated-BMP video container into its frame blobs.
+
+    The container format is nothing but back-to-back BMP files — each
+    frame is self-delimiting because the BITMAPFILEHEADER's bytes 2..5
+    carry the frame's total file size, so the walk needs no side index
+    (the shape of a real demuxer: read a header, trust-but-verify a
+    length, hop). Used by the video-frame sampling operator's real
+    decode path; fixtures come from tools/gen_bmpv_fixtures.py.
+
+    Raises ValueError on a non-BMP frame boundary or a declared size
+    that runs past the buffer (a truncated tail frame must fail loudly,
+    not decode garbage)."""
+    frames = []
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 2] != b"BM":
+            raise ValueError(
+                f"bad frame boundary at byte {pos}: expected 'BM'"
+            )
+        if pos + 6 > len(data):
+            raise ValueError(f"truncated frame header at byte {pos}")
+        (size,) = struct.unpack_from("<I", data, pos + 2)
+        if size < 54 or pos + size > len(data):
+            raise ValueError(
+                f"frame at byte {pos} declares size {size} which runs "
+                "past the container"
+            )
+        frames.append(data[pos:pos + size])
+        pos += size
+    return frames
 
 
 def encode_bmp(img: np.ndarray, top_down: bool = False) -> bytes:

@@ -84,24 +84,86 @@ def write_dedup_signatures(docs: DataFrame, out_dir: str) -> None:
         pass
 
 
+def _batch_append_id(new_docs: DataFrame) -> str:
+    """Deterministic, order-independent append id for a batch, computed
+    DISTRIBUTIVELY: per-id xxhash64 under two salts, reduced with the
+    commutative ``bit_xor`` aggregate plus a count — ONE 3-long row
+    crosses to the driver regardless of batch size (the r8 form
+    collected every doc_id, hundreds of MB through the driver at a
+    realistic 10M-doc shard). Retries of the same batch content hash to
+    the same id, which is what the idempotent-append cleanup keys on."""
+    import hashlib
+
+    row = (
+        new_docs.select("doc_id").distinct()
+        .agg(
+            F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("x1"),
+            F.bit_xor(F.xxhash64(F.lit("dedup-append"),
+                                 F.col("doc_id"))).alias("x2"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()[0]
+    )
+    return hashlib.sha256(
+        f"{row['x1']},{row['x2']},{row['c']}".encode()
+    ).hexdigest()[:16]
+
+
+def _sweep_orphan_appends(paths: dict[str, str]) -> None:
+    """Remove bands/sigs append files whose append id has NO fp
+    counterpart — the residue of an append that crashed inside the
+    rename window and was never redelivered. The fp-moved-LAST
+    convention makes these detectable: without the sweep the orphaned
+    docs stay visible to the LSH near tier but invisible to the exact
+    tier forever, so a later exact duplicate would be misclassified
+    near_dup (r8 advisor finding). Runs under the append lock, so a
+    concurrent writer can never be mid-rename while we sweep."""
+    import glob
+
+    def append_ids(table: str) -> set[str]:
+        ids = set()
+        for f in glob.glob(os.path.join(paths[table], "append-*.parquet")):
+            stem = os.path.basename(f)[len("append-"):-len(".parquet")]
+            ids.add(stem.rsplit("-", 1)[0])
+        return ids
+
+    live = append_ids("fp")
+    for table in ("bands", "sigs"):
+        for f in glob.glob(os.path.join(paths[table], "append-*.parquet")):
+            stem = os.path.basename(f)[len("append-"):-len(".parquet")]
+            if stem.rsplit("-", 1)[0] not in live:
+                os.remove(f)
+
+
 def append_dedup_signatures(spark: SparkSession, out_dir: str,
-                            new_docs: DataFrame) -> None:
+                            new_docs: DataFrame,
+                            append_id: str | None = None) -> None:
     """Incremental maintenance: compute signatures for the NEWLY KEPT
     docs only and append them — no rebuild, no rewrite of existing files
     (each arriving shard's kept survivors join the store this way).
 
     CRASH-SAFE and IDEMPOTENT per batch (r8 review finding): the three
     tiers are written to a staging dir, then their files are renamed
-    into the live tables under a deterministic append id (sha256 of the
-    batch's sorted doc_ids) with the fp tier moved LAST — so "fp rows
-    present" implies "bands and sigs rows present" and a mid-append
-    crash can never leave docs visible to the exact tier but invisible
-    to the LSH/verify tiers. A retry of the SAME batch (Structured
-    Streaming's at-least-once foreachBatch redelivery, or a caller
-    retry after a crash) first removes any files carrying its append id
-    from all three tiers, so partial leftovers are cleaned instead of
-    double-appended (partial sig duplication would skew the per-pair
-    Jaccard average).
+    into the live tables under a deterministic append id (a distributive
+    content hash of the batch's doc_ids, or the caller's stable batch
+    key — e.g. the Structured Streaming micro-batch id, which survives
+    redelivery) with the fp tier moved LAST — so "fp rows present"
+    implies "bands and sigs rows present" and a mid-append crash can
+    never leave docs visible to the exact tier but invisible to the
+    LSH/verify tiers. A retry of the SAME batch first removes any files
+    carrying its append id from all three tiers, so partial leftovers
+    are cleaned instead of double-appended (partial sig duplication
+    would skew the per-pair Jaccard average). Crashed appends of OTHER
+    batches that were never redelivered are swept here too (bands/sigs
+    files with no fp counterpart — detectable exactly because fp moves
+    last).
+
+    SINGLE-WRITER is enforced with an O_EXCL lockfile in the store dir
+    (r8 advisor finding: two concurrent appends could otherwise delete
+    each other's staged files and rename a subset, breaking the
+    fp-implies-bands/sigs invariant with no error). Each append also
+    stages under its own ``_staging/<append_id>`` subdir and removes
+    ONLY that subdir when done.
 
     The id-disjointness contract is ENFORCED: the batch's doc_ids are
     semi-joined (batch broadcast) against the store's fp table — an
@@ -112,7 +174,6 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
     maintained next to the sentinel.
     """
     import glob
-    import hashlib
     import shutil
 
     if not os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
@@ -122,50 +183,76 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
             "(write_dedup_signatures)."
         )
     paths = _tables(out_dir)
-    batch_ids = sorted(
-        r["doc_id"] for r in new_docs.select("doc_id").distinct().collect()
-    )
-    append_id = hashlib.sha256(
-        ",".join(map(str, batch_ids)).encode()
-    ).hexdigest()[:16]
-    # clean leftovers of a crashed/retried attempt of THIS batch before
-    # the overlap check, so its own partial fp rows don't read as a
-    # genuine overlap
-    for path in paths.values():
-        for f in glob.glob(os.path.join(path, f"append-{append_id}-*")):
-            os.remove(f)
-    n_dup = (
-        spark.read.parquet(paths["fp"])
-        .select("doc_id")
-        .join(F.broadcast(new_docs.select("doc_id")), "doc_id")
-        .count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"append batch overlaps the signature store on {n_dup} "
-            "doc_id(s): appending them would duplicate signature rows "
-            "and the banded join would report self-partners. Append "
-            "batches must carry NEW doc_ids only."
+    if new_docs.isEmpty():  # a shard that kept nothing appends nothing
+        return
+    if append_id is None:
+        append_id = _batch_append_id(new_docs)
+    lock = os.path.join(out_dir, "_append.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"signature store at {out_dir} has an append in flight "
+            f"(lockfile {lock} held): appends are single-writer. If the "
+            "holder crashed, remove the lockfile and retry — the staged "
+            "leftovers are cleaned per append id."
         )
-    stage = os.path.join(out_dir, "_staging", append_id)
-    if os.path.exists(stage):
-        shutil.rmtree(stage)
-    frames = _signature_frames(new_docs)
-    for name in paths:
-        frames[name].write.mode("overwrite").parquet(
-            os.path.join(stage, name)
+    os.close(fd)
+    try:
+        _sweep_orphan_appends(paths)
+        # clean leftovers of a crashed/retried attempt of THIS batch
+        # before the overlap check, so its own partial fp rows don't
+        # read as a genuine overlap
+        for path in paths.values():
+            for f in glob.glob(os.path.join(path, f"append-{append_id}-*")):
+                os.remove(f)
+        n_dup = (
+            spark.read.parquet(paths["fp"])
+            .select("doc_id")
+            .join(F.broadcast(new_docs.select("doc_id")), "doc_id")
+            .count()
         )
-    # rename (atomic per file, same filesystem) into the live tables;
-    # fp LAST — its presence marks the append complete
-    for name in ("sigs", "bands", "fp"):
-        staged = sorted(glob.glob(
-            os.path.join(stage, name, "part-*.parquet")
-        ))
-        for i, f in enumerate(staged):
-            os.rename(f, os.path.join(
-                paths[name], f"append-{append_id}-{i}.parquet"
+        if n_dup:
+            raise ValueError(
+                f"append batch overlaps the signature store on {n_dup} "
+                "doc_id(s): appending them would duplicate signature rows "
+                "and the banded join would report self-partners. Append "
+                "batches must carry NEW doc_ids only."
+            )
+        stage = os.path.join(out_dir, "_staging", append_id)
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        frames = _signature_frames(new_docs)
+        for name in paths:
+            frames[name].write.mode("overwrite").parquet(
+                os.path.join(stage, name)
+            )
+        staged = {
+            name: sorted(glob.glob(
+                os.path.join(stage, name, "part-*.parquet")
             ))
-    shutil.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
+            for name in paths
+        }
+        if not staged["fp"]:  # empty batch: nothing to append
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+        # rename (atomic per file, same filesystem) into the live
+        # tables; fp LAST — its presence marks the append complete
+        for name in ("sigs", "bands", "fp"):
+            for i, f in enumerate(staged[name]):
+                os.rename(f, os.path.join(
+                    paths[name], f"append-{append_id}-{i}.parquet"
+                ))
+        # this append's stage only — a sibling append_id's staged files
+        # (crashed earlier attempt of another batch) are ITS retry's to
+        # clean, never ours
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(out_dir, "_staging"))
+        except OSError:
+            pass
+    finally:
+        os.remove(lock)
 
 
 def read_fp(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -1117,19 +1117,31 @@ def dedup_incremental_probe(spark, docs: DataFrame,
 
 
 def decide_batch_against_store(spark, batch_docs: DataFrame,
-                               layout_dir: str) -> DataFrame:
+                               layout_dir: str,
+                               caches: list | None = None) -> DataFrame:
     """Decide ONE arriving shard (any (doc_id, text) frame) against the
     written signature store — the unit the streaming ingestion loop
     runs per micro-batch (streaming/docs.run_streaming_incremental_
     dedup): decide the shard, append the kept docs' signatures to the
     store, repeat. Within-shard duplicates resolve by keep-min id;
     cross-shard duplicates are the store's job (the earlier shard's
-    append made them visible)."""
+    append made them visible).
+
+    The batch-side signature/fingerprint frames are cached (each feeds
+    multiple tiers). Callers that run this repeatedly — one decide per
+    micro-batch in a long-lived ingestion stream — pass a ``caches``
+    list and unpersist its entries once the slice's result is
+    materialized; otherwise the per-batch cache entries accumulate in
+    executor storage for the stream's lifetime (r8 advisor finding)."""
     from ..index.dedup_layout import read_bands, read_fp, read_sigs
 
-    bfp = batch_docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    bfp = batch_docs.select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    ).cache()
     efp = read_fp(spark, layout_dir).select("fp").distinct()
     bsig = minhash_signatures(batch_docs).cache()
+    if caches is not None:
+        caches.extend([bfp, bsig])
     return _incremental_decide(
         bfp, efp,
         _band_sigs(bsig), read_bands(spark, layout_dir),

@@ -87,6 +87,7 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     after the earlier shard's append — are pinned by the non-streaming
     loop test alongside it.
     """
+    import os
     import shutil
     import tempfile
 
@@ -100,30 +101,44 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     run_root = tempfile.mkdtemp(prefix="stream_incdedup_")
     store = f"{run_root}/store"
     shutil.copytree(base, store)
+    sink = f"{run_root}/decisions"
 
-    # driver-held slices keyed by micro-batch id: foreachBatch is
+    # per-shard decisions land in a batch-id-keyed parquet SINK, never a
+    # driver-side accumulator (the r8 form collected every micro-batch's
+    # full decision set into a driver dict — fine for a bounded oracle
+    # drive, fatal as a template at 100 TB). foreachBatch is
     # at-least-once (a failed batch is re-delivered with the SAME id),
-    # so a retry overwrites its own slice instead of duplicating rows;
-    # the store append below is idempotent per batch for the same
-    # reason (append_dedup_signatures cleans its own append-id's
-    # leftovers before re-appending)
-    decided: dict[int, list] = {}
+    # so a retry OVERWRITES its own slice dir instead of duplicating
+    # rows; the store append below is idempotent per batch for the same
+    # reason, keyed on the same micro-batch id (append_dedup_signatures
+    # cleans its append-id's leftovers before re-appending).
 
     def decide_slice(bdf: DataFrame, batch_id: int) -> None:
         batch = bdf.where(F.col("doc_id") % BATCH_MOD == 0)
-        out = decide_batch_against_store(spark, batch, store)
-        rows = out.collect()
-        decided[batch_id] = rows
-        kept = [(r["doc_id"],) for r in rows if r["decision"] == "kept"]
-        if kept:
-            # broadcast semi-join, not isin(): a realistic shard keeps
-            # tens of thousands of ids — one literal each would bloat
-            # the plan instead of hash-probing
-            kept_df = spark.createDataFrame(kept, "doc_id long")
-            append_dedup_signatures(
-                spark, store,
-                batch.join(F.broadcast(kept_df), "doc_id", "leftsemi"),
-            )
+        caches: list = []
+        out = decide_batch_against_store(spark, batch, store,
+                                         caches=caches)
+        slice_dir = f"{sink}/batch-{batch_id}"
+        out.write.mode("overwrite").parquet(slice_dir)
+        # kept ids come back off the WRITTEN slice (pushed filter +
+        # two-column scan) and semi-join the batch — no per-row driver
+        # round-trip, and the broadcast is a hash probe, not a plan
+        # full of isin() literals
+        kept = (
+            spark.read.parquet(slice_dir)
+            .where(F.col("decision") == "kept")
+            .select("doc_id")
+        )
+        append_dedup_signatures(
+            spark, store,
+            batch.join(F.broadcast(kept), "doc_id", "leftsemi"),
+            append_id=f"mb{batch_id}",
+        )
+        # per-batch caches die with the slice: a long-lived ingestion
+        # stream must not accumulate one cached signature table per
+        # micro-batch in executor storage (r8 advisor finding)
+        for c in caches:
+            c.unpersist()
 
     q = (
         read_documents_stream(spark, sf_dir)
@@ -134,10 +149,17 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     )
     try:
         q.processAllAvailable()
+        q.stop()
+        if not os.path.exists(sink):  # no micro-batch ever fired
+            return spark.createDataFrame(
+                [], "doc_id long, decision string, n_near long"
+            )
+        # materialize off the sink before the run dir is removed; the
+        # caller gets a live frame, production keeps the sink itself
+        result = spark.read.parquet(f"{sink}/batch-*").select(
+            "doc_id", "decision", "n_near"
+        ).localCheckpoint()
     finally:
         q.stop()
         shutil.rmtree(run_root, ignore_errors=True)
-    all_rows = [r for _, rows in sorted(decided.items()) for r in rows]
-    return spark.createDataFrame(
-        all_rows, "doc_id long, decision string, n_near long"
-    )
+    return result

@@ -112,3 +112,105 @@ def test_append_crash_recovery_is_idempotent(spark, sf_dir, tmp_path):
     probe = dedup.dedup_incremental_probe(spark, docs, out)
     direct = dedup.dedup_incremental_batch(docs)
     assert _rows(probe) == _rows(direct)
+
+
+def test_orphan_appends_swept_on_next_append(spark, sf_dir, tmp_path):
+    """A crashed append that is NEVER redelivered (bands/sigs landed,
+    fp didn't) must not leave its docs half-visible forever: the next
+    append of any OTHER batch sweeps the orphans, so the store equals
+    base + the second batch only and still probes consistently."""
+    import glob
+    import os
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    mod7 = F.col("doc_id") % 7
+    out = str(tmp_path / "sig")
+    write_dedup_signatures(existing.where(~mod7.isin(3, 5)), out)
+    # batch A appends fully, then we simulate its crash window (fp gone)
+    append_dedup_signatures(spark, out, existing.where(mod7 == 3))
+    orphaned_fp = glob.glob(os.path.join(out, "fp", "append-*"))
+    assert orphaned_fp
+    for f in orphaned_fp:
+        os.remove(f)
+    n_orphan_bands = len(glob.glob(os.path.join(out, "bands", "append-*")))
+    assert n_orphan_bands > 0
+    # batch B (different content -> different append id) appends: the
+    # sweep removes A's bands/sigs leftovers before B lands
+    append_dedup_signatures(spark, out, existing.where(mod7 == 5))
+    band_ids = {
+        os.path.basename(f)[len("append-"):].rsplit("-", 1)[0]
+        for f in glob.glob(os.path.join(out, "bands", "append-*"))
+    }
+    fp_ids = {
+        os.path.basename(f)[len("append-"):].rsplit("-", 1)[0]
+        for f in glob.glob(os.path.join(out, "fp", "append-*"))
+    }
+    assert band_ids == fp_ids and len(fp_ids) == 1
+    # store now equals a one-shot build over base + batch B
+    want = str(tmp_path / "want")
+    write_dedup_signatures(existing.where(mod7 != 3), want)
+    got = spark.read.parquet(os.path.join(out, "sigs"))
+    exp = spark.read.parquet(os.path.join(want, "sigs"))
+    assert _rows(got) == _rows(exp)
+
+
+def test_append_is_single_writer(spark, sf_dir, tmp_path):
+    """A held lockfile makes a second append refuse loudly instead of
+    deleting the first writer's staged files (r8 advisor finding)."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    out = str(tmp_path / "sig")
+    split = F.col("doc_id") % 7 == 3
+    write_dedup_signatures(existing.where(~split), out)
+    lock = os.path.join(out, "_append.lock")
+    with open(lock, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="append in flight"):
+        append_dedup_signatures(spark, out, existing.where(split))
+    os.remove(lock)
+    append_dedup_signatures(spark, out, existing.where(split))  # now fine
+    # and the lock is released after a successful append
+    assert not os.path.exists(lock)
+
+
+def test_explicit_append_id_is_idempotent(spark, sf_dir, tmp_path):
+    """Callers holding a stable batch key (the streaming micro-batch id)
+    pass it through: a redelivery with the same id replaces its own
+    files instead of double-appending."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    split = F.col("doc_id") % 7 == 3
+    out = str(tmp_path / "sig")
+    write_dedup_signatures(existing.where(~split), out)
+    batch = existing.where(split)
+    append_dedup_signatures(spark, out, batch, append_id="mb7")
+    import glob
+    first = sorted(glob.glob(os.path.join(out, "sigs", "append-mb7-*")))
+    assert first
+    # crash window: fp gone, then the SAME micro-batch id redelivers
+    for f in glob.glob(os.path.join(out, "fp", "append-mb7-*")):
+        os.remove(f)
+    append_dedup_signatures(spark, out, batch, append_id="mb7")
+    from duckdb_hybrid_doc_search_spark.operators.dedup import MINHASH_NUM
+    n_sig = spark.read.parquet(os.path.join(out, "sigs")).count()
+    assert n_sig == existing.count() * MINHASH_NUM
+
+
+def test_empty_append_is_a_noop(spark, sf_dir, tmp_path):
+    """A shard that kept nothing appends nothing — no zero-row append
+    files, no error."""
+    import glob
+    import os
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    out = str(tmp_path / "sig")
+    write_dedup_signatures(existing, out)
+    append_dedup_signatures(spark, out, existing.limit(0))
+    assert not glob.glob(os.path.join(out, "*", "append-*"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
