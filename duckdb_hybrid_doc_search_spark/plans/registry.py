@@ -108,11 +108,40 @@ RECHECK: dict[str, int] = {
     # gram) instead of max character mass. Both queries have no driver
     # row yet (were defer_gate) so RECHECK is belt-and-braces.
     "text_gopher_quality": 8,
-    "text_gopher_repetition": 8,
-    # r8: dedup_incremental_batch now probes the written signature store
-    # (index/dedup_layout) instead of recomputing the existing side —
-    # value-identical by construction, but the registered plan changed
-    "dedup_incremental_batch": 8,
+    # (text_gopher_repetition's r8 entry superseded by the r9 one below)
+    # r9 (r8 VERDICT #5): _incremental_decide's exact tier restructured
+    # (fp window + is_exact column instead of a re-joined id set; three
+    # broadcast-build distincts dropped) — value-identical, but the
+    # plan changed for both store-probe forms
+    "dedup_incremental_batch": 9,
+    "dedup_incremental_layout_probe": 9,
+    # r9 (r8 VERDICT #2): the last three seeded-stand-in media rows
+    # re-registered over REAL bytes — features/resize run the
+    # magic-byte auto_pure seam over the mixed PNG+BMP corpus, video
+    # frames demux+decode the concatenated-BMP containers; all three
+    # gained formula oracles (were rows-only since r2)
+    "media_image_features": 9,
+    "media_resize_images": 9,
+    "media_video_frames": 9,
+    # r9 (r8 VERDICT #3): most-frequent-gram max now packs (cnt, glen)
+    # into one long on both sides (was struct max) — value-identical
+    # order, but both the plan and the oracle text changed; the funnel
+    # composes the same aggregate
+    "text_gopher_repetition": 9,
+    "corpus_filter_funnel": 9,
+    # r9 (r8 VERDICT #6): three layout rows upgraded from rows-only to
+    # oracle-gated — compaction dropped the writer-dependent byte count
+    # from its output, the prune layout now writes one file per year
+    # dir (repartition by o_year), and the shard export's file counts
+    # are pinned to the ceil(n/maxRecordsPerFile) formula
+    "corpus_write_shards": 9,
+    "lineitem_compaction_stats": 9,
+    "orders_partition_prune_stats": 9,
+    # r9 (r8 VERDICT #4): the streaming ingestion-dedup loop's decisions
+    # now land in a batch-id-keyed parquet sink (driver dict removed)
+    # and appends key on the micro-batch id — value-identical, but the
+    # executed path changed
+    "streaming_incremental_dedup": 9,
 }
 
 

@@ -96,7 +96,8 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
 
 
 def ivf_vss_topk(spark, embeddings: DataFrame, sf_dir: str,
-                 qvec: list[float], top_k: int) -> DataFrame:
+                 qvec: list[float], top_k: int,
+                 layout_root: str | None = None) -> DataFrame:
     """VSS branch served from the WRITTEN cell-partitioned IVF layout —
     the vector twin of the postings_scored probe: at 100 TB the full
     embeddings scan of cosine_distance_topk becomes a partition-pruned
@@ -111,7 +112,11 @@ def ivf_vss_topk(spark, embeddings: DataFrame, sf_dir: str,
     from ..index.ivf_layout import ensure_ivf_layout, probe_cells
     from ..operators.knn import NPROBE, ivf_assign
 
-    layout_dir = ensure_ivf_layout(spark, embeddings, sf_dir)
+    # layout_root: synthetic-corpus probes (tools/scale_probe DOC100X)
+    # pass a temp root so their layouts never key into the shared
+    # warehouse cache
+    layout_dir = ensure_ivf_layout(spark, embeddings, sf_dir,
+                                   root=layout_root)
     cent, _ = ivf_assign(embeddings)
     top_cells = (
         cent.select(
@@ -143,7 +148,8 @@ def hybrid_search_ivf(spark, docs: DataFrame, embeddings: DataFrame,
                       sf_dir: str, query: str,
                       top_k: int = TOP_K_DEFAULT,
                       threshold: float = SCORE_THRESHOLD,
-                      index: dict[str, DataFrame] | None = None) -> DataFrame:
+                      index: dict[str, DataFrame] | None = None,
+                      layout_root: str | None = None) -> DataFrame:
     """Hybrid search with BOTH branches served from written layouts:
     BM25 probes the term-range postings_scored layout, VSS probes the
     cell-partitioned IVF layout. Fusion/threshold/ordering identical to
@@ -160,7 +166,8 @@ def hybrid_search_ivf(spark, docs: DataFrame, embeddings: DataFrame,
         .limit(top_k)
         .withColumnRenamed("score", "fts_score")
     )
-    vss = ivf_vss_topk(spark, embeddings, sf_dir, qvec, top_k)
+    vss = ivf_vss_topk(spark, embeddings, sf_dir, qvec, top_k,
+                       layout_root=layout_root)
     fused = fts.join(vss, "doc_id", "full_outer").withColumn(
         "score",
         F.round(fuse_scores(F.col("fts_score"), F.col("vss_score")),

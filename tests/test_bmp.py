@@ -134,3 +134,78 @@ def test_sniff_image_format():
     assert sniff_image_format(encode_png(img)) == "png"
     with pytest.raises(ValueError, match="unrecognized"):
         sniff_image_format(b"RIFFxxxxWAVE")
+
+
+def test_malformed_header_fields_raise_loudly():
+    """Untrusted header fields hit the documented ValueError contract
+    instead of decoding header bytes as pixels (offset pointing inside
+    the headers) or dying in an opaque numpy stride error (w <= 0)."""
+    good = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    # pixel-data offset (file-header bytes 10..13) rewritten to 20 —
+    # inside the 54-byte header block
+    bad_offset = good[:10] + struct.pack("<I", 20) + good[14:]
+    with pytest.raises(ValueError, match="offset 20 inside headers"):
+        decode_bmp(bad_offset)
+    # width (info-header bytes 18..21) rewritten to 0 and to -3
+    for w in (0, -3):
+        bad_width = good[:18] + struct.pack("<i", w) + good[22:]
+        with pytest.raises(ValueError, match="non-positive width"):
+            decode_bmp(bad_width)
+
+
+def test_split_bmp_container_roundtrip_and_errors():
+    """The concatenated-BMP demux walks frames via the header's own
+    file-size field, and fails loudly on a bad boundary or a declared
+    size running past the buffer."""
+    from duckdb_hybrid_doc_search_spark.functions.bmp import (
+        split_bmp_container)
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+              for _ in range(4)]
+    blob = b"".join(encode_bmp(f) for f in frames)
+    back = split_bmp_container(blob)
+    assert len(back) == 4
+    for f, b in zip(frames, back):
+        assert (decode_bmp(b) == f).all()
+    with pytest.raises(ValueError, match="bad frame boundary"):
+        split_bmp_container(blob + b"JUNK")
+    with pytest.raises(ValueError, match="runs past the container"):
+        split_bmp_container(blob[:-10])
+
+
+def test_bmpv_fixture_frame_sampling(spark):
+    """The real video path end-to-end on the committed containers:
+    demux -> per-frame stdlib decode -> byte sums equal a direct
+    recomputation from the fixture formulas (clip3 pins duplicate
+    source frames when m < n_frames)."""
+    from duckdb_hybrid_doc_search_spark.operators import multimodal as mm
+    from duckdb_hybrid_doc_search_spark.plans.multimodal_queries import (
+        _BMPV_DIR)
+    from pyspark.sql import functions as F
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from gen_bmpv_fixtures import FIXTURES, build_frame
+
+    files = spark.read.format("binaryFile").load(str(_BMPV_DIR) + "/*.bmpv")
+    media = files.select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 F.lit(None).cast("int").alias("duration_ms"),
+                 F.lit("bmpv").alias("codec")).alias("meta"),
+    )
+    got = {(r.media_id, r.frame_idx): (r.ts_ms, bytes(r.frame))
+           for r in mm.sample_video_frames(
+               media, n_frames=4, decode_backend="bmpv_pure").collect()}
+    assert len(got) == 3 * 4
+    for name, w, h, m, _td, _rgba, chans in FIXTURES:
+        for k in range(4):
+            src = k * m // 4
+            img = build_frame(w, h, src, chans)[:, :, :3]
+            ts, frame = got[(f"{name}.bmpv", k)]
+            assert ts == src * 1000 // mm.VIDEO_FPS
+            assert frame == img.tobytes()

@@ -355,10 +355,51 @@ def test_partition_prune_probe_has_partition_filters(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     fp = layout_fingerprint(orders, "o_orderkey")
     sf = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    outdir = os.path.join(lq._scratch_root(), f"{sf}-opart-{fp}")
+    outdir = os.path.join(lq._scratch_root(), f"{sf}-opart1-{fp}")
     lo, hi = lq.PRUNE_YEARS
     pruned = spark.read.parquet(outdir).where(
         (F.col("o_year") >= lo) & (F.col("o_year") <= hi)
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "o_year" in plan
+
+
+def test_doc100x_probe_plan_survives_scale(spark, sf_dir, tmp_path):
+    """DOC100X at CI scale (the full 500k-doc probe lives in
+    tools/scale_probe.py): the corpus grown 100x with token-prefixed
+    filler copies (no filler doc can match the query terms), the FTS
+    layout built over it, and the probe plan checked AT SIZE — the
+    term filter must still reach the postings parquet scan and the
+    top-k must still be TakeOrderedAndProject, and every returned hit
+    must come from the original corpus (a probe that matched filler
+    would mean tokenization or pruning broke)."""
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        ensure_fts_layout)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import (
+        bm25_topk_from_index)
+    from duckdb_hybrid_doc_search_spark.plans.doc_search_queries import (
+        QUERY, TOP_K)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    filler = docs.withColumn(
+        "text", F.regexp_replace("text", r"(\w+)", r"zq$1")
+    )
+    big = docs
+    for i in range(1, 100):
+        big = big.unionByName(
+            filler.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+        )
+    big_dir = str(tmp_path / "docs100x")
+    big.write.mode("overwrite").parquet(f"{big_dir}/documents.parquet")
+    d = spark.read.parquet(f"{big_dir}/documents.parquet")
+    index = ensure_fts_layout(spark, d, big_dir,
+                              root=str(tmp_path / "layouts"))
+    probe = bm25_topk_from_index(index, QUERY, TOP_K)
+    plan = plan_of(probe).replace("`", "")
+    assert "PushedFilters: [In(term" in plan, "pushdown lost at 100x"
+    assert "TakeOrderedAndProject" in plan, "top-k fell back to global sort"
+    hits = probe.collect()
+    assert hits, "probe returned nothing at 100x"
+    assert all(r["doc_id"] < shift for r in hits), \
+        "probe matched token-prefixed filler docs"

@@ -357,6 +357,145 @@ def main() -> None:
     finally:
         shutil.rmtree(inc_root, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # DOC100X — the flagship search path at 100x the corpus (VERDICT r8
+    # #1: bm25_topk / cosine_topk / hybrid_search_fused had never been
+    # measured beyond a 5k-doc toy corpus; the postings-pruning and
+    # top-k claims rested on plan text alone). Experimental design: the
+    # 99 added copies have EVERY TOKEN PREFIXED ('zq<token>'), so no
+    # copy matches the probe's query terms — the matched postings slice
+    # is IDENTICAL at both points while the corpus (and the postings
+    # table) grows 100x. A pruned probe must therefore stay ~flat
+    # (slope ~ 0); a probe that actually scans the postings table would
+    # read 100x the rows and the slope would approach 1. Embeddings
+    # replicate with shifted vec_ids (vectors unchanged; only copy 0
+    # holds ids under the fixed-K centroid cap, so the IVF cell count
+    # stays K=16).
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        ensure_fts_layout)
+    from duckdb_hybrid_doc_search_spark.operators import bm25, knn
+    from duckdb_hybrid_doc_search_spark.plans.doc_search_queries import (
+        QUERY, QVEC, TOP_K)
+    from duckdb_hybrid_doc_search_spark.search import engine
+
+    DOC100X_FACTOR = 100
+    doc_root = tempfile.mkdtemp(prefix="scale_probe_doc100x_")
+    try:
+        base_docs = spark.read.parquet(f"{ROOT}/sf0.1/documents.parquet")
+        base_emb = spark.read.parquet(f"{ROOT}/sf0.1/embeddings.parquet")
+        dshift = base_docs.agg(F.max("doc_id")).first()[0] + 1
+        vshift = base_emb.agg(F.max("vec_id")).first()[0] + 1
+        filler = base_docs.withColumn(
+            "text", F.regexp_replace("text", r"(\w+)", r"zq$1")
+        )
+        sdocs, semb = base_docs, base_emb
+        for i in range(1, DOC100X_FACTOR):
+            sdocs = sdocs.unionByName(filler.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * dshift)))
+            semb = semb.unionByName(base_emb.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * vshift)))
+        synth_dir = os.path.join(doc_root, "x100")
+        os.makedirs(synth_dir)
+        sdocs.write.mode("overwrite").parquet(
+            os.path.join(synth_dir, "documents.parquet"))
+        semb.write.mode("overwrite").parquet(
+            os.path.join(synth_dir, "embeddings.parquet"))
+
+        def min2(build):
+            spark.catalog.clearCache()
+            build().write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            return round(best, 4)
+
+        doc_ts: dict[str, dict[str, float]] = {}
+        for label, sf_dir in (("sf0.1", f"{ROOT}/sf0.1"),
+                              ("docs100x", synth_dir)):
+            lroot = (None if label == "sf0.1"
+                     else os.path.join(doc_root, "layouts"))
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            index = ensure_fts_layout(spark, d, sf_dir, root=lroot)
+            forms = {
+                "bm25_topk": lambda: bm25.bm25_topk_from_index(
+                    index, QUERY, TOP_K),
+                "cosine_topk": lambda: knn.cosine_distance_topk(
+                    e, QVEC, TOP_K),
+                "hybrid_search_fused": lambda: engine.hybrid_search(
+                    d, e, QUERY, TOP_K, rerank=False, index=index),
+                "hybrid_search_ivf_fused": lambda: engine.hybrid_search_ivf(
+                    spark, d, e, sf_dir, QUERY, TOP_K, index=index,
+                    layout_root=lroot),
+            }
+            for name, build in forms.items():
+                doc_ts.setdefault(name, {})[label] = min2(build)
+            if label == "docs100x":
+                # the claims the timings rest on, asserted AT SIZE: the
+                # bm25 probe's postings scan is term-pruned and the
+                # top-k is TakeOrderedAndProject, never a global sort
+                plan = (bm25.bm25_topk_from_index(index, QUERY, TOP_K)
+                        ._jdf.queryExecution().executedPlan().toString()
+                        .replace("`", ""))
+                assert "PushedFilters: [In(term" in plan, \
+                    "DOC100X: postings pushdown LOST at 500k docs"
+                assert "TakeOrderedAndProject" in plan, \
+                    "DOC100X: bm25 top-k fell back to a global sort"
+                hplan = (engine.hybrid_search(d, e, QUERY, TOP_K,
+                                              rerank=False, index=index)
+                         ._jdf.queryExecution().executedPlan().toString()
+                         .replace("`", ""))
+                assert "TakeOrderedAndProject" in hplan, \
+                    "DOC100X: hybrid top-k fell back to a global sort"
+        lines += [
+            "",
+            "## DOC100X — flagship search at 100x the corpus",
+            "",
+            "sf0.1 documents (5,000 rows) grown to 500,000 by adding 99 "
+            "copies whose tokens are ALL prefixed ('zq...'), so the "
+            "query's matched-postings slice is IDENTICAL at both points "
+            "while the postings table grows 100x — a term-pruned probe "
+            "must stay ~flat, an unpruned one would read 100x. "
+            "Embeddings replicate 100x with shifted vec_ids (200,000 "
+            "vectors; fixed-K centroid set unchanged). Layout builds "
+            "(FTS postings, IVF cells) are write-time cost, untimed "
+            "like every other layout probe. Plan assertions at 500k "
+            "docs (PushedFilters: [In(term...)], TakeOrderedAndProject) "
+            "run inside this probe and fail the tool if they regress.",
+            "",
+            "| query | sf0.1 s | docs100x s | slope (100x docs) |",
+            "|---|---|---|---|",
+        ]
+        for name, ts in doc_ts.items():
+            slope = math.log(
+                max(ts["docs100x"], 1e-3) / max(ts["sf0.1"], 1e-3)
+            ) / math.log(DOC100X_FACTOR)
+            lines.append(
+                f"| {name} | {ts['sf0.1']} | {ts['docs100x']} "
+                f"| {slope:.2f} |"
+            )
+        lines += [
+            "",
+            "Reading: bm25_topk probes the written term-ordered "
+            "postings (cost tracks the matched slice, which is held "
+            "constant here — slope ~0 is the pruning claim, measured). "
+            "cosine_topk is the BRUTE-FORCE baseline and is supposed to "
+            "be ~linear (slope ~1); its scale path is the IVF layout "
+            "probe. hybrid_search_fused composes both, so its growth is "
+            "the cosine branch's. hybrid_search_ivf_fused serves BOTH "
+            "branches from written layouts; with the fixed K=16 cell "
+            "count its probe still reads NPROBE/16 of the corpus, so it "
+            "grows with a ~4x smaller constant rather than flattening — "
+            "the k ~ sqrt(N) regime that flattens it is SemDeDup's "
+            "(dedup.semdedup_mod), frozen out of IVF for oracle "
+            "determinism (see r7 notes in PERF_NOTES).",
+        ]
+    finally:
+        shutil.rmtree(doc_root, ignore_errors=True)
+
     path = os.path.join(_HERE, "SCALING.md")
     # preserve sections other tools own (tools/stream_bench.py appends a
     # "## STREAMBENCH" block — a full rewrite here must not drop it)
