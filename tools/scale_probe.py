@@ -482,14 +482,18 @@ def main() -> None:
             "Reading: bm25_topk probes the written term-ordered "
             "postings (cost tracks the matched slice, which is held "
             "constant here — slope ~0 is the pruning claim, measured). "
-            "cosine_topk is the BRUTE-FORCE baseline and is supposed to "
-            "be ~linear (slope ~1); its scale path is the IVF layout "
-            "probe. hybrid_search_fused composes both, so its growth is "
-            "the cosine branch's. hybrid_search_ivf_fused serves BOTH "
-            "branches from written layouts; with the fixed K=16 cell "
-            "count its probe still reads NPROBE/16 of the corpus, so it "
-            "grows with a ~4x smaller constant rather than flattening — "
-            "the k ~ sqrt(N) regime that flattens it is SemDeDup's "
+            "cosine_topk is the BRUTE-FORCE baseline: its WORK grows "
+            "100x by construction, but at 200k vectors the scan still "
+            "fits in one task wave on local[32], so the wall-clock "
+            "slope understates the asymptote — expect ~linear once the "
+            "corpus outgrows one wave (its scale path is the IVF "
+            "layout probe). hybrid_search_fused composes both, so its "
+            "data-dependent term is the cosine branch's. "
+            "hybrid_search_ivf_fused serves BOTH branches from written "
+            "layouts; with the fixed K=16 cell count its probe still "
+            "reads NPROBE/16 of the corpus, so at scale it grows with "
+            "a ~4x smaller constant rather than flattening — the "
+            "k ~ sqrt(N) regime that flattens it is SemDeDup's "
             "(dedup.semdedup_mod), frozen out of IVF for oracle "
             "determinism (see r7 notes in PERF_NOTES).",
         ]
