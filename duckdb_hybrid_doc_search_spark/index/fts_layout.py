@@ -246,3 +246,222 @@ def _gc_stale_siblings(out_dir: str) -> None:
                 del _OPEN[mk]
             for fk in [k for k, v in _FRESH.items() if v[0] == dead]:
                 del _FRESH[fk]
+
+
+# --- segmented (append-able) FTS layout --------------------------------------
+#
+# The one-shot layout above denormalizes every BM25 scoring input into
+# postings_scored at WRITE time — the fastest probe, but a single
+# appended document changes df / n_docs / avgdl for EVERY existing row,
+# so that form can only ever be rebuilt. At 100 TB the search index
+# must absorb arriving shards without a rebuild (the same requirement
+# the dedup/IVF/IVF-PQ/SQ8 stores already meet), so the segmented form
+# keeps the NORMALIZED tables and makes every global statistic a sum of
+# per-segment deltas — Lucene's segment design, re-expressed as parquet
+# append files:
+#
+# - postings/ (term, doc_id, tf)  — per-doc, segment-local by nature
+# - docfreq/  (term, df)          — per-SEGMENT df delta; global df is
+#                                   sum(df) over segments (docs disjoint)
+# - docstats/ (doc_id, dl)        — per-doc
+# - segstats/ (n_docs, sum_dl)    — one row per segment; global n_docs /
+#                                   avgdl are exact-integer sums, so the
+#                                   probe's avgdl is bit-identical to the
+#                                   one-shot avg(dl)
+#
+# The probe (operators/bm25.segment_fts_index) aggregates the deltas
+# INSIDE the term-pruned plan, so scoring stays one pushdown-pruned scan
+# per table; per-doc tokenization is deterministic, so base + appends ==
+# one-shot build value-for-value (the property the registered
+# bm25_incremental_layout_probe gates against the full-corpus oracle).
+# Append crash-safety follows index/dedup_layout conventions: staged
+# writes renamed under a deterministic append id, the segstats tier
+# moved LAST (postings without their segstats row would skew avgdl/idf,
+# so "segstats present" marks the segment complete), retry cleanup per
+# append id, orphan sweep for never-redelivered crashes, single-writer
+# lockfile.
+
+SEG_TABLES = ("postings", "docfreq", "docstats", "segstats")
+SEG_DONE = "_SEG_DONE"
+SEG_APPEND_DONE = "_SEG_APPEND_DONE"
+SEG_SPLIT_MOD = 7
+SEG_SPLIT_REM = 3
+
+
+def _segment_frames(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> dict[str, DataFrame]:
+    from ..operators.bm25 import build_fts_index
+
+    index = build_fts_index(docs, id_col, text_col)
+    segstats = index["docstats"].agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    return {
+        "postings": index["postings"],
+        "docfreq": index["docfreq"],
+        "docstats": index["docstats"],
+        "segstats": segstats,
+    }
+
+
+def write_fts_segments(docs: DataFrame, out_dir: str,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """Base segment of a segmented FTS store (sentinel last)."""
+    frames = _segment_frames(docs, id_col, text_col)
+    for name in SEG_TABLES:
+        df = frames[name]
+        if name in ("postings", "docfreq"):
+            df = (df.repartitionByRange(POSTINGS_RANGE_PARTITIONS, "term")
+                  .sortWithinPartitions("term"))
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    with open(os.path.join(out_dir, SEG_DONE), "w"):
+        pass
+
+
+def _sweep_orphan_segments(paths: dict[str, str]) -> None:
+    """Remove append files whose append id has no segstats counterpart
+    (a crashed append that was never redelivered): segstats moves LAST,
+    so its absence marks an incomplete segment whose postings would
+    otherwise score with a skewed avgdl/idf forever."""
+    import glob
+
+    def ids(table: str) -> set[str]:
+        out = set()
+        for f in glob.glob(os.path.join(paths[table], "append-*.parquet")):
+            stem = os.path.basename(f)[len("append-"):-len(".parquet")]
+            out.add(stem.rsplit("-", 1)[0])
+        return out
+
+    live = ids("segstats")
+    for table in ("postings", "docfreq", "docstats"):
+        for f in glob.glob(os.path.join(paths[table], "append-*.parquet")):
+            stem = os.path.basename(f)[len("append-"):-len(".parquet")]
+            if stem.rsplit("-", 1)[0] not in live:
+                os.remove(f)
+
+
+def append_fts_segment(spark: SparkSession, out_dir: str,
+                       new_docs: DataFrame,
+                       append_id: str | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """Append one segment (an arriving shard's docs) to a segmented FTS
+    store — no rebuild, no rewrite of existing files. Same crash-safety
+    and idempotency contract as index/dedup_layout.append_dedup_
+    signatures (staged rename under a deterministic append id, last
+    tier = segstats, per-id retry cleanup, orphan sweep, id-overlap
+    check against docstats, single-writer lockfile)."""
+    import glob
+    import shutil
+
+    from .dedup_layout import _batch_append_id
+
+    if not os.path.exists(os.path.join(out_dir, SEG_DONE)):
+        raise ValueError(
+            f"no completed segmented FTS layout at {out_dir}: build the "
+            "base segment first (write_fts_segments)."
+        )
+    paths = {name: os.path.join(out_dir, name) for name in SEG_TABLES}
+    if new_docs.isEmpty():
+        return
+    if append_id is None:
+        append_id = _batch_append_id(new_docs.select(
+            F.col(id_col).alias("doc_id")))
+    lock = os.path.join(out_dir, "_append.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"segmented FTS layout at {out_dir} has an append in flight "
+            f"(lockfile {lock} held): appends are single-writer."
+        )
+    os.close(fd)
+    try:
+        _sweep_orphan_segments(paths)
+        for path in paths.values():
+            for f in glob.glob(os.path.join(path, f"append-{append_id}-*")):
+                os.remove(f)
+        n_dup = (
+            spark.read.parquet(paths["docstats"])
+            .select("doc_id")
+            .join(F.broadcast(new_docs.select(
+                F.col(id_col).alias("doc_id"))), "doc_id")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"append segment overlaps the FTS store on {n_dup} "
+                "doc_id(s): duplicate ids would double-count postings "
+                "and inflate df/n_docs. Segments must carry NEW ids."
+            )
+        stage = os.path.join(out_dir, "_staging", append_id)
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        frames = _segment_frames(new_docs, id_col, text_col)
+        for name in SEG_TABLES:
+            df = frames[name]
+            if name in ("postings", "docfreq"):
+                # term-ordered like the base segment: parquet row-group
+                # stats keep the In(term) pushdown effective as appended
+                # segments accumulate
+                df = (df.repartitionByRange(POSTINGS_RANGE_PARTITIONS,
+                                            "term")
+                      .sortWithinPartitions("term"))
+            df.write.mode("overwrite").parquet(
+                os.path.join(stage, name)
+            )
+        staged = {
+            name: sorted(glob.glob(
+                os.path.join(stage, name, "part-*.parquet")))
+            for name in SEG_TABLES
+        }
+        if not staged["docstats"]:
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+        for name in ("postings", "docfreq", "docstats", "segstats"):
+            for i, f in enumerate(staged[name]):
+                os.rename(f, os.path.join(
+                    paths[name], f"append-{append_id}-{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(out_dir, "_staging"))
+        except OSError:
+            pass
+    finally:
+        os.remove(lock)
+
+
+def ensure_fts_segment_layout(spark: SparkSession, docs: DataFrame,
+                              sf_dir: str,
+                              root: str | None = None) -> str:
+    """Build (once) a segmented FTS store that REACHED its final state
+    via incremental maintenance: base segment over ~6/7 of the corpus,
+    the rest (doc_id % 7 == 3) appended via :func:`append_fts_segment`.
+    Probing it is how the registered ``bm25_incremental_layout_probe``
+    earns a driver row for the append path — per-doc-deterministic
+    tokenization means base + append must equal a one-shot build, so
+    the probe shares bm25_topk's full-corpus oracle. Cache key = sf
+    basename + format version + content fingerprint."""
+    from .fingerprint import warehouse_root
+
+    fp = content_fingerprint(docs)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-seg-v{_LAYOUT_VERSION}-{fp}"
+    )
+    out_dir = os.path.join(warehouse_root("fts_segment_layout", root), key)
+    sentinel = os.path.join(out_dir, SEG_APPEND_DONE)
+    if os.path.exists(sentinel):
+        return out_dir
+    if os.path.exists(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    is_new = F.col("doc_id") % SEG_SPLIT_MOD == SEG_SPLIT_REM
+    write_fts_segments(docs.where(~is_new), out_dir)
+    append_fts_segment(spark, out_dir, docs.where(is_new))
+    with open(sentinel, "w"):
+        pass
+    return out_dir

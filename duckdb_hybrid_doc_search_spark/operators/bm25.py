@@ -298,3 +298,45 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """.strip()
+
+
+def segment_fts_index(spark, seg_dir: str) -> dict[str, DataFrame]:
+    """Open a SEGMENTED FTS store (index/fts_layout.write_fts_segments +
+    append_fts_segment) as a normalized index dict for the standard
+    probe operators. Global statistics are aggregated from per-segment
+    deltas INSIDE the plan, so everything stays pushdown-prunable:
+
+    - df        = sum of per-segment df (the term filter pushes through
+                  the groupBy to the docfreq parquet scan);
+    - n_docs    = sum of per-segment n_docs;
+    - avgdl     = sum(sum_dl) / sum(n_docs) — both exact integers, so
+                  the division is the SAME correctly-rounded double the
+                  one-shot avg(dl) produces (bit-identical scores).
+
+    The probe plan is then _matched's join path: term-pruned postings
+    scan + broadcast(term-pruned df aggregate) + docstats join +
+    broadcast 1-row stats — per-query cost tracks the matched slice,
+    never the segment count (segments are just more parquet files under
+    the same table dirs)."""
+    import os
+
+    postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    docfreq = (
+        spark.read.parquet(os.path.join(seg_dir, "docfreq"))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    docstats = spark.read.parquet(os.path.join(seg_dir, "docstats"))
+    corpus_stats = (
+        spark.read.parquet(os.path.join(seg_dir, "segstats"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+        )
+    )
+    return {
+        "postings": postings,
+        "docfreq": docfreq,
+        "docstats": docstats,
+        "corpus_stats": corpus_stats,
+    }

@@ -91,6 +91,28 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk_from_index(_fts_index(spark, sf_dir), QUERY, TOP_K)
 
 
+@register("bm25_incremental_layout_probe",
+          oracle=bm25.dd_bm25_topk_sql(QTERMS, TOP_K), defer_gate=True)
+def bm25_incremental_layout_probe(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """BM25 top-k against a SEGMENTED FTS store that reached its final
+    state via incremental maintenance (base segment over ~6/7 of the
+    corpus + append_fts_segment for the rest) — the search-side twin of
+    dedup_incremental_layout_probe, because at 100 TB the search index
+    must absorb arriving shards without the rebuild the one-shot
+    postings_scored layout requires. Global df / n_docs / avgdl are
+    exact-integer sums of per-segment deltas aggregated inside the
+    term-pruned plan, so the result must hash-match the SAME full-corpus
+    oracle as bm25_topk — a drifted append (double-counted df, skewed
+    avgdl, lost postings) flips the row."""
+    from ..index.fts_layout import ensure_fts_segment_layout
+
+    seg_dir = ensure_fts_segment_layout(spark, _docs(spark, sf_dir), sf_dir)
+    return bm25.bm25_topk_from_index(
+        bm25.segment_fts_index(spark, seg_dir), QUERY, TOP_K
+    )
+
+
 @register("cosine_topk", oracle=knn.dd_cosine_distance_topk_sql(QVEC, TOP_K))
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.cosine_distance_topk(_emb(spark, sf_dir), QVEC, TOP_K)

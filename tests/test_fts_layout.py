@@ -197,3 +197,100 @@ def test_warm_probe_fast_path_skips_thunk(spark, sf_dir, tmp_path):
     os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
     ensure_fts_layout(spark, docs_thunk, str(data_dir), root=layout_root)
     assert calls["n"] == 2
+
+
+# --- segmented (append-able) FTS store ---------------------------------------
+
+
+def _seg_probe(spark, seg_dir, query, k):
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import (
+        bm25_topk_from_index, segment_fts_index)
+
+    return bm25_topk_from_index(segment_fts_index(spark, seg_dir), query, k)
+
+
+def test_segment_store_equals_one_shot_index(spark, sf_dir, tmp_path):
+    """base segment + appended segment == one-shot in-plan index, score
+    for score (per-doc tokenization is deterministic; global stats are
+    exact-integer delta sums)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        append_fts_segment, write_fts_segments)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = F.col("doc_id") % 7 == 3
+    out = str(tmp_path / "seg")
+    write_fts_segments(docs.where(~split), out)
+    append_fts_segment(spark, out, docs.where(split))
+    query = "spark vector join fast merge"
+    got = [tuple(r) for r in _seg_probe(spark, out, query, 10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, query, 10).collect()]
+    assert got == want
+
+
+def test_segment_append_refusals(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        append_fts_segment, write_fts_segments)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="no completed segmented"):
+        append_fts_segment(spark, str(tmp_path / "nope"), docs.limit(2))
+    out = str(tmp_path / "seg")
+    split = F.col("doc_id") % 7 == 3
+    write_fts_segments(docs.where(~split), out)
+    with _pytest.raises(ValueError, match="overlaps the FTS store"):
+        append_fts_segment(spark, out, docs.where(~split).limit(2))
+
+
+def test_segment_crash_sweep(spark, sf_dir, tmp_path):
+    """A crashed append (segstats tier never landed) is swept by the
+    next append; the store then equals base + the second segment only."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        append_fts_segment, write_fts_segments)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mod7 = F.col("doc_id") % 7
+    out = str(tmp_path / "seg")
+    write_fts_segments(docs.where(~mod7.isin(3, 5)), out)
+    append_fts_segment(spark, out, docs.where(mod7 == 3))
+    for f in glob.glob(os.path.join(out, "segstats", "append-*")):
+        os.remove(f)  # crash window: segstats never landed
+    append_fts_segment(spark, out, docs.where(mod7 == 5))
+    query = "spark vector join fast merge"
+    got = [tuple(r) for r in _seg_probe(spark, out, query, 10).collect()]
+    want = [tuple(r) for r in
+            bm25_topk(docs.where(mod7 != 3), query, 10).collect()]
+    assert got == want
+
+
+def test_segment_probe_plan_prunes_terms(spark, sf_dir, tmp_path):
+    """The segmented probe keeps the one-shot layout's scan economics:
+    In(term) pushed to BOTH the postings and docfreq parquet scans, and
+    the top-k stays TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        append_fts_segment, write_fts_segments)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = F.col("doc_id") % 7 == 3
+    out = str(tmp_path / "seg")
+    write_fts_segments(docs.where(~split), out)
+    append_fts_segment(spark, out, docs.where(split))
+    probe = _seg_probe(spark, out, "spark vector join fast merge", 10)
+    plan = probe._jdf.queryExecution().executedPlan().toString().replace(
+        "`", "")
+    assert plan.count("PushedFilters: [In(term") >= 2, \
+        "term pushdown must reach postings AND docfreq scans"
+    assert "TakeOrderedAndProject" in plan

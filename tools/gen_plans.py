@@ -21,6 +21,10 @@ ENTRIES = [
     ("bm25_topk",
      "BM25 probe over the written scored-postings layout: one pruned "
      "scan, no joins"),
+    ("bm25_incremental_layout_probe",
+     "BM25 over the SEGMENTED (append-maintained) FTS store: term-pruned "
+     "postings + docfreq-delta scans, global stats summed in-plan, "
+     "TakeOrdered top-k"),
     ("hybrid_search_fused",
      "hybrid = pruned FTS branch + vector branch + broadcast candidate "
      "fetch"),
