@@ -90,6 +90,10 @@ def _decode_image(payload: bytes, backend: str, width: int,
         from ..functions.bmp import decode_bmp
 
         return decode_bmp(payload)
+    if backend == "gif_pure":
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
     return _real_decode_image(payload)
 
 
@@ -285,15 +289,32 @@ def bmp_decode_stats(spark, bmp_dir: str) -> DataFrame:
     return _decode_stats(spark, bmp_dir, "*.bmp", decode_bmp)
 
 
+def gif_decode_stats(spark, gif_dir: str) -> DataFrame:
+    """GIF twin of :func:`png_decode_stats`: REAL bytes->pixels decode
+    via the stdlib GIF codec (functions/gif.py). Where PNG pins the
+    filter/deflate chain and BMP the layout rules, GIF pins LZW entropy
+    decoding (growing code widths) and PALETTE INDIRECTION — a palette
+    mix-up permutes colors without touching one index, which exactly
+    flips the per-channel sums the oracle recomputes from the fixtures'
+    closed-form index and palette formulas (tools/gen_gif_fixtures.py),
+    independent of the codec. One fixture is interlaced, one carries a
+    local color table."""
+    from ..functions.gif import decode_gif
+
+    return _decode_stats(spark, gif_dir, "*.gif", decode_gif)
+
+
 def sniff_image_format(data: bytes) -> str:
     """Magic-bytes format dispatch — the FIRST thing a mixed-format
     media ingest does with an opaque payload column. Returns 'png',
-    'bmp', or raises ValueError (unknown bytes must fail loudly, not
-    decode as garbage)."""
+    'bmp', 'gif', or raises ValueError (unknown bytes must fail loudly,
+    not decode as garbage)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     raise ValueError(f"unrecognized image signature {data[:8]!r}")
 
 
@@ -341,6 +362,69 @@ def mixed_decode_stats(spark, media_dirs: list[str]) -> DataFrame:
             "format string, file_name string, width int, height int, "
             "channels int, sum_c0 long, sum_c1 long, sum_c2 long, "
             "sum_c3 long",
+        )
+        .orderBy("file_name")
+    )
+
+
+def decode_stats_permissive(spark, media_dirs: list[str]) -> DataFrame:
+    """Mixed-format decode that treats codec failures as DATA, not task
+    death — the mode a 100 TB ingest actually runs: an exception
+    escaping the Python worker fails the Spark task, the task's retry
+    budget, and then the whole job on the FIRST truncated file in a
+    shard, so dirty payloads must become quarantine rows instead
+    (Spark's own csv/json sources call this PERMISSIVE + badRecordsPath;
+    binary media has no built-in equivalent, hence this operator).
+
+    Per payload: sniff the magic bytes ('unrecognized' row if unknown),
+    decode with the matching stdlib codec ('corrupt' row if the codec
+    raises — zlib.error / struct.error / ValueError are all reachable
+    from dirty bytes, so the net is Exception-wide BY DESIGN, scoped to
+    exactly the one decode call), else an 'ok' row with the exact pixel
+    facts. The strict operators (mixed_decode_stats et al.) keep their
+    loud-failure contract for curated corpora; this is the quarantine
+    path for uncurated ones.
+
+    Output: file_name, format ('unknown' when unrecognized), status
+    ('ok' | 'unrecognized' | 'corrupt'), width, height, channels,
+    pix_sum (all-channel sum; zeros on non-ok rows).
+    """
+    from ..functions.bmp import decode_bmp
+    from ..functions.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                name = path.rsplit("/", 1)[-1]
+                try:
+                    fmt = sniff_image_format(data)
+                except ValueError:
+                    out.append((name, "unknown", "unrecognized", 0, 0, 0, 0))
+                    continue
+                try:
+                    img = (decode_png(data) if fmt == "png"
+                           else decode_bmp(data))
+                except Exception:
+                    out.append((name, fmt, "corrupt", 0, 0, 0, 0))
+                    continue
+                h, w, c = img.shape
+                out.append((name, fmt, "ok", w, h, c,
+                            int(img.sum(dtype=np.int64))))
+            yield pd.DataFrame(
+                out,
+                columns=["file_name", "format", "status", "width",
+                         "height", "channels", "pix_sum"],
+            )
+
+    files = spark.read.format("binaryFile").load(list(media_dirs))
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            run,
+            "file_name string, format string, status string, width int, "
+            "height int, channels int, pix_sum long",
         )
         .orderBy("file_name")
     )

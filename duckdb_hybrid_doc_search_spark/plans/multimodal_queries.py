@@ -193,6 +193,96 @@ def media_mixed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mixed_decode_stats(spark, [str(_PNG_DIR), str(_BMP_DIR)])
 
 
+_GIF_DIR = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "gif"
+
+# Same independence contract as _PNG_ORACLE/_BMP_ORACLE, but the sums
+# compose TWO closed forms: channel value = palette_c(index(x, y)), so
+# both the LZW-decoded index plane and the palette lookup must be right
+# (tools/gen_gif_fixtures.py). Channel sums are row-order-invariant, so
+# the interlace ROW ORDERING itself is pinned by the full-array
+# round-trip unit tests (tests/test_gif.py), not this row.
+_GIF_ORACLE = """
+SELECT * FROM (
+  SELECT 'plain.gif' AS file_name, 8 AS width, 5 AS height,
+         3 AS channels,
+         sum((((x*3 + y*7) % 16) * 5) % 256)::BIGINT AS sum_c0,
+         sum((((x*3 + y*7) % 16) * 11 + 4) % 256)::BIGINT AS sum_c1,
+         sum((((x*3 + y*7) % 16) * 2 + 9) % 256)::BIGINT AS sum_c2,
+         0::BIGINT AS sum_c3
+  FROM generate_series(0, 7) t(x) CROSS JOIN generate_series(0, 4) s(y)
+  UNION ALL
+  SELECT 'inter.gif', 7, 9, 3,
+         sum((((x*5 + y*3 + 1) % 16) * 13 + 2) % 256)::BIGINT,
+         sum((((x*5 + y*3 + 1) % 16) * 3 + 77) % 256)::BIGINT,
+         sum((((x*5 + y*3 + 1) % 16) * 9 + 30) % 256)::BIGINT,
+         0::BIGINT
+  FROM generate_series(0, 6) t(x) CROSS JOIN generate_series(0, 8) s(y)
+  UNION ALL
+  SELECT 'localpal.gif', 6, 4, 3,
+         sum((((x*2 + y*5) % 16) * 7 + 11) % 256)::BIGINT,
+         sum((((x*2 + y*5) % 16) * 15) % 256)::BIGINT,
+         sum((((x*2 + y*5) % 16) * 4 + 90) % 256)::BIGINT,
+         0::BIGINT
+  FROM generate_series(0, 5) t(x) CROSS JOIN generate_series(0, 3) s(y)
+) ORDER BY file_name
+""".strip()
+
+
+@register("media_gif_decode_stats", oracle=_GIF_ORACLE, defer_gate=True)
+def media_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL bytes->pixels decode path: stdlib GIF codec
+    (functions/gif.py) over the checked-in fixtures — LZW entropy
+    decoding with growing code widths and palette indirection, the two
+    failure classes PNG's filter chain and BMP's layout rules don't
+    reach. The oracle composes the index formula THROUGH the palette
+    formula, so a wrong index plane or a permuted palette flips the
+    hash; the codec itself is additionally pinned against independent
+    artifacts (the canonical published 1x1 GIF, a hand-packed LZW
+    worked example) in tests/test_gif.py."""
+    return mm.gif_decode_stats(spark, str(_GIF_DIR))
+
+
+_CORRUPT_DIR = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "corrupt"
+
+# Formulas mirror tools/gen_corrupt_fixtures.py; the three failure rows
+# are exact literals (zeroed stats), and the healthy rows' sums are
+# recomputed from generate_series like every media oracle.
+_PERMISSIVE_ORACLE = """
+SELECT * FROM (
+  SELECT 'good.png' AS file_name, 'png' AS format, 'ok' AS status,
+         6 AS width, 4 AS height, 3 AS channels,
+         sum((x*11 + y*7) % 256 + (x*5 + y*13 + 19) % 256
+             + (x*3 + y*9 + 84) % 256)::BIGINT AS pix_sum
+  FROM generate_series(0, 5) a(x) CROSS JOIN generate_series(0, 3) b(y)
+  UNION ALL
+  SELECT 'good.bmp', 'bmp', 'ok', 5, 3, 3,
+         sum((x*8 + y*15) % 256 + (x*6 + y*2 + 47) % 256
+             + (x*12 + y*5 + 120) % 256)::BIGINT
+  FROM generate_series(0, 4) a(x) CROSS JOIN generate_series(0, 2) b(y)
+  UNION ALL SELECT 'trunc.bmp', 'bmp', 'corrupt', 0, 0, 0, 0::BIGINT
+  UNION ALL SELECT 'zlibbad.png', 'png', 'corrupt', 0, 0, 0, 0::BIGINT
+  UNION ALL SELECT 'noise.bin', 'unknown', 'unrecognized', 0, 0, 0,
+         0::BIGINT
+) ORDER BY file_name
+""".strip()
+
+
+@register("media_decode_errors", oracle=_PERMISSIVE_ORACLE,
+          defer_gate=True)
+def media_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE decode over a deliberately dirty corpus: truncated
+    BMP, bit-rotted PNG zlib stream, and unknown-magic noise become
+    quarantine rows (status 'corrupt' / 'unrecognized') while healthy
+    files IN THE SAME SCAN still produce exact pixel facts — the
+    one-bad-file-must-not-kill-the-shard contract a 100 TB media ingest
+    needs (operators/multimodal.decode_stats_permissive). The generator
+    asserts each corrupt fixture actually fails strict decode, so this
+    row can't rot into testing nothing."""
+    return mm.decode_stats_permissive(spark, [str(_CORRUPT_DIR)])
+
+
 def _png_media(spark: SparkSession) -> DataFrame:
     """The PNG fixtures as a MEDIA_SCHEMA-shaped table (media_id = file
     name so oracle rows are stable; meta dims null — png_pure reads the

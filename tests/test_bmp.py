@@ -132,6 +132,11 @@ def test_sniff_image_format():
     from duckdb_hybrid_doc_search_spark.functions.png import encode_png
 
     assert sniff_image_format(encode_png(img)) == "png"
+    from duckdb_hybrid_doc_search_spark.functions.gif import encode_gif
+
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    assert sniff_image_format(
+        encode_gif(np.zeros((2, 2), dtype=np.uint8), pal)) == "gif"
     with pytest.raises(ValueError, match="unrecognized"):
         sniff_image_format(b"RIFFxxxxWAVE")
 

@@ -1,0 +1,110 @@
+"""Pure-stdlib GIF codec (functions/gif.py): LZW round-trips with
+dictionary growth, interlace and local-palette rules, INDEPENDENT
+artifacts (the canonical published 1x1 GIF bytes; a hand-packed LZW
+worked example neither the encoder nor decoder produced), and error
+paths."""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pytest
+
+from duckdb_hybrid_doc_search_spark.functions.gif import (
+    _lzw_decode, decode_gif, encode_gif)
+
+
+def _img(w: int, h: int, f) -> np.ndarray:
+    return np.array([[f(x, y) for x in range(w)] for y in range(h)],
+                    dtype=np.uint8)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("local", [False, True])
+def test_roundtrip_small(interlace, local):
+    idx = _img(5, 7, lambda x, y: (x * 3 + y * 5) % 8)
+    palette = np.array([[i * 31 % 256, i * 7, i * 13 + 5] for i in range(8)],
+                       dtype=np.uint8)
+    data = encode_gif(idx, palette, interlace=interlace, local=local)
+    assert (decode_gif(data) == palette[idx]).all()
+
+
+def test_roundtrip_forces_code_width_growth():
+    """32x24 = 768 varied pixels over a 256-entry palette: the LZW
+    dictionary passes 512 entries, so both sides must take the 9->10 bit
+    width bump at the same point in the stream (the +1 asymmetry)."""
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    palette = np.stack([np.arange(256), (np.arange(256) * 2) % 256,
+                        (np.arange(256) * 7 + 3) % 256],
+                       axis=1).astype(np.uint8)
+    data = encode_gif(idx, palette)
+    assert (decode_gif(data) == palette[idx]).all()
+
+
+def test_canonical_published_1x1_gif():
+    """Independent artifact: the widely-published 35-byte transparent
+    1x1 GIF (not produced by our encoder). Its lone pixel is palette
+    index 0 = black; its LZW stream ends flush with the data (no
+    readable END code), pinning the stop-at-n-pixels rule."""
+    data = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    img = decode_gif(data)
+    assert img.shape == (1, 1, 3)
+    assert (img == 0).all()
+
+
+def test_hand_packed_lzw_worked_example():
+    """LZW stream packed BY HAND (spec-style worked example): indices
+    [1, 1, 2, 2, 1, 1] with min_code_size=2 encode as codes
+    clear(4), 1, 1, 2, then — after the third data code's dictionary
+    add fills the 3-bit space (entries 6,7,8) — 2, 6(=the '1 1'
+    entry), end(5) at FOUR bits, LSB-first. Neither our encoder nor
+    decoder produced these bytes; a decoder bit-order, width-bump, or
+    dictionary-offset bug cannot pass this and the round-trips at
+    once."""
+    codes = [(4, 3), (1, 3), (1, 3), (2, 3), (2, 4), (6, 4), (5, 4)]
+    bits = [(c >> i) & 1 for c, width in codes for i in range(width)]
+    packed = bytes(
+        sum(b << j for j, b in enumerate(bits[i:i + 8]))
+        for i in range(0, len(bits), 8)
+    )
+    assert _lzw_decode(2, packed, 6) == [1, 1, 2, 2, 1, 1]
+
+
+def test_local_palette_wins_over_global():
+    """A local color table must override the global one: same indices,
+    different palettes, decoded colors follow the LOCAL table."""
+    idx = _img(4, 3, lambda x, y: (x + y) % 4)
+    glob_pal = np.zeros((4, 3), dtype=np.uint8)
+    loc_pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90],
+                        [100, 110, 120]], dtype=np.uint8)
+    data = bytearray(encode_gif(idx, loc_pal, local=True))
+    # splice a GLOBAL table in front (flag bit + 12 palette bytes) while
+    # keeping the local one — decoder must still use the local colors
+    data[10] |= 0x80 | 0x01  # global table present, 4 entries
+    spliced = bytes(data[:13]) + glob_pal.tobytes() + bytes(data[13:])
+    assert (decode_gif(spliced) == loc_pal[idx]).all()
+
+
+def test_error_paths():
+    idx = _img(3, 2, lambda x, y: (x + y) % 2)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    good = encode_gif(idx, pal)
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_gif(b"NOTGIF" + good[6:])
+    with pytest.raises(ValueError, match="truncated|trailer|index"):
+        decode_gif(good[:-6])
+    # multi-frame: splice the image block in twice
+    img_start = good.index(b"\x2c")
+    two = good[:-1] + good[img_start:-1] + b"\x3b"
+    with pytest.raises(ValueError, match="multi-frame"):
+        decode_gif(two)
+
+
+def test_encoder_rejects_bad_palette():
+    idx = _img(2, 2, lambda x, y: 0)
+    with pytest.raises(ValueError, match="power of two"):
+        encode_gif(idx, np.zeros((3, 3), dtype=np.uint8))

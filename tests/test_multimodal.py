@@ -92,3 +92,30 @@ def test_audio_window_framing_invariants(spark, sf_dir):
     # deterministic
     again = audio_window_features(media).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_permissive_decode_quarantines_instead_of_raising(spark, tmp_path):
+    """decode_stats_permissive on a freshly-built dirty dir: failure
+    classes land as rows, healthy files decode in the same scan, and
+    the strict path would have raised on the same bytes."""
+    import numpy as np
+    import pytest
+
+    from duckdb_hybrid_doc_search_spark.functions.bmp import (
+        decode_bmp, encode_bmp)
+    from duckdb_hybrid_doc_search_spark.operators.multimodal import (
+        decode_stats_permissive)
+
+    d = tmp_path / "dirty"
+    d.mkdir()
+    img = np.full((2, 3, 3), 7, dtype=np.uint8)
+    (d / "ok.bmp").write_bytes(encode_bmp(img))
+    (d / "short.bmp").write_bytes(encode_bmp(img)[:-5])
+    (d / "junk.dat").write_bytes(b"JUNKJUNKJUNK")
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(img)[:-5])  # strict contract unchanged
+    rows = {r["file_name"]: tuple(r)[1:] for r in
+            decode_stats_permissive(spark, [str(d)]).collect()}
+    assert rows["ok.bmp"] == ("bmp", "ok", 3, 2, 3, 7 * 18)
+    assert rows["short.bmp"] == ("bmp", "corrupt", 0, 0, 0, 0)
+    assert rows["junk.dat"] == ("unknown", "unrecognized", 0, 0, 0, 0)
