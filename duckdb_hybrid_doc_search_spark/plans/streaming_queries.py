@@ -225,3 +225,29 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_streaming_asof_click_purchase
 
     return run_streaming_asof_click_purchase(spark, sf_dir, "reg_ev_asof")
+
+
+def _bm25_oracle():
+    from ..operators.bm25 import dd_bm25_topk_sql
+    from .doc_search_queries import QTERMS, TOP_K
+
+    return dd_bm25_topk_sql(QTERMS, TOP_K)
+
+
+@register("streaming_fts_segment_append", bench=False,
+          executes_on_build=True, defer_gate=True,
+          oracle=_bm25_oracle())
+def streaming_fts_segment_append(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Search-index maintenance as a structured stream over the
+    SEGMENTED FTS store: each micro-batch appends one segment (keyed by
+    the micro-batch id — redelivery-idempotent), nothing existing is
+    recomputed or rewritten, and the post-stream BM25 probe must
+    hash-match the FULL-CORPUS bm25_topk oracle. The streaming twin of
+    bm25_incremental_layout_probe, and the no-rebuild counterpart of
+    streaming_index_update's re-convergence."""
+    from ..streaming.index_maintenance import run_streaming_fts_append
+    from .doc_search_queries import QUERY, TOP_K
+
+    return run_streaming_fts_append(spark, sf_dir, QUERY, TOP_K,
+                                    "reg_fts_append")

@@ -65,3 +65,89 @@ def run_streaming_index_update(spark: SparkSession, watch_dir: str,
         .foreachBatch(reconverge)
         .start()
     )
+
+
+def ensure_fts_base_store(spark: SparkSession, docs: DataFrame,
+                          sf_dir: str, root: str | None = None) -> str:
+    """Build (once, fingerprint-keyed) a BASE-ONLY segmented FTS store
+    over `docs` — the starting state the streaming append loop copies
+    per run (appends must never mutate the shared cache, mirroring
+    streaming/docs.run_streaming_incremental_dedup's store copy)."""
+    import os
+    import shutil
+
+    from ..index.fingerprint import warehouse_root
+    from ..index.fts_layout import (_LAYOUT_VERSION, SEG_DONE,
+                                    content_fingerprint,
+                                    write_fts_segments)
+
+    fp = content_fingerprint(docs)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-segbase-v{_LAYOUT_VERSION}-{fp}"
+    )
+    out_dir = os.path.join(warehouse_root("fts_segment_layout", root), key)
+    if not os.path.exists(os.path.join(out_dir, SEG_DONE)):
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        write_fts_segments(docs, out_dir)
+    return out_dir
+
+
+def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
+                             top_k: int,
+                             query_name: str = "fts_append") -> DataFrame:
+    """Search-index maintenance WITHOUT recomputation, as a structured
+    stream: arriving documents (doc_id % 7 == 3 — the SEG_SPLIT rule)
+    flow through foreachBatch and each micro-batch APPENDS one segment
+    to the segmented FTS store (index/fts_layout.append_fts_segment,
+    keyed by the micro-batch id so at-least-once redelivery replaces
+    its own files). Global df / n_docs / avgdl are per-segment deltas
+    summed at probe time, so NOTHING about the existing index is
+    recomputed or rewritten per batch — the true 100 TB ingestion
+    story, vs run_streaming_index_update above, which re-converges the
+    one-shot layout because its denormalized postings_scored form
+    cannot absorb appends.
+
+    The bounded drive returns the post-stream BM25 top-k probe of the
+    store, which must hash-match the FULL-CORPUS oracle (bm25_topk's) —
+    a drifted append (double-counted df, skewed avgdl, lost postings)
+    flips the registered row."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..index.fts_layout import (SEG_SPLIT_MOD, SEG_SPLIT_REM,
+                                    append_fts_segment)
+    from ..operators.bm25 import bm25_topk_from_index, segment_fts_index
+    from .docs import read_documents_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = F.col("doc_id") % SEG_SPLIT_MOD == SEG_SPLIT_REM
+    base = ensure_fts_base_store(spark, docs.where(~is_new), sf_dir)
+    run_root = tempfile.mkdtemp(prefix="stream_ftsappend_")
+    store = f"{run_root}/store"
+    shutil.copytree(base, store)
+
+    def append_slice(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.where(is_new)
+        append_fts_segment(spark, store, batch, append_id=f"mb{batch_id}")
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(append_slice)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        result = bm25_topk_from_index(
+            segment_fts_index(spark, store), query, top_k
+        ).localCheckpoint()
+    finally:
+        q.stop()
+        shutil.rmtree(run_root, ignore_errors=True)
+    return result

@@ -383,3 +383,19 @@ def test_incremental_dedup_multi_shard_loop(spark, sf_dir, tmp_path):
           .collect()}
     assert all(dec == "exact_dup" for dec in d2.values()), d2
     assert len(d2) == len(kept1)
+
+
+def test_streaming_fts_append_equals_batch_bm25(spark, sf_dir):
+    """The streaming segment-append loop's post-stream probe must equal
+    the one-shot batch BM25 over the FULL corpus — appends across the
+    stream cannot drift df/n_docs/avgdl (exact-integer segment deltas)."""
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_topk
+    from duckdb_hybrid_doc_search_spark.streaming.index_maintenance import (
+        run_streaming_fts_append)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    query = "spark vector join fast merge"
+    got = [tuple(r) for r in
+           run_streaming_fts_append(spark, sf_dir, query, 10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, query, 10).collect()]
+    assert got == want
