@@ -330,7 +330,10 @@ def mixed_decode_stats(spark, media_dirs: list[str]) -> DataFrame:
     the codec. Same scale contract as png/bmp_decode_stats (files
     packed per task, one Arrow crossing, scalar rows out)."""
     from ..functions.bmp import decode_bmp
+    from ..functions.gif import decode_gif
     from ..functions.png import decode_png
+
+    decoders = {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -338,7 +341,7 @@ def mixed_decode_stats(spark, media_dirs: list[str]) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
                 fmt = sniff_image_format(data)
-                img = decode_png(data) if fmt == "png" else decode_bmp(data)
+                img = decoders[fmt](data)
                 h, w, c = img.shape
                 sums = [int(img[:, :, i].sum(dtype=np.int64))
                         for i in range(c)] + [0] * (4 - c)
@@ -352,7 +355,7 @@ def mixed_decode_stats(spark, media_dirs: list[str]) -> DataFrame:
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{png,bmp}")
+        .option("pathGlobFilter", "*.{png,bmp,gif}")
         .load(list(media_dirs))
     )
     return (

@@ -172,27 +172,6 @@ def media_wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.wav_window_stats(spark, str(_WAV_DIR))
 
 
-_MIXED_ORACLE = f"""
-SELECT * FROM (
-  SELECT 'png' AS format, * FROM ({_PNG_ORACLE})
-  UNION ALL
-  SELECT 'bmp' AS format, * FROM ({_BMP_ORACLE})
-) ORDER BY file_name
-""".strip()
-
-
-@register("media_mixed_decode_stats", oracle=_MIXED_ORACLE)
-def media_mixed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-format ingest in one scan: every PNG and BMP fixture (the
-    two codec dirs listed explicitly — future fixture dirs must not
-    silently join this oracle-pinned row) dispatched by its own magic
-    bytes to the matching stdlib codec — the payload column, not the
-    path, picks the decoder. Oracle = the union of both formula oracles
-    plus the detected format, so a dispatch bug (or a codec mix-up)
-    flips the hash."""
-    return mm.mixed_decode_stats(spark, [str(_PNG_DIR), str(_BMP_DIR)])
-
-
 _GIF_DIR = __import__("pathlib").Path(__file__).resolve(
 ).parent.parent.parent / "fixtures" / "gif"
 
@@ -241,6 +220,33 @@ def media_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifacts (the canonical published 1x1 GIF, a hand-packed LZW
     worked example) in tests/test_gif.py."""
     return mm.gif_decode_stats(spark, str(_GIF_DIR))
+
+
+_MIXED_ORACLE = f"""
+SELECT * FROM (
+  SELECT 'png' AS format, * FROM ({_PNG_ORACLE})
+  UNION ALL
+  SELECT 'bmp' AS format, * FROM ({_BMP_ORACLE})
+  UNION ALL
+  SELECT 'gif' AS format, * FROM ({_GIF_ORACLE})
+) ORDER BY file_name
+""".strip()
+
+
+@register("media_mixed_decode_stats", oracle=_MIXED_ORACLE)
+def media_mixed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format ingest in one scan: every PNG, BMP, and GIF fixture
+    (the three codec dirs listed explicitly — future fixture dirs must
+    not silently join this oracle-pinned row) dispatched by its own
+    magic bytes to the matching stdlib codec — the payload column, not
+    the path, picks the decoder. Oracle = the union of all three
+    formula oracles plus the detected format, so a dispatch bug (or a
+    codec mix-up) flips the hash. GIF joined the union in r9 (its sums
+    compose the index formula through the palette formula — a
+    cross-codec palette leak cannot hide)."""
+    return mm.mixed_decode_stats(
+        spark, [str(_PNG_DIR), str(_BMP_DIR), str(_GIF_DIR)]
+    )
 
 
 _CORRUPT_DIR = __import__("pathlib").Path(__file__).resolve(

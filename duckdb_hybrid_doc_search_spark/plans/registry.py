@@ -129,6 +129,9 @@ RECHECK: dict[str, int] = {
     # composes the same aggregate
     "text_gopher_repetition": 9,
     "corpus_filter_funnel": 9,
+    # r9: GIF joined the mixed-format dispatch row (third codec in the
+    # union oracle; operator now dispatches gif payloads too)
+    "media_mixed_decode_stats": 9,
     # r9 (r8 VERDICT #6): three layout rows upgraded from rows-only to
     # oracle-gated — compaction dropped the writer-dependent byte count
     # from its output, the prune layout now writes one file per year
