@@ -105,6 +105,8 @@ def split_bmp_container(data: bytes) -> list[bytes]:
             )
         frames.append(data[pos:pos + size])
         pos += size
+    if not frames:
+        raise ValueError("empty BMP container: no frames")
     return frames
 
 

@@ -219,12 +219,26 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
                 "and the banded join would report self-partners. Append "
                 "batches must carry NEW doc_ids only."
             )
+        # under the lock we are the ONLY writer, so every staged subdir
+        # is the residue of a crashed earlier attempt (ours or a batch
+        # that was never redelivered) — reap them all; a redelivered
+        # batch rewrites its stage from scratch anyway (r9 review
+        # finding: own-stage-only cleanup leaked crashed siblings'
+        # staged parquet forever)
+        shutil.rmtree(os.path.join(out_dir, "_staging"),
+                      ignore_errors=True)
         stage = os.path.join(out_dir, "_staging", append_id)
-        if os.path.exists(stage):
-            shutil.rmtree(stage)
         frames = _signature_frames(new_docs)
         for name in paths:
-            frames[name].write.mode("overwrite").parquet(
+            df = frames[name]
+            if name == "fp":
+                # the completion-marker tier must be ONE file: its
+                # single rename is atomic, so "fp present" can never
+                # mean "some fp parts present" (a multi-part last tier
+                # would defeat the orphan sweep — r9 review finding);
+                # fp is 16 bytes/doc, one file per shard is cheap
+                df = df.repartition(1)
+            df.write.mode("overwrite").parquet(
                 os.path.join(stage, name)
             )
         staged = {
@@ -236,6 +250,7 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
         if not staged["fp"]:  # empty batch: nothing to append
             shutil.rmtree(stage, ignore_errors=True)
             return
+        assert len(staged["fp"]) == 1, "fp tier must stage as one file"
         # rename (atomic per file, same filesystem) into the live
         # tables; fp LAST — its presence marks the append complete
         for name in ("sigs", "bands", "fp"):
@@ -243,14 +258,8 @@ def append_dedup_signatures(spark: SparkSession, out_dir: str,
                 os.rename(f, os.path.join(
                     paths[name], f"append-{append_id}-{i}.parquet"
                 ))
-        # this append's stage only — a sibling append_id's staged files
-        # (crashed earlier attempt of another batch) are ITS retry's to
-        # clean, never ours
-        shutil.rmtree(stage, ignore_errors=True)
-        try:
-            os.rmdir(os.path.join(out_dir, "_staging"))
-        except OSError:
-            pass
+        shutil.rmtree(os.path.join(out_dir, "_staging"),
+                      ignore_errors=True)
     finally:
         os.remove(lock)
 

@@ -375,7 +375,9 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
     except FileExistsError:
         raise RuntimeError(
             f"segmented FTS layout at {out_dir} has an append in flight "
-            f"(lockfile {lock} held): appends are single-writer."
+            f"(lockfile {lock} held): appends are single-writer. If the "
+            "holder crashed, remove the lockfile and retry — staged "
+            "leftovers are reaped under the next lock."
         )
     os.close(fd)
     try:
@@ -396,9 +398,12 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
                 "doc_id(s): duplicate ids would double-count postings "
                 "and inflate df/n_docs. Segments must carry NEW ids."
             )
+        # single-writer lock held: every staged subdir is crash residue
+        # (ours or a never-redelivered batch's) — reap them all (r9
+        # review finding, mirrors append_dedup_signatures)
+        shutil.rmtree(os.path.join(out_dir, "_staging"),
+                      ignore_errors=True)
         stage = os.path.join(out_dir, "_staging", append_id)
-        if os.path.exists(stage):
-            shutil.rmtree(stage)
         frames = _segment_frames(new_docs, id_col, text_col)
         for name in SEG_TABLES:
             df = frames[name]
@@ -409,6 +414,10 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
                 df = (df.repartitionByRange(POSTINGS_RANGE_PARTITIONS,
                                             "term")
                       .sortWithinPartitions("term"))
+            if name == "segstats":
+                # the completion-marker tier must be ONE file so its
+                # rename is atomic (one row anyway)
+                df = df.repartition(1)
             df.write.mode("overwrite").parquet(
                 os.path.join(stage, name)
             )
@@ -420,15 +429,14 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
         if not staged["docstats"]:
             shutil.rmtree(stage, ignore_errors=True)
             return
+        assert len(staged["segstats"]) == 1, \
+            "segstats tier must stage as one file"
         for name in ("postings", "docfreq", "docstats", "segstats"):
             for i, f in enumerate(staged[name]):
                 os.rename(f, os.path.join(
                     paths[name], f"append-{append_id}-{i}.parquet"))
-        shutil.rmtree(stage, ignore_errors=True)
-        try:
-            os.rmdir(os.path.join(out_dir, "_staging"))
-        except OSError:
-            pass
+        shutil.rmtree(os.path.join(out_dir, "_staging"),
+                      ignore_errors=True)
     finally:
         os.remove(lock)
 
@@ -443,10 +451,12 @@ def ensure_fts_segment_layout(spark: SparkSession, docs: DataFrame,
     earns a driver row for the append path — per-doc-deterministic
     tokenization means base + append must equal a one-shot build, so
     the probe shares bm25_topk's full-corpus oracle. Cache key = sf
-    basename + format version + content fingerprint."""
-    from .fingerprint import warehouse_root
+    basename + format version + source fingerprint (file stats for
+    file-backed corpora — no per-probe corpus scan, same fast path as
+    the other ensure_* layouts; content hash otherwise)."""
+    from .fingerprint import layout_fingerprint, warehouse_root
 
-    fp = content_fingerprint(docs)
+    fp = layout_fingerprint(docs, "doc_id", "text")
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
         f"-seg-v{_LAYOUT_VERSION}-{fp}"

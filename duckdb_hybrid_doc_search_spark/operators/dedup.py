@@ -1137,7 +1137,13 @@ def decide_batch_against_store(spark, batch_docs: DataFrame,
 
     bfp = batch_docs.select(
         "doc_id", F.md5(F.col("text")).alias("fp")
-    ).cache()
+    )
+    if caches is not None:
+        # bfp feeds three tiers; cache it ONLY for callers that will
+        # unpersist (the streaming loop) — a tracked-nowhere cache per
+        # probe call would accumulate across a long session (r9 review
+        # finding); untracked callers just recompute the cheap md5
+        bfp = bfp.cache()
     efp = read_fp(spark, layout_dir).select("fp").distinct()
     bsig = minhash_signatures(batch_docs).cache()
     if caches is not None:
@@ -1188,8 +1194,14 @@ def _incremental_decide(bfp: DataFrame, efp: DataFrame,
         .withColumn(
             "is_exact",
             F.col("in_ext").isNotNull()
-            | (F.col("doc_id") > F.col("keep_id")),
+            | (F.col("fp").isNotNull()
+               & (F.col("doc_id") > F.col("keep_id"))),
         )
+        # fp IS NULL (null text) never fingerprint-matches anything: the
+        # r8 inner join dropped null fps implicitly; the window form
+        # groups NULLs into one partition, so without the guard two
+        # null-text docs would read as exact dups of each other (r9
+        # review finding)
     )
     cand = (
         bands_ext.alias("b")

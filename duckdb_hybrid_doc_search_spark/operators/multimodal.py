@@ -393,7 +393,14 @@ def decode_stats_permissive(spark, media_dirs: list[str]) -> DataFrame:
     pix_sum (all-channel sum; zeros on non-ok rows).
     """
     from ..functions.bmp import decode_bmp
+    from ..functions.gif import decode_gif
     from ..functions.png import decode_png
+
+    # one dispatch table for every format the sniffer can return — a
+    # sniffable format missing here would mis-route to another codec
+    # and quarantine HEALTHY files as corrupt (r9 review finding: gif
+    # payloads were falling through to decode_bmp)
+    decoders = {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,8 +414,7 @@ def decode_stats_permissive(spark, media_dirs: list[str]) -> DataFrame:
                     out.append((name, "unknown", "unrecognized", 0, 0, 0, 0))
                     continue
                 try:
-                    img = (decode_png(data) if fmt == "png"
-                           else decode_bmp(data))
+                    img = decoders[fmt](data)
                 except Exception:
                     out.append((name, fmt, "corrupt", 0, 0, 0, 0))
                     continue

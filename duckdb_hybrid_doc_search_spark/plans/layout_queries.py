@@ -257,6 +257,10 @@ def orders_partition_prune_stats(spark: SparkSession,
             .write.partitionBy("o_year").mode("overwrite").parquet(outdir)
         )
         _gc_stale_siblings(f"{sf}-opart1", os.path.basename(outdir))
+        # also reap pre-r9 multi-file generations under the OLD stem
+        # ("{sf}-opart-"): the stem rename orphaned them from the
+        # normal sweep (r9 review finding)
+        _gc_stale_siblings(f"{sf}-opart", os.path.basename(outdir))
 
     part_dirs = [d for d in os.listdir(outdir) if d.startswith("o_year=")]
     files_total = sum(

@@ -267,7 +267,14 @@ SELECT * FROM (
          sum((x*8 + y*15) % 256 + (x*6 + y*2 + 47) % 256
              + (x*12 + y*5 + 120) % 256)::BIGINT
   FROM generate_series(0, 4) a(x) CROSS JOIN generate_series(0, 2) b(y)
+  UNION ALL
+  SELECT 'good.gif', 'gif', 'ok', 4, 3, 3,
+         sum((((x*3 + y*5) % 8) * 9 + 1) % 256
+             + (((x*3 + y*5) % 8) * 4 + 60) % 256
+             + (((x*3 + y*5) % 8) * 13 + 7) % 256)::BIGINT
+  FROM generate_series(0, 3) a(x) CROSS JOIN generate_series(0, 2) b(y)
   UNION ALL SELECT 'trunc.bmp', 'bmp', 'corrupt', 0, 0, 0, 0::BIGINT
+  UNION ALL SELECT 'trunc.gif', 'gif', 'corrupt', 0, 0, 0, 0::BIGINT
   UNION ALL SELECT 'zlibbad.png', 'png', 'corrupt', 0, 0, 0, 0::BIGINT
   UNION ALL SELECT 'noise.bin', 'unknown', 'unrecognized', 0, 0, 0,
          0::BIGINT

@@ -76,12 +76,11 @@ def ensure_fts_base_store(spark: SparkSession, docs: DataFrame,
     import os
     import shutil
 
-    from ..index.fingerprint import warehouse_root
+    from ..index.fingerprint import layout_fingerprint, warehouse_root
     from ..index.fts_layout import (_LAYOUT_VERSION, SEG_DONE,
-                                    content_fingerprint,
                                     write_fts_segments)
 
-    fp = content_fingerprint(docs)
+    fp = layout_fingerprint(docs, "doc_id", "text")
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
         f"-segbase-v{_LAYOUT_VERSION}-{fp}"

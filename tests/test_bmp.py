@@ -214,3 +214,11 @@ def test_bmpv_fixture_frame_sampling(spark):
             ts, frame = got[(f"{name}.bmpv", k)]
             assert ts == src * 1000 // mm.VIDEO_FPS
             assert frame == img.tobytes()
+
+
+def test_empty_container_raises():
+    from duckdb_hybrid_doc_search_spark.functions.bmp import (
+        split_bmp_container)
+
+    with pytest.raises(ValueError, match="empty BMP container"):
+        split_bmp_container(b"")

@@ -214,3 +214,44 @@ def test_empty_append_is_a_noop(spark, sf_dir, tmp_path):
     append_dedup_signatures(spark, out, existing.limit(0))
     assert not glob.glob(os.path.join(out, "*", "append-*"))
     assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_null_text_docs_never_exact_dup_each_other(spark, sf_dir, tmp_path):
+    """md5(NULL) is NULL, not a fingerprint: two null-text batch docs
+    must both be kept (the r9 window form would otherwise group NULL
+    fps into one keep-min partition — review finding)."""
+    from duckdb_hybrid_doc_search_spark.operators.dedup import (
+        decide_batch_against_store)
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    out = str(tmp_path / "sig")
+    write_dedup_signatures(existing, out)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    batch = spark.createDataFrame(
+        [(max_id + 1, None), (max_id + 2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["decision"]
+           for r in decide_batch_against_store(spark, batch, out).collect()}
+    assert got == {max_id + 1: "kept", max_id + 2: "kept"}
+
+
+def test_crashed_sibling_stage_is_reaped(spark, sf_dir, tmp_path):
+    """A staged dir left by a crashed, never-redelivered append is
+    reaped by the NEXT append (single-writer lock makes that safe) —
+    staging must not grow without bound across crashes (review
+    finding)."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % dedup.BATCH_MOD != 0)
+    split = F.col("doc_id") % 7 == 3
+    out = str(tmp_path / "sig")
+    write_dedup_signatures(existing.where(~split), out)
+    # simulate a crashed append's staged residue
+    stale = os.path.join(out, "_staging", "deadbeef00000000", "fp")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "wb") as f:
+        f.write(b"x")
+    append_dedup_signatures(spark, out, existing.where(split))
+    assert not os.path.exists(os.path.join(out, "_staging"))

@@ -97,6 +97,29 @@ def main() -> None:
     with open(os.path.join(out_dir, "zlibbad.png"), "wb") as f:
         f.write(zlibbad)
 
+    # GIF pair (r9 review finding: the permissive path mis-routed
+    # sniffed GIFs to the BMP codec and quarantined healthy files — a
+    # good GIF in THIS corpus pins the dispatch table)
+    from duckdb_hybrid_doc_search_spark.functions.gif import (decode_gif,
+                                                              encode_gif)
+
+    idx = np.array([[(x * 3 + y * 5) % 8 for x in range(4)]
+                    for y in range(3)], dtype=np.uint8)
+    pal = np.array([[(i * 9 + 1) % 256, (i * 4 + 60) % 256,
+                     (i * 13 + 7) % 256] for i in range(8)], dtype=np.uint8)
+    gif_bytes = encode_gif(idx, pal)
+    assert (decode_gif(gif_bytes) == pal[idx]).all()
+    with open(os.path.join(out_dir, "good.gif"), "wb") as f:
+        f.write(gif_bytes)
+    trunc_gif = gif_bytes[:-6]  # LZW stream cut mid-code
+    try:
+        decode_gif(trunc_gif)
+        raise AssertionError("trunc.gif unexpectedly decoded")
+    except ValueError:
+        pass
+    with open(os.path.join(out_dir, "trunc.gif"), "wb") as f:
+        f.write(trunc_gif)
+
     with open(os.path.join(out_dir, "noise.bin"), "wb") as f:
         f.write(b"NOTANIMAGE" + bytes(range(200)))
 
