@@ -58,6 +58,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
         )
     if w <= 0:
         raise ValueError(f"malformed BMP: non-positive width {w}")
+    if h == 0:
+        # a zero-height image would decode to an empty array and read
+        # as a bogus 'ok' row with zero sums downstream (r9 advisor
+        # finding); negative h is legal (top-down rows)
+        raise ValueError("malformed BMP: zero height")
     top_down = h < 0
     h = abs(h)
     channels = bpp // 8

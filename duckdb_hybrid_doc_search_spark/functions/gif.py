@@ -221,6 +221,11 @@ def _walk_blocks(data: bytes, pos: int, gct) -> np.ndarray | None:
         pos += 9
         if left or top:
             raise ValueError("unsupported GIF: offset image descriptor")
+        if w == 0 or h == 0:
+            # without this, a zero-size frame surfaces numpy's opaque
+            # zero-size-reduction error at arr.max() instead of a
+            # codec-style message (r9 advisor finding)
+            raise ValueError(f"malformed GIF: zero-size image {w}x{h}")
         palette = gct
         if ipacked & 0x80:  # local color table wins over global
             n = 2 << (ipacked & 0x07)

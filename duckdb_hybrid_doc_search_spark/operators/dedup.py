@@ -1145,8 +1145,13 @@ def decide_batch_against_store(spark, batch_docs: DataFrame,
         # finding); untracked callers just recompute the cheap md5
         bfp = bfp.cache()
     efp = read_fp(spark, layout_dir).select("fp").distinct()
-    bsig = minhash_signatures(batch_docs).cache()
+    bsig = minhash_signatures(batch_docs)
     if caches is not None:
+        # same rule as bfp: cache only when the caller will unpersist —
+        # an untracked cache per probe call accumulates across a
+        # long-lived stream (r9 advisor finding: the bfp fix above had
+        # not been mirrored here)
+        bsig = bsig.cache()
         caches.extend([bfp, bsig])
     return _incremental_decide(
         bfp, efp,

@@ -116,29 +116,32 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     def decide_slice(bdf: DataFrame, batch_id: int) -> None:
         batch = bdf.where(F.col("doc_id") % BATCH_MOD == 0)
         caches: list = []
-        out = decide_batch_against_store(spark, batch, store,
-                                         caches=caches)
-        slice_dir = f"{sink}/batch-{batch_id}"
-        out.write.mode("overwrite").parquet(slice_dir)
-        # kept ids come back off the WRITTEN slice (pushed filter +
-        # two-column scan) and semi-join the batch — no per-row driver
-        # round-trip, and the broadcast is a hash probe, not a plan
-        # full of isin() literals
-        kept = (
-            spark.read.parquet(slice_dir)
-            .where(F.col("decision") == "kept")
-            .select("doc_id")
-        )
-        append_dedup_signatures(
-            spark, store,
-            batch.join(F.broadcast(kept), "doc_id", "leftsemi"),
-            append_id=f"mb{batch_id}",
-        )
-        # per-batch caches die with the slice: a long-lived ingestion
-        # stream must not accumulate one cached signature table per
-        # micro-batch in executor storage (r8 advisor finding)
-        for c in caches:
-            c.unpersist()
+        try:
+            out = decide_batch_against_store(spark, batch, store,
+                                             caches=caches)
+            slice_dir = f"{sink}/batch-{batch_id}"
+            out.write.mode("overwrite").parquet(slice_dir)
+            # kept ids come back off the WRITTEN slice (pushed filter +
+            # two-column scan) and semi-join the batch — no per-row
+            # driver round-trip, and the broadcast is a hash probe, not
+            # a plan full of isin() literals
+            kept = (
+                spark.read.parquet(slice_dir)
+                .where(F.col("decision") == "kept")
+                .select("doc_id")
+            )
+            append_dedup_signatures(
+                spark, store,
+                batch.join(F.broadcast(kept), "doc_id", "leftsemi"),
+                append_id=f"mb{batch_id}",
+            )
+        finally:
+            # per-batch caches die with the slice EVEN when the append
+            # raises and foreachBatch redelivers — a success-path-only
+            # unpersist accumulates one cached signature table per
+            # failed attempt (r8 + r9 advisor findings)
+            for c in caches:
+                c.unpersist()
 
     q = (
         read_documents_stream(spark, sf_dir)
