@@ -11,15 +11,16 @@ result equality with the query-time operator.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.knn import NPROBE, centroid_pred, ivf_assign
+from ..operators.knn import NPROBE, centroid_pred, derive_nlist, ivf_assign
 
 # Encode-semantics version token in the cache key (see ivfpq_layout).
-LAYOUT_FORMAT = "v2"  # v2: CENTROID_K-capped centroid set (centroid_pred)
+LAYOUT_FORMAT = "v3"  # v3: nlist derived from corpus count at build
 
 # Completion sentinel written LAST, after every side table: parquet's own
 # _SUCCESS lands when the (first-written) codes dir commits, so a crash
@@ -29,25 +30,67 @@ LAYOUT_FORMAT = "v2"  # v2: CENTROID_K-capped centroid set (centroid_pred)
 LAYOUT_DONE = "_LAYOUT_DONE"
 
 
-def write_ivf_partitioned(emb: DataFrame, out_dir: str) -> None:
+def write_ivf_partitioned(emb: DataFrame, out_dir: str,
+                          nlist: int | None = None) -> None:
     """embeddings + cell assignment, partitioned by cell on disk. The
-    (K-row) centroid table is ALSO written, to `<out_dir>_centroids` —
-    incremental appends read it back instead of scanning the whole
-    layout for centroid_pred rows (a rebuild-sized read at 100 TB).
-    Written next to, not inside, the cell root: a subdirectory would be
-    misread as data by the partitioned scan. The LAYOUT_DONE sentinel
-    lands last, after the side table."""
-    cent, assign = ivf_assign(emb)
+    (~sqrt(N)-row) centroid table is ALSO written, to
+    `<out_dir>_centroids` — incremental appends read it back instead of
+    scanning the whole layout for centroid_pred rows (a rebuild-sized
+    read at 100 TB). ``nlist`` defaults to derive_nlist over THIS
+    frame's count; a builder indexing a partial frame (the append
+    layout's 80% base) passes the full-corpus nlist so the frozen
+    centroid set equals a one-shot build's. The chosen nlist is
+    PERSISTED in `<out_dir>_meta.json` — the frozen-at-build contract:
+    appends must guard centroid slots against the build's nlist, never a
+    re-derived one (the corpus has grown by then). Side files live next
+    to, not inside, the cell root: a subdirectory would be misread as
+    data by the partitioned scan. The LAYOUT_DONE sentinel lands last,
+    after every side file."""
+    if nlist is None:
+        nlist = derive_nlist(emb.count())
+    cent, assign = ivf_assign(emb, nlist=nlist)
     emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
         "vec_id", "embedding", "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
     cent.write.mode("overwrite").parquet(_centroid_dir(out_dir))
+    write_layout_meta(out_dir, nlist)
     with open(os.path.join(out_dir, LAYOUT_DONE), "w"):
         pass
 
 
 def _centroid_dir(out_dir: str) -> str:
     return out_dir.rstrip("/") + "_centroids"
+
+
+def _meta_path(out_dir: str) -> str:
+    return out_dir.rstrip("/") + "_meta.json"
+
+
+def write_layout_meta(out_dir: str, nlist: int) -> None:
+    """Frozen build parameters, written before the completion sentinel.
+    Shared with ivfpq_layout (same frozen-centroid contract)."""
+    from ..operators.knn import CENTROID_MOD
+
+    with open(_meta_path(out_dir), "w") as f:
+        json.dump({"nlist": nlist, "centroid_mod": CENTROID_MOD}, f)
+
+
+def read_layout_meta(out_dir: str) -> dict:
+    """Read back the frozen build parameters; REFUSE a layout without
+    them — re-deriving nlist from the current corpus count would guard
+    (and assign) against a different centroid set than the one existing
+    cells were built with, silently corrupting membership."""
+    path = _meta_path(out_dir)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"layout at {out_dir} has no {os.path.basename(path)}: it "
+            "predates the derived-nlist rule, and the build's centroid "
+            "slot range cannot be reconstructed from the current corpus "
+            "count (nlist is frozen at build time). Rebuild the layout "
+            "before appending."
+        )
+    with open(path) as f:
+        return json.load(f)
 
 
 def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
@@ -117,10 +160,14 @@ def ensure_ivf_append_layout(spark: SparkSession, emb: DataFrame,
         return out_dir
     if os.path.exists(out_dir):  # partial prior attempt: start clean
         shutil.rmtree(out_dir)
-    is_new = (~centroid_pred("vec_id")) & (
+    # nlist from the FULL corpus count, not the 80% base — the append
+    # sequence must end at the exact state a one-shot build over the
+    # full table produces, and that build derives nlist from N
+    nlist = derive_nlist(emb.count())
+    is_new = (~centroid_pred("vec_id", nlist)) & (
         F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM
     )
-    write_ivf_partitioned(emb.where(~is_new), out_dir)
+    write_ivf_partitioned(emb.where(~is_new), out_dir, nlist=nlist)
     append_ivf_vectors(spark, out_dir, emb.where(is_new))
     with open(sentinel, "w"):
         pass
@@ -189,8 +236,8 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     build's `_centroids` side table, so the cell definition never
     drifts under appends; re-centering is a rebuild, by design. A
     layout WITHOUT the side table is REFUSED: such layouts predate the
-    CENTROID_K cap, so re-deriving their centroid set from the current
-    centroid_pred reconstructs at most CENTROID_K centroids while the
+    capped centroid rule, so re-deriving their centroid set from the
+    current centroid_pred reconstructs at most nlist centroids while the
     on-disk cells span the old uncapped set — appends would be assigned
     against a centroid set inconsistent with existing membership,
     silently corrupting cell assignment and recall. (Recovering from
@@ -215,7 +262,11 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     """
     from ..operators.knn import assign_to_centroids
 
-    n_cent_ids = new_emb.where(centroid_pred("vec_id")).count()
+    # the BUILD's frozen nlist, from the layout meta — never re-derived
+    # (the corpus has grown since; a bigger nlist would wrongly admit
+    # ids that were centroid slots, a smaller one wrongly reject)
+    nlist = read_layout_meta(out_dir)["nlist"]
+    n_cent_ids = new_emb.where(centroid_pred("vec_id", nlist)).count()
     if n_cent_ids:
         raise ValueError(
             f"append batch contains {n_cent_ids} vec_id(s) matching "

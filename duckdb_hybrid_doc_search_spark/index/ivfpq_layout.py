@@ -23,14 +23,14 @@ from pyspark.sql import functions as F
 
 from ..config import SCORE_ROUND
 from ..functions import vector as V
-from ..operators.knn import (NPROBE, PQ_DIM, PQ_M, _pq_long, ivf_assign,
-                             pq_codebook, pq_encode)
+from ..operators.knn import (NPROBE, PQ_DIM, PQ_M, _pq_long, derive_nlist,
+                             ivf_assign, pq_codebook, pq_encode)
 
 
 # Bump when the encode semantics change (codebook rule, code layout …):
 # the fingerprint cache keys on SOURCE data only, so without a format
 # token a semantics change would silently serve a stale layout.
-LAYOUT_FORMAT = "v3"  # v3: CENTROID_K-capped centroid set (centroid_pred)
+LAYOUT_FORMAT = "v4"  # v4: nlist derived from corpus count at build
 
 # Completion sentinel written LAST, after both side tables — parquet's
 # _SUCCESS lands when the (first-written) codes dir commits, so a crash
@@ -49,12 +49,20 @@ def _side_dir(out_dir: str, name: str) -> str:
 def write_ivfpq_layout(emb: DataFrame, out_dir: str,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       dim: int = PQ_DIM, m: int = PQ_M) -> None:
+                       dim: int = PQ_DIM, m: int = PQ_M,
+                       nlist: int | None = None) -> None:
     """codes (vec_id, m, code) partitioned by cell, plus centroid and
     codebook side tables. One encode pass; the cell column comes from
-    the same frozen assignment rule as index/ivf_layout. The LAYOUT_DONE
-    sentinel lands last, after both side tables."""
-    cent, assign = ivf_assign(emb, id_col, vec_col)
+    the same frozen assignment rule as index/ivf_layout, with nlist
+    derived from the corpus count at build (or passed by the
+    append-layout builder, whose base frame is a subset of the intended
+    corpus) and persisted in the layout meta. The LAYOUT_DONE sentinel
+    lands last, after both side tables and the meta."""
+    from .ivf_layout import write_layout_meta
+
+    if nlist is None:
+        nlist = derive_nlist(emb.count())
+    cent, assign = ivf_assign(emb, id_col, vec_col, nlist=nlist)
     codes = pq_encode(emb, id_col, vec_col, dim, m)
     (
         codes.join(assign, codes["vec_id"] == assign["c_id"])
@@ -65,6 +73,7 @@ def write_ivfpq_layout(emb: DataFrame, out_dir: str,
     pq_codebook(emb, id_col, vec_col, dim, m).write.mode(
         "overwrite"
     ).parquet(_side_dir(out_dir, "codebook"))
+    write_layout_meta(out_dir, nlist)
     with open(os.path.join(out_dir, LAYOUT_DONE), "w"):
         pass
 
@@ -261,12 +270,14 @@ def ensure_ivfpq_append_layout(spark: SparkSession, emb: DataFrame,
         shutil.rmtree(out_dir)
     # every centroid AND codebook slot must be in the BASE build so the
     # frozen side tables equal the full-table derivations — that is what
-    # makes the appended layout probe-identical to a one-shot build
+    # makes the appended layout probe-identical to a one-shot build.
+    # nlist likewise comes from the FULL corpus count, not the 80% base
+    nlist = derive_nlist(emb.count())
     is_new = (
-        (~centroid_pred("vec_id")) & (~pq_sample_pred("vec_id"))
+        (~centroid_pred("vec_id", nlist)) & (~pq_sample_pred("vec_id"))
         & (F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM)
     )
-    write_ivfpq_layout(emb.where(~is_new), out_dir)
+    write_ivfpq_layout(emb.where(~is_new), out_dir, nlist=nlist)
     append_ivfpq_vectors(spark, out_dir, emb.where(is_new))
     with open(sentinel, "w"):
         pass
@@ -298,9 +309,12 @@ def append_ivfpq_vectors(spark: SparkSession, out_dir: str,
     table's vec_id column — never the full layout)."""
     from ..operators.knn import (assign_to_centroids, centroid_pred,
                                  pq_encode_with, pq_sample_pred)
+    from .ivf_layout import read_layout_meta
 
+    # the BUILD's frozen nlist, from the layout meta — never re-derived
+    nlist = read_layout_meta(out_dir)["nlist"]
     n_slot_ids = new_emb.where(
-        centroid_pred(id_col) | pq_sample_pred(id_col)
+        centroid_pred(id_col, nlist) | pq_sample_pred(id_col)
     ).count()
     if n_slot_ids:
         raise ValueError(

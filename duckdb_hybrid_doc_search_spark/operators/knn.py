@@ -64,32 +64,65 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int,
 
 
 CENTROID_MOD = 50   # deterministic centroid pick: vec_id % CENTROID_MOD == 0
-CENTROID_K = 16     # FIXED centroid-count cap: vec_id < CENTROID_MOD*CENTROID_K
+NLIST_MIN = 16      # nlist floor: tiny corpora keep a useful cell count
 NPROBE = 2
 
 
-def centroid_pred(id_col):
+def derive_nlist(n: int) -> int:
+    """nlist ~ sqrt(N), floored at NLIST_MIN — the standard IVF sizing
+    rule (FAISS guidance: nlist between sqrt(N) and 16*sqrt(N)), chosen
+    ONCE at index-build time from the corpus count and then FROZEN in
+    the layout meta (appends assign against the build's centroid set;
+    re-deriving is a rebuild). A probe reading NPROBE/nlist of the
+    corpus then shrinks as the corpus grows — the r9 VERDICT's point
+    that a fixed 16-cell index gives only a constant-factor discount at
+    100 TB, not an index. math.isqrt, not floor(sqrt()): exact at the
+    >2^52 counts where double sqrt rounds across integer boundaries
+    (same rule as dedup.semdedup_mod; the oracle twin corrects the
+    double guess by integer comparison — dd_nlist_scalar)."""
+    import math
+
+    return max(NLIST_MIN, math.isqrt(n))
+
+
+def centroid_pred(id_col, nlist: int):
     """The deterministic IVF centroid-sample predicate, shared by every
     IVF variant (query-time assign, written cell layout, IVF-PQ, append
-    path) and SemDeDup. Every CENTROID_MOD-th vector, CAPPED at
-    CENTROID_K centroids. The cap is the scale contract — a real IVF
-    nlist is a FIXED K (k ~ sqrt(N) chosen at train time, then frozen)
-    independent of corpus size, so assignment is O(N*K) with a fixed-size
-    centroid broadcast. Without it the centroid set is N/CENTROID_MOD
-    rows: the assignment crossJoin is O(N^2/mod) and the broadcast side
-    itself grows with the corpus — at 100 TB it does not fit. Same
-    pattern as pq_sample_pred below (which fixed the identical flaw for
-    the PQ codebook in r6); a trained centroid set would plug in here via
+    path). Every CENTROID_MOD-th vector, capped at ``nlist`` centroids.
+    ``nlist`` comes from derive_nlist(corpus count) at build time and is
+    persisted in the layout meta — frozen thereafter, so assignment is
+    O(N*nlist) with an O(sqrt(N))-size centroid broadcast and the cell
+    definition never drifts under appends. Without a cap the centroid
+    set is N/CENTROID_MOD rows: the assignment crossJoin is O(N^2/mod)
+    and the broadcast side grows linearly with the corpus — at 100 TB it
+    does not fit. A trained centroid set plugs into the same seam via
     embeddings_kmeans_train."""
     return (F.col(id_col) % CENTROID_MOD == 0) & (
-        F.col(id_col) < CENTROID_MOD * CENTROID_K
+        F.col(id_col) < CENTROID_MOD * nlist
     )
 
 
-def dd_centroid_pred(id_col: str) -> str:
-    """DuckDB twin of centroid_pred — must stay token-equivalent."""
+def dd_nlist_scalar(table: str = "embeddings") -> str:
+    """Scalar-subquery twin of derive_nlist(count(table)) — EXACT integer
+    sqrt: the double guess is corrected over +-2 by integer comparison
+    (g*g <= n), so counts where float sqrt rounds across an integer
+    boundary still match Python's math.isqrt (the dd_semdedup_sql
+    stride pattern, proven oracle-safe since r8)."""
+    return (
+        f"(SELECT greatest({NLIST_MIN}, max(g)) FROM ("
+        f"SELECT n, unnest(generate_series("
+        f"greatest(CAST(floor(sqrt(n)) AS BIGINT) - 2, 0), "
+        f"CAST(floor(sqrt(n)) AS BIGINT) + 2)) AS g "
+        f"FROM (SELECT count(*)::BIGINT AS n FROM {table})"
+        f") WHERE g * g <= n)"
+    )
+
+
+def dd_centroid_pred(id_col: str, table: str = "embeddings") -> str:
+    """DuckDB twin of centroid_pred with the derived nlist — must stay
+    token-equivalent (same modulus, same cap arithmetic)."""
     return (f"{id_col} % {CENTROID_MOD} = 0 "
-            f"AND {id_col} < {CENTROID_MOD * CENTROID_K}")
+            f"AND {id_col} < {CENTROID_MOD} * {dd_nlist_scalar(table)}")
 
 
 def assign_to_centroids(vecs: DataFrame, cent: DataFrame) -> DataFrame:
@@ -114,16 +147,23 @@ def assign_to_centroids(vecs: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+               vec_col: str = "embedding",
+               nlist: int | None = None) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) for the IVF index.
 
     Centroids are a deterministic subsample (centroid_pred — every
-    CENTROID_MOD-th id, capped at CENTROID_K centroids so K is FIXED at
-    scale; a k-means stand-in that keeps the oracle exact); every vector
-    is assigned to its nearest centroid by cosine (tie -> lower centroid
-    id). The centroid set is K rows and broadcast; assignment is one scan.
-    """
-    cent = emb.where(centroid_pred(id_col)).select(
+    CENTROID_MOD-th id, capped at nlist centroids; a k-means stand-in
+    that keeps the oracle exact). ``nlist`` defaults to
+    derive_nlist(emb.count()) — one bounded scalar action, the same
+    count the oracle computes as a scalar subquery; layout builders over
+    a PARTIAL frame (the append-layout 80% base) must pass the
+    full-corpus nlist explicitly or append equivalence breaks. Every
+    vector is assigned to its nearest centroid by cosine (tie -> lower
+    centroid id). The centroid set is ~sqrt(N) rows and broadcast;
+    assignment is one scan."""
+    if nlist is None:
+        nlist = derive_nlist(emb.count())
+    cent = emb.where(centroid_pred(id_col, nlist)).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
     )
     assign = assign_to_centroids(
@@ -193,7 +233,7 @@ def dd_ivf_topk_sql(k: int, n_queries: int = 10, table: str = "embeddings",
     return f"""
 WITH cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {dd_centroid_pred(id_col)}
+  WHERE {dd_centroid_pred(id_col, table)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -271,7 +311,7 @@ def dd_ivf_vss_cte(query_vec: Sequence[float], k: int,
     return f"""
 cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {dd_centroid_pred(id_col)}
+  WHERE {dd_centroid_pred(id_col, table)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -615,7 +655,7 @@ def dd_ivf_nprobe_curve_sql(k: int, n_queries: int,
     return f"""
 WITH cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {dd_centroid_pred(id_col)}
+  WHERE {dd_centroid_pred(id_col, table)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -1063,7 +1103,7 @@ def _dd_ivfpq_ctes(n_queries: int, table: str, id_col: str,
     return f"""
 cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {dd_centroid_pred(id_col)}
+  WHERE {dd_centroid_pred(id_col, table)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -1257,7 +1297,7 @@ def dd_ivfpq_residual_topk_sql(k: int, n_queries: int = 10,
     return f"""
 WITH cent AS (
   SELECT {id_col} AS cent_id, {vec_col} AS cvec FROM {table}
-  WHERE {dd_centroid_pred(id_col)}
+  WHERE {dd_centroid_pred(id_col, table)}
 ),
 e AS (SELECT {id_col} AS c_id, {vec_col} AS c_vec FROM {table}),
 assign AS (
@@ -1814,7 +1854,7 @@ SELECT q_id, q_label, c_id, c_label, cos_sim, rank FROM (
 KMEANS_IVF_ITERS = 4
 
 
-def kmeans_centroids(emb: DataFrame, k: int = CENTROID_K,
+def kmeans_centroids(emb: DataFrame, k: int | None = None,
                      iters: int = KMEANS_IVF_ITERS,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -1832,6 +1872,10 @@ def kmeans_centroids(emb: DataFrame, k: int = CENTROID_K,
     """
     from .analytics import _kmeans_assign_arrow
 
+    if k is None:
+        # same nlist the deterministic sample would use, so the trained
+        # and sampled probes in ivf_kmeans_recall compare like-for-like
+        k = derive_nlist(emb.count())
     init = (
         emb.orderBy(id_col).select(id_col, vec_col).limit(k).collect()
     )
@@ -1874,7 +1918,7 @@ def ivf_kmeans_recall(emb: DataFrame, k: int, n_queries: int = 10,
     oracled _ivf_probe_topk plan. Output: q_id, recall_kmeans,
     recall_sample.
     """
-    tcent = kmeans_centroids(emb, CENTROID_K, KMEANS_IVF_ITERS,
+    tcent = kmeans_centroids(emb, None, KMEANS_IVF_ITERS,
                              id_col, vec_col)
     tassign = assign_to_centroids(
         emb.select(F.col(id_col).alias("c_id"),

@@ -208,7 +208,7 @@ SELECT * FROM (
 """.strip()
 
 
-@register("media_gif_decode_stats", oracle=_GIF_ORACLE, defer_gate=True)
+@register("media_gif_decode_stats", oracle=_GIF_ORACLE)
 def media_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third REAL bytes->pixels decode path: stdlib GIF codec
     (functions/gif.py) over the checked-in fixtures — LZW entropy
@@ -282,8 +282,7 @@ SELECT * FROM (
 """.strip()
 
 
-@register("media_decode_errors", oracle=_PERMISSIVE_ORACLE,
-          defer_gate=True)
+@register("media_decode_errors", oracle=_PERMISSIVE_ORACLE)
 def media_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE decode over a deliberately dirty corpus: truncated
     BMP, bit-rotted PNG zlib stream, and unknown-magic noise become

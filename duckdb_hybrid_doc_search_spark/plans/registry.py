@@ -145,6 +145,22 @@ RECHECK: dict[str, int] = {
     # and appends key on the micro-batch id — value-identical, but the
     # executed path changed
     "streaming_incremental_dedup": 9,
+    # r10 (r9 VERDICT #1): IVF nlist is now DERIVED from the corpus
+    # count at build time (knn.derive_nlist ~ sqrt(N), floor 16) and
+    # frozen in the layout meta, replacing the global CENTROID_K=16 —
+    # at the driver's sf0.01 (5000 vectors) nlist is 70, so every IVF
+    # centroid set, cell assignment, and probe result genuinely changes
+    # (verified vs the updated oracles at sf0.01 before registering)
+    "ann_ivf_topk": 10,
+    "ann_ivf_recall": 10,
+    "ann_ivf_nprobe_curve": 10,
+    "ann_ivf_append_probe": 10,
+    "ann_ivfpq_topk": 10,
+    "ann_ivfpq_residual_topk": 10,
+    "ann_ivfpq_recall": 10,
+    "ann_ivfpq_layout_probe": 10,
+    "ann_ivfpq_append_probe": 10,
+    "hybrid_search_ivf_fused": 10,
 }
 
 

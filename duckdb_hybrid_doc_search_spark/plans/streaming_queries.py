@@ -235,7 +235,7 @@ def _bm25_oracle():
 
 
 @register("streaming_fts_segment_append", bench=False,
-          executes_on_build=True, defer_gate=True,
+          executes_on_build=True,
           oracle=_bm25_oracle())
 def streaming_fts_segment_append(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

@@ -75,20 +75,23 @@ def test_append_ivf_vectors_incremental(spark, sf_dir, tmp_path):
 
     from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
         append_ivf_vectors, ivf_partitioned_topk, write_ivf_partitioned)
-    from duckdb_hybrid_doc_search_spark.operators.knn import centroid_pred
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        centroid_pred, derive_nlist)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # centroid vectors (centroid_pred rows) must all be in the BASE build
     # (the frozen-centroid contract); the append batch is a disjoint
-    # non-centroid slice
-    is_new = (~centroid_pred("vec_id")) & (
+    # non-centroid slice — nlist from the FULL corpus count, matching
+    # ensure_ivf_append_layout's rule
+    nlist = derive_nlist(emb.count())
+    is_new = (~centroid_pred("vec_id", nlist)) & (
         F.col("vec_id") % 5 == 3
     )
     base, new = emb.where(~is_new), emb.where(is_new)
     assert new.count() > 0
 
     inc_dir = str(tmp_path / "inc")
-    write_ivf_partitioned(base, inc_dir)
+    write_ivf_partitioned(base, inc_dir, nlist=nlist)
     files_before = {
         os.path.join(dp, f)
         for dp, _, fs in os.walk(inc_dir) for f in fs
@@ -137,16 +140,17 @@ def test_append_rejects_centroid_modulus_ids(spark, sf_dir, tmp_path):
     from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
         append_ivf_vectors, write_ivf_partitioned)
     from duckdb_hybrid_doc_search_spark.operators.knn import (
-        CENTROID_K, CENTROID_MOD)
+        CENTROID_MOD, derive_nlist)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = str(tmp_path / "ivf")
     write_ivf_partitioned(emb, out)
+    nlist = derive_nlist(emb.count())
     max_id = emb.agg(F.max("vec_id")).first()[0]
     bad_id = ((max_id // CENTROID_MOD) + 1) * CENTROID_MOD
-    # the fabricated id must land under the fixed-K cap or it is not a
-    # centroid slot at all (capped centroid_pred)
-    assert bad_id < CENTROID_MOD * CENTROID_K, (
+    # the fabricated id must land under the derived-nlist cap or it is
+    # not a centroid slot at all (capped centroid_pred)
+    assert bad_id < CENTROID_MOD * nlist, (
         "test corpus outgrew the centroid cap; pick a free capped slot"
     )
     bad = emb.limit(1).select(
@@ -166,7 +170,8 @@ def test_append_rejects_duplicate_vec_ids(spark, sf_dir, tmp_path):
 
     from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
         append_ivf_vectors, write_ivf_partitioned)
-    from duckdb_hybrid_doc_search_spark.operators.knn import centroid_pred
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        centroid_pred, derive_nlist)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = str(tmp_path / "ivf")
@@ -174,7 +179,8 @@ def test_append_rejects_duplicate_vec_ids(spark, sf_dir, tmp_path):
     # re-append three existing non-centroid rows verbatim: deterministic
     # frozen-centroid assignment lands them in their original cells, so
     # the pruned check must see them
-    dup = emb.where(~centroid_pred("vec_id")).limit(3)
+    dup = emb.where(
+        ~centroid_pred("vec_id", derive_nlist(emb.count()))).limit(3)
     with pytest.raises(ValueError, match="overlaps the layout"):
         append_ivf_vectors(spark, out, dup)
 
@@ -184,7 +190,7 @@ def test_append_refuses_pre_side_table_layouts(spark, sf_dir, tmp_path):
     centroid rule — its build-time centroid set cannot be reconstructed
     consistently with existing cell membership, so append must refuse
     and demand a rebuild (r7 ADVICE: the old recovery scan silently
-    assigned against at most CENTROID_K centroids while the on-disk
+    assigned against at most nlist centroids while the on-disk
     cells spanned the uncapped set)."""
     import shutil
 
@@ -193,13 +199,15 @@ def test_append_refuses_pre_side_table_layouts(spark, sf_dir, tmp_path):
 
     from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
         append_ivf_vectors, write_ivf_partitioned)
-    from duckdb_hybrid_doc_search_spark.operators.knn import centroid_pred
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        centroid_pred, derive_nlist)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = str(tmp_path / "ivf")
     write_ivf_partitioned(emb.where(F.col("vec_id") % 5 != 3), out)
     shutil.rmtree(out + "_centroids")  # simulate a pre-side-table layout
-    new = emb.where((~centroid_pred("vec_id"))
-                    & (F.col("vec_id") % 5 == 3)).limit(3)
+    new = emb.where(
+        (~centroid_pred("vec_id", derive_nlist(emb.count())))
+        & (F.col("vec_id") % 5 == 3)).limit(3)
     with pytest.raises(ValueError, match="no _centroids side table"):
         append_ivf_vectors(spark, out, new)

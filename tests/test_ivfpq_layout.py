@@ -81,20 +81,21 @@ def test_append_ivfpq_vectors_incremental(spark, sf_dir, tmp_path):
     from duckdb_hybrid_doc_search_spark.index.ivfpq_layout import (
         append_ivfpq_vectors)
     from duckdb_hybrid_doc_search_spark.operators.knn import (
-        centroid_pred, pq_sample_pred)
+        centroid_pred, derive_nlist, pq_sample_pred)
 
     emb = load_table(spark, sf_dir, "embeddings")
     # every quantizer slot (centroid or codebook id) must be in the BASE
     # build; the append batch is a disjoint non-slot slice
+    nlist = derive_nlist(emb.count())
     is_new = (
-        (~centroid_pred("vec_id")) & (~pq_sample_pred("vec_id"))
+        (~centroid_pred("vec_id", nlist)) & (~pq_sample_pred("vec_id"))
         & (F.col("vec_id") % 5 == 3)
     )
     base, new = emb.where(~is_new), emb.where(is_new)
     assert new.count() > 0
 
     appended = str(tmp_path / "appended")
-    write_ivfpq_layout(base, appended)
+    write_ivfpq_layout(base, appended, nlist=nlist)
     append_ivfpq_vectors(spark, appended, new)
 
     oneshot = str(tmp_path / "oneshot")

@@ -202,7 +202,7 @@ def test_ivf_kmeans_centroids_plug_into_the_probe(spark, sf_dir):
     beyond noise (it sees the data; the sample doesn't)."""
     emb = _emb(spark, sf_dir)
     cent = knn.kmeans_centroids(emb)
-    assert cent.count() == knn.CENTROID_K
+    assert cent.count() == knn.derive_nlist(emb.count())
     assert cent.columns == ["cent_id", "cvec"]
 
     rows = knn.ivf_kmeans_recall(emb, K, NQ).collect()
