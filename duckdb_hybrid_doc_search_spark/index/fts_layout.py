@@ -284,8 +284,23 @@ def _gc_stale_siblings(out_dir: str) -> None:
 SEG_TABLES = ("postings", "docfreq", "docstats", "segstats")
 SEG_DONE = "_SEG_DONE"
 SEG_APPEND_DONE = "_SEG_APPEND_DONE"
+SEG_FOLD_DONE = "_SEG_FOLD_DONE"
 SEG_SPLIT_MOD = 7
 SEG_SPLIT_REM = 3
+
+# Optional fifth table, written only by fold_fts_segments: the folded
+# store's stats are final until the next append, so the fold can afford
+# the one-shot layout's denormalized impact-list trick (postings_scored)
+# and hand probes a join-free term-pruned scan. An append INVALIDATES it
+# (df/n_docs/avgdl change for every row) — the store falls back to the
+# delta path until the next fold.
+SEG_SCORED = "postings_scored"
+
+# Fold roll-forward marker: created ONLY after every staged table is
+# completely written, removed after the live dirs are swapped. Writers
+# finding it roll the swap forward before doing anything else; readers
+# finding it refuse (the store may be missing a table mid-swap).
+FOLD_READY = "_FOLD_READY"
 
 
 def _segment_frames(docs: DataFrame, id_col: str = "doc_id",
@@ -381,6 +396,16 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
         )
     os.close(fd)
     try:
+        # a crashed fold left a marked, fully-staged swap: finish it
+        # BEFORE the staging reap below would destroy it (a fold that
+        # crashed before its marker landed is plain staging garbage)
+        complete_fold(out_dir)
+        # this append changes df/n_docs/avgdl for every existing row, so
+        # a fold-time postings_scored table (SEG_SCORED) is stale the
+        # moment it lands: drop it — probes fall back to the delta path
+        # until the next fold
+        shutil.rmtree(os.path.join(out_dir, SEG_SCORED),
+                      ignore_errors=True)
         _sweep_orphan_segments(paths)
         for path in paths.values():
             for f in glob.glob(os.path.join(path, f"append-{append_id}-*")):
@@ -441,6 +466,134 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
         os.remove(lock)
 
 
+def _fold_stage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_staging", "fold")
+
+
+def complete_fold(out_dir: str) -> bool:
+    """Roll a marked fold forward (idempotent); True if one completed.
+
+    The FOLD_READY marker is created only after every staged table is
+    fully written, so the swap can always run to completion: for each
+    table still sitting in the stage, drop the live dir and rename the
+    staged one in. A crash anywhere inside re-enters cleanly — already-
+    swapped tables have no staged dir left and are skipped. MUST be
+    called under the store's single-writer lock (both writers do)."""
+    import shutil
+
+    marker = os.path.join(out_dir, FOLD_READY)
+    if not os.path.exists(marker):
+        return False
+    stage = _fold_stage_dir(out_dir)
+    for name in SEG_TABLES + (SEG_SCORED,):
+        staged = os.path.join(stage, name)
+        if os.path.exists(staged):
+            live = os.path.join(out_dir, name)
+            if os.path.exists(live):
+                shutil.rmtree(live)
+            os.rename(staged, live)
+    shutil.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def fold_fts_segments(spark: SparkSession, out_dir: str) -> None:
+    """Merge every segment of a segmented FTS store into ONE base segment
+    — the compaction half of the Lucene-style design (r9 VERDICT #2: the
+    fragmentation tax was measured at 1.62x probe cost at 16 segments,
+    with two costs growing per segment forever: parquet file opens AND
+    per-term docfreq delta ROWS, which the probe's in-plan sum processes
+    one-per-term-per-segment). After the fold:
+
+    - postings/docstats are rewritten term-ranged/compacted (content
+      unchanged — doc rows are segment-disjoint);
+    - docfreq holds ONE exact-integer row per term (the summed deltas);
+    - segstats holds one row (summed n_docs / sum_dl);
+    - postings_scored is written fold-time (stats are final until the
+      next append), so probes take the one-shot layout's join-free
+      term-pruned scan — operators/bm25._matched picks it up via
+      segment_fts_index. The next append deletes it (stats change).
+
+    Scores are bit-identical across fold states: df / n_docs / sum_dl
+    are exact integers whether summed in-plan or at fold time, and avgdl
+    is the same correctly-rounded sum/count division — so a folded
+    store's probe shares bm25_topk's full-corpus oracle, parity-gated by
+    tests/test_fts_layout.py over build -> append x15 -> fold -> probe.
+
+    Crash safety (same conventions as the appends): single-writer
+    lockfile shared with append_fts_segment; every staged table written
+    completely BEFORE the FOLD_READY marker lands (the sentinel-last
+    rule); the live-dir swap is rolled forward by the next writer if
+    interrupted (complete_fold). Readers seeing the marker refuse rather
+    than read a half-swapped store.
+
+    Cadence: folding is O(store), appending is O(segment) — production
+    runs the fold as periodic maintenance (e.g. every N micro-batches of
+    streaming/index_maintenance.run_streaming_fts_append, or when the
+    segment count passes a threshold), exactly like Lucene segment
+    merges; SCALING.md's SEGFTS section prices both sides."""
+    import shutil
+
+    from ..operators.bm25 import scored_postings
+
+    if not os.path.exists(os.path.join(out_dir, SEG_DONE)):
+        raise ValueError(
+            f"no completed segmented FTS layout at {out_dir}: build the "
+            "base segment first (write_fts_segments)."
+        )
+    paths = {name: os.path.join(out_dir, name) for name in SEG_TABLES}
+    lock = os.path.join(out_dir, "_append.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"segmented FTS layout at {out_dir} has a writer in flight "
+            f"(lockfile {lock} held): folds are single-writer, like "
+            "appends. If the holder crashed, remove the lockfile and "
+            "retry — a marked fold rolls forward, staged leftovers are "
+            "reaped."
+        )
+    os.close(fd)
+    try:
+        # a crashed fold's swap completes first; a crash BEFORE its
+        # marker landed left only staging garbage, reaped below
+        complete_fold(out_dir)
+        _sweep_orphan_segments(paths)
+        shutil.rmtree(os.path.join(out_dir, "_staging"),
+                      ignore_errors=True)
+        from ..operators.bm25 import segment_fts_index
+
+        idx = segment_fts_index(spark, out_dir)
+        segstats = spark.read.parquet(paths["segstats"]).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        frames = {
+            "postings": idx["postings"],
+            "docfreq": idx["docfreq"],   # already the in-plan delta sum
+            "docstats": idx["docstats"],
+            "segstats": segstats,
+            SEG_SCORED: scored_postings(idx),
+        }
+        stage = _fold_stage_dir(out_dir)
+        for name in SEG_TABLES + (SEG_SCORED,):
+            df = frames[name]
+            if name in ("postings", "docfreq", SEG_SCORED):
+                df = (df.repartitionByRange(POSTINGS_RANGE_PARTITIONS,
+                                            "term")
+                      .sortWithinPartitions("term"))
+            if name == "segstats":
+                df = df.repartition(1)
+            df.write.mode("overwrite").parquet(os.path.join(stage, name))
+        # marker ONLY after every staged table is complete — from here
+        # the swap always rolls forward, never back
+        with open(os.path.join(out_dir, FOLD_READY), "w"):
+            pass
+        complete_fold(out_dir)
+    finally:
+        os.remove(lock)
+
+
 def ensure_fts_segment_layout(spark: SparkSession, docs: DataFrame,
                               sf_dir: str,
                               root: str | None = None) -> str:
@@ -472,6 +625,43 @@ def ensure_fts_segment_layout(spark: SparkSession, docs: DataFrame,
     is_new = F.col("doc_id") % SEG_SPLIT_MOD == SEG_SPLIT_REM
     write_fts_segments(docs.where(~is_new), out_dir)
     append_fts_segment(spark, out_dir, docs.where(is_new))
+    with open(sentinel, "w"):
+        pass
+    return out_dir
+
+
+def ensure_fts_folded_layout(spark: SparkSession, docs: DataFrame,
+                             sf_dir: str,
+                             root: str | None = None) -> str:
+    """Build (once) a segmented FTS store that went through the FULL
+    maintenance cycle: base segment over ~5/7 of the corpus, TWO appended
+    segments (doc_id % 7 in {3, 5}), then :func:`fold_fts_segments` back
+    to one base segment with a fold-time postings_scored table. Probing
+    it is how the registered ``bm25_folded_layout_probe`` earns a driver
+    row for the fold path — fold-invariant scoring means the probe
+    shares bm25_topk's full-corpus oracle, and the store's probe plan is
+    the one-shot layout's join-free term-pruned scan (the r9 VERDICT #7
+    question, answered in the affirmative by construction)."""
+    from .fingerprint import layout_fingerprint, warehouse_root
+
+    fp = layout_fingerprint(docs, "doc_id", "text")
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-fold-v{_LAYOUT_VERSION}-{fp}"
+    )
+    out_dir = os.path.join(warehouse_root("fts_folded_layout", root), key)
+    sentinel = os.path.join(out_dir, SEG_FOLD_DONE)
+    if os.path.exists(sentinel):
+        return out_dir
+    if os.path.exists(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    mod = F.col("doc_id") % SEG_SPLIT_MOD
+    write_fts_segments(docs.where(~mod.isin(SEG_SPLIT_REM, 5)), out_dir)
+    append_fts_segment(spark, out_dir, docs.where(mod == SEG_SPLIT_REM))
+    append_fts_segment(spark, out_dir, docs.where(mod == 5))
+    fold_fts_segments(spark, out_dir)
     with open(sentinel, "w"):
         pass
     return out_dir

@@ -317,9 +317,22 @@ def segment_fts_index(spark, seg_dir: str) -> dict[str, DataFrame]:
     scan + broadcast(term-pruned df aggregate) + docstats join +
     broadcast 1-row stats — per-query cost tracks the matched slice,
     never the segment count (segments are just more parquet files under
-    the same table dirs)."""
+    the same table dirs). On a FOLDED store
+    (index/fts_layout.fold_fts_segments) the fold-time postings_scored
+    table is present and _matched takes the one-shot layout's join-free
+    term-pruned scan instead; an append deletes that table, so this
+    function never serves stale scored rows."""
     import os
 
+    from ..index.fts_layout import FOLD_READY, SEG_SCORED
+
+    if os.path.exists(os.path.join(seg_dir, FOLD_READY)):
+        raise RuntimeError(
+            f"segmented FTS store at {seg_dir} has a marked fold swap in "
+            "flight (or a crashed one): the table dirs may be mid-swap. "
+            "Run index/fts_layout.complete_fold (any writer does this "
+            "automatically) before probing."
+        )
     postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
     docfreq = (
         spark.read.parquet(os.path.join(seg_dir, "docfreq"))
@@ -334,9 +347,13 @@ def segment_fts_index(spark, seg_dir: str) -> dict[str, DataFrame]:
             (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
         )
     )
-    return {
+    index = {
         "postings": postings,
         "docfreq": docfreq,
         "docstats": docstats,
         "corpus_stats": corpus_stats,
     }
+    scored_dir = os.path.join(seg_dir, SEG_SCORED)
+    if os.path.exists(scored_dir):
+        index[SEG_SCORED] = spark.read.parquet(scored_dir)
+    return index

@@ -113,6 +113,29 @@ def bm25_incremental_layout_probe(spark: SparkSession,
     )
 
 
+@register("bm25_folded_layout_probe",
+          oracle=bm25.dd_bm25_topk_sql(QTERMS, TOP_K), defer_gate=True)
+def bm25_folded_layout_probe(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """BM25 top-k against a segmented FTS store AFTER the full
+    maintenance cycle — base build, two appended segments, then
+    fold_fts_segments back to one base segment (the compaction the r9
+    VERDICT #2 required: per-term docfreq delta rows and parquet file
+    counts otherwise grow with every appended segment forever). Folding
+    re-aggregates exact-integer stats, so the probe hash-matches the
+    SAME full-corpus oracle as bm25_topk; the folded store also carries
+    a fold-time postings_scored table, so the probe plan is the one-shot
+    layout's join-free term-pruned scan (r9 VERDICT #7: the folded
+    probe's cost matches bm25_topk's by construction, not within some
+    multiple)."""
+    from ..index.fts_layout import ensure_fts_folded_layout
+
+    seg_dir = ensure_fts_folded_layout(spark, _docs(spark, sf_dir), sf_dir)
+    return bm25.bm25_topk_from_index(
+        bm25.segment_fts_index(spark, seg_dir), QUERY, TOP_K
+    )
+
+
 @register("cosine_topk", oracle=knn.dd_cosine_distance_topk_sql(QVEC, TOP_K))
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.cosine_distance_topk(_emb(spark, sf_dir), QVEC, TOP_K)

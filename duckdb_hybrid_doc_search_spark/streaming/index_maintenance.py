@@ -111,7 +111,20 @@ def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
     The bounded drive returns the post-stream BM25 top-k probe of the
     store, which must hash-match the FULL-CORPUS oracle (bm25_topk's) —
     a drifted append (double-counted df, skewed avgdl, lost postings)
-    flips the registered row."""
+    flips the registered row.
+
+    Fold cadence: each micro-batch adds one segment, and two probe costs
+    grow with segment count (parquet file opens; per-term docfreq delta
+    rows — SCALING.md SEGFTS measured 1.62x at 16 segments), so a
+    long-lived stream schedules index/fts_layout.fold_fts_segments as
+    periodic maintenance — every N micro-batches or when the segment
+    count (segstats row count) passes a threshold, exactly like Lucene
+    segment merges. The fold takes the same single-writer lock as the
+    appends, so it simply runs between micro-batches; scoring is
+    fold-invariant (exact-integer stats), so probes are correct at every
+    cadence. The bounded drive here keeps segments unfolded on purpose:
+    its registered row gates the append path, while the fold path is
+    gated by bm25_folded_layout_probe."""
     import shutil
     import tempfile
 

@@ -294,3 +294,143 @@ def test_segment_probe_plan_prunes_terms(spark, sf_dir, tmp_path):
     assert plan.count("PushedFilters: [In(term") >= 2, \
         "term pushdown must reach postings AND docfreq scans"
     assert "TakeOrderedAndProject" in plan
+
+
+# --- segment fold (compaction) ------------------------------------------------
+
+
+def test_fold_after_many_appends_equals_one_shot(spark, sf_dir, tmp_path):
+    """build -> append x15 -> fold -> probe hash-matches the one-shot
+    index (fold-invariant scoring), and the folded store is actually
+    compact: one docfreq row per term, one segstats row, no append-*
+    files left, and the fold-time postings_scored table present."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        SEG_SCORED, append_fts_segment, fold_fts_segments,
+        write_fts_segments)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mod16 = F.col("doc_id") % 16
+    out = str(tmp_path / "seg")
+    write_fts_segments(docs.where(mod16 == 0), out)
+    for i in range(1, 16):
+        append_fts_segment(spark, out, docs.where(mod16 == i))
+    fold_fts_segments(spark, out)
+
+    query = "spark vector join fast merge"
+    got = [tuple(r) for r in _seg_probe(spark, out, query, 10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, query, 10).collect()]
+    assert got == want
+
+    assert os.path.exists(os.path.join(out, SEG_SCORED))
+    for table in ("postings", "docfreq", "docstats", "segstats"):
+        assert not glob.glob(os.path.join(out, table, "append-*")), table
+    df = spark.read.parquet(os.path.join(out, "docfreq"))
+    assert df.count() == df.select("term").distinct().count()
+    assert spark.read.parquet(os.path.join(out, "segstats")).count() == 1
+
+
+def test_folded_probe_plan_is_joinfree_scored_scan(spark, sf_dir,
+                                                   tmp_path):
+    """A folded store's probe takes the one-shot layout's impact-list
+    path: ONE term-pruned parquet scan (postings_scored), no docfreq /
+    docstats joins in the plan, top-k as TakeOrderedAndProject — the r9
+    VERDICT #7 'can the folded probe reuse the join-free form' answer."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        append_fts_segment, fold_fts_segments, write_fts_segments)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = F.col("doc_id") % 7 == 3
+    out = str(tmp_path / "seg")
+    write_fts_segments(docs.where(~split), out)
+    append_fts_segment(spark, out, docs.where(split))
+    fold_fts_segments(spark, out)
+    probe = _seg_probe(spark, out, "spark vector join fast merge", 10)
+    plan = probe._jdf.queryExecution().executedPlan().toString().replace(
+        "`", "")
+    assert plan.count("PushedFilters: [In(term") == 1, \
+        "folded probe must be ONE term-pruned scan (postings_scored)"
+    assert "docfreq" not in plan and "docstats" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_append_after_fold_invalidates_scored_table(spark, sf_dir,
+                                                    tmp_path):
+    """An append lands after a fold: the fold-time postings_scored table
+    must be dropped (its df/n_docs/avgdl are stale for EVERY row) and
+    the delta-path probe must score the grown corpus exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        SEG_SCORED, append_fts_segment, fold_fts_segments,
+        write_fts_segments)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mod7 = F.col("doc_id") % 7
+    out = str(tmp_path / "seg")
+    write_fts_segments(docs.where(~mod7.isin(3, 5)), out)
+    append_fts_segment(spark, out, docs.where(mod7 == 3))
+    fold_fts_segments(spark, out)
+    assert os.path.exists(os.path.join(out, SEG_SCORED))
+    append_fts_segment(spark, out, docs.where(mod7 == 5))
+    assert not os.path.exists(os.path.join(out, SEG_SCORED))
+    query = "spark vector join fast merge"
+    got = [tuple(r) for r in _seg_probe(spark, out, query, 10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, query, 10).collect()]
+    assert got == want
+
+
+def test_fold_crash_rolls_forward(spark, sf_dir, tmp_path, monkeypatch):
+    """A fold that crashes AFTER its FOLD_READY marker lands (stage fully
+    written, swap not run) leaves a store that refuses reads, and the
+    next writer — here an append — completes the swap before doing its
+    own work; the final probe equals a one-shot index over everything."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import duckdb_hybrid_doc_search_spark.index.fts_layout as fl
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import (
+        bm25_topk, segment_fts_index)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mod7 = F.col("doc_id") % 7
+    out = str(tmp_path / "seg")
+    fl.write_fts_segments(docs.where(~mod7.isin(3, 5)), out)
+    fl.append_fts_segment(spark, out, docs.where(mod7 == 3))
+
+    real = fl.complete_fold
+
+    def crash_at_swap(out_dir):
+        if os.path.exists(os.path.join(out_dir, fl.FOLD_READY)):
+            raise RuntimeError("simulated crash before the swap")
+        return real(out_dir)
+
+    monkeypatch.setattr(fl, "complete_fold", crash_at_swap)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        fl.fold_fts_segments(spark, out)
+    monkeypatch.setattr(fl, "complete_fold", real)
+
+    # crashed state: marker present, lock released -> readers refuse
+    assert os.path.exists(os.path.join(out, fl.FOLD_READY))
+    with _pytest.raises(RuntimeError, match="fold swap in flight"):
+        segment_fts_index(spark, out)
+
+    # the next writer rolls the swap forward, then appends
+    fl.append_fts_segment(spark, out, docs.where(mod7 == 5))
+    assert not os.path.exists(os.path.join(out, fl.FOLD_READY))
+    query = "spark vector join fast merge"
+    got = [tuple(r) for r in _seg_probe(spark, out, query, 10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, query, 10).collect()]
+    assert got == want
