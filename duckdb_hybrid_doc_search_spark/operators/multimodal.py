@@ -304,6 +304,53 @@ def gif_decode_stats(spark, gif_dir: str) -> DataFrame:
     return _decode_stats(spark, gif_dir, "*.gif", decode_gif)
 
 
+def gif_frame_stats(spark, gif_dir: str) -> DataFrame:
+    """ANIMATED-GIF demux + decode over real container bytes: every
+    frame of every *.gif under ``gif_dir`` is composited onto the
+    logical-screen canvas exactly as a viewer would show it
+    (functions/gif.decode_gif_frames — frame rects, local palettes,
+    transparency, disposal), and each composited frame emits
+    exact-integer channel sums. The fixtures' frame indices and
+    palettes are closed-form formulas (tools/gen_gifanim_fixtures.py),
+    so the oracle recomputes every composited sum from generate_series
+    + CASE — wrong offsets, a palette leak between frames, or broken
+    transparency all flip a sum. Scale shape: same as _decode_stats
+    (files packed per task, one Arrow crossing, the fan-out from one
+    file row to n frame rows happens inside the batch), the
+    media_video_frames pattern over a REAL public container format.
+    Output: file_name, frame_idx, width, height, sum_c0..sum_c2."""
+    from ..functions.gif import decode_gif_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                frames = decode_gif_frames(bytes(content))
+                n, h, w, _ = frames.shape
+                for t in range(n):
+                    sums = [int(frames[t, :, :, c].sum(dtype=np.int64))
+                            for c in range(3)]
+                    out.append((path.rsplit("/", 1)[-1], t, w, h, *sums))
+            yield pd.DataFrame(
+                out,
+                columns=["file_name", "frame_idx", "width", "height",
+                         "sum_c0", "sum_c1", "sum_c2"],
+            )
+
+    files = spark.read.format("binaryFile").load(
+        gif_dir.rstrip("/") + "/*.gif"
+    )
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            run,
+            "file_name string, frame_idx int, width int, height int, "
+            "sum_c0 long, sum_c1 long, sum_c2 long",
+        )
+        .orderBy("file_name", "frame_idx")
+    )
+
+
 def sniff_image_format(data: bytes) -> str:
     """Magic-bytes format dispatch — the FIRST thing a mixed-format
     media ingest does with an opaque payload column. Returns 'png',

@@ -222,6 +222,78 @@ def media_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.gif_decode_stats(spark, str(_GIF_DIR))
 
 
+_GIFANIM_DIR = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "gifanim"
+
+
+def _gp(c: int, i: str) -> str:
+    """Global-palette channel formulas (tools/gen_gifanim_fixtures.PAL)."""
+    return [f"(({i}) * 5) % 256", f"(({i}) * 11 + 4) % 256",
+            f"(({i}) * 2 + 9) % 256"][c]
+
+
+def _lq(c: int, i: str) -> str:
+    """Local-palette channel formulas (gen_gifanim_fixtures.LOCAL_PAL)."""
+    return [f"(({i}) * 7 + 3) % 256", f"(({i}) * 9 + 50) % 256",
+            f"(({i}) * 13 + 5) % 256"][c]
+
+
+def _gifanim_row(file_name: str, t: int, w: int, h: int,
+                 value_exprs: list[str]) -> str:
+    sums = ",\n         ".join(
+        f"sum({e})::BIGINT AS sum_c{c}" for c, e in enumerate(value_exprs)
+    )
+    return (
+        f"  SELECT '{file_name}' AS file_name, {t} AS frame_idx,\n"
+        f"         {w} AS width, {h} AS height,\n"
+        f"         {sums}\n"
+        f"  FROM generate_series(0, {w - 1}) a(x) "
+        f"CROSS JOIN generate_series(0, {h - 1}) b(y)"
+    )
+
+
+# Composited-frame sums, recomputed from the fixtures' closed-form index
+# and palette formulas (tools/gen_gifanim_fixtures.py) — independent of
+# the codec. patch.gif's second frame folds the LOCAL palette through
+# the offset rect; trans.gif's second frame mixes both frames' values
+# per-pixel where the transparent index occurs.
+_GIFANIM_ORACLE = "SELECT * FROM (\n" + "\n  UNION ALL\n".join(
+    [_gifanim_row("frames3.gif", t, 8, 5,
+                  [_gp(c, f"(x*3 + y*7 + {t * 5}) % 16") for c in range(3)])
+     for t in range(3)]
+    + [_gifanim_row("patch.gif", 0, 8, 6,
+                    [_gp(c, "(x*2 + y*3) % 16") for c in range(3)]),
+       _gifanim_row("patch.gif", 1, 8, 6, [
+           f"CASE WHEN x BETWEEN 2 AND 5 AND y BETWEEN 1 AND 3 "
+           f"THEN {_lq(c, '((x-2)*5 + (y-1)*2 + 1) % 16')} "
+           f"ELSE {_gp(c, '(x*2 + y*3) % 16')} END"
+           for c in range(3)]),
+       _gifanim_row("trans.gif", 0, 6, 4,
+                    [_gp(c, "(x + y*2) % 16") for c in range(3)]),
+       _gifanim_row("trans.gif", 1, 6, 4, [
+           f"CASE WHEN (x*3 + y) % 16 = 7 "
+           f"THEN {_gp(c, '(x + y*2) % 16')} "
+           f"ELSE {_gp(c, '(x*3 + y) % 16')} END"
+           for c in range(3)]),
+     ]
+) + "\n) ORDER BY file_name, frame_idx"
+
+
+@register("media_gif_frames", oracle=_GIFANIM_ORACLE)
+def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-frame decode of a REAL public animated container (GIF89a):
+    every frame of the fixtures/gifanim files composited onto the
+    logical-screen canvas — frame rect offsets, per-frame local color
+    tables, transparency-index deltas, disposal — with per-frame channel
+    sums pinned against the closed-form composition oracle. Where
+    media_video_frames demuxes a home-made concatenated-BMP container,
+    this row demuxes a real published animation format end to end
+    (functions/gif.decode_gif_frames; the block walk and LZW layers are
+    additionally pinned against hand-packed spec-derived bytes in
+    tests/test_gif.py)."""
+    return mm.gif_frame_stats(spark, str(_GIFANIM_DIR))
+
+
 _MIXED_ORACLE = f"""
 SELECT * FROM (
   SELECT 'png' AS format, * FROM ({_PNG_ORACLE})

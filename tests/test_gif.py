@@ -108,3 +108,115 @@ def test_encoder_rejects_bad_palette():
     idx = _img(2, 2, lambda x, y: 0)
     with pytest.raises(ValueError, match="power of two"):
         encode_gif(idx, np.zeros((3, 3), dtype=np.uint8))
+
+
+# --- animation (multi-frame) ---------------------------------------------------
+
+
+def test_hand_packed_multiframe_gif():
+    """A two-frame GIF89a packed BYTE BY BYTE from the spec (neither the
+    encoder nor decoder produced it): full 2x2 first frame, then a 1x1
+    patch at (1,1) behind a disposal-1 graphic-control extension. Pins
+    the animation block walk, GCE parsing, and rect composition against
+    an independent artifact."""
+    import struct
+
+    from duckdb_hybrid_doc_search_spark.functions.gif import (
+        decode_gif_frames)
+
+    pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90],
+                    [200, 210, 220]], dtype=np.uint8)
+    data = bytearray(b"GIF89a")
+    data += struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)   # screen + GCT flag
+    data += pal.tobytes()
+    # frame 1: indices [[0,1],[2,3]] — LZW hand-packed: codes 4(clear),
+    # 0,1,2 at width 3, then 3 and 5(end) at width 4 -> bytes 44 34 05
+    data += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+    data += bytes([2, 3, 0x44, 0x34, 0x05, 0x00])
+    # GCE: disposal 1 (keep), no transparency
+    data += bytes([0x21, 0xF9, 0x04, 0x04, 0, 0, 0, 0])
+    # frame 2: 1x1 index [1] at (1,1) — codes 4(clear),1,5(end) at
+    # width 3 -> bytes 4C 01
+    data += struct.pack("<BHHHHB", 0x2C, 1, 1, 1, 1, 0)
+    data += bytes([2, 2, 0x4C, 0x01, 0x00])
+    data += b"\x3b"
+
+    frames = decode_gif_frames(bytes(data))
+    assert frames.shape == (2, 2, 2, 3)
+    assert (frames[0] == pal[np.array([[0, 1], [2, 3]])]).all()
+    exp1 = pal[np.array([[0, 1], [2, 3]])].copy()
+    exp1[1, 1] = pal[1]
+    assert (frames[1] == exp1).all()
+
+
+def _pal16():
+    return np.array([[i * 9 % 256, i * 5 + 1, i * 3 + 7]
+                     for i in range(16)], dtype=np.uint8)
+
+
+def test_animation_roundtrip_disposal_and_transparency():
+    from duckdb_hybrid_doc_search_spark.functions.gif import (
+        decode_gif_frames, encode_gif_frames)
+
+    pal = _pal16()
+    f0 = _img(6, 5, lambda x, y: (x * 2 + y) % 16)
+    patch = _img(3, 2, lambda x, y: (x + y * 4 + 2) % 16)
+    # disposal 2: after the patch frame shows, its rect restores to the
+    # background color (index 3) for the NEXT frame's base
+    data = encode_gif_frames(
+        [{"indices": f0},
+         {"indices": patch, "left": 1, "top": 2, "disposal": 2},
+         {"indices": _img(1, 1, lambda x, y: 5), "left": 0, "top": 0}],
+        (6, 5), pal, bg_index=3)
+    frames = decode_gif_frames(data)
+    assert frames.shape == (3, 5, 6, 3)
+    exp1 = pal[f0].copy()
+    exp1[2:4, 1:4] = pal[patch]
+    assert (frames[1] == exp1).all()
+    exp2 = pal[f0].copy()
+    exp2[2:4, 1:4] = pal[3]          # disposal-2 restore
+    exp2[0, 0] = pal[5]              # third frame's own 1x1 rect
+    assert (frames[2] == exp2).all()
+
+    # a GCE governs exactly ONE image: the transparency set for frame 2
+    # must not leak into frame 3
+    f1 = f0.copy()
+    f1[:] = 7
+    data = encode_gif_frames(
+        [{"indices": f0}, {"indices": f1, "transparent": 7},
+         {"indices": f1}], (6, 5), pal)
+    frames = decode_gif_frames(data)
+    assert (frames[1] == pal[f0]).all()       # fully transparent overlay
+    assert (frames[2] == pal[f1]).all()       # GCE expired: opaque
+
+
+def test_animation_error_paths():
+    import pytest as _pytest
+
+    from duckdb_hybrid_doc_search_spark.functions.gif import (
+        decode_gif_frames, encode_gif_frames)
+
+    pal = _pal16()
+    f0 = _img(4, 3, lambda x, y: (x + y) % 16)
+    with _pytest.raises(ValueError, match="disposal method 3"):
+        decode_gif_frames(encode_gif_frames(
+            [{"indices": f0}, {"indices": f0, "disposal": 3}], (4, 3),
+            pal))
+    with _pytest.raises(ValueError, match="overflows"):
+        decode_gif_frames(encode_gif_frames(
+            [{"indices": f0, "left": 2}], (4, 3), pal))
+    good = encode_gif_frames([{"indices": f0}], (4, 3), pal)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_gif_frames(good[:-4])
+
+
+def test_single_image_frames_equals_decode_gif():
+    from duckdb_hybrid_doc_search_spark.functions.gif import (
+        decode_gif_frames)
+
+    pal = _pal16()
+    idx = _img(5, 4, lambda x, y: (x * 3 + y * 5) % 16)
+    data = encode_gif(idx, pal)
+    frames = decode_gif_frames(data)
+    assert frames.shape[0] == 1
+    assert (frames[0] == decode_gif(data)).all()
