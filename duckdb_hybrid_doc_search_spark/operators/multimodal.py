@@ -417,7 +417,12 @@ def mixed_decode_stats(spark, media_dirs: list[str]) -> DataFrame:
     )
 
 
-def decode_stats_permissive(spark, media_dirs: list[str]) -> DataFrame:
+_PERMISSIVE_STATS_COLS = ["file_name", "format", "status", "width",
+                          "height", "channels", "pix_sum"]
+
+
+def decode_stats_permissive(spark, media_dirs: list[str],
+                            bad_records_dir: str | None = None) -> DataFrame:
     """Mixed-format decode that treats codec failures as DATA, not task
     death — the mode a 100 TB ingest actually runs: an exception
     escaping the Python worker fails the Spark task, the task's retry
@@ -435,10 +440,54 @@ def decode_stats_permissive(spark, media_dirs: list[str]) -> DataFrame:
     loud-failure contract for curated corpora; this is the quarantine
     path for uncurated ones.
 
+    ``bad_records_dir`` completes the badRecordsPath analogy (r9 VERDICT
+    #6): when set, the ONE decode pass writes a parquet decode LEDGER
+    there — every file's stats row plus, on non-ok rows only, the error
+    message and the raw payload bytes (ok rows carry NULL payload, so
+    the ledger's size is stats + the dirty fraction, never a corpus
+    copy) — and the returned stats frame is a projection OF the written
+    ledger, so nothing decodes twice. read_quarantine / replay_quarantine
+    serve the triage-and-redelivery half: the quarantined bytes re-decode
+    to the same failure classes, driver-checkable end to end
+    (tests/test_multimodal.py).
+
     Output: file_name, format ('unknown' when unrecognized), status
     ('ok' | 'unrecognized' | 'corrupt'), width, height, channels,
     pix_sum (all-channel sum; zeros on non-ok rows).
     """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                name = path.rsplit("/", 1)[-1]
+                fmt, status, err, img = _permissive_decode_one(data)
+                if status != "ok":
+                    out.append((name, fmt, status, 0, 0, 0, 0, err, data))
+                    continue
+                h, w, c = img.shape
+                out.append((name, fmt, "ok", w, h, c,
+                            int(img.sum(dtype=np.int64)), None, None))
+            yield pd.DataFrame(
+                out,
+                columns=_PERMISSIVE_STATS_COLS + ["error", "payload"],
+            )
+
+    files = spark.read.format("binaryFile").load(list(media_dirs))
+    ledger = files.select("path", "content").mapInPandas(
+        run,
+        "file_name string, format string, status string, width int, "
+        "height int, channels int, pix_sum long, error string, "
+        "payload binary",
+    )
+    if bad_records_dir is not None:
+        ledger.write.mode("overwrite").parquet(bad_records_dir)
+        ledger = spark.read.parquet(bad_records_dir)
+    return ledger.select(*_PERMISSIVE_STATS_COLS).orderBy("file_name")
+
+
+def _permissive_decoders() -> dict:
     from ..functions.bmp import decode_bmp
     from ..functions.gif import decode_gif
     from ..functions.png import decode_png
@@ -447,43 +496,61 @@ def decode_stats_permissive(spark, media_dirs: list[str]) -> DataFrame:
     # sniffable format missing here would mis-route to another codec
     # and quarantine HEALTHY files as corrupt (r9 review finding: gif
     # payloads were falling through to decode_bmp)
-    decoders = {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif}
+    return {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif}
+
+
+def _permissive_decode_one(data: bytes):
+    """(format, status, error, img-or-None) for one payload — the single
+    decode rule shared by the ingest pass and quarantine replay, so a
+    replayed payload reproduces its original failure class by
+    construction."""
+    try:
+        fmt = sniff_image_format(data)
+    except ValueError as e:
+        return "unknown", "unrecognized", f"{type(e).__name__}: {e}", None
+    try:
+        img = _permissive_decoders()[fmt](data)
+    except Exception as e:
+        return fmt, "corrupt", f"{type(e).__name__}: {e}", None
+    return fmt, "ok", None, img
+
+
+def read_quarantine(spark, bad_records_dir: str) -> DataFrame:
+    """The quarantined rows of a decode ledger: (file_name, format,
+    status, error, content) for every non-ok payload — a pushed-filter
+    scan of the written parquet (status != 'ok' prunes at the row-group
+    level; ok rows carry NULL payloads anyway)."""
+    return (
+        spark.read.parquet(bad_records_dir)
+        .where(F.col("status") != "ok")
+        .select("file_name", "format", "status", "error",
+                F.col("payload").alias("content"))
+    )
+
+
+def replay_quarantine(spark, bad_records_dir: str) -> DataFrame:
+    """Re-decode the quarantined payloads (the redelivery half of the
+    badRecordsPath loop): each stored byte string goes back through the
+    SAME sniff+decode rule, returning (file_name, format, status,
+    error). A fixed payload re-decodes to 'ok'; a still-broken one
+    reproduces its failure class — so triage can diff this frame against
+    the ledger to see what a codec fix or upstream re-fetch resolved."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                name = path.rsplit("/", 1)[-1]
-                try:
-                    fmt = sniff_image_format(data)
-                except ValueError:
-                    out.append((name, "unknown", "unrecognized", 0, 0, 0, 0))
-                    continue
-                try:
-                    img = decoders[fmt](data)
-                except Exception:
-                    out.append((name, fmt, "corrupt", 0, 0, 0, 0))
-                    continue
-                h, w, c = img.shape
-                out.append((name, fmt, "ok", w, h, c,
-                            int(img.sum(dtype=np.int64))))
+            for name, content in zip(pdf["file_name"], pdf["content"]):
+                fmt, status, err, _ = _permissive_decode_one(bytes(content))
+                out.append((name, fmt, status, err))
             yield pd.DataFrame(
-                out,
-                columns=["file_name", "format", "status", "width",
-                         "height", "channels", "pix_sum"],
+                out, columns=["file_name", "format", "status", "error"]
             )
 
-    files = spark.read.format("binaryFile").load(list(media_dirs))
-    return (
-        files.select("path", "content")
-        .mapInPandas(
-            run,
-            "file_name string, format string, status string, width int, "
-            "height int, channels int, pix_sum long",
-        )
-        .orderBy("file_name")
-    )
+    return read_quarantine(spark, bad_records_dir).select(
+        "file_name", "content"
+    ).mapInPandas(
+        run, "file_name string, format string, status string, error string"
+    ).orderBy("file_name")
 
 
 def _decode_stats(spark, media_dir: str, glob: str, decoder) -> DataFrame:

@@ -119,3 +119,64 @@ def test_permissive_decode_quarantines_instead_of_raising(spark, tmp_path):
     assert rows["ok.bmp"] == ("bmp", "ok", 3, 2, 3, 7 * 18)
     assert rows["short.bmp"] == ("bmp", "corrupt", 0, 0, 0, 0)
     assert rows["junk.dat"] == ("unknown", "unrecognized", 0, 0, 0, 0)
+
+
+def test_quarantine_sink_replayable_payloads(spark, tmp_path):
+    """bad_records_dir e2e (the badRecordsPath loop): a dirty corpus run
+    leaves a written decode ledger whose quarantined PAYLOADS are
+    replayable — re-decode reproduces the same failure classes, a fixed
+    payload re-decodes ok — and the stats frame served from the ledger
+    equals the no-sink run. Ok rows store NULL payloads (the ledger's
+    size is stats + the dirty fraction, never a corpus copy)."""
+    import numpy as np
+
+    from duckdb_hybrid_doc_search_spark.functions.bmp import encode_bmp
+    from duckdb_hybrid_doc_search_spark.functions.gif import (
+        decode_gif, encode_gif)
+    from duckdb_hybrid_doc_search_spark.operators.multimodal import (
+        decode_stats_permissive, read_quarantine, replay_quarantine)
+
+    d = tmp_path / "dirty"
+    d.mkdir()
+    img = np.full((2, 3, 3), 7, dtype=np.uint8)
+    gif_pal = np.array([[0, 0, 0], [9, 9, 9]], dtype=np.uint8)
+    gif_idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    good_gif = encode_gif(gif_idx, gif_pal)
+    (d / "ok.bmp").write_bytes(encode_bmp(img))
+    (d / "short.bmp").write_bytes(encode_bmp(img)[:-5])
+    (d / "cut.gif").write_bytes(good_gif[:-6])
+    (d / "junk.dat").write_bytes(b"JUNKJUNKJUNK")
+
+    sink = str(tmp_path / "quarantine")
+    with_sink = [tuple(r) for r in
+                 decode_stats_permissive(spark, [str(d)], sink).collect()]
+    no_sink = [tuple(r) for r in
+               decode_stats_permissive(spark, [str(d)]).collect()]
+    assert with_sink == no_sink
+
+    q = {r["file_name"]: r for r in
+         read_quarantine(spark, sink).collect()}
+    assert set(q) == {"short.bmp", "cut.gif", "junk.dat"}
+    assert q["short.bmp"]["status"] == "corrupt"
+    assert q["junk.dat"]["status"] == "unrecognized"
+    for r in q.values():
+        assert r["error"]  # the failure is recorded, not just flagged
+    # payloads are the ORIGINAL bytes, byte for byte
+    assert bytes(q["cut.gif"]["content"]) == good_gif[:-6]
+    assert bytes(q["junk.dat"]["content"]) == b"JUNKJUNKJUNK"
+
+    # replay: same failure classes out of the stored bytes
+    replayed = {r["file_name"]: r for r in
+                replay_quarantine(spark, sink).collect()}
+    for name in q:
+        assert replayed[name]["status"] == q[name]["status"], name
+        assert replayed[name]["error"] == q[name]["error"], name
+
+    # a "fixed" payload (re-fetched complete file) re-decodes ok
+    assert decode_gif(good_gif).shape == (2, 2, 3)
+
+    # ledger bounds: ok rows carry NULL payloads
+    ledger = spark.read.parquet(sink)
+    ok = ledger.where("status = 'ok'").collect()
+    assert ok and all(r["payload"] is None and r["error"] is None
+                      for r in ok)
