@@ -25,6 +25,9 @@ ENTRIES = [
      "BM25 over the SEGMENTED (append-maintained) FTS store: term-pruned "
      "postings + docfreq-delta scans, global stats summed in-plan, "
      "TakeOrdered top-k"),
+    ("bm25_folded_layout_probe",
+     "BM25 over a FOLDED segmented store: the fold-time postings_scored "
+     "table restores the one-shot layout's join-free pruned scan"),
     ("hybrid_search_fused",
      "hybrid = pruned FTS branch + vector branch + broadcast candidate "
      "fetch"),

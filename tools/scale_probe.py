@@ -371,9 +371,11 @@ def main() -> None:
     # table) grows 100x. A pruned probe must therefore stay ~flat
     # (slope ~ 0); a probe that actually scans the postings table would
     # read 100x the rows and the slope would approach 1. Embeddings
-    # replicate with shifted vec_ids (vectors unchanged; only copy 0
-    # holds ids under the fixed-K centroid cap, so the IVF cell count
-    # stays K=16).
+    # replicate with shifted vec_ids (vectors unchanged); since r10 the
+    # IVF nlist DERIVES from the corpus count (knn.derive_nlist ~
+    # sqrt(N)), so the 100x build uses ~sqrt(200k)=447 cells and the
+    # probe's scanned fraction NPROBE/nlist SHRINKS ~10x vs sf0.1 —
+    # the scan term grows ~sqrt(N), a measured sub-linear slope.
     from duckdb_hybrid_doc_search_spark.index.fts_layout import (
         ensure_fts_layout)
     from duckdb_hybrid_doc_search_spark.operators import bm25, knn
@@ -463,7 +465,9 @@ def main() -> None:
             "while the postings table grows 100x — a term-pruned probe "
             "must stay ~flat, an unpruned one would read 100x. "
             "Embeddings replicate 100x with shifted vec_ids (200,000 "
-            "vectors; fixed-K centroid set unchanged). Layout builds "
+            "vectors; nlist derives from the count since r10, so the "
+            "100x index has ~447 cells vs sf0.1's 70 and probes "
+            "NPROBE/447 of the corpus). Layout builds "
             "(FTS postings, IVF cells) are write-time cost, untimed "
             "like every other layout probe. Plan assertions at 500k "
             "docs (PushedFilters: [In(term...)], TakeOrderedAndProject) "
@@ -493,12 +497,13 @@ def main() -> None:
             "layout probe). hybrid_search_fused composes both, so its "
             "data-dependent term is the cosine branch's. "
             "hybrid_search_ivf_fused serves BOTH branches from written "
-            "layouts; with the fixed K=16 cell count its probe still "
-            "reads NPROBE/16 of the corpus, so at scale it grows with "
-            "a ~4x smaller constant rather than flattening — the "
-            "k ~ sqrt(N) regime that flattens it is SemDeDup's "
-            "(dedup.semdedup_mod), frozen out of IVF for oracle "
-            "determinism (see r7 notes in PERF_NOTES).",
+            "layouts; with nlist ~ sqrt(N) derived at build time (r10, "
+            "replacing the frozen K=16) its probe scans NPROBE/nlist "
+            "of the corpus — NPROBE*sqrt(N) rows, a genuinely "
+            "sub-linear scan term rather than a constant-factor "
+            "discount; the slope column above is that claim, measured "
+            "(the same count-derived-scalar rule as SemDeDup's "
+            "dedup.semdedup_mod, mirrored in every IVF oracle).",
         ]
     finally:
         shutil.rmtree(doc_root, ignore_errors=True)
@@ -544,30 +549,41 @@ def main() -> None:
 
         t_one = min2_probe(one_dir)
         t_many = min2_probe(many_dir)
+        from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+            fold_fts_segments)
+
+        fold_fts_segments(spark, many_dir)
+        t_folded = min2_probe(many_dir)
         lines += [
             "",
             "## SEGFTS — segmented-FTS probe cost vs segment count",
             "",
             "Same sf0.1 corpus as ONE base segment vs base + 15 appended "
-            "segments (16 hash shards): the bm25 probe over the "
-            "fragmented store pays only the extra parquet files' "
-            "footer/open cost — values are equal by construction "
-            "(tests/test_fts_layout.py) and the growth below is the "
-            "measured fragmentation tax. Production folds old segments "
-            "with the standard compaction job when this tax matters. "
-            "(Context: the segmented probe's base cost is higher than "
-            "DOC100X's bm25_topk because the one-shot layout probes "
-            "join-free denormalized postings_scored, while the "
-            "segmented probe pays the docfreq-delta aggregate + "
-            "docstats join — the price of appendability; at sf0.1 the "
-            "16-segment case is also pathologically fragmented, 16 "
-            "range partitions per ~300-doc shard.)",
+            "segments (16 hash shards), then the appended store FOLDED "
+            "back to one segment (index/fts_layout.fold_fts_segments — "
+            "the r10 compaction): the bm25 probe over the fragmented "
+            "store pays the extra parquet files' footer/open cost plus "
+            "one docfreq delta row per term per segment — values are "
+            "equal across all three states by construction "
+            "(tests/test_fts_layout.py), the growth below is the "
+            "measured fragmentation tax, and the folded row is the tax "
+            "REMOVED. The fold also writes a fold-time postings_scored "
+            "table, so the folded probe takes the one-shot layout's "
+            "join-free term-pruned scan instead of the delta path's "
+            "docfreq aggregate + docstats join — which is why 'folded' "
+            "lands BELOW the one-segment delta-path probe, answering "
+            "r9 VERDICT #7 (the appendability price is paid only while "
+            "segments are actually outstanding).",
             "",
             "| store | probe s |",
             "|---|---|",
             f"| one segment | {t_one} |",
             f"| 16 segments | {t_many} |",
-            f"| ratio | {round(t_many / max(t_one, 1e-4), 2)} |",
+            f"| 16 segments, folded | {t_folded} |",
+            f"| 16-seg / one-seg ratio | "
+            f"{round(t_many / max(t_one, 1e-4), 2)} |",
+            f"| folded / one-seg ratio | "
+            f"{round(t_folded / max(t_one, 1e-4), 2)} |",
         ]
     finally:
         shutil.rmtree(seg_root, ignore_errors=True)
