@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.catalog import load_table
-from ..operators import curation, dedup, knn, packing, textstats, udtfs
+from ..operators import bpe, curation, dedup, knn, packing, textstats, udtfs
 from .registry import register
 
 ANN_K = 5
@@ -938,3 +938,38 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate doubles as the novel-count table — no shingle-keyed
     big-big join)."""
     return curation.ngram_novelty_by_source(_docs(spark, sf_dir))
+
+
+# --- BPE tokenizer training (operators/bpe.py) -------------------------------
+
+
+@register("text_bpe_pair_counts", oracle=bpe.dd_bpe_pair_counts_sql(),
+          defer_gate=True)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial BPE pair statistics (the rank-0 merge candidates):
+    adjacent character-pair counts over the word histogram, weighted by
+    word frequency — the oracled anchor of the BPE family. The word
+    histogram is the family's only corpus-scale pass."""
+    return bpe.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@register("text_bpe_train", defer_gate=True, executes_on_build=True)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Sennrich BPE training (iterative, like
+    embeddings_kmeans_train — rows-only by nature): 16 merges, each one
+    vocabulary-sized pair aggregate + a 1-row argmax collect + a
+    JVM-side fold rewrite. Deterministic tie-break (count desc, then
+    smallest 'lhs rhs'), pinned against an independent pure-Python
+    reference in tests/test_bpe.py."""
+    return bpe.bpe_train(_docs(spark, sf_dir))
+
+
+@register("text_bpe_encode_stats", defer_gate=True, executes_on_build=True)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE, then measure the learned tokenizer per language:
+    fertility (subword tokens per word) and chars-per-token. Only the
+    DISTINCT-word vocabulary is segmented in Python (Arrow-batched);
+    corpus text never crosses the JVM boundary. Rows-only: encode
+    parity is pytest-pinned word-for-word against the pure-Python
+    reference."""
+    return bpe.bpe_encode_stats(_docs(spark, sf_dir))

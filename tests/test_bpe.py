@@ -1,0 +1,232 @@
+"""BPE tokenizer training: the distributed trainer/encoder vs an
+independent pure-Python Sennrich reference (ACL 2016 learn_bpe /
+apply_bpe semantics), exact merge-for-merge and word-for-word.
+
+The reference here is deliberately written in a different style
+(dict-of-tuples vocabulary, string keys) so agreement is a genuine
+cross-check of the JVM fold / pandas-UDF encode, not a shared bug.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.functions.text import tokenize
+from duckdb_hybrid_doc_search_spark.operators import bpe
+
+
+# --- independent pure-Python reference --------------------------------------
+
+
+def _ref_merge_ltr(syms: tuple[str, ...], lhs: str, rhs: str) -> tuple:
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def ref_learn(word_freqs: dict[str, int], n_merges: int):
+    """Sennrich learn_bpe over a word-frequency dict; tie-break = max
+    count then lexicographically smallest 'lhs rhs'."""
+    vocab = {
+        tuple(list(w) + [bpe.EOW]): c for w, c in word_freqs.items()
+    }
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best_count = max(pairs.values())
+        lhs, rhs = min(
+            (p for p, c in pairs.items() if c == best_count),
+            key=lambda p: f"{p[0]} {p[1]}",
+        )
+        merges.append((rank, lhs, rhs, best_count))
+        vocab = {
+            _ref_merge_ltr(s, lhs, rhs): c for s, c in vocab.items()
+        }
+    return merges, vocab
+
+
+def ref_encode(word: str, merges) -> list[str]:
+    """apply_bpe: lowest-rank pair present merges (all LTR occurrences),
+    repeat until none applies."""
+    ranks = {(lhs, rhs): rank for rank, lhs, rhs, _ in merges}
+    syms = tuple(list(word) + [bpe.EOW])
+    while len(syms) > 1:
+        present = [
+            (ranks[(syms[i], syms[i + 1])], (syms[i], syms[i + 1]))
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not present:
+            break
+        _, (lhs, rhs) = min(present)
+        syms = _ref_merge_ltr(syms, lhs, rhs)
+    return list(syms)
+
+
+def _word_freqs(spark, sf_dir) -> dict[str, int]:
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    return {r["w"]: r["count"] for r in rows}
+
+
+# --- tests -------------------------------------------------------------------
+
+
+FIXTURE_DOCS = [
+    (0, "low lower lowest low low", "en", "srcA"),
+    (1, "new newer newest new wider wide", "en", "srcA"),
+    (2, "the thee then the the the", "en", "srcB"),
+    (3, "aaa aaaa aa a baa", "en", "srcB"),
+    (4, "x", "de", "srcB"),  # single-char word: [x, EOW] -> one merge
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_docs(spark):
+    return spark.createDataFrame(
+        FIXTURE_DOCS, ["doc_id", "text", "lang", "source"]
+    )
+
+
+def test_train_matches_reference_on_fixture(spark, fixture_docs):
+    freqs = Counter()
+    for r in FIXTURE_DOCS:
+        freqs.update(r[1].split())
+    expected, _ = ref_learn(dict(freqs), 12)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.bpe_train(fixture_docs, 12).collect()
+    ]
+    assert got == expected
+
+
+def test_train_matches_reference_on_sf(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected, _ = ref_learn(_word_freqs(spark, sf_dir), bpe.BPE_MERGES)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.bpe_train(docs).collect()
+    ]
+    assert got == expected
+
+
+def test_pair_counts_match_reference_formula(spark, fixture_docs):
+    freqs = Counter()
+    for r in FIXTURE_DOCS:
+        freqs.update(r[1].split())
+    pairs: Counter = Counter()
+    for w, c in freqs.items():
+        syms = list(w) + [bpe.EOW]
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += c
+    expected = sorted(
+        ((lhs, rhs, c) for (lhs, rhs), c in pairs.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[: bpe.BPE_TOP_PAIRS]
+    got = [
+        (r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.bpe_pair_counts(fixture_docs).collect()
+    ]
+    assert got == expected
+
+
+def test_encode_matches_reference_per_word(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merge_rows = bpe.bpe_train(docs).collect()
+    merges = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in merge_rows
+    ]
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    got = {
+        r["word"]: r["subwords"]
+        for r in bpe.bpe_segment_vocab(vocab, merge_rows).collect()
+    }
+    assert len(got) > 20  # sf0.001's synthetic ASCII vocabulary
+    for word, subwords in got.items():
+        assert subwords == ref_encode(word, merges), word
+        # conservation: concatenated subwords spell the word + EOW
+        assert "".join(subwords) == word + bpe.EOW
+
+
+def test_encode_in_rank_order_reproduces_training_vocab(spark, fixture_docs):
+    """The standard BPE property: applying learned merges to a training
+    word reproduces its final training-time segmentation."""
+    freqs = Counter()
+    for r in FIXTURE_DOCS:
+        freqs.update(r[1].split())
+    merges, final_vocab = ref_learn(dict(freqs), 12)
+    seg_by_word = {
+        "".join(s).removesuffix(bpe.EOW): list(s) for s in final_vocab
+    }
+    merge_rows = [
+        {"rank": r, "lhs": l, "rhs": rr} for r, l, rr, _ in merges
+    ]
+    vocab_df = fixture_docs.select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    ).distinct()
+    got = {
+        r["word"]: r["subwords"]
+        for r in bpe.bpe_segment_vocab(vocab_df, merge_rows).collect()
+    }
+    assert got == seg_by_word
+
+
+def test_encode_stats_totals(spark, fixture_docs):
+    """Fertility/compression recomputed from the reference encoder."""
+    merges, _ = ref_learn(
+        dict(
+            sum(
+                (Counter(r[1].split()) for r in FIXTURE_DOCS), Counter()
+            )
+        ),
+        bpe.BPE_MERGES,
+    )
+    per_lang: dict[str, list[int]] = {}
+    for _, text, lang, _src in FIXTURE_DOCS:
+        for w in text.split():
+            n_sub = len(ref_encode(w, merges))
+            words, toks, chars = per_lang.setdefault(lang, [0, 0, 0])
+            per_lang[lang] = [words + 1, toks + n_sub, chars + len(w)]
+    got = {
+        r["lang"]: r for r in bpe.bpe_encode_stats(fixture_docs).collect()
+    }
+    assert set(got) == set(per_lang)
+    for lang, (words, toks, chars) in per_lang.items():
+        assert got[lang]["n_words"] == words
+        assert got[lang]["n_bpe_tokens"] == toks
+        assert got[lang]["fertility"] == round(toks / words, 6)
+        assert got[lang]["chars_per_token"] == round(chars / toks, 6)
+
+
+def test_single_symbol_words_stop_cleanly(spark):
+    """A vocabulary that merges down to single symbols ends training
+    early instead of erroring on empty pair sets."""
+    docs = spark.createDataFrame(
+        [(0, "a a a", "en", "s")], ["doc_id", "text", "lang", "source"]
+    )
+    merges = bpe.bpe_train(docs, 10).collect()
+    # 'a</w>' forms after one merge; no pairs remain
+    assert [(m["lhs"], m["rhs"]) for m in merges] == [("a", bpe.EOW)]
