@@ -361,13 +361,25 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
                        new_docs: DataFrame,
                        append_id: str | None = None,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> None:
+                       text_col: str = "text",
+                       skip_existing: bool = False) -> None:
     """Append one segment (an arriving shard's docs) to a segmented FTS
     store — no rebuild, no rewrite of existing files. Same crash-safety
     and idempotency contract as index/dedup_layout.append_dedup_
     signatures (staged rename under a deterministic append id, last
     tier = segstats, per-id retry cleanup, orphan sweep, id-overlap
-    check against docstats, single-writer lockfile)."""
+    check against docstats, single-writer lockfile).
+
+    ``skip_existing`` changes the id-overlap check from raise to
+    subtract: docs whose ids are already live in the store are dropped
+    from the segment (batch-bounded broadcast anti-join, evaluated
+    AFTER the orphan sweep so a crashed append's half-landed rows can't
+    mask a retry). This is what makes at-least-once redelivery safe
+    ACROSS A FOLD: after fold_fts_segments merges an appended segment
+    into the base, the per-append files that normal redelivery would
+    replace are gone, and re-appending the same docs would double-count
+    df/n_docs — with skip_existing the redelivered batch reduces to a
+    no-op instead. Manual appends keep the loud default."""
     import glob
     import shutil
 
@@ -410,19 +422,33 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
         for path in paths.values():
             for f in glob.glob(os.path.join(path, f"append-{append_id}-*")):
                 os.remove(f)
-        n_dup = (
+        dup_ids = (
             spark.read.parquet(paths["docstats"])
             .select("doc_id")
             .join(F.broadcast(new_docs.select(
                 F.col(id_col).alias("doc_id"))), "doc_id")
-            .count()
         )
-        if n_dup:
-            raise ValueError(
-                f"append segment overlaps the FTS store on {n_dup} "
-                "doc_id(s): duplicate ids would double-count postings "
-                "and inflate df/n_docs. Segments must carry NEW ids."
+        if skip_existing:
+            # batch-bounded (≤ the segment's own ids); pinned so the
+            # anti-join broadcasts a materialized set, not a re-scan
+            dup_local = dup_ids.localCheckpoint(eager=True)
+            new_docs = new_docs.join(
+                F.broadcast(dup_local),
+                new_docs[id_col] == dup_local["doc_id"],
+                "left_anti",
             )
+            if new_docs.isEmpty():
+                return  # full redelivery of an already-live segment
+        else:
+            n_dup = dup_ids.count()
+            if n_dup:
+                raise ValueError(
+                    f"append segment overlaps the FTS store on {n_dup} "
+                    "doc_id(s): duplicate ids would double-count "
+                    "postings and inflate df/n_docs. Segments must "
+                    "carry NEW ids (or pass skip_existing=True to "
+                    "drop them, the streaming redelivery contract)."
+                )
         # single-writer lock held: every staged subdir is crash residue
         # (ours or a never-redelivered batch's) — reap them all (r9
         # review finding, mirrors append_dedup_signatures)

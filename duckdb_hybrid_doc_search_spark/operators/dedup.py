@@ -1138,21 +1138,24 @@ def decide_batch_against_store(spark, batch_docs: DataFrame,
     bfp = batch_docs.select(
         "doc_id", F.md5(F.col("text")).alias("fp")
     )
-    if caches is not None:
-        # bfp feeds three tiers; cache it ONLY for callers that will
-        # unpersist (the streaming loop) — a tracked-nowhere cache per
-        # probe call would accumulate across a long session (r9 review
-        # finding); untracked callers just recompute the cheap md5
-        bfp = bfp.cache()
-    efp = read_fp(spark, layout_dir).select("fp").distinct()
     bsig = minhash_signatures(batch_docs)
     if caches is not None:
-        # same rule as bfp: cache only when the caller will unpersist —
-        # an untracked cache per probe call accumulates across a
-        # long-lived stream (r9 advisor finding: the bfp fix above had
-        # not been mirrored here)
+        # bfp feeds three tiers, bsig two; cache them with an EXPLICIT
+        # lifetime for callers that unpersist (the streaming loop) — a
+        # tracked-nowhere cache per probe call would accumulate across
+        # a long session (r9 review + advisor findings)
+        bfp = bfp.cache()
         bsig = bsig.cache()
         caches.extend([bfp, bsig])
+    else:
+        # one-shot callers still need the reuse (recomputing bsig's
+        # shingle+minhash pass per consumer cost ~0.7s/probe at sf0.1),
+        # but without a tracked lifetime: localCheckpoint blocks are
+        # released by the ContextCleaner once the plan is GC'd — the
+        # same untracked-pin pattern as bigram_pmi's count tables
+        bfp = bfp.localCheckpoint(eager=False)
+        bsig = bsig.localCheckpoint(eager=False)
+    efp = read_fp(spark, layout_dir).select("fp").distinct()
     return _incremental_decide(
         bfp, efp,
         _band_sigs(bsig), read_bands(spark, layout_dir),

@@ -95,7 +95,10 @@ def ensure_fts_base_store(spark: SparkSession, docs: DataFrame,
 
 def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
                              top_k: int,
-                             query_name: str = "fts_append") -> DataFrame:
+                             query_name: str = "fts_append",
+                             fold_every: int | None = None,
+                             trigger_files: int | None = None,
+                             run_root: str | None = None) -> DataFrame:
     """Search-index maintenance WITHOUT recomputation, as a structured
     stream: arriving documents (doc_id % 7 == 3 — the SEG_SPLIT rule)
     flow through foreachBatch and each micro-batch APPENDS one segment
@@ -113,41 +116,72 @@ def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
     a drifted append (double-counted df, skewed avgdl, lost postings)
     flips the registered row.
 
-    Fold cadence: each micro-batch adds one segment, and two probe costs
-    grow with segment count (parquet file opens; per-term docfreq delta
-    rows — SCALING.md SEGFTS measured 1.62x at 16 segments), so a
-    long-lived stream schedules index/fts_layout.fold_fts_segments as
-    periodic maintenance — every N micro-batches or when the segment
-    count (segstats row count) passes a threshold, exactly like Lucene
-    segment merges. The fold takes the same single-writer lock as the
-    appends, so it simply runs between micro-batches; scoring is
-    fold-invariant (exact-integer stats), so probes are correct at every
-    cadence. The bounded drive here keeps segments unfolded on purpose:
-    its registered row gates the append path, while the fold path is
-    gated by bm25_folded_layout_probe."""
+    Fold cadence (``fold_every``): each micro-batch adds one segment,
+    and two probe costs grow with segment count (parquet file opens;
+    per-term docfreq delta rows — SCALING.md SEGFTS measured 1.62x at
+    16 segments), so a long-lived stream runs
+    index/fts_layout.fold_fts_segments as periodic maintenance, exactly
+    like Lucene segment merges: when the post-append segment count
+    (segstats row count) reaches ``fold_every``, the batch hook folds
+    the store back to one base segment before the next batch. The fold
+    takes the same single-writer lock as the appends, so it simply runs
+    between them; scoring is fold-invariant (exact-integer stats), so
+    probes are correct at every cadence. Folding erases the per-append
+    files that make plain redelivery idempotent, so the folding loop
+    appends with ``skip_existing=True`` — a redelivered batch whose
+    docs are already live (folded into the base or not) reduces to a
+    no-op instead of double-counting df/n_docs. The registered bounded
+    drive keeps segments unfolded on purpose: its row gates the append
+    path, while the fold path is gated by bm25_folded_layout_probe and
+    the fold-cadence stream by tests/test_streaming.py.
+
+    ``trigger_files`` (tests): spool the arriving slice as N parquet
+    files streamed with maxFilesPerTrigger=1, forcing N micro-batches
+    so the cadence actually fires. ``run_root``: caller-owned run dir,
+    left on disk for post-run store inspection."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from ..index.fts_layout import (SEG_SPLIT_MOD, SEG_SPLIT_REM,
-                                    append_fts_segment)
+                                    append_fts_segment, fold_fts_segments)
     from ..operators.bm25 import bm25_topk_from_index, segment_fts_index
     from .docs import read_documents_stream
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     is_new = F.col("doc_id") % SEG_SPLIT_MOD == SEG_SPLIT_REM
     base = ensure_fts_base_store(spark, docs.where(~is_new), sf_dir)
-    run_root = tempfile.mkdtemp(prefix="stream_ftsappend_")
+    caller_owns_root = run_root is not None
+    if run_root is None:
+        run_root = tempfile.mkdtemp(prefix="stream_ftsappend_")
     store = f"{run_root}/store"
     shutil.copytree(base, store)
 
+    if trigger_files:
+        spool = f"{run_root}/spool"
+        docs.where(is_new).repartition(trigger_files).write.parquet(spool)
+        source = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(spool)
+        )
+    else:
+        source = read_documents_stream(spark, sf_dir)
+
     def append_slice(bdf: DataFrame, batch_id: int) -> None:
         batch = bdf.where(is_new)
-        append_fts_segment(spark, store, batch, append_id=f"mb{batch_id}")
+        append_fts_segment(spark, store, batch, append_id=f"mb{batch_id}",
+                           skip_existing=fold_every is not None)
+        if (
+            fold_every is not None
+            and spark.read.parquet(f"{store}/segstats").count() >= fold_every
+        ):
+            fold_fts_segments(spark, store)
 
     q = (
-        read_documents_stream(spark, sf_dir)
+        source
         .writeStream.outputMode("append")
         .foreachBatch(append_slice)
         .queryName(query_name)
@@ -161,5 +195,6 @@ def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
         ).localCheckpoint()
     finally:
         q.stop()
-        shutil.rmtree(run_root, ignore_errors=True)
+        if not caller_owns_root:
+            shutil.rmtree(run_root, ignore_errors=True)
     return result

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from duckdb_hybrid_doc_search_spark.index.catalog import load_table
 from duckdb_hybrid_doc_search_spark.operators.events import windowed_agg
 from duckdb_hybrid_doc_search_spark.streaming.events import (
@@ -398,4 +402,73 @@ def test_streaming_fts_append_equals_batch_bm25(spark, sf_dir):
     got = [tuple(r) for r in
            run_streaming_fts_append(spark, sf_dir, query, 10).collect()]
     want = [tuple(r) for r in bm25_topk(docs, query, 10).collect()]
+    assert got == want
+
+
+def test_streaming_fts_append_with_fold_cadence(spark, sf_dir, tmp_path):
+    """The fold-cadence loop (fold back to one base segment whenever the
+    store reaches fold_every segments) must (a) still probe equal to the
+    one-shot batch BM25 over the full corpus, (b) actually fold — the
+    post-run store holds ≤ fold_every segments and, when the last batch
+    triggered a fold, the fold-time postings_scored table — and (c) stay
+    redelivery-safe ACROSS the fold: re-appending an already-folded
+    batch with skip_existing is a no-op, without it a loud error."""
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        SEG_SCORED, SEG_SPLIT_MOD, SEG_SPLIT_REM, append_fts_segment)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import (
+        bm25_topk, bm25_topk_from_index, segment_fts_index)
+    from duckdb_hybrid_doc_search_spark.streaming.index_maintenance import (
+        run_streaming_fts_append)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    query = "spark vector join fast merge"
+    run_root = str(tmp_path / "foldrun")
+    got = [tuple(r) for r in
+           run_streaming_fts_append(spark, sf_dir, query, 10,
+                                    query_name="fts_append_fold",
+                                    fold_every=2, trigger_files=3,
+                                    run_root=run_root).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, query, 10).collect()]
+    assert got == want
+
+    store = f"{run_root}/store"
+    n_segs = spark.read.parquet(f"{store}/segstats").count()
+    assert n_segs <= 2  # every batch folds at the 2-segment threshold
+    assert os.path.exists(f"{store}/{SEG_SCORED}") == (n_segs == 1)
+
+    # redelivery of an already-folded batch: skip_existing reduces it to
+    # a no-op (probe unchanged), the loud default raises
+    folded_slice = docs.where(
+        F.col("doc_id") % SEG_SPLIT_MOD == SEG_SPLIT_REM)
+    append_fts_segment(spark, store, folded_slice, append_id="mb0",
+                       skip_existing=True)
+    again = [tuple(r) for r in bm25_topk_from_index(
+        segment_fts_index(spark, store), query, 10).collect()]
+    assert again == want
+    with pytest.raises(ValueError, match="overlaps the FTS store"):
+        append_fts_segment(spark, store, folded_slice, append_id="mb9")
+
+
+def test_fts_append_skip_existing_partial_overlap(spark, sf_dir, tmp_path):
+    """skip_existing drops only the already-live ids: a half-old,
+    half-new segment appends exactly its new half."""
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        append_fts_segment, write_fts_segments)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import (
+        bm25_topk, bm25_topk_from_index, segment_fts_index)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = str(tmp_path / "seg")
+    write_fts_segments(docs.where(F.col("doc_id") % 3 == 0), store)
+    # overlap: %3==0 already live; new: %3==1
+    append_fts_segment(spark, store, docs.where(F.col("doc_id") % 3 <= 1),
+                       append_id="ab", skip_existing=True)
+    query = "spark vector join fast merge"
+    got = [tuple(r) for r in bm25_topk_from_index(
+        segment_fts_index(spark, store), query, 10).collect()]
+    want = [tuple(r) for r in
+            bm25_topk(docs.where(F.col("doc_id") % 3 <= 1), query,
+                      10).collect()]
     assert got == want
