@@ -300,7 +300,13 @@ SELECT query_id, doc_id, score, rank FROM (
 """.strip()
 
 
-def segment_fts_index(spark, seg_dir: str) -> dict[str, DataFrame]:
+#: probe-only scored-table handles, keyed by store dir behind a
+#: file-stat signature (see segment_fts_index)
+_SCORED_PROBE_MEMO: dict = {}
+
+
+def segment_fts_index(spark, seg_dir: str,
+                      probe_only: bool = False) -> dict[str, DataFrame]:
     """Open a SEGMENTED FTS store (index/fts_layout.write_fts_segments +
     append_fts_segment) as a normalized index dict for the standard
     probe operators. Global statistics are aggregated from per-segment
@@ -333,6 +339,32 @@ def segment_fts_index(spark, seg_dir: str) -> dict[str, DataFrame]:
             "Run index/fts_layout.complete_fold (any writer does this "
             "automatically) before probing."
         )
+    scored_dir = os.path.join(seg_dir, SEG_SCORED)
+    if probe_only and os.path.exists(scored_dir):
+        # a probe over a FOLDED store consumes ONLY the denormalized
+        # scored table (_matched short-circuits on it); opening the four
+        # normalized dirs would pay their parquet footer/schema reads
+        # per probe call for DataFrames the plan never touches. The
+        # DataFrame handle is memoized per store dir behind a file-stat
+        # signature (the same warm-repeat design as ensure_fts_layout's
+        # probe path): any append/fold rewrites or deletes the scored
+        # files, so a stale handle can never be served.
+        import glob
+
+        from ..index.fingerprint import stat_sig
+
+        files = sorted(glob.glob(os.path.join(scored_dir, "*.parquet")))
+        try:
+            sig = stat_sig(files)
+        except OSError:
+            sig = None  # racing writer: fall through to a fresh read
+        hit = _SCORED_PROBE_MEMO.get(seg_dir)
+        if sig is not None and hit is not None and hit[0] == sig:
+            return {SEG_SCORED: hit[1]}
+        df = spark.read.parquet(scored_dir)
+        if sig is not None:
+            _SCORED_PROBE_MEMO[seg_dir] = (sig, df)
+        return {SEG_SCORED: df}
     postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
     docfreq = (
         spark.read.parquet(os.path.join(seg_dir, "docfreq"))
@@ -353,7 +385,6 @@ def segment_fts_index(spark, seg_dir: str) -> dict[str, DataFrame]:
         "docstats": docstats,
         "corpus_stats": corpus_stats,
     }
-    scored_dir = os.path.join(seg_dir, SEG_SCORED)
     if os.path.exists(scored_dir):
         index[SEG_SCORED] = spark.read.parquet(scored_dir)
     return index

@@ -132,7 +132,8 @@ def bm25_folded_layout_probe(spark: SparkSession,
 
     seg_dir = ensure_fts_folded_layout(spark, _docs(spark, sf_dir), sf_dir)
     return bm25.bm25_topk_from_index(
-        bm25.segment_fts_index(spark, seg_dir), QUERY, TOP_K
+        bm25.segment_fts_index(spark, seg_dir, probe_only=True),
+        QUERY, TOP_K
     )
 
 

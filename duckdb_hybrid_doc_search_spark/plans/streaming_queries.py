@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as _dedup
 from ..operators import events as _events
 from ..streaming import events as _streaming
+from ..streaming import ingest as _ingest
 from .registry import register
 
 
@@ -251,3 +252,19 @@ def streaming_fts_segment_append(spark: SparkSession,
 
     return run_streaming_fts_append(spark, sf_dir, QUERY, TOP_K,
                                     "reg_fts_append")
+
+
+@register("streaming_ingest_pipeline", bench=False,
+          executes_on_build=True, defer_gate=True,
+          oracle=_ingest.dd_ingest_ledger_sql())
+def streaming_ingest_pipeline(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The COMPOSED ingestion loop — dedup-decide, quality gate, FTS
+    segment append, signature append — as one structured stream over
+    the written layouts; returns the per-batch ledger. The bounded
+    drive delivers one micro-batch, so the ledger is one row whose
+    counts hash-match the DuckDB composition of the incremental-dedup
+    oracle with the quality-floor oracle (streaming/ingest.py)."""
+    from ..streaming.ingest import run_streaming_ingest
+
+    return run_streaming_ingest(spark, sf_dir, "reg_ingest")

@@ -68,11 +68,19 @@ def run_streaming_index_update(spark: SparkSession, watch_dir: str,
 
 
 def ensure_fts_base_store(spark: SparkSession, docs: DataFrame,
-                          sf_dir: str, root: str | None = None) -> str:
+                          sf_dir: str, root: str | None = None,
+                          name: str = "segbase") -> str:
     """Build (once, fingerprint-keyed) a BASE-ONLY segmented FTS store
     over `docs` — the starting state the streaming append loop copies
     per run (appends must never mutate the shared cache, mirroring
-    streaming/docs.run_streaming_incremental_dedup's store copy)."""
+    streaming/docs.run_streaming_incremental_dedup's store copy).
+
+    ``name`` must identify the LOGICAL corpus: the file-stat fingerprint
+    hashes input FILES, not plans (index/fingerprint.py's documented
+    contract), so two different FILTERS of the same parquet fingerprint
+    identically — callers slicing the corpus differently (the SEG_SPLIT
+    append loop vs the ingestion pipeline's BATCH_MOD split) must pass
+    distinct names or they silently share one cached store."""
     import os
     import shutil
 
@@ -83,7 +91,7 @@ def ensure_fts_base_store(spark: SparkSession, docs: DataFrame,
     fp = layout_fingerprint(docs, "doc_id", "text")
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
-        f"-segbase-v{_LAYOUT_VERSION}-{fp}"
+        f"-{name}-v{_LAYOUT_VERSION}-{fp}"
     )
     out_dir = os.path.join(warehouse_root("fts_segment_layout", root), key)
     if not os.path.exists(os.path.join(out_dir, SEG_DONE)):
@@ -191,7 +199,7 @@ def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
         q.processAllAvailable()
         q.stop()
         result = bm25_topk_from_index(
-            segment_fts_index(spark, store), query, top_k
+            segment_fts_index(spark, store, probe_only=True), query, top_k
         ).localCheckpoint()
     finally:
         q.stop()

@@ -1,0 +1,218 @@
+"""The COMPOSED ingestion pipeline as one structured stream: every
+arriving shard flows dedup-decide → quality-gate → search-index append
+→ signature append, against the repo's written layouts, in one
+foreachBatch loop.
+
+Each stage already exists and is individually gated (incremental dedup:
+operators/dedup.decide_batch_against_store + index/dedup_layout;
+quality: operators/textstats.quality_scores with curation's floor;
+search index: index/fts_layout.append_fts_segment + fold cadence).
+This module proves they hold TOGETHER in the loop a 100 TB corpus
+actually runs continuously:
+
+    for each arriving micro-batch:
+        decisions  = decide batch against the signature store
+        kept       = decisions == 'kept'           (dedup survivors)
+        append kept docs' signatures to the store  (next shard sees them)
+        admitted   = kept AND quality >= QUALITY_FLOOR
+        append ONE FTS segment of admitted docs    (no index rebuild)
+        fold the FTS store when it reaches fold_every segments
+        write a per-batch ledger row + the admitted-id manifest
+
+Scale shape: every per-batch stage is batch-proportional (the stores
+are only scanned, never rewritten — appends are new files, the fold is
+the priced maintenance job); nothing crosses the driver but 1-row
+scalars; decisions/ledger/manifest land in batch-id-keyed parquet
+sinks, so at-least-once redelivery overwrites its own slice, the
+signature append is idempotent per append id, and the FTS append runs
+skip_existing so a batch redelivered after a fold is a no-op
+(index/fts_layout.append_fts_segment's redelivery contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textstats
+from ..operators.curation import QUALITY_FLOOR
+from ..operators.dedup import BATCH_MOD
+
+
+def dd_ingest_ledger_sql(table: str = "documents") -> str:
+    """DuckDB oracle for the bounded single-batch drive's ledger row:
+    the dedup decisions are dedup_incremental_batch's oracle (the
+    stream==batch property the dedup loop already proved), the quality
+    gate is quality_scores' oracle with curation's floor, and the
+    ledger is one aggregate over their composition."""
+    from ..operators.dedup import dd_dedup_incremental_batch_sql
+
+    return f"""
+WITH dec AS ({dd_dedup_incremental_batch_sql(table)}),
+ql AS (
+  SELECT doc_id FROM ({textstats.dd_quality_scores_sql(table)})
+  WHERE quality >= {QUALITY_FLOOR}
+)
+SELECT 0::BIGINT AS batch_id,
+       count(*)::BIGINT AS n_arrived,
+       sum(CASE WHEN decision = 'exact_dup' THEN 1 ELSE 0 END)::BIGINT
+         AS n_exact_dup,
+       sum(CASE WHEN decision = 'near_dup' THEN 1 ELSE 0 END)::BIGINT
+         AS n_near_dup,
+       sum(CASE WHEN decision = 'kept' THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept,
+       sum(CASE WHEN decision = 'kept'
+                 AND doc_id IN (SELECT doc_id FROM ql)
+            THEN 1 ELSE 0 END)::BIGINT AS n_indexed,
+       sum(CASE WHEN decision = 'kept'
+                 AND doc_id NOT IN (SELECT doc_id FROM ql)
+            THEN 1 ELSE 0 END)::BIGINT AS n_quality_rejected
+FROM dec
+""".strip()
+
+
+def run_streaming_ingest(spark: SparkSession, sf_dir: str,
+                         query_name: str = "ingest",
+                         fold_every: int | None = None,
+                         trigger_files: int | None = None,
+                         run_root: str | None = None) -> DataFrame:
+    """Drive the composed ingestion loop over the bounded documents
+    stream (arriving slice: doc_id % BATCH_MOD == 0, the incremental
+    dedup family's split) and return the per-batch ledger.
+
+    ``trigger_files`` spools the arriving slice as N files streamed
+    with maxFilesPerTrigger=1 (N micro-batches, so cross-shard dedup
+    and the fold cadence actually fire); ``run_root`` hands the run
+    dir (both stores + sinks) to the caller for post-run inspection.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..index.dedup_layout import (append_dedup_signatures,
+                                      ensure_dedup_layout)
+    from ..index.fts_layout import append_fts_segment, fold_fts_segments
+    from ..operators.dedup import decide_batch_against_store
+    from .docs import read_documents_stream
+    from .index_maintenance import ensure_fts_base_store
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    existing = docs.where(~is_batch)
+    dstore_base = ensure_dedup_layout(spark, existing, sf_dir)
+    # distinct cache name: the file-stat fingerprint can't tell this
+    # BATCH_MOD slice from the append loop's SEG_SPLIT slice
+    fstore_base = ensure_fts_base_store(spark, existing, sf_dir,
+                                        name="ingestbase")
+    caller_owns_root = run_root is not None
+    if run_root is None:
+        run_root = tempfile.mkdtemp(prefix="stream_ingest_")
+    dstore = f"{run_root}/dedup_store"
+    fstore = f"{run_root}/fts_store"
+    shutil.copytree(dstore_base, dstore)
+    shutil.copytree(fstore_base, fstore)
+    sink = f"{run_root}/decisions"
+    ledger = f"{run_root}/ledger"
+    manifest = f"{run_root}/indexed"
+
+    if trigger_files:
+        spool = f"{run_root}/spool"
+        docs.where(is_batch).repartition(trigger_files).write.parquet(spool)
+        source = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(spool)
+        )
+    else:
+        source = read_documents_stream(spark, sf_dir)
+
+    def ingest_slice(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.where(is_batch)
+        caches: list = []
+        try:
+            dec = decide_batch_against_store(spark, batch, dstore,
+                                             caches=caches)
+            slice_dir = f"{sink}/batch-{batch_id}"
+            dec.write.mode("overwrite").parquet(slice_dir)
+            decided = spark.read.parquet(slice_dir)
+            kept_ids = decided.where(
+                F.col("decision") == "kept").select("doc_id")
+            kept_docs = batch.join(F.broadcast(kept_ids), "doc_id",
+                                   "leftsemi")
+            # next shard must see this shard's kept content
+            append_dedup_signatures(spark, dstore, kept_docs,
+                                    append_id=f"mb{batch_id}")
+            admitted_ids = (
+                textstats.quality_scores(kept_docs)
+                .where(F.col("quality") >= QUALITY_FLOOR)
+                .select("doc_id")
+            )
+            manifest_dir = f"{manifest}/batch-{batch_id}"
+            admitted_ids.write.mode("overwrite").parquet(manifest_dir)
+            admitted_docs = batch.join(
+                F.broadcast(spark.read.parquet(manifest_dir)),
+                "doc_id", "leftsemi")
+            append_fts_segment(spark, fstore, admitted_docs,
+                               append_id=f"mb{batch_id}",
+                               skip_existing=True)
+            if (
+                fold_every is not None
+                and spark.read.parquet(f"{fstore}/segstats").count()
+                >= fold_every
+            ):
+                fold_fts_segments(spark, fstore)
+            row = (
+                decided.agg(
+                    F.count(F.lit(1)).alias("n_arrived"),
+                    F.sum((F.col("decision") == "exact_dup")
+                          .cast("long")).alias("n_exact_dup"),
+                    F.sum((F.col("decision") == "near_dup")
+                          .cast("long")).alias("n_near_dup"),
+                    F.sum((F.col("decision") == "kept")
+                          .cast("long")).alias("n_kept"),
+                )
+                .crossJoin(
+                    spark.read.parquet(manifest_dir)
+                    .agg(F.count(F.lit(1)).alias("n_indexed"))
+                )
+                .select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "n_arrived", "n_exact_dup", "n_near_dup", "n_kept",
+                    "n_indexed",
+                    (F.col("n_kept") - F.col("n_indexed"))
+                    .alias("n_quality_rejected"),
+                )
+            )
+            row.write.mode("overwrite").parquet(
+                f"{ledger}/batch-{batch_id}")
+        finally:
+            for c in caches:
+                c.unpersist()
+
+    q = (
+        source
+        .writeStream.outputMode("append")
+        .foreachBatch(ingest_slice)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        if not os.path.exists(ledger):  # no micro-batch ever fired
+            return spark.createDataFrame(
+                [], "batch_id long, n_arrived long, n_exact_dup long, "
+                    "n_near_dup long, n_kept long, n_indexed long, "
+                    "n_quality_rejected long"
+            )
+        result = (
+            spark.read.parquet(f"{ledger}/batch-*")
+            .orderBy("batch_id")
+            .localCheckpoint()
+        )
+    finally:
+        q.stop()
+        if not caller_owns_root:
+            shutil.rmtree(run_root, ignore_errors=True)
+    return result

@@ -1,0 +1,128 @@
+"""The composed streaming ingestion pipeline (streaming/ingest.py):
+dedup-decide → quality gate → FTS segment append → signature append in
+one foreachBatch loop, gated against the batch composition of its
+already-proven stages.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_hybrid_doc_search_spark.operators.curation import QUALITY_FLOOR
+from duckdb_hybrid_doc_search_spark.operators.dedup import (
+    BATCH_MOD,
+    dedup_incremental_batch,
+)
+from duckdb_hybrid_doc_search_spark.operators.textstats import quality_scores
+from duckdb_hybrid_doc_search_spark.streaming.ingest import (
+    run_streaming_ingest,
+)
+
+QUERY = "spark vector join fast merge"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _probe(spark, store, k=10):
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        segment_fts_index,
+    )
+
+    return [tuple(r) for r in bm25_topk_from_index(
+        segment_fts_index(spark, store), QUERY, k).collect()]
+
+
+def test_ingest_single_batch_matches_batch_composition(spark, sf_dir,
+                                                       tmp_path):
+    docs = _docs(spark, sf_dir)
+    run_root = str(tmp_path / "ingest1")
+    ledger = run_streaming_ingest(spark, sf_dir, "t_ingest1",
+                                  run_root=run_root).collect()
+    assert len(ledger) == 1  # bounded source = one micro-batch
+    row = ledger[0]
+
+    dec = {r["doc_id"]: r["decision"]
+           for r in dedup_incremental_batch(docs).collect()}
+    ql = {r["doc_id"] for r in quality_scores(docs)
+          .where(F.col("quality") >= QUALITY_FLOOR).collect()}
+    kept = {d for d, v in dec.items() if v == "kept"}
+    assert row["batch_id"] == 0
+    assert row["n_arrived"] == len(dec)
+    assert row["n_exact_dup"] == sum(v == "exact_dup" for v in dec.values())
+    assert row["n_near_dup"] == sum(v == "near_dup" for v in dec.values())
+    assert row["n_kept"] == len(kept)
+    assert row["n_indexed"] == len(kept & ql)
+    assert row["n_quality_rejected"] == len(kept - ql)
+
+    # the final search index serves existing ∪ admitted — equal to a
+    # one-shot batch index over the same doc set
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_topk
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(
+        f"{run_root}/indexed/batch-*").collect()}
+    assert admitted == kept & ql
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    indexed_docs = docs.where(
+        ~is_batch | F.col("doc_id").isin(list(admitted)))
+    want = [tuple(r) for r in bm25_topk(indexed_docs, QUERY, 10).collect()]
+    assert _probe(spark, f"{run_root}/fts_store") == want
+
+
+def test_ingest_multi_batch_with_fold(spark, sf_dir, tmp_path):
+    """Three arriving shards with fold_every=2: cross-shard dedup runs
+    through the signature store, the FTS store folds mid-stream, and
+    the final index equals a one-shot build over existing ∪ admitted."""
+    docs = _docs(spark, sf_dir)
+    run_root = str(tmp_path / "ingest3")
+    ledger = run_streaming_ingest(spark, sf_dir, "t_ingest3",
+                                  fold_every=2, trigger_files=3,
+                                  run_root=run_root).collect()
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    n_arriving = docs.where(is_batch).count()
+
+    assert sum(r["n_arrived"] for r in ledger) == n_arriving
+    for r in ledger:
+        assert (r["n_exact_dup"] + r["n_near_dup"] + r["n_kept"]
+                == r["n_arrived"])
+        assert r["n_indexed"] + r["n_quality_rejected"] == r["n_kept"]
+
+    # every arriving doc decided exactly once across shards
+    decided = spark.read.parquet(f"{run_root}/decisions/batch-*")
+    assert decided.count() == n_arriving
+    assert decided.select("doc_id").distinct().count() == n_arriving
+
+    # fold cadence held: never more than fold_every segments at rest
+    n_segs = spark.read.parquet(
+        f"{run_root}/fts_store/segstats").count()
+    assert n_segs <= 2
+
+    # the final index == one-shot build over existing ∪ all admitted
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_topk
+
+    manifest_glob = f"{run_root}/indexed/batch-*"
+    admitted = (
+        {r["doc_id"] for r in spark.read.parquet(manifest_glob).collect()}
+        if any(os.scandir(f"{run_root}/indexed")) else set()
+    )
+    indexed_docs = docs.where(
+        ~is_batch | F.col("doc_id").isin(list(admitted)))
+    want = [tuple(r) for r in bm25_topk(indexed_docs, QUERY, 10).collect()]
+    assert _probe(spark, f"{run_root}/fts_store") == want
+
+    # cross-shard duplicate visibility: a doc kept in shard k must make
+    # an identical doc arriving in shard k+1 an exact_dup — verified
+    # globally: no two KEPT docs share a fingerprint with each other or
+    # with the existing corpus
+    kept_ids = [r["doc_id"] for r in decided.where(
+        F.col("decision") == "kept").collect()]
+    fps = docs.select("doc_id", F.md5("text").alias("fp"))
+    kept_fps = fps.where(F.col("doc_id").isin(kept_ids))
+    assert kept_fps.select("fp").distinct().count() == len(kept_ids)
+    overlap = kept_fps.alias("k").join(
+        fps.where(~is_batch).alias("e"), "fp").count()
+    assert overlap == 0
