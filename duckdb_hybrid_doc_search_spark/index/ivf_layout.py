@@ -225,7 +225,8 @@ def ivf_partitioned_topk(spark: SparkSession, out_dir: str,
 
 
 def append_ivf_vectors(spark: SparkSession, out_dir: str,
-                       new_emb: DataFrame) -> None:
+                       new_emb: DataFrame,
+                       skip_existing: bool = False) -> None:
     """Incremental index maintenance: assign NEW vectors to the layout's
     EXISTING centroids and append them to their cell partitions — no
     rebuild, no rewrite of existing files (the maintenance story a 100 TB
@@ -262,6 +263,8 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     """
     from ..operators.knn import assign_to_centroids
 
+    if new_emb.isEmpty():
+        return  # a micro-batch whose slice filter left nothing
     # the BUILD's frozen nlist, from the layout meta — never re-derived
     # (the corpus has grown since; a bigger nlist would wrongly admit
     # ids that were centroid slots, a smaller one wrongly reject)
@@ -298,17 +301,36 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     target_cells = sorted(
         r.cell for r in assign.select("cell").distinct().collect()
     )
-    n_dup = (
+    dup_ids = (
         probe_cells(spark, out_dir, target_cells)
         .select("vec_id")
         .join(F.broadcast(new_emb.select("vec_id")), "vec_id")
-        .count()
     )
-    if n_dup:
-        raise ValueError(
-            f"append batch overlaps the layout on {n_dup} vec_id(s): "
-            "appending an existing id writes duplicate rows into its "
-            "cell partition and probes would return duplicate "
-            "candidates. Append batches must carry NEW vec_ids only."
+    if skip_existing:
+        # redelivery contract (the FTS append's skip_existing twin):
+        # deterministic frozen-centroid assignment means a re-appended
+        # identical vector lands in its ORIGINAL cell, so the pruned
+        # dup set is exactly the already-applied subset — subtract it
+        # and an at-least-once redelivery reduces to a no-op instead of
+        # duplicate candidate rows. Batch-bounded, pinned before the
+        # broadcast anti-join.
+        dup_local = dup_ids.localCheckpoint(eager=True)
+        batch = batch.join(
+            F.broadcast(dup_local),
+            batch["vec_id"] == dup_local["vec_id"],
+            "left_anti",
         )
+        if batch.isEmpty():
+            return  # full redelivery of an already-applied batch
+    else:
+        n_dup = dup_ids.count()
+        if n_dup:
+            raise ValueError(
+                f"append batch overlaps the layout on {n_dup} vec_id(s): "
+                "appending an existing id writes duplicate rows into its "
+                "cell partition and probes would return duplicate "
+                "candidates. Append batches must carry NEW vec_ids only "
+                "(or pass skip_existing=True to drop them, the streaming "
+                "redelivery contract)."
+            )
     batch.write.mode("append").partitionBy("cell").parquet(out_dir)

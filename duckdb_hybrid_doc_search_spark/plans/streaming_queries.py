@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as _dedup
 from ..operators import events as _events
+from ..operators import knn as _knn
 from ..streaming import events as _streaming
 from ..streaming import ingest as _ingest
 from .registry import register
@@ -268,3 +269,21 @@ def streaming_ingest_pipeline(spark: SparkSession,
     from ..streaming.ingest import run_streaming_ingest
 
     return run_streaming_ingest(spark, sf_dir, "reg_ingest")
+
+
+@register("streaming_ivf_append", bench=False,
+          executes_on_build=True, defer_gate=True,
+          oracle=_knn.dd_ivf_topk_sql(5, 10))
+def streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index maintenance as a structured stream: each micro-batch
+    of arriving vectors is assigned against the layout's FROZEN
+    centroids and appended to its cell partitions (new parquet files in
+    the hot cells — nothing rebuilt, skip_existing for redelivery). The
+    post-stream partition-pruned probe must hash-match the one-shot IVF
+    oracle over the FULL table — the streaming twin of
+    ann_ivf_append_probe, completing the maintenance-loop pair: FTS
+    (streaming_fts_segment_append) and vectors both stay fresh without
+    recomputation."""
+    from ..streaming.index_maintenance import run_streaming_ivf_append
+
+    return run_streaming_ivf_append(spark, sf_dir, 5, 10, "reg_ivf_append")

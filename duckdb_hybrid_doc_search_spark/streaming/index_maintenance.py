@@ -206,3 +206,134 @@ def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
         if not caller_owns_root:
             shutil.rmtree(run_root, ignore_errors=True)
     return result
+
+
+def ensure_ivf_stream_base(spark: SparkSession, sf_dir: str,
+                           root: str | None = None) -> tuple[str, int]:
+    """Build (once, fingerprint-keyed) the BASE IVF layout the streaming
+    append loop copies per run: the full corpus MINUS the arriving slice
+    (vec_id % APPEND_SPLIT_MOD == APPEND_SPLIT_REM, the same split as
+    the batch append probe), indexed with nlist derived from the FULL
+    count so the append sequence ends at exactly the one-shot build's
+    state. Returns (dir, nlist). The key carries its own name — the
+    file-stat fingerprint hashes FILES, not plans, so this slice needs a
+    distinct stem from any other cut of the same parquet."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..index.fingerprint import layout_fingerprint, warehouse_root
+    from ..index.ivf_layout import (APPEND_SPLIT_MOD, APPEND_SPLIT_REM,
+                                    LAYOUT_DONE, LAYOUT_FORMAT,
+                                    read_layout_meta, write_ivf_partitioned)
+    from ..operators.knn import centroid_pred, derive_nlist
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-ivfstreambase-{LAYOUT_FORMAT}"
+        f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
+    )
+    out_dir = os.path.join(warehouse_root("ivf_stream_base", root), key)
+    if os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
+        return out_dir, read_layout_meta(out_dir)["nlist"]
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    nlist = derive_nlist(emb.count())
+    is_new = (~centroid_pred("vec_id", nlist)) & (
+        F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM
+    )
+    write_ivf_partitioned(emb.where(~is_new), out_dir, nlist=nlist)
+    return out_dir, nlist
+
+
+def run_streaming_ivf_append(spark: SparkSession, sf_dir: str,
+                             k: int, n_queries: int,
+                             query_name: str = "ivf_append",
+                             trigger_files: int | None = None,
+                             run_root: str | None = None) -> DataFrame:
+    """Vector-index maintenance WITHOUT recomputation, as a structured
+    stream — the IVF twin of :func:`run_streaming_fts_append`: arriving
+    vectors flow through foreachBatch and each micro-batch is assigned
+    against the layout's FROZEN centroids and appended to its cell
+    partitions (index/ivf_layout.append_ivf_vectors — new parquet files
+    in the hot cells' directories, nothing existing rewritten). Appends
+    run skip_existing=True: deterministic frozen-centroid assignment
+    sends a redelivered vector to its original cell, where the pruned
+    duplicate check drops it — at-least-once redelivery is a no-op.
+
+    The bounded drive returns the post-stream partition-pruned top-k
+    probe, which must hash-match the one-shot IVF oracle over the FULL
+    table (frozen-centroid append equivalence — the same oracle as
+    ann_ivf_append_probe, now earned through the streaming loop).
+
+    Copies the fingerprint-keyed base per run (appends mutate the dir;
+    the shared cache must stay pristine). ``trigger_files`` /
+    ``run_root`` as in run_streaming_fts_append."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..index.ivf_layout import (APPEND_SPLIT_MOD, APPEND_SPLIT_REM,
+                                    _centroid_dir, _meta_path,
+                                    append_ivf_vectors,
+                                    ivf_partitioned_topk)
+    from ..operators.knn import centroid_pred
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base, nlist = ensure_ivf_stream_base(spark, sf_dir)
+    is_new = (~centroid_pred("vec_id", nlist)) & (
+        F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM
+    )
+    caller_owns_root = run_root is not None
+    if run_root is None:
+        run_root = tempfile.mkdtemp(prefix="stream_ivfappend_")
+    store = f"{run_root}/store"
+    shutil.copytree(base, store)
+    # the frozen centroid table and build meta are SIBLING side files
+    # (inside the dir they would be misread as cell data by the
+    # partitioned scan) — the per-run copy must carry them too
+    shutil.copytree(_centroid_dir(base), _centroid_dir(store))
+    shutil.copy(_meta_path(base), _meta_path(store))
+
+    if trigger_files:
+        spool = f"{run_root}/spool"
+        emb.where(is_new).repartition(trigger_files).write.parquet(spool)
+        source = (
+            spark.readStream.schema(emb.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(spool)
+        )
+    else:
+        source = (
+            spark.readStream.schema(emb.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "embeddings.parquet")
+            .load(sf_dir)
+        )
+
+    def append_slice(bdf: DataFrame, batch_id: int) -> None:
+        append_ivf_vectors(spark, store, bdf.where(is_new),
+                           skip_existing=True)
+
+    q = (
+        source
+        .writeStream.outputMode("append")
+        .foreachBatch(append_slice)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        result = ivf_partitioned_topk(
+            spark, store, emb, k, n_queries
+        ).localCheckpoint()
+    finally:
+        q.stop()
+        if not caller_owns_root:
+            shutil.rmtree(run_root, ignore_errors=True)
+    return result

@@ -472,3 +472,40 @@ def test_fts_append_skip_existing_partial_overlap(spark, sf_dir, tmp_path):
             bm25_topk(docs.where(F.col("doc_id") % 3 <= 1), query,
                       10).collect()]
     assert got == want
+
+
+def test_streaming_ivf_append_equals_batch_probe(spark, sf_dir, tmp_path):
+    """The streaming vector-index maintenance loop must end at exactly
+    the state the batch append sequence produces (frozen-centroid append
+    equivalence), across multiple micro-batches, and stay
+    redelivery-safe: re-appending an already-applied slice with
+    skip_existing is a no-op, without it a loud error."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        APPEND_SPLIT_MOD, APPEND_SPLIT_REM, append_ivf_vectors,
+        ensure_ivf_append_layout, ivf_partitioned_topk, read_layout_meta)
+    from duckdb_hybrid_doc_search_spark.operators.knn import centroid_pred
+    from duckdb_hybrid_doc_search_spark.streaming.index_maintenance import (
+        run_streaming_ivf_append)
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    run_root = str(tmp_path / "ivfrun")
+    got = sorted(tuple(r) for r in run_streaming_ivf_append(
+        spark, sf_dir, 5, 10, "t_ivf_app", trigger_files=3,
+        run_root=run_root).collect())
+    out_dir = ensure_ivf_append_layout(spark, emb, sf_dir)
+    want = sorted(tuple(r) for r in ivf_partitioned_topk(
+        spark, out_dir, emb, 5, 10).collect())
+    assert got == want
+
+    store = f"{run_root}/store"
+    nlist = read_layout_meta(store)["nlist"]
+    arriving = emb.where(
+        (~centroid_pred("vec_id", nlist))
+        & (F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM))
+    append_ivf_vectors(spark, store, arriving, skip_existing=True)
+    again = sorted(tuple(r) for r in ivf_partitioned_topk(
+        spark, store, emb, 5, 10).collect())
+    assert again == want
+    with pytest.raises(ValueError, match="overlaps the layout"):
+        append_ivf_vectors(spark, store, arriving)
