@@ -161,6 +161,17 @@ RECHECK: dict[str, int] = {
     "ann_ivfpq_layout_probe": 10,
     "ann_ivfpq_append_probe": 10,
     "hybrid_search_ivf_fused": 10,
+    # r10: decide_batch_against_store pins bfp/bsig via localCheckpoint
+    # for one-shot callers (the r9 advisor fix had traded the cache
+    # leak for a per-consumer minhash recompute) — value-identical,
+    # but the executed path changed for both store-probe forms
+    "dedup_incremental_batch": 10,
+    "dedup_incremental_layout_probe": 10,
+    # r10: folded-store probes short-circuit through segment_fts_index's
+    # probe_only scored-table memo — value-identical, but the probe
+    # plan construction changed after the query was registered, so pull
+    # it into this round's window instead of the deferred r11 slot
+    "bm25_folded_layout_probe": 10,
 }
 
 

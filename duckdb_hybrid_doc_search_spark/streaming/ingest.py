@@ -165,12 +165,17 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
             row = (
                 decided.agg(
                     F.count(F.lit(1)).alias("n_arrived"),
-                    F.sum((F.col("decision") == "exact_dup")
-                          .cast("long")).alias("n_exact_dup"),
-                    F.sum((F.col("decision") == "near_dup")
-                          .cast("long")).alias("n_near_dup"),
-                    F.sum((F.col("decision") == "kept")
-                          .cast("long")).alias("n_kept"),
+                    # coalesce: sum over an EMPTY micro-batch's decisions
+                    # is NULL, and the ledger contract is exact integers
+                    F.coalesce(F.sum((F.col("decision") == "exact_dup")
+                                     .cast("long")), F.lit(0))
+                    .alias("n_exact_dup"),
+                    F.coalesce(F.sum((F.col("decision") == "near_dup")
+                                     .cast("long")), F.lit(0))
+                    .alias("n_near_dup"),
+                    F.coalesce(F.sum((F.col("decision") == "kept")
+                                     .cast("long")), F.lit(0))
+                    .alias("n_kept"),
                 )
                 .crossJoin(
                     spark.read.parquet(manifest_dir)
