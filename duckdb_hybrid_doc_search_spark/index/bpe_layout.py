@@ -1,0 +1,70 @@
+"""Written BPE tokenizer layout: the trained merge table persisted next
+to the other written index layouts.
+
+Production trains a tokenizer ONCE and applies it everywhere; the
+registered encode queries therefore probe a stored merge table (16
+rows + meta) instead of re-running the iterative trainer per query —
+the same write-time-vs-probe-time split as the FTS/IVF layouts. The
+merge table is tiny (n_merges rows), so the layout is really about the
+CONTRACT: frozen at build, fingerprint-keyed staleness, sentinel-last
+crash safety.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.bpe import BPE_MERGES, MERGES_SCHEMA, bpe_train
+
+BPE_DONE = "_BPE_DONE"
+
+
+def write_bpe_merges(docs: DataFrame, out_dir: str,
+                     n_merges: int = BPE_MERGES) -> None:
+    """Train on `docs` and persist the merge table (rank-ordered, one
+    file — it is n_merges rows) plus build meta; sentinel lands last."""
+    merges = bpe_train(docs, n_merges)
+    merges.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "merges"))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n_merges": n_merges}, f)
+    with open(os.path.join(out_dir, BPE_DONE), "w"):
+        pass
+
+
+def read_bpe_merges(spark: SparkSession, out_dir: str) -> list:
+    """Rank-ordered merge rows from a completed layout."""
+    if not os.path.exists(os.path.join(out_dir, BPE_DONE)):
+        raise ValueError(
+            f"no completed BPE layout at {out_dir}: build it first "
+            "(write_bpe_merges)."
+        )
+    df = spark.read.schema(MERGES_SCHEMA).parquet(
+        os.path.join(out_dir, "merges"))
+    return sorted(df.collect(), key=lambda r: r["rank"])
+
+
+def ensure_bpe_layout(spark: SparkSession, docs: DataFrame, sf_dir: str,
+                      root: str | None = None,
+                      n_merges: int = BPE_MERGES) -> str:
+    """Build (once, fingerprint-keyed) the trained-tokenizer layout for
+    this corpus — training is write-time cost, probes read 16 rows."""
+    import shutil
+
+    from .fingerprint import layout_fingerprint, warehouse_root
+
+    fp = layout_fingerprint(docs, "doc_id", "text")
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-bpe{n_merges}-{fp}"
+    )
+    out_dir = os.path.join(warehouse_root("bpe_layout", root), key)
+    if os.path.exists(os.path.join(out_dir, BPE_DONE)):
+        return out_dir
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    write_bpe_merges(docs, out_dir, n_merges)
+    return out_dir

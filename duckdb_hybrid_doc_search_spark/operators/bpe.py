@@ -267,19 +267,22 @@ def bpe_segment_vocab(words: DataFrame, merge_rows: list) -> DataFrame:
 
 
 def bpe_encode_stats(
-    docs: DataFrame, n_merges: int = BPE_MERGES
+    docs: DataFrame, n_merges: int = BPE_MERGES, merge_rows: list | None = None
 ) -> DataFrame:
-    """Train BPE on the corpus, then measure the learned tokenizer per
-    language slice: word/subword-token totals, fertility (BPE tokens
-    per word — the standard tokenizer-quality metric) and compression
-    (word chars per BPE token).
+    """Measure a BPE tokenizer over the corpus per language slice:
+    word/subword-token totals, fertility (BPE tokens per word — the
+    standard tokenizer-quality metric) and compression (word chars per
+    BPE token). ``merge_rows`` supplies a trained tokenizer (the
+    written layout, index/bpe_layout.py — production applies a stored
+    tokenizer, it doesn't retrain per query); without it, trains fresh.
 
     Corpus text is aggregated to (lang, word, cnt) first — one shuffle,
     the same grain the histogram pass already proved — and only the
     vocabulary is segmented in Python; the join back is a hash join on
     word (vocabulary-sized build side, never the corpus).
     """
-    merge_rows = bpe_train(docs, n_merges).collect()  # n_merges rows
+    if merge_rows is None:
+        merge_rows = bpe_train(docs, n_merges).collect()  # n_merges rows
     spark = docs.sparkSession
     by_lang_word = (
         docs.repartition(spark.sparkContext.defaultParallelism)

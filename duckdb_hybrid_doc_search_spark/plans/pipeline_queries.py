@@ -966,10 +966,17 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_bpe_encode_stats", defer_gate=True, executes_on_build=True)
 def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train BPE, then measure the learned tokenizer per language:
-    fertility (subword tokens per word) and chars-per-token. Only the
+    """Measure the trained tokenizer per language: fertility (subword
+    tokens per word) and chars-per-token. Probes the WRITTEN tokenizer
+    layout (index/bpe_layout.py — trained once per corpus fingerprint,
+    the production train-once/apply-everywhere shape); only the
     DISTINCT-word vocabulary is segmented in Python (Arrow-batched);
     corpus text never crosses the JVM boundary. Rows-only: encode
     parity is pytest-pinned word-for-word against the pure-Python
     reference."""
-    return bpe.bpe_encode_stats(_docs(spark, sf_dir))
+    from ..index.bpe_layout import ensure_bpe_layout, read_bpe_merges
+
+    docs = _docs(spark, sf_dir)
+    layout = ensure_bpe_layout(spark, docs, sf_dir)
+    return bpe.bpe_encode_stats(
+        docs, merge_rows=read_bpe_merges(spark, layout))

@@ -230,3 +230,33 @@ def test_single_symbol_words_stop_cleanly(spark):
     merges = bpe.bpe_train(docs, 10).collect()
     # 'a</w>' forms after one merge; no pairs remain
     assert [(m["lhs"], m["rhs"]) for m in merges] == [("a", bpe.EOW)]
+
+
+def test_bpe_layout_roundtrip(spark, sf_dir, tmp_path):
+    """Written tokenizer layout: stored merges == a fresh train, the
+    ensure path caches by fingerprint, and encode stats computed from
+    the stored tokenizer equal the train-fresh form."""
+    import os
+
+    from duckdb_hybrid_doc_search_spark.index.bpe_layout import (
+        BPE_DONE, ensure_bpe_layout, read_bpe_merges)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "bpe_root")
+    d1 = ensure_bpe_layout(spark, docs, sf_dir, root=root)
+    assert os.path.exists(os.path.join(d1, BPE_DONE))
+    stored = [(r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+              for r in read_bpe_merges(spark, d1)]
+    fresh = [(r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+             for r in bpe.bpe_train(docs).collect()]
+    assert stored == fresh
+
+    mtime = os.path.getmtime(os.path.join(d1, BPE_DONE))
+    d2 = ensure_bpe_layout(spark, docs, sf_dir, root=root)
+    assert d2 == d1
+    assert os.path.getmtime(os.path.join(d1, BPE_DONE)) == mtime  # cached
+
+    from_stored = bpe.bpe_encode_stats(
+        docs, merge_rows=read_bpe_merges(spark, d1)).collect()
+    from_fresh = bpe.bpe_encode_stats(docs).collect()
+    assert [tuple(r) for r in from_stored] == [tuple(r) for r in from_fresh]
