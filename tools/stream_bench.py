@@ -46,6 +46,32 @@ STATE_KEY = "spark.sql.streaming.stateStore.providerClass"
 _LAST_STATE_METRICS: list[dict] = []
 
 
+def _drive_fts_append(spark, sf_dir, query_name="sb_ftsapp"):
+    """Adapter: the FTS append loop takes (query, top_k) probe args."""
+    from duckdb_hybrid_doc_search_spark.streaming.index_maintenance import (
+        run_streaming_fts_append)
+
+    return run_streaming_fts_append(
+        spark, sf_dir, "spark vector join fast merge", 10,
+        query_name=query_name)
+
+
+def _drive_ivf_append(spark, sf_dir, query_name="sb_ivfapp"):
+    """Adapter: the IVF append loop takes (k, n_queries) probe args."""
+    from duckdb_hybrid_doc_search_spark.streaming.index_maintenance import (
+        run_streaming_ivf_append)
+
+    return run_streaming_ivf_append(spark, sf_dir, 5, 10,
+                                    query_name=query_name)
+
+
+def _drive_ingest(spark, sf_dir, query_name="sb_ingest"):
+    from duckdb_hybrid_doc_search_spark.streaming.ingest import (
+        run_streaming_ingest)
+
+    return run_streaming_ingest(spark, sf_dir, query_name=query_name)
+
+
 def _drive_interval_join(spark, sf_dir, query_name="sb_ivjoin"):
     """Adapter: run_streaming_interval_join returns the live query, not
     the driven result — drive it to completion like the other runners,
@@ -90,6 +116,9 @@ def main() -> None:
     n_docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).count()
+    n_emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
     # runner -> (drive fn, input-row count for the rows/s denominator)
     runners = {
         "sessionize_applyInPandasWithState": (se.run_streaming_sessionize,
@@ -112,6 +141,14 @@ def main() -> None:
         # the full docs table (the loop filters to the batch side)
         "incremental_dedup_loop": (sd.run_streaming_incremental_dedup,
                                    n_docs),
+        # r10: index-maintenance loops (segment/cell appends against the
+        # written FTS and IVF layouts) and the composed ingestion
+        # pipeline (dedup -> quality -> index) — all foreachBatch, so
+        # provider choice is inert for them; recorded under both anyway
+        # for one uniform table
+        "fts_segment_append_loop": (_drive_fts_append, n_docs),
+        "ivf_append_loop": (_drive_ivf_append, n_emb),
+        "ingest_pipeline_loop": (_drive_ingest, n_docs),
     }
     out: dict[str, dict] = {}
     for provider_name, provider in (("hdfs_heap", None),
