@@ -658,3 +658,58 @@ FROM w
 ORDER BY sample_score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+# --- leakage-safe splits ------------------------------------------------------
+
+
+def leakage_safe_split(docs: DataFrame) -> DataFrame:
+    """Group-aware train/val/test assignment: the unit of splitting is
+    the NEAR-DUPLICATE CLUSTER (connected components over the minhash-
+    LSH candidate graph), not the document — so a near-dup pair can
+    never straddle train and test, the contamination-by-split leak that
+    silently inflates every eval built from the same corpus
+    (train_val_test_split's per-doc hash rule cannot prevent it). Docs
+    in no near-dup pair form singleton clusters keyed by their own id.
+
+    Shape: one LEFT join of the corpus id projection against the
+    component table (pair-graph-sized — orders of magnitude smaller
+    than the corpus under LSH), then a pure hash expression; the split
+    column follows the cluster forever (deterministic across engines,
+    re-runs, re-partitions).
+
+    Output: (doc_id, cluster_id, split) at per-doc grain.
+    """
+    comp = dedup.dedup_components(docs)
+    base = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id"))
+        .cast("long").alias("cluster_id"),
+    )
+    bucket = h64(
+        F.concat(F.lit("lsplit#"), F.col("cluster_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return base.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def dd_leakage_safe_split_sql(table: str = "documents") -> str:
+    bucket = dd_h64("'lsplit#' || cluster_id::VARCHAR")
+    return f"""
+WITH comp AS ({dedup.dd_dedup_components_sql(table)}),
+base AS (
+  SELECT d.doc_id,
+         coalesce(c.component_id, d.doc_id)::BIGINT AS cluster_id
+  FROM {table} d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ({bucket} % 100) < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN ({bucket} % 100) < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM base
+""".strip()

@@ -980,3 +980,15 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = ensure_bpe_layout(spark, docs, sf_dir)
     return bpe.bpe_encode_stats(
         docs, merge_rows=read_bpe_merges(spark, layout))
+
+
+@register("corpus_leakage_safe_split",
+          oracle=curation.dd_leakage_safe_split_sql(), defer_gate=True)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate CLUSTERS
+    (LSH-graph connected components), not documents, are the assignment
+    unit — a near-dup pair can never straddle train and test (the
+    contamination-by-split leak). Singletons key by their own id; the
+    oracle composes the recursive-CTE components closure with the same
+    hash-bucket rule."""
+    return curation.leakage_safe_split(_docs(spark, sf_dir))

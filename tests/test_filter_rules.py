@@ -118,3 +118,41 @@ def test_semdedup_mod_is_isqrt(n, expected):
     from duckdb_hybrid_doc_search_spark.operators.dedup import semdedup_mod
 
     assert semdedup_mod(n) == expected
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    """No near-dup pair may cross split boundaries, every doc gets
+    exactly one assignment, singleton clusters key by their own id,
+    and the assignment is deterministic."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hybrid_doc_search_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from duckdb_hybrid_doc_search_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = leakage_safe_split(docs)
+    rows = out.collect()
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+
+    pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b").collect()
+    assert len(pairs) > 0  # the guarantee must actually bite
+    for p in pairs:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]], p
+        assert cluster_of[p["doc_a"]] == cluster_of[p["doc_b"]], p
+
+    paired = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    for d, c in cluster_of.items():
+        if d not in paired:
+            assert c == d  # singleton keys by its own id
+
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(docs).collect()}
+    assert again == split_of
+    assert set(split_of.values()) == {"train", "val", "test"}
