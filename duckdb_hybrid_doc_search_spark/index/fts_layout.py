@@ -412,12 +412,6 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
         # BEFORE the staging reap below would destroy it (a fold that
         # crashed before its marker landed is plain staging garbage)
         complete_fold(out_dir)
-        # this append changes df/n_docs/avgdl for every existing row, so
-        # a fold-time postings_scored table (SEG_SCORED) is stale the
-        # moment it lands: drop it — probes fall back to the delta path
-        # until the next fold
-        shutil.rmtree(os.path.join(out_dir, SEG_SCORED),
-                      ignore_errors=True)
         _sweep_orphan_segments(paths)
         for path in paths.values():
             for f in glob.glob(os.path.join(path, f"append-{append_id}-*")):
@@ -449,6 +443,16 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
                     "carry NEW ids (or pass skip_existing=True to "
                     "drop them, the streaming redelivery contract)."
                 )
+        # this append changes df/n_docs/avgdl for every existing row, so
+        # a fold-time postings_scored table (SEG_SCORED) is stale the
+        # moment it lands: drop it — probes fall back to the delta path
+        # until the next fold. Deleted only AFTER the duplicate check /
+        # skip_existing early-return above: a no-op redelivery of an
+        # already-applied batch, or a rejected overlapping batch,
+        # changes nothing and must not destroy the folded probe table
+        # (r10 review finding).
+        shutil.rmtree(os.path.join(out_dir, SEG_SCORED),
+                      ignore_errors=True)
         # single-writer lock held: every staged subdir is crash residue
         # (ours or a never-redelivered batch's) — reap them all (r9
         # review finding, mirrors append_dedup_signatures)

@@ -300,8 +300,12 @@ SELECT query_id, doc_id, score, rank FROM (
 """.strip()
 
 
-#: probe-only scored-table handles, keyed by store dir behind a
-#: file-stat signature (see segment_fts_index)
+#: probe-only scored-table handles, keyed by (Spark application id,
+#: store dir) behind a file-stat signature (see segment_fts_index). The
+#: app id keys out handles bound to a stopped session (the _OPEN memo's
+#: rule, index/fts_layout.py); entries whose store dir is gone (per-run
+#: temp stores) are swept on insert so the dict cannot accumulate dead
+#: plans across a long session.
 _SCORED_PROBE_MEMO: dict = {}
 
 
@@ -353,17 +357,22 @@ def segment_fts_index(spark, seg_dir: str,
 
         from ..index.fingerprint import stat_sig
 
+        app_id = spark.sparkContext.applicationId
+        key = (app_id, seg_dir)
         files = sorted(glob.glob(os.path.join(scored_dir, "*.parquet")))
         try:
             sig = stat_sig(files)
         except OSError:
             sig = None  # racing writer: fall through to a fresh read
-        hit = _SCORED_PROBE_MEMO.get(seg_dir)
+        hit = _SCORED_PROBE_MEMO.get(key)
         if sig is not None and hit is not None and hit[0] == sig:
             return {SEG_SCORED: hit[1]}
         df = spark.read.parquet(scored_dir)
         if sig is not None:
-            _SCORED_PROBE_MEMO[seg_dir] = (sig, df)
+            for k in list(_SCORED_PROBE_MEMO):
+                if k[0] != app_id or not os.path.isdir(k[1]):
+                    del _SCORED_PROBE_MEMO[k]  # dead session / temp store
+            _SCORED_PROBE_MEMO[key] = (sig, df)
         return {SEG_SCORED: df}
     postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
     docfreq = (

@@ -71,6 +71,92 @@ FROM dec
 """.strip()
 
 
+def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int, *,
+                 dstore: str, fstore: str, sink: str, ledger: str,
+                 manifest: str, fold_every: int | None = None) -> None:
+    """One micro-batch of the composed loop — module-level so the
+    redelivery contract is directly testable. AT-LEAST-ONCE SAFE as a
+    whole: the decisions slice is written once and REUSED on redelivery
+    (recomputing it against a store that already holds this batch's own
+    appended signatures would flip its kept docs to exact_dup and
+    silently drop them from the index — r10 review finding); with the
+    slice durable, every downstream step is idempotent — the signature
+    append cleans its own append id, the FTS append runs skip_existing,
+    and manifest/ledger overwrites reproduce identical content."""
+    import os
+
+    from ..index.dedup_layout import append_dedup_signatures
+    from ..index.fts_layout import append_fts_segment, fold_fts_segments
+    from ..operators.dedup import decide_batch_against_store
+
+    caches: list = []
+    try:
+        slice_dir = f"{sink}/batch-{batch_id}"
+        if not os.path.exists(os.path.join(slice_dir, "_SUCCESS")):
+            dec = decide_batch_against_store(spark, batch, dstore,
+                                             caches=caches)
+            dec.write.mode("overwrite").parquet(slice_dir)
+        decided = spark.read.parquet(slice_dir)
+        kept_ids = decided.where(
+            F.col("decision") == "kept").select("doc_id")
+        kept_docs = batch.join(F.broadcast(kept_ids), "doc_id",
+                               "leftsemi")
+        # next shard must see this shard's kept content
+        append_dedup_signatures(spark, dstore, kept_docs,
+                                append_id=f"mb{batch_id}")
+        admitted_ids = (
+            textstats.quality_scores(kept_docs)
+            .where(F.col("quality") >= QUALITY_FLOOR)
+            .select("doc_id")
+        )
+        manifest_dir = f"{manifest}/batch-{batch_id}"
+        admitted_ids.write.mode("overwrite").parquet(manifest_dir)
+        admitted_docs = batch.join(
+            F.broadcast(spark.read.parquet(manifest_dir)),
+            "doc_id", "leftsemi")
+        append_fts_segment(spark, fstore, admitted_docs,
+                           append_id=f"mb{batch_id}",
+                           skip_existing=True)
+        if (
+            fold_every is not None
+            and spark.read.parquet(f"{fstore}/segstats").count()
+            >= fold_every
+        ):
+            fold_fts_segments(spark, fstore)
+        row = (
+            decided.agg(
+                F.count(F.lit(1)).alias("n_arrived"),
+                # coalesce: sum over an EMPTY micro-batch's decisions
+                # is NULL, and the ledger contract is exact integers
+                F.coalesce(F.sum((F.col("decision") == "exact_dup")
+                                 .cast("long")), F.lit(0))
+                .alias("n_exact_dup"),
+                F.coalesce(F.sum((F.col("decision") == "near_dup")
+                                 .cast("long")), F.lit(0))
+                .alias("n_near_dup"),
+                F.coalesce(F.sum((F.col("decision") == "kept")
+                                 .cast("long")), F.lit(0))
+                .alias("n_kept"),
+            )
+            .crossJoin(
+                spark.read.parquet(manifest_dir)
+                .agg(F.count(F.lit(1)).alias("n_indexed"))
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "n_arrived", "n_exact_dup", "n_near_dup", "n_kept",
+                "n_indexed",
+                (F.col("n_kept") - F.col("n_indexed"))
+                .alias("n_quality_rejected"),
+            )
+        )
+        row.write.mode("overwrite").parquet(
+            f"{ledger}/batch-{batch_id}")
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 def run_streaming_ingest(spark: SparkSession, sf_dir: str,
                          query_name: str = "ingest",
                          fold_every: int | None = None,
@@ -89,10 +175,7 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
     import shutil
     import tempfile
 
-    from ..index.dedup_layout import (append_dedup_signatures,
-                                      ensure_dedup_layout)
-    from ..index.fts_layout import append_fts_segment, fold_fts_segments
-    from ..operators.dedup import decide_batch_against_store
+    from ..index.dedup_layout import ensure_dedup_layout
     from .docs import read_documents_stream
     from .index_maintenance import ensure_fts_base_store
 
@@ -128,72 +211,10 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
         source = read_documents_stream(spark, sf_dir)
 
     def ingest_slice(bdf: DataFrame, batch_id: int) -> None:
-        batch = bdf.where(is_batch)
-        caches: list = []
-        try:
-            dec = decide_batch_against_store(spark, batch, dstore,
-                                             caches=caches)
-            slice_dir = f"{sink}/batch-{batch_id}"
-            dec.write.mode("overwrite").parquet(slice_dir)
-            decided = spark.read.parquet(slice_dir)
-            kept_ids = decided.where(
-                F.col("decision") == "kept").select("doc_id")
-            kept_docs = batch.join(F.broadcast(kept_ids), "doc_id",
-                                   "leftsemi")
-            # next shard must see this shard's kept content
-            append_dedup_signatures(spark, dstore, kept_docs,
-                                    append_id=f"mb{batch_id}")
-            admitted_ids = (
-                textstats.quality_scores(kept_docs)
-                .where(F.col("quality") >= QUALITY_FLOOR)
-                .select("doc_id")
-            )
-            manifest_dir = f"{manifest}/batch-{batch_id}"
-            admitted_ids.write.mode("overwrite").parquet(manifest_dir)
-            admitted_docs = batch.join(
-                F.broadcast(spark.read.parquet(manifest_dir)),
-                "doc_id", "leftsemi")
-            append_fts_segment(spark, fstore, admitted_docs,
-                               append_id=f"mb{batch_id}",
-                               skip_existing=True)
-            if (
-                fold_every is not None
-                and spark.read.parquet(f"{fstore}/segstats").count()
-                >= fold_every
-            ):
-                fold_fts_segments(spark, fstore)
-            row = (
-                decided.agg(
-                    F.count(F.lit(1)).alias("n_arrived"),
-                    # coalesce: sum over an EMPTY micro-batch's decisions
-                    # is NULL, and the ledger contract is exact integers
-                    F.coalesce(F.sum((F.col("decision") == "exact_dup")
-                                     .cast("long")), F.lit(0))
-                    .alias("n_exact_dup"),
-                    F.coalesce(F.sum((F.col("decision") == "near_dup")
-                                     .cast("long")), F.lit(0))
-                    .alias("n_near_dup"),
-                    F.coalesce(F.sum((F.col("decision") == "kept")
-                                     .cast("long")), F.lit(0))
-                    .alias("n_kept"),
-                )
-                .crossJoin(
-                    spark.read.parquet(manifest_dir)
-                    .agg(F.count(F.lit(1)).alias("n_indexed"))
-                )
-                .select(
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                    "n_arrived", "n_exact_dup", "n_near_dup", "n_kept",
-                    "n_indexed",
-                    (F.col("n_kept") - F.col("n_indexed"))
-                    .alias("n_quality_rejected"),
-                )
-            )
-            row.write.mode("overwrite").parquet(
-                f"{ledger}/batch-{batch_id}")
-        finally:
-            for c in caches:
-                c.unpersist()
+        ingest_batch(spark, bdf.where(is_batch), batch_id,
+                     dstore=dstore, fstore=fstore, sink=sink,
+                     ledger=ledger, manifest=manifest,
+                     fold_every=fold_every)
 
     q = (
         source

@@ -126,3 +126,106 @@ def test_ingest_multi_batch_with_fold(spark, sf_dir, tmp_path):
     overlap = kept_fps.alias("k").join(
         fps.where(~is_batch).alias("e"), "fp").count()
     assert overlap == 0
+
+
+def test_ingest_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """The at-least-once contract, including the nastiest window: a
+    crash AFTER the signature append but BEFORE the FTS append. The
+    first delivery appended the batch's own kept signatures to the
+    store, so a redelivery that RECOMPUTED decisions would flip every
+    kept doc to exact_dup and silently drop it from the index; the
+    durable-slice reuse makes the replay reproduce identical ledger,
+    manifest, and probe results."""
+    from duckdb_hybrid_doc_search_spark.streaming.ingest import (
+        ingest_batch,
+        run_streaming_ingest,
+    )
+
+    run_root = str(tmp_path / "redeliver")
+    ledger = run_streaming_ingest(spark, sf_dir, "t_redeliver",
+                                  run_root=run_root).collect()
+    assert len(ledger) == 1 and ledger[0]["n_kept"] > 0
+    first = tuple(ledger[0])
+    manifest_glob = f"{run_root}/indexed/batch-*"
+    admitted = {r["doc_id"]
+                for r in spark.read.parquet(manifest_glob).collect()}
+    assert admitted  # the guarantee must bite
+    probe_before = _probe(spark, f"{run_root}/fts_store")
+
+    # full redelivery of batch 0 (sig append + FTS append both landed)
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % BATCH_MOD == 0)
+    kw = dict(dstore=f"{run_root}/dedup_store",
+              fstore=f"{run_root}/fts_store",
+              sink=f"{run_root}/decisions",
+              ledger=f"{run_root}/ledger",
+              manifest=f"{run_root}/indexed")
+    ingest_batch(spark, batch, 0, **kw)
+    assert tuple(spark.read.parquet(
+        f"{run_root}/ledger/batch-0").collect()[0]) == first
+    assert {r["doc_id"] for r in spark.read.parquet(
+        manifest_glob).collect()} == admitted
+    assert _probe(spark, f"{run_root}/fts_store") == probe_before
+
+    # crash-window replay: signatures are in the store (they are — the
+    # full run appended them), the FTS segment is "lost". Rebuild the
+    # fts store to its pre-batch state and replay: the durable slice
+    # must restore the exact same index state, NOT drop the kept docs.
+    import shutil
+
+    from duckdb_hybrid_doc_search_spark.streaming.index_maintenance \
+        import ensure_fts_base_store
+
+    base = ensure_fts_base_store(
+        spark, docs.where(F.col("doc_id") % BATCH_MOD != 0), sf_dir,
+        name="ingestbase")
+    shutil.rmtree(f"{run_root}/fts_store")
+    shutil.copytree(base, f"{run_root}/fts_store")
+    ingest_batch(spark, batch, 0, **kw)
+    assert tuple(spark.read.parquet(
+        f"{run_root}/ledger/batch-0").collect()[0]) == first
+    assert _probe(spark, f"{run_root}/fts_store") == probe_before
+
+
+def test_fts_append_noop_redelivery_keeps_scored_table(spark, sf_dir,
+                                                       tmp_path):
+    """A no-op redelivery (skip_existing, all ids live) and a rejected
+    overlapping append must both leave the folded store's fold-time
+    postings_scored table intact — only an append that actually lands
+    rows invalidates it."""
+    import os
+
+    import pytest as _pytest
+
+    from duckdb_hybrid_doc_search_spark.index.fts_layout import (
+        SEG_SCORED,
+        append_fts_segment,
+        fold_fts_segments,
+        write_fts_segments,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = str(tmp_path / "seg")
+    write_fts_segments(docs.where(F.col("doc_id") % 3 == 0), store)
+    append_fts_segment(spark, store, docs.where(F.col("doc_id") % 3 == 1),
+                       append_id="a1")
+    fold_fts_segments(spark, store)
+    scored = os.path.join(store, SEG_SCORED)
+    assert os.path.exists(scored)
+
+    # no-op redelivery: already-folded ids, skip_existing
+    append_fts_segment(spark, store, docs.where(F.col("doc_id") % 3 == 1),
+                       append_id="a1", skip_existing=True)
+    assert os.path.exists(scored)
+
+    # rejected overlap (loud default) also leaves it intact
+    with _pytest.raises(ValueError, match="overlaps the FTS store"):
+        append_fts_segment(spark, store,
+                           docs.where(F.col("doc_id") % 3 == 1),
+                           append_id="a2")
+    assert os.path.exists(scored)
+
+    # an append that lands NEW rows drops it (stats changed)
+    append_fts_segment(spark, store, docs.where(F.col("doc_id") % 3 == 2),
+                       append_id="a3")
+    assert not os.path.exists(scored)
