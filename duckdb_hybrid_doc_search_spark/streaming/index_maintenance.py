@@ -148,7 +148,6 @@ def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
     so the cadence actually fires. ``run_root``: caller-owned run dir,
     left on disk for post-run store inspection."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -156,27 +155,17 @@ def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
                                     append_fts_segment, fold_fts_segments)
     from ..operators.bm25 import bm25_topk_from_index, segment_fts_index
     from .docs import read_documents_stream
+    from .util import bounded_file_source, drive_bounded, own_run_root
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     is_new = F.col("doc_id") % SEG_SPLIT_MOD == SEG_SPLIT_REM
     base = ensure_fts_base_store(spark, docs.where(~is_new), sf_dir)
-    caller_owns_root = run_root is not None
-    if run_root is None:
-        run_root = tempfile.mkdtemp(prefix="stream_ftsappend_")
+    run_root, caller_owns_root = own_run_root(run_root, "stream_ftsappend_")
     store = f"{run_root}/store"
     shutil.copytree(base, store)
-
-    if trigger_files:
-        spool = f"{run_root}/spool"
-        docs.where(is_new).repartition(trigger_files).write.parquet(spool)
-        source = (
-            spark.readStream.schema(docs.schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(spool)
-        )
-    else:
-        source = read_documents_stream(spark, sf_dir)
+    source = bounded_file_source(
+        spark, docs.where(is_new), f"{run_root}/spool", trigger_files,
+        lambda: read_documents_stream(spark, sf_dir))
 
     def append_slice(bdf: DataFrame, batch_id: int) -> None:
         batch = bdf.where(is_new)
@@ -188,24 +177,11 @@ def run_streaming_fts_append(spark: SparkSession, sf_dir: str, query: str,
         ):
             fold_fts_segments(spark, store)
 
-    q = (
-        source
-        .writeStream.outputMode("append")
-        .foreachBatch(append_slice)
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        q.stop()
-        result = bm25_topk_from_index(
-            segment_fts_index(spark, store, probe_only=True), query, top_k
-        ).localCheckpoint()
-    finally:
-        q.stop()
-        if not caller_owns_root:
-            shutil.rmtree(run_root, ignore_errors=True)
-    return result
+    return drive_bounded(
+        source, append_slice, query_name,
+        lambda: bm25_topk_from_index(
+            segment_fts_index(spark, store, probe_only=True), query, top_k),
+        run_root, caller_owns_root)
 
 
 def ensure_ivf_stream_base(spark: SparkSession, sf_dir: str,
@@ -272,7 +248,6 @@ def run_streaming_ivf_append(spark: SparkSession, sf_dir: str,
     the shared cache must stay pristine). ``trigger_files`` /
     ``run_root`` as in run_streaming_fts_append."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -281,15 +256,14 @@ def run_streaming_ivf_append(spark: SparkSession, sf_dir: str,
                                     append_ivf_vectors,
                                     ivf_partitioned_topk)
     from ..operators.knn import centroid_pred
+    from .util import bounded_file_source, drive_bounded, own_run_root
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base, nlist = ensure_ivf_stream_base(spark, sf_dir)
     is_new = (~centroid_pred("vec_id", nlist)) & (
         F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM
     )
-    caller_owns_root = run_root is not None
-    if run_root is None:
-        run_root = tempfile.mkdtemp(prefix="stream_ivfappend_")
+    run_root, caller_owns_root = own_run_root(run_root, "stream_ivfappend_")
     store = f"{run_root}/store"
     shutil.copytree(base, store)
     # the frozen centroid table and build meta are SIBLING side files
@@ -298,42 +272,23 @@ def run_streaming_ivf_append(spark: SparkSession, sf_dir: str,
     shutil.copytree(_centroid_dir(base), _centroid_dir(store))
     shutil.copy(_meta_path(base), _meta_path(store))
 
-    if trigger_files:
-        spool = f"{run_root}/spool"
-        emb.where(is_new).repartition(trigger_files).write.parquet(spool)
-        source = (
-            spark.readStream.schema(emb.schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(spool)
-        )
-    else:
-        source = (
+    def whole_source() -> DataFrame:
+        return (
             spark.readStream.schema(emb.schema)
             .format("parquet")
             .option("pathGlobFilter", "embeddings.parquet")
             .load(sf_dir)
         )
 
+    source = bounded_file_source(
+        spark, emb.where(is_new), f"{run_root}/spool", trigger_files,
+        whole_source)
+
     def append_slice(bdf: DataFrame, batch_id: int) -> None:
         append_ivf_vectors(spark, store, bdf.where(is_new),
                            skip_existing=True)
 
-    q = (
-        source
-        .writeStream.outputMode("append")
-        .foreachBatch(append_slice)
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        q.stop()
-        result = ivf_partitioned_topk(
-            spark, store, emb, k, n_queries
-        ).localCheckpoint()
-    finally:
-        q.stop()
-        if not caller_owns_root:
-            shutil.rmtree(run_root, ignore_errors=True)
-    return result
+    return drive_bounded(
+        source, append_slice, query_name,
+        lambda: ivf_partitioned_topk(spark, store, emb, k, n_queries),
+        run_root, caller_owns_root)

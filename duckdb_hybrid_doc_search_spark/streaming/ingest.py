@@ -173,11 +173,11 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
     """
     import os
     import shutil
-    import tempfile
 
     from ..index.dedup_layout import ensure_dedup_layout
     from .docs import read_documents_stream
     from .index_maintenance import ensure_fts_base_store
+    from .util import bounded_file_source, drive_bounded, own_run_root
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     is_batch = F.col("doc_id") % BATCH_MOD == 0
@@ -187,9 +187,7 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
     # BATCH_MOD slice from the append loop's SEG_SPLIT slice
     fstore_base = ensure_fts_base_store(spark, existing, sf_dir,
                                         name="ingestbase")
-    caller_owns_root = run_root is not None
-    if run_root is None:
-        run_root = tempfile.mkdtemp(prefix="stream_ingest_")
+    run_root, caller_owns_root = own_run_root(run_root, "stream_ingest_")
     dstore = f"{run_root}/dedup_store"
     fstore = f"{run_root}/fts_store"
     shutil.copytree(dstore_base, dstore)
@@ -197,18 +195,9 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
     sink = f"{run_root}/decisions"
     ledger = f"{run_root}/ledger"
     manifest = f"{run_root}/indexed"
-
-    if trigger_files:
-        spool = f"{run_root}/spool"
-        docs.where(is_batch).repartition(trigger_files).write.parquet(spool)
-        source = (
-            spark.readStream.schema(docs.schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(spool)
-        )
-    else:
-        source = read_documents_stream(spark, sf_dir)
+    source = bounded_file_source(
+        spark, docs.where(is_batch), f"{run_root}/spool", trigger_files,
+        lambda: read_documents_stream(spark, sf_dir))
 
     def ingest_slice(bdf: DataFrame, batch_id: int) -> None:
         ingest_batch(spark, bdf.where(is_batch), batch_id,
@@ -216,29 +205,14 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
                      ledger=ledger, manifest=manifest,
                      fold_every=fold_every)
 
-    q = (
-        source
-        .writeStream.outputMode("append")
-        .foreachBatch(ingest_slice)
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        q.stop()
+    def result_fn() -> DataFrame:
         if not os.path.exists(ledger):  # no micro-batch ever fired
             return spark.createDataFrame(
                 [], "batch_id long, n_arrived long, n_exact_dup long, "
                     "n_near_dup long, n_kept long, n_indexed long, "
                     "n_quality_rejected long"
             )
-        result = (
-            spark.read.parquet(f"{ledger}/batch-*")
-            .orderBy("batch_id")
-            .localCheckpoint()
-        )
-    finally:
-        q.stop()
-        if not caller_owns_root:
-            shutil.rmtree(run_root, ignore_errors=True)
-    return result
+        return spark.read.parquet(f"{ledger}/batch-*").orderBy("batch_id")
+
+    return drive_bounded(source, ingest_slice, query_name, result_fn,
+                         run_root, caller_owns_root)
