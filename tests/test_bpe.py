@@ -260,3 +260,36 @@ def test_bpe_layout_roundtrip(spark, sf_dir, tmp_path):
         docs, merge_rows=read_bpe_merges(spark, d1)).collect()
     from_fresh = bpe.bpe_encode_stats(docs).collect()
     assert [tuple(r) for r in from_stored] == [tuple(r) for r in from_fresh]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_train_matches_reference_on_random_corpora(spark, seed):
+    """Deterministic pseudo-random corpora (adversarial shapes the
+    fixtures don't cover: repeated chars, shared prefixes/suffixes,
+    tie-heavy counts) — the distributed trainer must stay
+    merge-for-merge equal to the reference."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "abc"  # tiny alphabet maximizes pair-count ties
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        for _ in range(12)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source"],
+    )
+    freqs = Counter()
+    for t in texts:
+        freqs.update(t.split())
+    expected, _ = ref_learn(dict(freqs), 8)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.bpe_train(docs, 8).collect()
+    ]
+    assert got == expected
