@@ -371,7 +371,9 @@ def segment_fts_index(spark, seg_dir: str,
         if sig is not None:
             for k in list(_SCORED_PROBE_MEMO):
                 if k[0] != app_id or not os.path.isdir(k[1]):
-                    del _SCORED_PROBE_MEMO[k]  # dead session / temp store
+                    # dead session / deleted temp store; pop() tolerates
+                    # a concurrent probe thread sweeping the same key
+                    _SCORED_PROBE_MEMO.pop(k, None)
             _SCORED_PROBE_MEMO[key] = (sig, df)
         return {SEG_SCORED: df}
     postings = spark.read.parquet(os.path.join(seg_dir, "postings"))

@@ -92,10 +92,19 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int, *,
     caches: list = []
     try:
         slice_dir = f"{sink}/batch-{batch_id}"
-        if not os.path.exists(os.path.join(slice_dir, "_SUCCESS")):
+        # the guard is OUR OWN sentinel, written after the slice lands —
+        # not Spark's _SUCCESS marker, whose emission is a committer
+        # config (marksuccessfuljobs) that clusters routinely disable;
+        # a disabled marker would silently re-arm the recompute data
+        # loss this guard exists to prevent. Underscore-prefixed files
+        # are invisible to the parquet reader, like _SUCCESS itself.
+        marker = os.path.join(slice_dir, "_DECIDED")
+        if not os.path.exists(marker):
             dec = decide_batch_against_store(spark, batch, dstore,
                                              caches=caches)
             dec.write.mode("overwrite").parquet(slice_dir)
+            with open(marker, "w"):
+                pass
         decided = spark.read.parquet(slice_dir)
         kept_ids = decided.where(
             F.col("decision") == "kept").select("doc_id")
