@@ -177,7 +177,9 @@ def bm25_batch_topk_from_index(index: dict[str, DataFrame],
 
     from ..models.tokenizer import tokenize_query
 
-    spark = index["postings"].sparkSession
+    # probe_only index dicts carry only postings_scored — derive the
+    # session from whatever table is present (all that _matched needs)
+    spark = next(iter(index.values())).sparkSession
     qrows = [
         (qi, t)
         for qi, q in enumerate(queries)
@@ -361,13 +363,24 @@ def segment_fts_index(spark, seg_dir: str,
         key = (app_id, seg_dir)
         files = sorted(glob.glob(os.path.join(scored_dir, "*.parquet")))
         try:
-            sig = stat_sig(files)
+            # an EMPTY glob is also the racing-writer case (a concurrent
+            # append just emptied/deleted the dir): stat_sig([]) == ()
+            # would otherwise be memoized as a "valid" signature
+            sig = stat_sig(files) if files else None
         except OSError:
             sig = None  # racing writer: fall through to a fresh read
         hit = _SCORED_PROBE_MEMO.get(key)
         if sig is not None and hit is not None and hit[0] == sig:
             return {SEG_SCORED: hit[1]}
-        df = spark.read.parquet(scored_dir)
+        if sig is not None:
+            # the read itself can still lose the race (dir deleted
+            # between the glob and the parquet footer read) — fall
+            # through to the normalized four-table path below, which
+            # serves the same rows from the segment tables
+            try:
+                df = spark.read.parquet(scored_dir)
+            except Exception:
+                sig = None
         if sig is not None:
             for k in list(_SCORED_PROBE_MEMO):
                 if k[0] != app_id or not os.path.isdir(k[1]):
@@ -375,7 +388,7 @@ def segment_fts_index(spark, seg_dir: str,
                     # a concurrent probe thread sweeping the same key
                     _SCORED_PROBE_MEMO.pop(k, None)
             _SCORED_PROBE_MEMO[key] = (sig, df)
-        return {SEG_SCORED: df}
+            return {SEG_SCORED: df}
     postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
     docfreq = (
         spark.read.parquet(os.path.join(seg_dir, "docfreq"))
@@ -397,5 +410,8 @@ def segment_fts_index(spark, seg_dir: str,
         "corpus_stats": corpus_stats,
     }
     if os.path.exists(scored_dir):
-        index[SEG_SCORED] = spark.read.parquet(scored_dir)
+        try:
+            index[SEG_SCORED] = spark.read.parquet(scored_dir)
+        except Exception:
+            pass  # racing append deleted it; the normalized tables serve
     return index

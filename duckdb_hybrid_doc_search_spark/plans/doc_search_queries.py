@@ -114,7 +114,7 @@ def bm25_incremental_layout_probe(spark: SparkSession,
 
 
 @register("bm25_folded_layout_probe",
-          oracle=bm25.dd_bm25_topk_sql(QTERMS, TOP_K), defer_gate=True)
+          oracle=bm25.dd_bm25_topk_sql(QTERMS, TOP_K))
 def bm25_folded_layout_probe(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """BM25 top-k against a segmented FTS store AFTER the full

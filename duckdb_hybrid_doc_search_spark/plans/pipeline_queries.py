@@ -943,8 +943,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE tokenizer training (operators/bpe.py) -------------------------------
 
 
-@register("text_bpe_pair_counts", oracle=bpe.dd_bpe_pair_counts_sql(),
-          defer_gate=True)
+@register("text_bpe_pair_counts", oracle=bpe.dd_bpe_pair_counts_sql())
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Initial BPE pair statistics (the rank-0 merge candidates):
     adjacent character-pair counts over the word histogram, weighted by
@@ -953,7 +952,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_pair_counts(_docs(spark, sf_dir))
 
 
-@register("text_bpe_train", defer_gate=True, executes_on_build=True)
+@register("text_bpe_train", executes_on_build=True)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Sennrich BPE training (iterative, like
     embeddings_kmeans_train — rows-only by nature): 16 merges, each one
@@ -964,7 +963,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(_docs(spark, sf_dir))
 
 
-@register("text_bpe_encode_stats", defer_gate=True, executes_on_build=True)
+@register("text_bpe_encode_stats", executes_on_build=True)
 def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure the trained tokenizer per language: fertility (subword
     tokens per word) and chars-per-token. Probes the WRITTEN tokenizer
@@ -983,7 +982,7 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("corpus_leakage_safe_split",
-          oracle=curation.dd_leakage_safe_split_sql(), defer_gate=True)
+          oracle=curation.dd_leakage_safe_split_sql())
 def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware train/val/test split: near-duplicate CLUSTERS
     (LSH-graph connected components), not documents, are the assignment

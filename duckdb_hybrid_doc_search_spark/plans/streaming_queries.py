@@ -256,7 +256,7 @@ def streaming_fts_segment_append(spark: SparkSession,
 
 
 @register("streaming_ingest_pipeline", bench=False,
-          executes_on_build=True, defer_gate=True,
+          executes_on_build=True,
           oracle=_ingest.dd_ingest_ledger_sql())
 def streaming_ingest_pipeline(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -272,7 +272,7 @@ def streaming_ingest_pipeline(spark: SparkSession,
 
 
 @register("streaming_ivf_append", bench=False,
-          executes_on_build=True, defer_gate=True,
+          executes_on_build=True,
           oracle=_knn.dd_ivf_topk_sql(5, 10))
 def streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-index maintenance as a structured stream: each micro-batch

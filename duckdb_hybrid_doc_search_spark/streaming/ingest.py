@@ -89,6 +89,14 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int, *,
     from ..index.fts_layout import append_fts_segment, fold_fts_segments
     from ..operators.dedup import decide_batch_against_store
 
+    if batch.isEmpty():
+        # a spool repartition can emit empty files → empty micro-batches;
+        # running the decide/signature/manifest machinery on one would
+        # append an all-zero ledger row (meaningless) and an empty
+        # decisions slice. Skipping whole-batch keeps redelivery safe:
+        # an empty batch redelivered is still empty, still skipped.
+        return
+
     caches: list = []
     try:
         slice_dir = f"{sink}/batch-{batch_id}"
