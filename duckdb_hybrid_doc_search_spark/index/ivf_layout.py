@@ -31,7 +31,8 @@ LAYOUT_DONE = "_LAYOUT_DONE"
 
 
 def write_ivf_partitioned(emb: DataFrame, out_dir: str,
-                          nlist: int | None = None) -> None:
+                          nlist: int | None = None,
+                          centroids: str | DataFrame = "sample") -> None:
     """embeddings + cell assignment, partitioned by cell on disk. The
     (~sqrt(N)-row) centroid table is ALSO written, to
     `<out_dir>_centroids` — incremental appends read it back instead of
@@ -45,15 +46,49 @@ def write_ivf_partitioned(emb: DataFrame, out_dir: str,
     re-derived one (the corpus has grown by then). Side files live next
     to, not inside, the cell root: a subdirectory would be misread as
     data by the partitioned scan. The LAYOUT_DONE sentinel lands last,
-    after every side file."""
+    after every side file.
+
+    ``centroids`` picks the centroid SOURCE (the pluggable quality knob
+    on an unchanged cell layout):
+
+    - ``"sample"`` — the deterministic id-stride subsample
+      (knn.centroid_pred; oracle-exact, the default);
+    - ``"kmeans"`` — Lloyd-TRAINED centroids (knn.kmeans_centroids) —
+      higher recall at equal nlist on clustered real-world embedding
+      distributions; training is write-time cost, frozen thereafter;
+    - a (cent_id, cvec) DataFrame — a caller-supplied frozen set (the
+      append-equivalence tests build the 80% base against the FULL
+      corpus's trained set this way, mirroring the full-corpus-nlist
+      rule of the sampled scheme).
+
+    The source is persisted in the layout meta: appends against a
+    trained layout must skip the centroid_pred slot guard (trained
+    cent_ids are synthetic 0..nlist-1, not reserved data ids)."""
     if nlist is None:
         nlist = derive_nlist(emb.count())
-    cent, assign = ivf_assign(emb, nlist=nlist)
+    if isinstance(centroids, DataFrame):
+        cent, source = centroids, "frozen"
+    elif centroids == "kmeans":
+        from ..operators.knn import kmeans_centroids
+
+        cent, source = kmeans_centroids(emb, k=nlist), "kmeans"
+    else:
+        cent, source = None, "sample"
+    if cent is None:
+        cent, assign = ivf_assign(emb, nlist=nlist)
+    else:
+        from ..operators.knn import assign_to_centroids
+
+        assign = assign_to_centroids(
+            emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec")),
+            cent,
+        )
     emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
         "vec_id", "embedding", "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
     cent.write.mode("overwrite").parquet(_centroid_dir(out_dir))
-    write_layout_meta(out_dir, nlist)
+    write_layout_meta(out_dir, nlist, source)
     with open(os.path.join(out_dir, LAYOUT_DONE), "w"):
         pass
 
@@ -66,13 +101,18 @@ def _meta_path(out_dir: str) -> str:
     return out_dir.rstrip("/") + "_meta.json"
 
 
-def write_layout_meta(out_dir: str, nlist: int) -> None:
+def write_layout_meta(out_dir: str, nlist: int,
+                      centroid_source: str = "sample") -> None:
     """Frozen build parameters, written before the completion sentinel.
-    Shared with ivfpq_layout (same frozen-centroid contract)."""
+    Shared with ivfpq_layout (same frozen-centroid contract).
+    ``centroid_source`` records how the centroid table was produced
+    ("sample" | "kmeans" | "frozen") — appends use it to decide whether
+    the centroid_pred slot guard applies (sample only)."""
     from ..operators.knn import CENTROID_MOD
 
     with open(_meta_path(out_dir), "w") as f:
-        json.dump({"nlist": nlist, "centroid_mod": CENTROID_MOD}, f)
+        json.dump({"nlist": nlist, "centroid_mod": CENTROID_MOD,
+                   "centroid_source": centroid_source}, f)
 
 
 def read_layout_meta(out_dir: str) -> dict:
@@ -122,6 +162,89 @@ def ensure_ivf_layout(spark: SparkSession, emb: DataFrame,
             shutil.rmtree(out_dir)
         write_ivf_partitioned(emb, out_dir)
     return out_dir
+
+
+def ensure_ivf_trained_layout(spark: SparkSession, emb: DataFrame,
+                              sf_dir: str, root: str | None = None) -> str:
+    """Build (once) the KMEANS-TRAINED cell-partitioned layout for
+    sf_dir — the production-shaped path for real (clustered,
+    anisotropic) embedding distributions, where Lloyd centroids beat the
+    id-stride sample at equal nlist (r10 VERDICT #4: the seam existed
+    but no written layout persisted trained centroids). Same cache-key
+    discipline as ensure_ivf_layout; training cost is paid once at
+    write time and the trained set is frozen in the `_centroids` side
+    table, so appends and probes never retrain."""
+    from .fingerprint import layout_fingerprint, warehouse_root
+
+    root = warehouse_root("ivf_trained_layout", root)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{LAYOUT_FORMAT}-kmeans"
+        f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
+    )
+    out_dir = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
+        import shutil
+
+        if os.path.exists(out_dir):  # partial prior attempt: start clean
+            shutil.rmtree(out_dir)
+        write_ivf_partitioned(emb, out_dir, centroids="kmeans")
+    return out_dir
+
+
+def read_layout_centroids(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The layout's FROZEN (cent_id, cvec) centroid table — the build's
+    set, whatever its source; probes and appends share it so cell
+    definition never drifts."""
+    cdir = _centroid_dir(out_dir)
+    if not os.path.exists(cdir):
+        raise ValueError(
+            f"layout at {out_dir} has no _centroids side table — "
+            "rebuild with write_ivf_partitioned before probing."
+        )
+    return spark.read.parquet(cdir)
+
+
+def ivf_frozen_layout_topk(spark: SparkSession, out_dir: str,
+                           queries: DataFrame, k: int) -> DataFrame:
+    """IVF top-k against a WRITTEN layout using its frozen centroid
+    table (read from the side table — never recomputed, so the probe is
+    centroid-source-agnostic: sampled, trained, and caller-frozen
+    layouts all probe identically). ``queries`` carries (q_id, q_vec).
+    Candidates come from the partition-PRUNED cell scan: cost is
+    nprobe/nlist of the layout by construction."""
+    from pyspark.sql import Window
+
+    from ..config import SCORE_ROUND
+    from ..functions import vector as V
+
+    cent = read_layout_centroids(spark, out_dir)
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id", "q_vec", "cent_id",
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
+                SCORE_ROUND).alias("qsim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("q_id", "q_vec", F.col("cent_id").alias("cell"))
+    )
+    probe_cell_ids = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+    cand = probes.join(probe_cells(spark, out_dir, probe_cell_ids), "cell")
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        F.round(V.cosine_similarity(F.col("q_vec"), F.col("embedding")),
+                SCORE_ROUND).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+    )
 
 
 # append-probe split rule: ~20% of non-centroid ids arrive via append
@@ -268,16 +391,21 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     # the BUILD's frozen nlist, from the layout meta — never re-derived
     # (the corpus has grown since; a bigger nlist would wrongly admit
     # ids that were centroid slots, a smaller one wrongly reject)
-    nlist = read_layout_meta(out_dir)["nlist"]
-    n_cent_ids = new_emb.where(centroid_pred("vec_id", nlist)).count()
-    if n_cent_ids:
-        raise ValueError(
-            f"append batch contains {n_cent_ids} vec_id(s) matching "
-            "centroid_pred: those ids are centroid slots under the "
-            "frozen-centroid contract — appending them as plain members "
-            "would make probes target a nonexistent cell. Rebuild the "
-            "layout to re-center instead."
-        )
+    meta = read_layout_meta(out_dir)
+    nlist = meta["nlist"]
+    if meta.get("centroid_source", "sample") == "sample":
+        # slot guard applies ONLY to the id-stride sample, whose
+        # centroid ids double as data vec_ids; trained/frozen centroid
+        # sets use synthetic cent_ids, so any vec_id may append
+        n_cent_ids = new_emb.where(centroid_pred("vec_id", nlist)).count()
+        if n_cent_ids:
+            raise ValueError(
+                f"append batch contains {n_cent_ids} vec_id(s) matching "
+                "centroid_pred: those ids are centroid slots under the "
+                "frozen-centroid contract — appending them as plain "
+                "members would make probes target a nonexistent cell. "
+                "Rebuild the layout to re-center instead."
+            )
     cdir = _centroid_dir(out_dir)
     if not os.path.exists(cdir):
         raise ValueError(

@@ -211,3 +211,102 @@ def test_append_refuses_pre_side_table_layouts(spark, sf_dir, tmp_path):
         & (F.col("vec_id") % 5 == 3)).limit(3)
     with pytest.raises(ValueError, match="no _centroids side table"):
         append_ivf_vectors(spark, out, new)
+
+
+def test_trained_layout_probe_and_recall(spark, sf_dir, tmp_path):
+    """The WRITTEN kmeans-trained layout: trained centroids persisted in
+    the side table, meta records the source, probes partition-prune, and
+    mean recall of the trained layout is not worse than the id-sampled
+    layout's (it sees the data; the sample doesn't — on this synthetic
+    uniform corpus the gap is small, so the pin allows noise)."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        ivf_frozen_layout_topk, read_layout_centroids, read_layout_meta,
+        write_ivf_partitioned)
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        derive_nlist, knn_join)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k, nq = 5, 10
+    tdir = str(tmp_path / "trained")
+    sdir = str(tmp_path / "sampled")
+    write_ivf_partitioned(emb, tdir, centroids="kmeans")
+    write_ivf_partitioned(emb, sdir)
+
+    meta = read_layout_meta(tdir)
+    assert meta["centroid_source"] == "kmeans"
+    assert meta["nlist"] == derive_nlist(emb.count())
+    cent = read_layout_centroids(spark, tdir)
+    assert cent.count() == meta["nlist"]
+    # trained cent_ids are synthetic 0..nlist-1
+    ids = sorted(r.cent_id for r in cent.collect())
+    assert ids == list(range(meta["nlist"]))
+
+    queries = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    probe = ivf_frozen_layout_topk(spark, tdir, queries, k)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    exact = {}
+    for r in knn_join(
+        queries,
+        emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec")), k,
+    ).collect():
+        exact.setdefault(r.q_id, set()).add(r.c_id)
+
+    def mean_recall(out_dir):
+        got = {}
+        for r in ivf_frozen_layout_topk(spark, out_dir, queries,
+                                        k).collect():
+            got.setdefault(r.q_id, set()).add(r.c_id)
+        return sum(
+            len(exact[q] & got.get(q, set())) / k for q in exact
+        ) / len(exact)
+
+    rt, rs = mean_recall(tdir), mean_recall(sdir)
+    assert rt > 0.0
+    assert rt >= rs - 0.1, (rt, rs)
+
+
+def test_trained_layout_append_equivalence(spark, sf_dir, tmp_path):
+    """Append equivalence AT THE TRAINED CENTROID SET: base build over
+    80% against centroids trained on the FULL corpus (the trained twin
+    of the full-corpus-nlist rule), 20% appended against the frozen set,
+    equals the one-shot build with the same set — and the append path
+    must NOT apply the sampled scheme's centroid-slot guard (trained
+    cent_ids are synthetic, any vec_id may append)."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        append_ivf_vectors, ivf_frozen_layout_topk, write_ivf_partitioned)
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        derive_nlist, kmeans_centroids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nlist = derive_nlist(emb.count())
+    cent = kmeans_centroids(emb, k=nlist).localCheckpoint(eager=True)
+    # the split deliberately puts centroid-modulus ids (vec_id % 50 == 0)
+    # in the APPEND slice: under the trained scheme they are plain data
+    is_new = F.col("vec_id") % 5 == 0
+    base, new = emb.where(~is_new), emb.where(is_new)
+    assert new.where(F.col("vec_id") % 50 == 0).count() > 0
+
+    inc_dir = str(tmp_path / "inc")
+    write_ivf_partitioned(base, inc_dir, nlist=nlist, centroids=cent)
+    append_ivf_vectors(spark, inc_dir, new)
+
+    full_dir = str(tmp_path / "full")
+    write_ivf_partitioned(emb, full_dir, nlist=nlist, centroids=cent)
+
+    inc_rows = sorted((r["vec_id"], r["cell"])
+                      for r in spark.read.parquet(inc_dir).collect())
+    full_rows = sorted((r["vec_id"], r["cell"])
+                       for r in spark.read.parquet(full_dir).collect())
+    assert inc_rows == full_rows
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = sorted(map(tuple, ivf_frozen_layout_topk(
+        spark, inc_dir, queries, 10).collect()))
+    want = sorted(map(tuple, ivf_frozen_layout_topk(
+        spark, full_dir, queries, 10).collect()))
+    assert got == want
