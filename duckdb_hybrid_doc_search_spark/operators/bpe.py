@@ -314,3 +314,259 @@ def bpe_encode_stats(
         )
         .orderBy("lang")
     )
+
+
+# --- DuckDB oracle: full training + encoding, SQL-expressed ------------------
+#
+# The trainer is deterministic (count-desc / smallest-"lhs rhs" tie-break),
+# so its 16 merges unroll into 16 CTE stages (r10 VERDICT #8): per stage,
+# one pair aggregate, a LIMIT-1 argmax, and a left-to-right merge rewrite.
+# The rewrite is a list_reduce FOLD over the symbol list with a string
+# accumulator (symbols joined by chr(31), which cannot occur in a symbol:
+# tokens are [a-z0-9]+ plus the EOW marker) — the exact DuckDB twin of
+# _apply_merge's F.aggregate fold. Encoding is a recursive CTE applying
+# the lowest-rank applicable merge per word per step (subword-nmt's
+# priority loop, i.e. _segment_word), terminating when no merge applies.
+
+#: ASCII unit separator: joins the fold accumulator's symbols.
+_SEP = "chr(31)"
+
+
+def _dd_fold_rewrite(syms_expr: str, lhs: str, rhs: str) -> str:
+    """One merge applied left-to-right to a symbol list: the list_reduce
+    fold twin of :func:`_apply_merge` (`lhs`/`rhs` are SQL expressions,
+    typically columns of a 1-row argmax CTE)."""
+    return f"""CASE WHEN len({syms_expr}) < 2 THEN {syms_expr}
+      ELSE string_split(list_reduce({syms_expr}, (acc, x) -> CASE
+        WHEN (acc = {lhs} OR ends_with(acc, {_SEP} || {lhs})) AND x = {rhs}
+        THEN substr(acc, 1, length(acc) - length({lhs})) || {lhs} || {rhs}
+        ELSE acc || {_SEP} || x END), {_SEP}) END"""
+
+
+def dd_bpe_merges_ctes(table: str = "documents",
+                       n_merges: int = BPE_MERGES) -> str:
+    """CTE chain deriving the SAME merge table the Spark trainer learns:
+    wh -> seg0 -> (pc_k, best_k, seg_{k+1})*n -> merges(rank, lhs, rhs,
+    pair_count). If the vocabulary merges out early, later best_k CTEs
+    are empty and the union is simply shorter — the Spark trainer's
+    `break`."""
+    parts = [f"""wh AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS wcnt
+  FROM (SELECT unnest({dd_tokenize('text')}) AS word FROM {table})
+  GROUP BY word
+),
+seg0 AS MATERIALIZED (
+  SELECT list_append(regexp_extract_all(word, '.'), '{EOW}') AS syms, wcnt
+  FROM wh
+)"""]
+    for k in range(n_merges):
+        parts.append(f"""pc{k} AS MATERIALIZED (
+  SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(wcnt)::BIGINT AS c
+  FROM (SELECT unnest(range(1, len(syms))) AS i, syms, wcnt FROM seg{k})
+  GROUP BY 1, 2
+),
+best{k} AS MATERIALIZED (
+  SELECT {k}::INTEGER AS rank, lhs, rhs, c AS pair_count
+  FROM pc{k} ORDER BY c DESC, lhs || ' ' || rhs ASC LIMIT 1
+),
+seg{k + 1} AS MATERIALIZED (
+  SELECT {_dd_fold_rewrite('syms', 'b.lhs', 'b.rhs')} AS syms, wcnt
+  FROM seg{k} CROSS JOIN best{k} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"  SELECT rank, lhs, rhs, pair_count FROM best{k}"
+        for k in range(n_merges)
+    )
+    parts.append(f"merges AS MATERIALIZED (\n{union}\n)")
+    return ",\n".join(parts)
+
+
+def dd_bpe_train_sql(table: str = "documents",
+                     n_merges: int = BPE_MERGES) -> str:
+    """Full-oracle twin of :func:`bpe_train` (upgrades text_bpe_train
+    from rows-only to hash-gated)."""
+    return f"""
+WITH {dd_bpe_merges_ctes(table, n_merges)}
+SELECT rank, lhs, rhs, pair_count FROM merges ORDER BY rank
+""".strip()
+
+
+def dd_bpe_encode_ctes() -> str:
+    """Recursive CTEs encoding every `vocab(word)` row with the `merges`
+    table: per step, apply the lowest-rank merge whose pair is adjacent
+    in the word (the _segment_word priority loop); a word with no
+    applicable merge drops out of the recursion, and `encoded` keeps
+    each word's final segmentation. Requires WITH RECURSIVE."""
+    return f"""wseg0 AS MATERIALIZED (
+  SELECT word, list_append(regexp_extract_all(word, '.'), '{EOW}') AS syms
+  FROM vocab
+),
+enc AS (
+  SELECT word, syms, 0 AS it FROM wseg0
+  UNION ALL
+  SELECT e2.word,
+         {_dd_fold_rewrite('e2.syms', 'm.lhs', 'm.rhs')} AS syms,
+         e2.it + 1
+  FROM (
+    SELECT e.*, (
+      SELECT min(mm.rank) FROM merges mm
+      WHERE list_contains(
+        list_transform(range(1, len(e.syms)),
+                       i -> e.syms[i] || {_SEP} || e.syms[i+1]),
+        mm.lhs || {_SEP} || mm.rhs)
+    ) AS next_rank
+    FROM enc e
+  ) e2
+  JOIN merges m ON m.rank = e2.next_rank
+),
+encoded AS MATERIALIZED (
+  SELECT word, syms AS subwords FROM (
+    SELECT word, syms, it, max(it) OVER (PARTITION BY word) AS mx FROM enc
+  ) WHERE it = mx
+)"""
+
+
+def dd_bm25_bpe_topk_sql(query: str, k: int,
+                         table: str = "documents",
+                         n_merges: int = BPE_MERGES) -> str:
+    """Oracle twin of :func:`bm25_bpe_topk`: trains the merges, encodes
+    the corpus vocabulary AND the query words with them, then runs the
+    standard BM25 arithmetic over subword postings."""
+    from ..config import SCORE_ROUND
+    from ..models.tokenizer import tokenize_query
+    from .bm25 import BM25_B, BM25_K1
+
+    qwords = sorted(set(tokenize_query(query)))
+    qvals = ", ".join("('" + w.replace("'", "''") + "')" for w in qwords)
+    return f"""
+WITH RECURSIVE
+{dd_bpe_merges_ctes(table, n_merges)},
+dwc AS MATERIALIZED (
+  SELECT doc_id, word, count(*)::BIGINT AS wcnt
+  FROM (SELECT doc_id, unnest({dd_tokenize('text')}) AS word FROM {table})
+  GROUP BY doc_id, word
+),
+qwords(word) AS (VALUES {qvals}),
+-- DISTINCT-over-UNION-ALL, not a bare UNION: under WITH RECURSIVE DuckDB
+-- gives a two-part top-level UNION recursive-CTE semantics (base/step),
+-- which silently skips the dedup and iterates the second branch
+vocab AS MATERIALIZED (
+  SELECT DISTINCT word FROM (
+    SELECT word FROM dwc UNION ALL SELECT word FROM qwords)
+),
+{dd_bpe_encode_ctes()},
+postings AS MATERIALIZED (
+  SELECT term, doc_id, sum(wcnt)::BIGINT AS tf FROM (
+    SELECT d.doc_id, unnest(e.subwords) AS term, d.wcnt
+    FROM dwc d JOIN encoded e USING (word))
+  GROUP BY term, doc_id
+),
+dsum AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+docstats AS (
+  SELECT d.doc_id, coalesce(s.dl, 0)::BIGINT AS dl
+  FROM {table} d LEFT JOIN dsum s USING (doc_id)
+),
+docfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+corpus_stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docstats
+),
+qterms AS (
+  SELECT DISTINCT unnest(subwords) AS term
+  FROM qwords JOIN encoded USING (word)
+),
+bm25_scored AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1.0 + (cs.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * {BM25_K1 + 1.0}
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.dl / cs.avgdl))
+         ), {SCORE_ROUND}) AS score
+  FROM postings p
+  JOIN docfreq d USING (term)
+  JOIN docstats ds USING (doc_id)
+  CROSS JOIN corpus_stats cs
+  WHERE p.term IN (SELECT term FROM qterms)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM bm25_scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+# --- BPE-analyzed BM25 (Spark side) -------------------------------------------
+
+
+def bpe_fts_index(docs: DataFrame, merge_rows: list,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> dict[str, DataFrame]:
+    """The four FTS index tables over BPE SUBWORD tokens — the standard
+    subword-FTS remedy for whole-token BM25's silent degradation on
+    unseen-vocabulary queries (reference searcher.py's FTS is whole-
+    token; this is the alternative analyzer, tokenizer identity
+    preserved: build and query use the SAME stored merges).
+
+    Scale shape: corpus text is aggregated to (doc_id, word, wcnt)
+    first (one shuffle, the word_histogram grain); only the DISTINCT
+    vocabulary is segmented in Python (Arrow-batched); subword postings
+    come from a vocabulary-sized hash join back. Empty docs keep a
+    dl=0 docstats row so n_docs matches the word analyzer's."""
+    spark = docs.sparkSession
+    dwc = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(id_col, F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    vocab = bpe_segment_vocab(dwc.select("word").distinct(), merge_rows)
+    postings = (
+        dwc.join(vocab, "word")
+        .select(id_col, F.explode("subwords").alias("term"), "wcnt")
+        .groupBy("term", id_col)
+        .agg(F.sum("wcnt").alias("tf"))
+    )
+    dsum = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    docstats = (
+        docs.select(id_col)
+        .join(dsum, id_col, "left")
+        .select(id_col,
+                F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"))
+    )
+    docfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    corpus_stats = docstats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return {
+        "postings": postings,
+        "docfreq": docfreq,
+        "docstats": docstats,
+        "corpus_stats": corpus_stats,
+    }
+
+
+def encode_query_terms(query: str, merge_rows: list) -> list[str]:
+    """Query-side encoding with the SAME stored merges the index was
+    built with (§2.6.5 tokenizer identity — driver-side work over a
+    handful of words and n_merges ranks)."""
+    from ..models.tokenizer import tokenize_query
+
+    ranks = {(m["lhs"], m["rhs"]): int(m["rank"]) for m in merge_rows}
+    terms: list[str] = []
+    for w in tokenize_query(query):
+        terms.extend(_segment_word(w, ranks))
+    return terms
+
+
+def bm25_bpe_topk(docs: DataFrame, query: str, k: int,
+                  merge_rows: list) -> DataFrame:
+    """BM25 top-k over the BPE-analyzed index — shares bm25_scores'
+    Okapi arithmetic with the word analyzer; only the token stream
+    differs."""
+    from .bm25 import bm25_scores
+
+    index = bpe_fts_index(docs, merge_rows)
+    return (
+        bm25_scores(index, encode_query_terms(query, merge_rows))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

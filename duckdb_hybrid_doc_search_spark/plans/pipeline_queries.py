@@ -1007,15 +1007,40 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_pair_counts(_docs(spark, sf_dir))
 
 
-@register("text_bpe_train", executes_on_build=True)
+@register("text_bpe_train", oracle=bpe.dd_bpe_train_sql(),
+          executes_on_build=True)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Sennrich BPE training (iterative, like
-    embeddings_kmeans_train — rows-only by nature): 16 merges, each one
-    vocabulary-sized pair aggregate + a 1-row argmax collect + a
-    JVM-side fold rewrite. Deterministic tie-break (count desc, then
-    smallest 'lhs rhs'), pinned against an independent pure-Python
-    reference in tests/test_bpe.py."""
+    embeddings_kmeans_train): 16 merges, each one vocabulary-sized pair
+    aggregate + a 1-row argmax collect + a JVM-side fold rewrite.
+    Deterministic tie-break (count desc, then smallest 'lhs rhs'),
+    pinned against an independent pure-Python reference in
+    tests/test_bpe.py — and since r11 ORACLED end-to-end: the trainer
+    unrolls into 16 MATERIALIZED CTE stages in DuckDB
+    (bpe.dd_bpe_train_sql, the r10 VERDICT #8 upgrade), so the merge
+    table is hash-gated like the rest of the registry."""
     return bpe.bpe_train(_docs(spark, sf_dir))
+
+
+@register("bm25_bpe_topk", oracle=bpe.dd_bm25_bpe_topk_sql(
+    "spark vector join fast merge", 10), executes_on_build=True)
+def bm25_bpe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the BPE-ANALYZED index — the subword-FTS remedy for
+    whole-token BM25's silent degradation on unseen-vocabulary queries
+    (r10 VERDICT #5): postings are subword tokens encoded with the
+    STORED merge table (index/bpe_layout.py), and the query is encoded
+    with the SAME merges (§2.6.5 tokenizer identity). Shares bm25's
+    Okapi arithmetic; only the token stream differs. The oracle derives
+    the same 16 merges (unrolled CTE stages), encodes corpus vocabulary
+    AND query words with a recursive CTE, and runs the same BM25 SQL.
+    executes_on_build: the first call trains+writes the tokenizer
+    layout."""
+    from ..index.bpe_layout import ensure_bpe_layout, read_bpe_merges
+
+    docs = _docs(spark, sf_dir)
+    layout = ensure_bpe_layout(spark, docs, sf_dir)
+    return bpe.bm25_bpe_topk(docs, "spark vector join fast merge", 10,
+                             read_bpe_merges(spark, layout))
 
 
 @register("text_bpe_encode_stats", executes_on_build=True)

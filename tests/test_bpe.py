@@ -293,3 +293,83 @@ def test_train_matches_reference_on_random_corpora(spark, seed):
         for r in bpe.bpe_train(docs, 8).collect()
     ]
     assert got == expected
+
+
+def test_bm25_bpe_matches_oracle_and_handles_unseen_vocab(spark, sf_dir):
+    """The subword analyzer's reason to exist: a query word ABSENT from
+    the corpus vocabulary scores 0 under whole-token BM25 but still
+    matches through its subwords under the BPE analyzer (same stored
+    merges on both sides — tokenizer identity). Also pins the Spark
+    result against the DuckDB recursive-CTE oracle on this sf."""
+    import duckdb
+
+    from duckdb_hybrid_doc_search_spark.index.bpe_layout import (
+        ensure_bpe_layout, read_bpe_merges)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    layout = ensure_bpe_layout(spark, docs, sf_dir)
+    mrows = read_bpe_merges(spark, layout)
+
+    q = "spark vector join fast merge"
+    got = [(r.doc_id, r.score)
+           for r in bpe.bm25_bpe_topk(docs, q, 10, mrows).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    want = [tuple(r) for r in
+            con.execute(bpe.dd_bm25_bpe_topk_sql(q, 10)).fetchall()]
+    con.close()
+    assert got == want
+
+    # an out-of-vocabulary word: pick corpus words and mash them so the
+    # whole token is unseen but its subwords exist
+    vocab = {r.word for r in docs.select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    ).distinct().collect()}
+    unseen = None
+    for w in sorted(vocab):
+        for suffix in ("ly", "xx", "ing"):
+            if w + suffix not in vocab:
+                unseen = w + suffix
+                break
+        if unseen:
+            break
+    assert unseen is not None
+    assert bm25_topk(docs, unseen, 10).count() == 0  # word analyzer: blind
+    assert bpe.bm25_bpe_topk(docs, unseen, 10, mrows).count() > 0
+
+
+def test_bpe_query_matched_terms_rate(spark, sf_dir):
+    """Matched-terms rate (query terms with df > 0 / query terms) of the
+    BPE analyzer vs the word analyzer on the fixture queries — the
+    PERF_NOTES comparison row. Subword terms must match at least as
+    often as whole words (every whole word the corpus contains encodes
+    to subwords the corpus index also contains)."""
+    from duckdb_hybrid_doc_search_spark.index.bpe_layout import (
+        ensure_bpe_layout, read_bpe_merges)
+    from duckdb_hybrid_doc_search_spark.models.tokenizer import (
+        tokenize_query)
+    from duckdb_hybrid_doc_search_spark.operators.bm25 import (
+        build_fts_index)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    layout = ensure_bpe_layout(spark, docs, sf_dir)
+    mrows = read_bpe_merges(spark, layout)
+    word_df = {r.term for r in build_fts_index(docs)["docfreq"]
+               .select("term").collect()}
+    bpe_df = {r.term for r in bpe.bpe_fts_index(docs, mrows)["docfreq"]
+              .select("term").collect()}
+
+    queries = [
+        "spark vector join fast merge",
+        "sparkly vectorization joining",   # OOV inflections
+        "zzz qqq unknownword",              # fully OOV
+    ]
+    for q in queries:
+        wterms = set(tokenize_query(q))
+        bterms = set(bpe.encode_query_terms(q, mrows))
+        wrate = (sum(t in word_df for t in wterms) / len(wterms))
+        brate = (sum(t in bpe_df for t in bterms) / len(bterms))
+        assert brate >= wrate, (q, wrate, brate)
