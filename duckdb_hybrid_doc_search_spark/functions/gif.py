@@ -319,8 +319,8 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray,
 # transparent-index pixels leave the underlying canvas untouched (how
 # animations ship deltas), and the disposal method says what happens to
 # the frame's rect AFTER it is shown — 0/1 leave it (the common case),
-# 2 restores it to the background color, 3 (restore-to-previous) is
-# refused loudly (rare, and supporting it silently-wrong would be worse).
+# 2 restores it to the background color, 3 restores it to what it held
+# before the frame rendered (a pre-draw snapshot of the rect).
 
 
 def decode_gif_frames(data: bytes) -> np.ndarray:
@@ -330,8 +330,9 @@ def decode_gif_frames(data: bytes) -> np.ndarray:
     a viewer would show it at that point of the animation (frame rects
     composited over what earlier frames left behind). Single-image files
     yield n_frames == 1 with pixels identical to :func:`decode_gif`.
-    Raises ValueError on malformed/truncated streams, frames that
-    overflow the canvas, and disposal method 3."""
+    Raises ValueError on malformed/truncated streams and frames that
+    overflow the canvas. All four disposal methods are composited
+    (0/1 leave, 2 background, 3 restore-to-previous)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
     if len(data) < 13:
@@ -389,6 +390,11 @@ def decode_gif_frames(data: bytes) -> np.ndarray:
                     f"overflows the {sw}x{sh} screen"
                 )
             rect = canvas[top:top + h, left:left + w]
+            # disposal 3 restores the rect to what it held BEFORE this
+            # frame rendered — snapshot it pre-draw (spec: "restore the
+            # area overwritten by the graphic with what was there prior
+            # to rendering")
+            prev_rect = rect.copy() if disposal == 3 else None
             pixels = palette[arr]
             if transparent is not None:
                 keep = arr == transparent
@@ -397,11 +403,8 @@ def decode_gif_frames(data: bytes) -> np.ndarray:
             frames.append(canvas.copy())
             if disposal == 2:  # restore rect to background color
                 canvas[top:top + h, left:left + w] = bg_color
-            elif disposal == 3:
-                raise ValueError(
-                    "unsupported GIF: disposal method 3 "
-                    "(restore-to-previous)"
-                )
+            elif disposal == 3:  # restore rect to pre-frame content
+                canvas[top:top + h, left:left + w] = prev_rect
             transparent = None  # a GCE governs exactly one image
             disposal = 0
     except (IndexError, struct.error):

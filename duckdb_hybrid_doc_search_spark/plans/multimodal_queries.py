@@ -275,6 +275,20 @@ _GIFANIM_ORACLE = "SELECT * FROM (\n" + "\n  UNION ALL\n".join(
            f"THEN {_gp(c, '(x + y*2) % 16')} "
            f"ELSE {_gp(c, '(x*3 + y) % 16')} END"
            for c in range(3)]),
+       # restore.gif pins DISPOSAL 3: frame 1's rect shows its patch,
+       # frame 2's canvas has that rect RESTORED to frame 0's pixels
+       _gifanim_row("restore.gif", 0, 7, 5,
+                    [_gp(c, "(x*2 + y*5) % 16") for c in range(3)]),
+       _gifanim_row("restore.gif", 1, 7, 5, [
+           f"CASE WHEN x BETWEEN 1 AND 3 AND y BETWEEN 1 AND 2 "
+           f"THEN {_gp(c, '((x-1)*4 + (y-1)*3 + 2) % 16')} "
+           f"ELSE {_gp(c, '(x*2 + y*5) % 16')} END"
+           for c in range(3)]),
+       _gifanim_row("restore.gif", 2, 7, 5, [
+           f"CASE WHEN x BETWEEN 4 AND 5 AND y = 3 "
+           f"THEN {_gp(c, '((x-4) + 6) % 16')} "
+           f"ELSE {_gp(c, '(x*2 + y*5) % 16')} END"
+           for c in range(3)]),
      ]
 ) + "\n) ORDER BY file_name, frame_idx"
 

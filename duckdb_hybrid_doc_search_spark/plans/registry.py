@@ -172,6 +172,10 @@ RECHECK: dict[str, int] = {
     # plan construction changed after the query was registered, so pull
     # it into this round's window instead of the deferred r11 slot
     "bm25_folded_layout_probe": 10,
+    # r11 (r10 VERDICT #6): GIF disposal method 3 (restore-to-previous)
+    # implemented; the gifanim fixture corpus gained restore.gif, so the
+    # registered result set grew by three composited-frame rows
+    "media_gif_frames": 11,
 }
 
 

@@ -198,10 +198,6 @@ def test_animation_error_paths():
 
     pal = _pal16()
     f0 = _img(4, 3, lambda x, y: (x + y) % 16)
-    with _pytest.raises(ValueError, match="disposal method 3"):
-        decode_gif_frames(encode_gif_frames(
-            [{"indices": f0}, {"indices": f0, "disposal": 3}], (4, 3),
-            pal))
     with _pytest.raises(ValueError, match="overflows"):
         decode_gif_frames(encode_gif_frames(
             [{"indices": f0, "left": 2}], (4, 3), pal))
@@ -220,3 +216,45 @@ def test_single_image_frames_equals_decode_gif():
     frames = decode_gif_frames(data)
     assert frames.shape[0] == 1
     assert (frames[0] == decode_gif(data)).all()
+
+
+def test_animation_disposal_restore_to_previous():
+    """Disposal 3: after the frame shows, its rect reverts to the
+    PRE-FRAME canvas content — the next frame composites over what was
+    there before, not over the disposed frame's pixels."""
+    from duckdb_hybrid_doc_search_spark.functions.gif import (
+        decode_gif_frames, encode_gif_frames)
+
+    pal = _pal16()
+    base = _img(6, 5, lambda x, y: (x + y * 3) % 16)
+    overlay = _img(3, 2, lambda x, y: (x * 5 + y + 1) % 16)
+    tail = _img(2, 1, lambda x, y: (x + 9) % 16)
+    data = encode_gif_frames(
+        [{"indices": base},
+         {"indices": overlay, "left": 2, "top": 1, "disposal": 3},
+         {"indices": tail, "left": 0, "top": 4}],
+        (6, 5), pal)
+    frames = decode_gif_frames(data)
+    assert frames.shape == (3, 5, 6, 3)
+    exp1 = pal[base].copy()
+    exp1[1:3, 2:5] = pal[overlay]
+    assert (frames[1] == exp1).all()
+    exp2 = pal[base].copy()          # overlay rect restored
+    exp2[4, 0:2] = pal[tail]
+    assert (frames[2] == exp2).all()
+
+    # restore composes with transparency: the disposed frame's
+    # transparent pixels never painted, the opaque ones revert too
+    data = encode_gif_frames(
+        [{"indices": base},
+         {"indices": overlay, "left": 2, "top": 1, "disposal": 3,
+          "transparent": 6},
+         {"indices": tail, "left": 0, "top": 4}],
+        (6, 5), pal)
+    frames = decode_gif_frames(data)
+    exp1 = pal[base].copy()
+    rect = exp1[1:3, 2:5]
+    exp1[1:3, 2:5] = np.where((overlay == 6)[:, :, None], rect,
+                              pal[overlay])
+    assert (frames[1] == exp1).all()
+    assert (frames[2] == exp2).all()

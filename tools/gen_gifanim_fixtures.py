@@ -87,6 +87,28 @@ def main() -> None:
     assert (got[0] == PAL[h0]).all() and (got[1] == exp1).all(), "trans"
     _write(out_dir, "trans.gif", data)
 
+    # restore.gif: 7x5 canvas; frame 0 full; frame 1 = 3x2 patch at
+    # (1, 1) with DISPOSAL 3 (restore-to-previous); frame 2 = 2x1 patch
+    # at (4, 3). Frame 2's composited canvas must show frame 0's pixels
+    # under the frame-1 rect (the post-frame restore), plus its own rect.
+    r0 = _grid(7, 5, lambda x, y: (x * 2 + y * 5) % 16)
+    r1 = _grid(3, 2, lambda u, v: (u * 4 + v * 3 + 2) % 16)
+    r2 = _grid(2, 1, lambda u, v: (u + 6) % 16)
+    data = encode_gif_frames(
+        [{"indices": r0},
+         {"indices": r1, "left": 1, "top": 1, "disposal": 3},
+         {"indices": r2, "left": 4, "top": 3}],
+        (7, 5), PAL)
+    got = decode_gif_frames(data)
+    exp1 = PAL[r0].copy()
+    exp1[1:3, 1:4] = PAL[r1]
+    exp2 = PAL[r0].copy()          # frame-1 rect RESTORED to frame 0
+    exp2[3, 4:6] = PAL[r2]
+    assert (got[0] == PAL[r0]).all(), "restore f0"
+    assert (got[1] == exp1).all(), "restore f1"
+    assert (got[2] == exp2).all(), "restore f2 (disposal-3 restore)"
+    _write(out_dir, "restore.gif", data)
+
 
 def _write(out_dir: str, name: str, data: bytes) -> None:
     path = os.path.join(out_dir, name)
