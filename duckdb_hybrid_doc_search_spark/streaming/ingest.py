@@ -178,7 +178,8 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
                          query_name: str = "ingest",
                          fold_every: int | None = None,
                          trigger_files: int | None = None,
-                         run_root: str | None = None) -> DataFrame:
+                         run_root: str | None = None,
+                         batch_times: dict | None = None) -> DataFrame:
     """Drive the composed ingestion loop over the bounded documents
     stream (arriving slice: doc_id % BATCH_MOD == 0, the incremental
     dedup family's split) and return the per-batch ledger.
@@ -186,10 +187,14 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
     ``trigger_files`` spools the arriving slice as N files streamed
     with maxFilesPerTrigger=1 (N micro-batches, so cross-shard dedup
     and the fold cadence actually fire); ``run_root`` hands the run
-    dir (both stores + sinks) to the caller for post-run inspection.
+    dir (both stores + sinks) to the caller for post-run inspection;
+    ``batch_times`` (if given) is filled with batch_id -> wall seconds
+    of the foreachBatch body — the per-batch pricing hook
+    tools/scale_probe.py's INGESTLOOP section records.
     """
     import os
     import shutil
+    import time
 
     from ..index.dedup_layout import ensure_dedup_layout
     from .docs import read_documents_stream
@@ -217,10 +222,13 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
         lambda: read_documents_stream(spark, sf_dir))
 
     def ingest_slice(bdf: DataFrame, batch_id: int) -> None:
+        t0 = time.perf_counter()
         ingest_batch(spark, bdf.where(is_batch), batch_id,
                      dstore=dstore, fstore=fstore, sink=sink,
                      ledger=ledger, manifest=manifest,
                      fold_every=fold_every)
+        if batch_times is not None:
+            batch_times[batch_id] = time.perf_counter() - t0
 
     def result_fn() -> DataFrame:
         if not os.path.exists(ledger):  # no micro-batch ever fired
