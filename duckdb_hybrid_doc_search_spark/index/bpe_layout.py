@@ -68,3 +68,37 @@ def ensure_bpe_layout(spark: SparkSession, docs: DataFrame, sf_dir: str,
         shutil.rmtree(out_dir)
     write_bpe_merges(docs, out_dir, n_merges)
     return out_dir
+
+
+def ensure_bpe_fts_layout(spark: SparkSession, docs: DataFrame,
+                          sf_dir: str, root: str | None = None,
+                          n_merges: int = BPE_MERGES) -> dict:
+    """Build (once, fingerprint-keyed) the WRITTEN subword FTS index:
+    train/ensure the merge table, encode the corpus with it, and persist
+    the four bm25 tables + the denormalized postings_scored through the
+    analyzer-independent writer (index/fts_layout.write_index_tables).
+    A probe over the result is ONE term-pruned scan with zero joins —
+    the same production shape as the word analyzer's layout, so the BPE
+    analyzer pays its encode cost at write time, not per query.
+
+    Returns the opened index dict (operators/bm25 probe convention)."""
+    import shutil
+
+    from ..operators.bpe import bpe_fts_index
+    from .fingerprint import layout_fingerprint, warehouse_root
+    from .fts_layout import read_fts_layout, write_index_tables
+
+    fp = layout_fingerprint(docs, "doc_id", "text")
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-bpefts{n_merges}-{fp}"
+    )
+    out_dir = os.path.join(warehouse_root("bpe_fts_layout", root), key)
+    done = os.path.join(out_dir, "corpus_stats", "_SUCCESS")
+    if not os.path.exists(done):
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        merges = read_bpe_merges(
+            spark, ensure_bpe_layout(spark, docs, sf_dir, root, n_merges))
+        write_index_tables(bpe_fts_index(docs, merges), out_dir)
+    return read_fts_layout(spark, out_dir)

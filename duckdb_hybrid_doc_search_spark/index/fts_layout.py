@@ -71,7 +71,15 @@ def write_fts_layout(docs: DataFrame, out_dir: str, id_col: str = "doc_id",
     """Derive the four index tables and write them term-ordered."""
     from ..operators.bm25 import build_fts_index
 
-    index = build_fts_index(docs, id_col, text_col)
+    write_index_tables(build_fts_index(docs, id_col, text_col), out_dir)
+
+
+def write_index_tables(index: dict[str, DataFrame], out_dir: str) -> None:
+    """Write ANY bm25-shaped index dict (postings/docfreq/docstats/
+    corpus_stats) as the standard term-ordered layout + the denormalized
+    postings_scored — shared by the word analyzer (write_fts_layout) and
+    the BPE analyzer (index/bpe_layout.ensure_bpe_fts_layout): the
+    storage contract is analyzer-independent."""
     (
         index["postings"]
         .repartitionByRange(POSTINGS_RANGE_PARTITIONS, "term")

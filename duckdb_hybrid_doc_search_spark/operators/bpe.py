@@ -570,3 +570,37 @@ def bm25_bpe_topk(docs: DataFrame, query: str, k: int,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dd_bpe_encode_stats_sql(table: str = "documents",
+                            n_merges: int = BPE_MERGES) -> str:
+    """Oracle twin of :func:`bpe_encode_stats` (upgrades
+    text_bpe_encode_stats from rows-only): derive the merges (the
+    trainer's unrolled stages), encode the distinct vocabulary with the
+    recursive priority loop, and aggregate fertility / chars-per-token
+    per language slice."""
+    from ..config import SCORE_ROUND
+
+    return f"""
+WITH RECURSIVE
+{dd_bpe_merges_ctes(table, n_merges)},
+blw AS MATERIALIZED (
+  SELECT lang, word, count(*)::BIGINT AS cnt
+  FROM (SELECT lang, unnest({dd_tokenize('text')}) AS word FROM {table})
+  GROUP BY lang, word
+),
+vocab AS MATERIALIZED (SELECT DISTINCT word FROM blw),
+{dd_bpe_encode_ctes()},
+j AS (
+  SELECT b.lang, b.cnt, length(b.word) AS wlen, len(e.subwords) AS n_sub
+  FROM blw b JOIN encoded e USING (word)
+)
+SELECT lang,
+       sum(cnt)::BIGINT AS n_words,
+       sum(cnt * n_sub)::BIGINT AS n_bpe_tokens,
+       round(sum(cnt * n_sub)::DOUBLE / sum(cnt), {SCORE_ROUND})
+         AS fertility,
+       round(sum(cnt * wlen)::DOUBLE / sum(cnt * n_sub), {SCORE_ROUND})
+         AS chars_per_token
+FROM j GROUP BY lang ORDER BY lang
+""".strip()

@@ -564,7 +564,9 @@ NPROBE_SWEEP = (1, 2, 4, 8)
 
 def ivf_nprobe_curve(emb: DataFrame, k: int, n_queries: int,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     cent: DataFrame | None = None,
+                     assign: DataFrame | None = None) -> DataFrame:
     """Recall@k vs scan cost across the NPROBE_SWEEP — the tuning curve
     every IVF deployment reads before picking nprobe (quality rises with
     probes, cost rises linearly; the knee is the operating point).
@@ -576,9 +578,18 @@ def ivf_nprobe_curve(emb: DataFrame, k: int, n_queries: int,
     against the exact brute-force top-k; mean_candidates records the
     per-query scan cost that bought it.
 
+    ``cent``/``assign`` take a WRITTEN layout's frozen centroid table
+    and stored (c_id, cell) assignment — the registered query passes
+    them so the curve reads a two-column parquet scan instead of
+    recomputing the O(N x nlist) assignment crossJoin per run (with
+    derived nlist the in-plan assignment grew with sqrt(N): the r10
+    bench paid 44-vs-16 centroid math on every execution; the layout
+    already materialized the answer at build time).
+
     Output per nprobe: mean_recall, mean_candidates.
     """
-    cent, assign = ivf_assign(emb, id_col, vec_col)
+    if cent is None or assign is None:
+        cent, assign = ivf_assign(emb, id_col, vec_col)
     queries = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )

@@ -943,8 +943,21 @@ def embeddings_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF tuning curve: recall@k + mean candidates scanned per query
     across nprobe in {1,2,4,8} — one candidate pass at max nprobe,
-    exploded per sweep value."""
-    return knn.ivf_nprobe_curve(_emb(spark, sf_dir), ANN_K, ANN_N_QUERIES)
+    exploded per sweep value. Since r11 the curve reads the PERSISTED
+    layout's frozen centroids + stored cell assignment (a two-column
+    scan) instead of recomputing the O(N x nlist) assignment in-plan —
+    value-identical by the layout's append-equivalence contract, and
+    the r10 bench's 44-vs-16 assignment cost drops out."""
+    from ..index.ivf_layout import ensure_ivf_layout, read_layout_centroids
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivf_layout(spark, emb, sf_dir)
+    return knn.ivf_nprobe_curve(
+        emb, ANN_K, ANN_N_QUERIES,
+        cent=read_layout_centroids(spark, out_dir),
+        assign=spark.read.parquet(out_dir).select(
+            F.col("vec_id").alias("c_id"), "cell"),
+    )
 
 
 @register("dedup_graph_triangles",
@@ -1043,15 +1056,43 @@ def bm25_bpe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              read_bpe_merges(spark, layout))
 
 
-@register("text_bpe_encode_stats", executes_on_build=True)
+@register("bm25_bpe_layout_probe", oracle=bpe.dd_bm25_bpe_topk_sql(
+    "spark vector join fast merge", 10), executes_on_build=True)
+def bm25_bpe_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_bpe_topk against the WRITTEN subword index
+    (index/bpe_layout.ensure_bpe_fts_layout): encode happens once at
+    layout-write time; the probe is _matched's join-free term-pruned
+    postings_scored scan — identical results to the in-plan build
+    (shared oracle), so the driver checks the layout path too. The
+    production shape: at 100 TB the subword postings are built by the
+    indexing job, never per query."""
+    from ..index.bpe_layout import (ensure_bpe_fts_layout,
+                                    ensure_bpe_layout, read_bpe_merges)
+    from ..operators.bm25 import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    index = ensure_bpe_fts_layout(spark, docs, sf_dir)
+    merges = read_bpe_merges(spark, ensure_bpe_layout(spark, docs, sf_dir))
+    qterms = bpe.encode_query_terms("spark vector join fast merge", merges)
+    return (
+        bm25_scores(index, qterms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register("text_bpe_encode_stats", oracle=bpe.dd_bpe_encode_stats_sql(),
+          executes_on_build=True)
 def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure the trained tokenizer per language: fertility (subword
     tokens per word) and chars-per-token. Probes the WRITTEN tokenizer
     layout (index/bpe_layout.py — trained once per corpus fingerprint,
     the production train-once/apply-everywhere shape); only the
     DISTINCT-word vocabulary is segmented in Python (Arrow-batched);
-    corpus text never crosses the JVM boundary. Rows-only: encode
-    parity is pytest-pinned word-for-word against the pure-Python
+    corpus text never crosses the JVM boundary. Since r11 ORACLED: the
+    recursive-CTE encoder (bm25_bpe_topk's machinery) makes the
+    per-slice fertility aggregate SQL-expressible; encode parity is
+    additionally pytest-pinned word-for-word against the pure-Python
     reference."""
     from ..index.bpe_layout import ensure_bpe_layout, read_bpe_merges
 

@@ -176,6 +176,11 @@ RECHECK: dict[str, int] = {
     # implemented; the gifanim fixture corpus gained restore.gif, so the
     # registered result set grew by three composited-frame rows
     "media_gif_frames": 11,
+    # r11: the nprobe curve now reads the persisted layout's stored
+    # assignment (two-column scan) instead of the in-plan O(N x nlist)
+    # crossJoin — value-identical (append-equivalence contract), plan
+    # changed
+    "ann_ivf_nprobe_curve": 11,
 }
 
 

@@ -229,3 +229,40 @@ def test_fts_append_noop_redelivery_keeps_scored_table(spark, sf_dir,
     append_fts_segment(spark, store, docs.where(F.col("doc_id") % 3 == 2),
                        append_id="a3")
     assert not os.path.exists(scored)
+
+
+def test_ingest_empty_batch_is_skipped_whole(spark, sf_dir, tmp_path):
+    """An EMPTY micro-batch (a spool repartition can emit empty files)
+    must not run the decide/signature/manifest machinery: no zero-count
+    ledger row, no empty decisions slice, no segment append — and a
+    redelivered empty batch is still a no-op (r10 ADVICE)."""
+    from duckdb_hybrid_doc_search_spark.index.dedup_layout import (
+        ensure_dedup_layout)
+    from duckdb_hybrid_doc_search_spark.streaming.ingest import ingest_batch
+    from duckdb_hybrid_doc_search_spark.streaming.index_maintenance import (
+        ensure_fts_base_store)
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % BATCH_MOD != 0)
+    import shutil
+
+    dstore = str(tmp_path / "dstore")
+    fstore = str(tmp_path / "fstore")
+    shutil.copytree(ensure_dedup_layout(spark, existing, sf_dir), dstore)
+    shutil.copytree(
+        ensure_fts_base_store(spark, existing, sf_dir, name="ingestbase"),
+        fstore)
+    seg_files_before = sorted(
+        os.listdir(os.path.join(fstore, "segstats")))
+
+    empty = docs.where(F.lit(False))
+    for _ in range(2):  # delivery + redelivery
+        ingest_batch(spark, empty, 7, dstore=dstore, fstore=fstore,
+                     sink=str(tmp_path / "dec"),
+                     ledger=str(tmp_path / "led"),
+                     manifest=str(tmp_path / "man"))
+    assert not os.path.exists(str(tmp_path / "led"))
+    assert not os.path.exists(str(tmp_path / "dec"))
+    assert not os.path.exists(str(tmp_path / "man"))
+    assert sorted(os.listdir(os.path.join(fstore, "segstats"))) == \
+        seg_files_before
