@@ -70,6 +70,14 @@ def ensure_bpe_layout(spark: SparkSession, docs: DataFrame, sf_dir: str,
     return out_dir
 
 
+# Opened-layout memo (the fts_layout._OPEN pattern): repeated probes of
+# the same written subword layout reuse the resolved DataFrames instead
+# of re-reading five table dirs' parquet footers per call. Keyed by
+# Spark application id; stale content is impossible because the out_dir
+# embeds the corpus fingerprint.
+_OPEN: dict[tuple[str, str], dict] = {}
+
+
 def ensure_bpe_fts_layout(spark: SparkSession, docs: DataFrame,
                           sf_dir: str, root: str | None = None,
                           n_merges: int = BPE_MERGES) -> dict:
@@ -94,6 +102,9 @@ def ensure_bpe_fts_layout(spark: SparkSession, docs: DataFrame,
         f"-bpefts{n_merges}-{fp}"
     )
     out_dir = os.path.join(warehouse_root("bpe_fts_layout", root), key)
+    memo_key = (spark.sparkContext.applicationId, out_dir)
+    if memo_key in _OPEN:
+        return _OPEN[memo_key]
     done = os.path.join(out_dir, "corpus_stats", "_SUCCESS")
     if not os.path.exists(done):
         if os.path.exists(out_dir):
@@ -101,4 +112,5 @@ def ensure_bpe_fts_layout(spark: SparkSession, docs: DataFrame,
         merges = read_bpe_merges(
             spark, ensure_bpe_layout(spark, docs, sf_dir, root, n_merges))
         write_index_tables(bpe_fts_index(docs, merges), out_dir)
-    return read_fts_layout(spark, out_dir)
+    _OPEN[memo_key] = read_fts_layout(spark, out_dir)
+    return _OPEN[memo_key]

@@ -72,8 +72,15 @@ def write_ivf_partitioned(emb: DataFrame, out_dir: str,
         from ..operators.knn import kmeans_centroids
 
         cent, source = kmeans_centroids(emb, k=nlist), "kmeans"
-    else:
+    elif centroids == "sample":
         cent, source = None, "sample"
+    else:
+        # a typo ("lloyd", "Kmeans") must not silently build the
+        # low-recall sampled layout the caller did not ask for
+        raise ValueError(
+            f"unknown centroid source {centroids!r}: pass 'sample', "
+            "'kmeans', or a (cent_id, cvec) DataFrame"
+        )
     if cent is None:
         cent, assign = ivf_assign(emb, nlist=nlist)
     else:
@@ -307,44 +314,16 @@ def ivf_partitioned_topk(spark: SparkSession, out_dir: str,
                          emb: DataFrame, k: int,
                          n_queries: int = 10) -> DataFrame:
     """Same semantics as operators/knn.ivf_topk, but candidates come from
-    the pruned partition scan instead of an in-plan assignment join."""
-    from pyspark.sql import Window
-
-    from ..config import SCORE_ROUND
-    from ..functions import vector as V
-
-    cent, _ = ivf_assign(emb)
+    the pruned partition scan instead of an in-plan assignment join.
+    Delegates to :func:`ivf_frozen_layout_topk` (r11): the layout's
+    `_centroids` side table IS the in-plan centroid set by the
+    append-equivalence contract, so re-deriving it per probe via
+    ivf_assign paid an emb.count() action + a stride scan for rows the
+    build already persisted."""
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    qc = queries.crossJoin(F.broadcast(cent)).select(
-        "q_id", "q_vec", "cent_id",
-        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
-                SCORE_ROUND).alias("qsim"),
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= NPROBE)
-        .select("q_id", "q_vec", F.col("cent_id").alias("cell"))
-    )
-    probe_cell_ids = sorted(
-        {r.cell for r in probes.select("cell").distinct().collect()}
-    )
-    cand = probes.join(
-        probe_cells(spark, out_dir, probe_cell_ids), "cell"
-    )
-    scored = cand.select(
-        "q_id",
-        F.col("vec_id").alias("c_id"),
-        F.round(V.cosine_similarity(F.col("q_vec"), F.col("embedding")),
-                SCORE_ROUND).alias("cos_sim"),
-    )
-    wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= k)
-    )
+    return ivf_frozen_layout_topk(spark, out_dir, queries, k)
 
 
 def append_ivf_vectors(spark: SparkSession, out_dir: str,

@@ -437,6 +437,12 @@ def dd_bm25_bpe_topk_sql(query: str, k: int,
     from .bm25 import BM25_B, BM25_K1
 
     qwords = sorted(set(tokenize_query(query)))
+    if not qwords:
+        # `VALUES ()` is a DuckDB parse error — fail fast Python-side
+        raise ValueError(
+            f"query {query!r} tokenizes to zero words: the BPE BM25 "
+            "oracle cannot be built for an empty term set"
+        )
     qvals = ", ".join("('" + w.replace("'", "''") + "')" for w in qwords)
     return f"""
 WITH RECURSIVE

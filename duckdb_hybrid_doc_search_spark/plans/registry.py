@@ -181,6 +181,12 @@ RECHECK: dict[str, int] = {
     # crossJoin — value-identical (append-equivalence contract), plan
     # changed
     "ann_ivf_nprobe_curve": 11,
+    # r11 (self-review): ivf_partitioned_topk now delegates to
+    # ivf_frozen_layout_topk (probe reads the _centroids side table
+    # instead of re-deriving via ivf_assign) — value-identical, plan
+    # changed for both layout-probe queries
+    "ann_ivf_topk": 11,
+    "ann_ivf_append_probe": 11,
 }
 
 

@@ -44,7 +44,11 @@ def dd_ingest_ledger_sql(table: str = "documents") -> str:
     the dedup decisions are dedup_incremental_batch's oracle (the
     stream==batch property the dedup loop already proved), the quality
     gate is quality_scores' oracle with curation's floor, and the
-    ledger is one aggregate over their composition."""
+    ledger is one aggregate over their composition. HAVING count(*) > 0
+    mirrors ingest_batch's whole-batch empty skip: an empty arriving
+    slice produces NO ledger row on either side (without it the
+    ungrouped aggregate would emit one zero row and the hash gate would
+    red against the skipped batch)."""
     from ..operators.dedup import dd_dedup_incremental_batch_sql
 
     return f"""
@@ -68,6 +72,7 @@ SELECT 0::BIGINT AS batch_id,
                  AND doc_id NOT IN (SELECT doc_id FROM ql)
             THEN 1 ELSE 0 END)::BIGINT AS n_quality_rejected
 FROM dec
+HAVING count(*) > 0
 """.strip()
 
 
