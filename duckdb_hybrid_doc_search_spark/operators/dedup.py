@@ -546,6 +546,76 @@ SELECT doc_id, ({combine}) AS simhash FROM bit_sums
 """.strip()
 
 
+def dedup_embedding_ivf(emb: DataFrame) -> DataFrame:
+    """Cell-BUCKETED embedding near-dups >= COSINE_DUP_THRESHOLD — the
+    approximate scale path dedup_embedding_cosine's docstring points at:
+    candidate pairs are restricted to vectors sharing an IVF cell
+    (operators/knn.ivf_assign — the same frozen derived-nlist centroid
+    assignment the ANN layouts persist), so the pair space shrinks from
+    N^2/2 to ~N^2/(2*nlist) = N^1.5/2 at nlist ~ sqrt(N), one shuffle on
+    the cell key, cosine evaluated JVM-side. A true near-dup pair is
+    found iff the cell assignment co-locates it (tests record the recall
+    vs the exact block-GEMM pair set); misses are the documented price
+    of bucketing, exactly SemDeDup's trade.
+
+    Output: vec_a, vec_b, cos_sim (vec_a < vec_b) — the same contract as
+    dedup_embedding_cosine, so downstream survivorship/components
+    consume either.
+    """
+    from .knn import ivf_assign
+
+    _, assign = ivf_assign(emb)
+    cells = emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
+        "vec_id", "embedding", "cell"
+    )
+    a = cells.select("cell", F.col("vec_id").alias("vec_a"),
+                     F.col("embedding").alias("emb_a"))
+    b = cells.select("cell", F.col("vec_id").alias("vec_b"),
+                     F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")),
+                    SCORE_ROUND).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def dd_dedup_embedding_ivf_sql(table: str = "embeddings") -> str:
+    """Oracle twin: the dd_ivf_topk_sql assignment CTEs + a within-cell
+    self-join at the shared threshold."""
+    from .knn import dd_centroid_pred
+
+    csim = dd_cosine_similarity("e.c_vec", "c.cvec")
+    cs = dd_cosine_similarity("x.embedding", "y.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM {table}
+  WHERE {dd_centroid_pred('vec_id', table)}
+),
+e AS (SELECT vec_id AS c_id, embedding AS c_vec FROM {table}),
+assign AS (
+  SELECT c_id, cent_id AS cell FROM (
+    SELECT e.c_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.c_id
+             ORDER BY round({csim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT a.c_id AS vec_id, e2.c_vec AS embedding, a.cell
+  FROM assign a JOIN e e2 ON e2.c_id = a.c_id
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round({cs}, {SCORE_ROUND}) AS cos_sim
+FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE round({cs}, {SCORE_ROUND}) >= {COSINE_DUP_THRESHOLD}
+""".strip()
+
+
 def dd_dedup_embedding_cosine_sql(table: str = "embeddings") -> str:
     cs = dd_cosine_similarity("a.embedding", "b.embedding")
     return f"""

@@ -94,6 +94,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
+@register("dedup_embedding_ivf", oracle=dedup.dd_dedup_embedding_ivf_sql())
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed embedding near-dup pairs (r11): candidates only
+    within the frozen IVF cell assignment, shrinking the pair space to
+    ~N^1.5/2 — the scale path dedup_embedding_cosine's all-pairs GEMM
+    docstring promises; recall vs the exact pair set is pytest-recorded
+    (tests/test_dedup_embedding_ivf.py)."""
+    return dedup.dedup_embedding_ivf(_emb(spark, sf_dir))
+
+
 @register("dedup_duplicate_spans",
           oracle=dedup.dd_dedup_duplicate_spans_sql())
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
