@@ -426,12 +426,13 @@ encoded AS MATERIALIZED (
 )"""
 
 
-def dd_bm25_bpe_topk_sql(query: str, k: int,
-                         table: str = "documents",
-                         n_merges: int = BPE_MERGES) -> str:
-    """Oracle twin of :func:`bm25_bpe_topk`: trains the merges, encodes
-    the corpus vocabulary AND the query words with them, then runs the
-    standard BM25 arithmetic over subword postings."""
+def dd_bpe_bm25_ctes(query: str, table: str = "documents",
+                     n_merges: int = BPE_MERGES) -> str:
+    """Composable CTE block ending in `bm25_scored(doc_id, score)` over
+    the BPE-analyzed subword index — shared by the standalone top-k
+    oracle and the hybrid-search variant (one block, so the analyzer's
+    fusion semantics cannot diverge between them). The caller's WITH
+    must be `WITH RECURSIVE` (the encoder CTE)."""
     from ..config import SCORE_ROUND
     from ..models.tokenizer import tokenize_query
     from .bm25 import BM25_B, BM25_K1
@@ -445,7 +446,6 @@ def dd_bm25_bpe_topk_sql(query: str, k: int,
         )
     qvals = ", ".join("('" + w.replace("'", "''") + "')" for w in qwords)
     return f"""
-WITH RECURSIVE
 {dd_bpe_merges_ctes(table, n_merges)},
 dwc AS MATERIALIZED (
   SELECT doc_id, word, count(*)::BIGINT AS wcnt
@@ -494,6 +494,18 @@ bm25_scored AS (
   WHERE p.term IN (SELECT term FROM qterms)
   GROUP BY p.doc_id
 )
+""".strip()
+
+
+def dd_bm25_bpe_topk_sql(query: str, k: int,
+                         table: str = "documents",
+                         n_merges: int = BPE_MERGES) -> str:
+    """Oracle twin of :func:`bm25_bpe_topk`: trains the merges, encodes
+    the corpus vocabulary AND the query words with them, then runs the
+    standard BM25 arithmetic over subword postings."""
+    return f"""
+WITH RECURSIVE
+{dd_bpe_bm25_ctes(query, table, n_merges)}
 SELECT doc_id, score FROM bm25_scored
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()

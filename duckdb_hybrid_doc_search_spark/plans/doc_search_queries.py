@@ -167,6 +167,34 @@ def hybrid_search_ivf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_bpe_fused",
+    oracle=engine.dd_hybrid_search_bpe_sql(QUERY, TOP_K),
+    executes_on_build=True,
+)
+def hybrid_search_bpe_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search with the BPE analyzer on the FTS branch: BM25 over
+    the WRITTEN subword layout with the query encoded by the SAME stored
+    merges (tokenizer identity), fused with the unchanged VSS branch —
+    the OOV-robust variant of hybrid_search_fused (a query word absent
+    from the corpus vocabulary still contributes its subwords' BM25
+    evidence instead of zero). Fusion/threshold/fetch live in the one
+    hybrid_search body; only the term stream differs.
+    executes_on_build: the first call trains+writes the tokenizer and
+    subword-index layouts."""
+    from ..index.bpe_layout import (ensure_bpe_fts_layout,
+                                    ensure_bpe_layout, read_bpe_merges)
+    from ..operators.bpe import encode_query_terms
+
+    docs = _docs(spark, sf_dir)
+    index = ensure_bpe_fts_layout(spark, docs, sf_dir)
+    merges = read_bpe_merges(spark, ensure_bpe_layout(spark, docs, sf_dir))
+    return engine.hybrid_search(
+        docs, _emb(spark, sf_dir), QUERY, TOP_K, rerank=False,
+        index=index, fts_qterms=encode_query_terms(QUERY, merges),
+    )
+
+
+@register(
     "hybrid_search_reranked",
     oracle=engine.dd_hybrid_search_sql(QUERY, TOP_K, rerank=True),
 )

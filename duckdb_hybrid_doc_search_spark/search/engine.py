@@ -39,7 +39,8 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
                   top_k: int = TOP_K_DEFAULT, rerank: bool = False,
                   threshold: float = SCORE_THRESHOLD,
                   index: dict[str, DataFrame] | None = None,
-                  allowed: DataFrame | None = None) -> DataFrame:
+                  allowed: DataFrame | None = None,
+                  fts_qterms: list[str] | None = None) -> DataFrame:
     """Full hybrid search over (documents, embeddings) driver tables.
 
     Returns doc_id, score, fts_score, vss_score + display columns, ordered
@@ -49,7 +50,10 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
     pre-filter BOTH branches before their top-k (metadata-filtered
     search: all k results qualify; IDF stays corpus-global).
     """
-    qterms = tokenize_query(query)
+    # fts_qterms overrides the FTS branch's term set (the BPE analyzer
+    # passes the query's subword encoding — §2.6.5 tokenizer identity:
+    # the index and the query must use the same analyzer)
+    qterms = tokenize_query(query) if fts_qterms is None else fts_qterms
     qvec = hash_embed_text(query)
 
     if index is None:
@@ -250,6 +254,37 @@ WITH {dd_fts_index_ctes()},
 {fts_filter}  ORDER BY score DESC, doc_id ASC LIMIT {top_k}
 ),
 {dd_vss_scored_cte(qvec, top_k, table=emb_table)},
+merged AS (
+  SELECT doc_id, f.fts_score, v.vss_score
+  FROM fts_topk f FULL OUTER JOIN vss_scored v USING (doc_id)
+)
+SELECT m.doc_id, round({score_expr}, {SCORE_ROUND}) AS score,
+       m.fts_score, m.vss_score, {display}
+FROM merged m JOIN documents d USING (doc_id)
+WHERE round({score_expr}, {SCORE_ROUND}) > {threshold}
+ORDER BY score DESC, m.doc_id ASC LIMIT {top_k}
+""".strip()
+
+
+def dd_hybrid_search_bpe_sql(query: str, top_k: int = TOP_K_DEFAULT,
+                             threshold: float = SCORE_THRESHOLD) -> str:
+    """Oracle for the BPE-analyzed hybrid variant: the FTS branch's
+    bm25_scored comes from operators/bpe.dd_bpe_bm25_ctes (merges
+    derived + recursive encode, the bm25_bpe_topk machinery); fusion /
+    threshold / fetch are byte-identical to dd_hybrid_search_sql."""
+    from ..operators.bpe import dd_bpe_bm25_ctes
+
+    qvec = hash_embed_text(query)
+    score_expr = dd_fuse_scores("m.fts_score", "m.vss_score")
+    display = ", ".join(f"d.{c}" for c in DISPLAY_COLS)
+    return f"""
+WITH RECURSIVE
+{dd_bpe_bm25_ctes(query)},
+fts_topk AS (
+  SELECT doc_id, score AS fts_score FROM bm25_scored
+  ORDER BY score DESC, doc_id ASC LIMIT {top_k}
+),
+{dd_vss_scored_cte(qvec, top_k)},
 merged AS (
   SELECT doc_id, f.fts_score, v.vss_score
   FROM fts_topk f FULL OUTER JOIN vss_scored v USING (doc_id)
