@@ -114,3 +114,71 @@ def ensure_bpe_fts_layout(spark: SparkSession, docs: DataFrame,
         write_index_tables(bpe_fts_index(docs, merges), out_dir)
     _OPEN[memo_key] = read_fts_layout(spark, out_dir)
     return _OPEN[memo_key]
+
+
+# merge table stored INSIDE a segmented subword store: the store carries
+# its own analyzer (probes and appends read it back — tokenizer identity
+# survives maintenance without any side channel)
+STORE_MERGES = "bpe_merges"
+
+
+def write_store_merges(merges: DataFrame, out_dir: str) -> None:
+    merges.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, STORE_MERGES))
+
+
+def read_store_merges(spark: SparkSession, out_dir: str) -> list:
+    """Rank-ordered frozen merges of a segmented subword store."""
+    df = spark.read.schema(MERGES_SCHEMA).parquet(
+        os.path.join(out_dir, STORE_MERGES))
+    return sorted(df.collect(), key=lambda r: r["rank"])
+
+
+def ensure_bpe_segment_layout(spark: SparkSession, docs: DataFrame,
+                              sf_dir: str, root: str | None = None,
+                              n_merges: int = BPE_MERGES) -> str:
+    """Build (once) a SEGMENTED subword FTS store that reached its state
+    via incremental maintenance: merges trained on the base slice
+    (doc_id % 7 != 3 — fts_layout's segment split), base segment + one
+    appended segment BOTH encoded with that frozen set (the
+    frozen-tokenizer rule: appended docs are encoded by the tokenizer
+    the index was built with; retraining per append would silently
+    shift every stored posting's vocabulary). The merge table is
+    persisted inside the store (STORE_MERGES), so probes read the
+    store's own analyzer. The segment machinery (append/fold/probe) is
+    the word analyzer's, unchanged — only index_fn differs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_fts_index, bpe_train
+    from .fingerprint import layout_fingerprint, warehouse_root
+    from .fts_layout import (SEG_SPLIT_MOD, SEG_SPLIT_REM,
+                             append_fts_segment, write_fts_segments)
+
+    fp = layout_fingerprint(docs, "doc_id", "text")
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-bpeseg{n_merges}-{fp}"
+    )
+    out_dir = os.path.join(warehouse_root("bpe_segment_layout", root), key)
+    sentinel = os.path.join(out_dir, "_BPESEG_DONE")
+    if os.path.exists(sentinel):
+        return out_dir
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    is_new = F.col("doc_id") % SEG_SPLIT_MOD == SEG_SPLIT_REM
+    base = docs.where(~is_new)
+    merges = bpe_train(base, n_merges)
+    mrows = sorted(merges.collect(), key=lambda r: r["rank"])
+
+    def index_fn(d):  # the frozen-merges analyzer
+        return bpe_fts_index(d, mrows)
+
+    write_fts_segments(base, out_dir, index_fn=index_fn)
+    write_store_merges(merges, out_dir)
+    append_fts_segment(spark, out_dir, docs.where(is_new),
+                       index_fn=index_fn)
+    with open(sentinel, "w"):
+        pass
+    return out_dir

@@ -312,10 +312,17 @@ FOLD_READY = "_FOLD_READY"
 
 
 def _segment_frames(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> dict[str, DataFrame]:
+                    text_col: str = "text",
+                    index_fn=None) -> dict[str, DataFrame]:
+    """``index_fn`` (docs -> bm25-shaped index dict) swaps the analyzer:
+    None = the word analyzer (build_fts_index); the BPE segmented store
+    passes a frozen-merges bpe_fts_index closure. The segment tables'
+    SHAPE is analyzer-independent, so append/fold/probe machinery works
+    unchanged."""
     from ..operators.bm25 import build_fts_index
 
-    index = build_fts_index(docs, id_col, text_col)
+    index = (index_fn(docs) if index_fn is not None
+             else build_fts_index(docs, id_col, text_col))
     segstats = index["docstats"].agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
@@ -330,9 +337,10 @@ def _segment_frames(docs: DataFrame, id_col: str = "doc_id",
 
 def write_fts_segments(docs: DataFrame, out_dir: str,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> None:
+                       text_col: str = "text",
+                       index_fn=None) -> None:
     """Base segment of a segmented FTS store (sentinel last)."""
-    frames = _segment_frames(docs, id_col, text_col)
+    frames = _segment_frames(docs, id_col, text_col, index_fn)
     for name in SEG_TABLES:
         df = frames[name]
         if name in ("postings", "docfreq"):
@@ -370,7 +378,8 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
                        append_id: str | None = None,
                        id_col: str = "doc_id",
                        text_col: str = "text",
-                       skip_existing: bool = False) -> None:
+                       skip_existing: bool = False,
+                       index_fn=None) -> None:
     """Append one segment (an arriving shard's docs) to a segmented FTS
     store — no rebuild, no rewrite of existing files. Same crash-safety
     and idempotency contract as index/dedup_layout.append_dedup_
@@ -467,7 +476,7 @@ def append_fts_segment(spark: SparkSession, out_dir: str,
         shutil.rmtree(os.path.join(out_dir, "_staging"),
                       ignore_errors=True)
         stage = os.path.join(out_dir, "_staging", append_id)
-        frames = _segment_frames(new_docs, id_col, text_col)
+        frames = _segment_frames(new_docs, id_col, text_col, index_fn)
         for name in SEG_TABLES:
             df = frames[name]
             if name in ("postings", "docfreq"):

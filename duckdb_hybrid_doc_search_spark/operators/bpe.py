@@ -427,12 +427,17 @@ encoded AS MATERIALIZED (
 
 
 def dd_bpe_bm25_ctes(query: str, table: str = "documents",
-                     n_merges: int = BPE_MERGES) -> str:
+                     n_merges: int = BPE_MERGES,
+                     train_table: str | None = None) -> str:
     """Composable CTE block ending in `bm25_scored(doc_id, score)` over
     the BPE-analyzed subword index — shared by the standalone top-k
     oracle and the hybrid-search variant (one block, so the analyzer's
     fusion semantics cannot diverge between them). The caller's WITH
-    must be `WITH RECURSIVE` (the encoder CTE)."""
+    must be `WITH RECURSIVE` (the encoder CTE). ``train_table`` (a
+    table name or parenthesized subquery) trains the merges on a
+    DIFFERENT corpus slice than the postings corpus — the incremental
+    store's frozen-tokenizer rule (merges from the base build, appended
+    docs encoded with them)."""
     from ..config import SCORE_ROUND
     from ..models.tokenizer import tokenize_query
     from .bm25 import BM25_B, BM25_K1
@@ -446,7 +451,7 @@ def dd_bpe_bm25_ctes(query: str, table: str = "documents",
         )
     qvals = ", ".join("('" + w.replace("'", "''") + "')" for w in qwords)
     return f"""
-{dd_bpe_merges_ctes(table, n_merges)},
+{dd_bpe_merges_ctes(train_table or table, n_merges)},
 dwc AS MATERIALIZED (
   SELECT doc_id, word, count(*)::BIGINT AS wcnt
   FROM (SELECT doc_id, unnest({dd_tokenize('text')}) AS word FROM {table})
@@ -506,6 +511,26 @@ def dd_bm25_bpe_topk_sql(query: str, k: int,
     return f"""
 WITH RECURSIVE
 {dd_bpe_bm25_ctes(query, table, n_merges)}
+SELECT doc_id, score FROM bm25_scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def dd_bm25_bpe_incremental_sql(query: str, k: int,
+                                table: str = "documents",
+                                n_merges: int = BPE_MERGES) -> str:
+    """Oracle for the SEGMENTED subword store's probe: merges trained on
+    the BASE slice only (doc_id % 7 <> 3 — index/fts_layout's segment
+    split), every document (base + appended) encoded with that frozen
+    set, BM25 over the full corpus. The frozen-tokenizer maintenance
+    contract, SQL-expressed."""
+    from ..index.fts_layout import SEG_SPLIT_MOD, SEG_SPLIT_REM
+
+    train = (f"(SELECT * FROM {table} "
+             f"WHERE doc_id % {SEG_SPLIT_MOD} <> {SEG_SPLIT_REM})")
+    return f"""
+WITH RECURSIVE
+{dd_bpe_bm25_ctes(query, table, n_merges, train_table=train)}
 SELECT doc_id, score FROM bm25_scored
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()

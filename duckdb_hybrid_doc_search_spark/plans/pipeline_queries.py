@@ -1112,6 +1112,35 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, merge_rows=read_bpe_merges(spark, layout))
 
 
+@register("bm25_bpe_incremental_layout_probe",
+          oracle=bpe.dd_bm25_bpe_incremental_sql(
+              "spark vector join fast merge", 10),
+          executes_on_build=True)
+def bm25_bpe_incremental_layout_probe(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Subword-index MAINTENANCE probe: the segmented BPE store reached
+    its state via incremental append (merges trained on the base slice,
+    FROZEN in the store, appended docs encoded with them —
+    index/bpe_layout.ensure_bpe_segment_layout), probed through the
+    word analyzer's unchanged segment machinery. The oracle derives the
+    merges from the SAME base slice and scores the full corpus — a
+    green row proves subword indexes stay appendable without retraining
+    or rebuild, the tokenizer-identity contract under maintenance."""
+    from ..index.bpe_layout import (ensure_bpe_segment_layout,
+                                    read_store_merges)
+    from ..operators.bm25 import bm25_scores, segment_fts_index
+
+    docs = _docs(spark, sf_dir)
+    seg_dir = ensure_bpe_segment_layout(spark, docs, sf_dir)
+    qterms = bpe.encode_query_terms("spark vector join fast merge",
+                                    read_store_merges(spark, seg_dir))
+    return (
+        bm25_scores(segment_fts_index(spark, seg_dir), qterms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 @register("corpus_leakage_safe_split",
           oracle=curation.dd_leakage_safe_split_sql())
 def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
