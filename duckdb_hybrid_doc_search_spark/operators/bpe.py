@@ -647,3 +647,59 @@ SELECT lang,
          AS chars_per_token
 FROM j GROUP BY lang ORDER BY lang
 """.strip()
+
+
+def bpe_doc_token_counts(docs: DataFrame, merge_rows: list,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens): per-document TOKENIZER token counts under the
+    stored merges — what a training budget actually meters (whitespace
+    word counts under-count by the fertility factor, ~4x on this
+    corpus). Same vocabulary-only-in-Python shape as bpe_fts_index;
+    empty docs keep an n_tokens=0 row."""
+    spark = docs.sparkSession
+    dwc = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(id_col, F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    vocab = bpe_segment_vocab(dwc.select("word").distinct(), merge_rows)
+    dsum = (
+        dwc.join(vocab.select("word", F.size("subwords").alias("n_sub")),
+                 "word")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("wcnt") * F.col("n_sub")).alias("dl"))
+    )
+    return (
+        docs.select(id_col)
+        .join(dsum, id_col, "left")
+        .select(id_col,
+                F.coalesce(F.col("dl"), F.lit(0)).cast("long")
+                .alias("n_tokens"))
+    )
+
+
+def dd_bpe_doc_counts_ctes(table: str = "documents",
+                           n_merges: int = BPE_MERGES) -> str:
+    """CTE block ending in `bpe_counts(doc_id, n_tokens)` — per-doc
+    tokenizer token counts under the derived merges. Caller's WITH must
+    be RECURSIVE."""
+    return f"""
+{dd_bpe_merges_ctes(table, n_merges)},
+dwc AS MATERIALIZED (
+  SELECT doc_id, word, count(*)::BIGINT AS wcnt
+  FROM (SELECT doc_id, unnest({dd_tokenize('text')}) AS word FROM {table})
+  GROUP BY doc_id, word
+),
+vocab AS MATERIALIZED (SELECT DISTINCT word FROM dwc),
+{dd_bpe_encode_ctes()},
+dsum AS (
+  SELECT d.doc_id, sum(d.wcnt * len(e.subwords))::BIGINT AS dl
+  FROM dwc d JOIN encoded e USING (word) GROUP BY d.doc_id
+),
+bpe_counts AS (
+  SELECT t.doc_id, coalesce(s.dl, 0)::BIGINT AS n_tokens
+  FROM {table} t LEFT JOIN dsum s USING (doc_id)
+)
+""".strip()

@@ -81,15 +81,23 @@ def pack_token_budget(docs: DataFrame, budget_tokens: int) -> DataFrame:
 
     Output: doc_id, n_tokens, priority bucket — the kept set.
     """
+    toks = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return _pack_by_counts(toks, budget_tokens)
+
+
+def _pack_by_counts(counts: DataFrame, budget_tokens: int) -> DataFrame:
+    """The bucket-histogram threshold selection over any (doc_id,
+    n_tokens) frame — shared by the whitespace budget and the
+    BPE-tokenizer budget (the counting differs, the selection must
+    not)."""
     pri = F.pmod(
         h64(F.concat(F.lit("pack#"), F.col("doc_id").cast("string"))),
         F.lit(BUDGET_BUCKETS),
     )
-    toks = docs.select(
-        "doc_id",
-        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
-        pri.alias("bucket"),
-    )
+    toks = counts.select("doc_id", "n_tokens", pri.alias("bucket"))
     hist = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btoks"))
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
@@ -106,6 +114,20 @@ def pack_token_budget(docs: DataFrame, budget_tokens: int) -> DataFrame:
     )
 
 
+def pack_bpe_token_budget(docs: DataFrame, merge_rows: list,
+                          budget_tokens: int) -> DataFrame:
+    """pack_token_budget metered in TOKENIZER tokens (the stored BPE
+    merges) instead of whitespace words — the budget a training run
+    actually enforces: whitespace counts under-meter by the fertility
+    factor (~4x on this corpus), so a "100k-token" whitespace budget
+    would ship ~400k real tokens. Same deterministic selection
+    (_pack_by_counts); only the counter differs."""
+    from .bpe import bpe_doc_token_counts
+
+    return _pack_by_counts(bpe_doc_token_counts(docs, merge_rows),
+                           budget_tokens)
+
+
 def dd_pack_token_budget_sql(budget_tokens: int,
                              table: str = "documents") -> str:
     h = dd_h64("'pack#' || doc_id::VARCHAR")
@@ -115,6 +137,36 @@ WITH toks AS (
   SELECT doc_id, len({dd_tokenize('text')})::BIGINT AS n_tokens,
          {bucket} AS bucket
   FROM {table}
+),
+hist AS (
+  SELECT bucket, sum(n_tokens) AS btoks FROM toks GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, sum(btoks) OVER (ORDER BY bucket
+    ROWS UNBOUNDED PRECEDING) AS cum FROM hist
+),
+cutoff AS (
+  SELECT max(bucket) AS max_bucket FROM cum WHERE cum <= {budget_tokens}
+)
+SELECT doc_id, n_tokens, bucket
+FROM toks CROSS JOIN cutoff WHERE bucket <= max_bucket
+""".strip()
+
+
+def dd_pack_bpe_token_budget_sql(budget_tokens: int,
+                                 table: str = "documents") -> str:
+    """Oracle twin of :func:`pack_bpe_token_budget`: per-doc counts from
+    the derived merges (operators/bpe.dd_bpe_doc_counts_ctes), then the
+    identical bucket-threshold SQL."""
+    from .bpe import dd_bpe_doc_counts_ctes
+
+    h = dd_h64("'pack#' || doc_id::VARCHAR")
+    bucket = f"{h} % {BUDGET_BUCKETS}"
+    return f"""
+WITH RECURSIVE
+{dd_bpe_doc_counts_ctes(table)},
+toks AS (
+  SELECT doc_id, n_tokens, {bucket} AS bucket FROM bpe_counts
 ),
 hist AS (
   SELECT bucket, sum(n_tokens) AS btoks FROM toks GROUP BY bucket

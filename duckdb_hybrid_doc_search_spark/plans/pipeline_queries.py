@@ -727,6 +727,24 @@ def corpus_decontaminate_ngrams(spark: SparkSession,
     return packing.decontaminate_ngrams(_docs(spark, sf_dir))
 
 
+@register("corpus_pack_bpe_budget",
+          oracle=packing.dd_pack_bpe_token_budget_sql(PACK_BUDGET_TOKENS),
+          executes_on_build=True)
+def corpus_pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection metered in TOKENIZER tokens (the stored
+    BPE merges) — the budget a training run actually enforces;
+    whitespace word counts under-meter by the fertility factor (~4x
+    here), so the same numeric budget keeps a very different set.
+    Identical bucket-threshold selection to corpus_pack_token_budget;
+    only the counter differs. executes_on_build: the first call
+    trains+writes the tokenizer layout."""
+    from ..index.bpe_layout import ensure_bpe_layout, read_bpe_merges
+
+    docs = _docs(spark, sf_dir)
+    merges = read_bpe_merges(spark, ensure_bpe_layout(spark, docs, sf_dir))
+    return packing.pack_bpe_token_budget(docs, merges, PACK_BUDGET_TOKENS)
+
+
 @register("corpus_pack_sequences", oracle=packing.dd_pack_sequences_sql())
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample packing into context windows (rows-only: next-fit binning
