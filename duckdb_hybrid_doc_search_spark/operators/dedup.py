@@ -546,7 +546,8 @@ SELECT doc_id, ({combine}) AS simhash FROM bit_sums
 """.strip()
 
 
-def dedup_embedding_ivf(emb: DataFrame) -> DataFrame:
+def dedup_embedding_ivf(emb: DataFrame,
+                        assign: DataFrame | None = None) -> DataFrame:
     """Cell-BUCKETED embedding near-dups >= COSINE_DUP_THRESHOLD — the
     approximate scale path dedup_embedding_cosine's docstring points at:
     candidate pairs are restricted to vectors sharing an IVF cell
@@ -564,7 +565,12 @@ def dedup_embedding_ivf(emb: DataFrame) -> DataFrame:
     """
     from .knn import ivf_assign
 
-    _, assign = ivf_assign(emb)
+    if assign is None:
+        # in-plan assignment (oracle-exact); the registered query passes
+        # the persisted layout's stored (c_id, cell) instead — same
+        # cells by the append-equivalence contract, two-column scan
+        # instead of the O(N x nlist) crossJoin
+        _, assign = ivf_assign(emb)
     cells = emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
         "vec_id", "embedding", "cell"
     )
