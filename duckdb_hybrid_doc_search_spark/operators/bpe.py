@@ -426,6 +426,16 @@ encoded AS MATERIALIZED (
 )"""
 
 
+def _dd_dwc_cte(table: str = "documents") -> str:
+    """The (doc_id, word, wcnt) MATERIALIZED CTE both BPE oracle blocks
+    share — one definition of the corpus-scale pass."""
+    return f"""dwc AS MATERIALIZED (
+  SELECT doc_id, word, count(*)::BIGINT AS wcnt
+  FROM (SELECT doc_id, unnest({dd_tokenize('text')}) AS word FROM {table})
+  GROUP BY doc_id, word
+)"""
+
+
 def dd_bpe_bm25_ctes(query: str, table: str = "documents",
                      n_merges: int = BPE_MERGES,
                      train_table: str | None = None) -> str:
@@ -452,11 +462,7 @@ def dd_bpe_bm25_ctes(query: str, table: str = "documents",
     qvals = ", ".join("('" + w.replace("'", "''") + "')" for w in qwords)
     return f"""
 {dd_bpe_merges_ctes(train_table or table, n_merges)},
-dwc AS MATERIALIZED (
-  SELECT doc_id, word, count(*)::BIGINT AS wcnt
-  FROM (SELECT doc_id, unnest({dd_tokenize('text')}) AS word FROM {table})
-  GROUP BY doc_id, word
-),
+{_dd_dwc_cte(table)},
 qwords(word) AS (VALUES {qvals}),
 -- DISTINCT-over-UNION-ALL, not a bare UNION: under WITH RECURSIVE DuckDB
 -- gives a two-part top-level UNION recursive-CTE semantics (base/step),
@@ -539,6 +545,21 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 # --- BPE-analyzed BM25 (Spark side) -------------------------------------------
 
 
+def _doc_word_counts(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, word, wcnt): the corpus aggregated to the word grain per
+    document — THE one corpus-scale pass every BPE consumer shares
+    (index build, per-doc token counts); everything downstream is
+    vocabulary-sized."""
+    spark = docs.sparkSession
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(id_col, F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
 def bpe_fts_index(docs: DataFrame, merge_rows: list,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> dict[str, DataFrame]:
@@ -553,13 +574,7 @@ def bpe_fts_index(docs: DataFrame, merge_rows: list,
     vocabulary is segmented in Python (Arrow-batched); subword postings
     come from a vocabulary-sized hash join back. Empty docs keep a
     dl=0 docstats row so n_docs matches the word analyzer's."""
-    spark = docs.sparkSession
-    dwc = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(id_col, F.explode(tokenize(F.col(text_col))).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("wcnt"))
-    )
+    dwc = _doc_word_counts(docs, id_col, text_col)
     vocab = bpe_segment_vocab(dwc.select("word").distinct(), merge_rows)
     postings = (
         dwc.join(vocab, "word")
@@ -657,13 +672,7 @@ def bpe_doc_token_counts(docs: DataFrame, merge_rows: list,
     word counts under-count by the fertility factor, ~4x on this
     corpus). Same vocabulary-only-in-Python shape as bpe_fts_index;
     empty docs keep an n_tokens=0 row."""
-    spark = docs.sparkSession
-    dwc = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(id_col, F.explode(tokenize(F.col(text_col))).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("wcnt"))
-    )
+    dwc = _doc_word_counts(docs, id_col, text_col)
     vocab = bpe_segment_vocab(dwc.select("word").distinct(), merge_rows)
     dsum = (
         dwc.join(vocab.select("word", F.size("subwords").alias("n_sub")),
@@ -687,11 +696,7 @@ def dd_bpe_doc_counts_ctes(table: str = "documents",
     be RECURSIVE."""
     return f"""
 {dd_bpe_merges_ctes(table, n_merges)},
-dwc AS MATERIALIZED (
-  SELECT doc_id, word, count(*)::BIGINT AS wcnt
-  FROM (SELECT doc_id, unnest({dd_tokenize('text')}) AS word FROM {table})
-  GROUP BY doc_id, word
-),
+{_dd_dwc_cte(table)},
 vocab AS MATERIALIZED (SELECT DISTINCT word FROM dwc),
 {dd_bpe_encode_ctes()},
 dsum AS (

@@ -547,7 +547,7 @@ SELECT doc_id, ({combine}) AS simhash FROM bit_sums
 
 
 def dedup_embedding_ivf(emb: DataFrame,
-                        assign: DataFrame | None = None) -> DataFrame:
+                        cells: DataFrame | None = None) -> DataFrame:
     """Cell-BUCKETED embedding near-dups >= COSINE_DUP_THRESHOLD — the
     approximate scale path dedup_embedding_cosine's docstring points at:
     candidate pairs are restricted to vectors sharing an IVF cell
@@ -565,15 +565,16 @@ def dedup_embedding_ivf(emb: DataFrame,
     """
     from .knn import ivf_assign
 
-    if assign is None:
+    if cells is None:
         # in-plan assignment (oracle-exact); the registered query passes
-        # the persisted layout's stored (c_id, cell) instead — same
-        # cells by the append-equivalence contract, two-column scan
-        # instead of the O(N x nlist) crossJoin
+        # the persisted layout frame instead — its (vec_id, embedding,
+        # cell) are already CO-LOCATED on disk, so the probe is one
+        # three-column scan with no assignment crossJoin and no re-join
+        # of the embeddings table
         _, assign = ivf_assign(emb)
-    cells = emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
-        "vec_id", "embedding", "cell"
-    )
+        cells = emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
+            "vec_id", "embedding", "cell"
+        )
     a = cells.select("cell", F.col("vec_id").alias("vec_a"),
                      F.col("embedding").alias("emb_a"))
     b = cells.select("cell", F.col("vec_id").alias("vec_b"),

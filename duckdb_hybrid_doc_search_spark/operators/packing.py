@@ -128,17 +128,17 @@ def pack_bpe_token_budget(docs: DataFrame, merge_rows: list,
                            budget_tokens)
 
 
-def dd_pack_token_budget_sql(budget_tokens: int,
-                             table: str = "documents") -> str:
+def dd_pack_bucket_expr() -> str:
     h = dd_h64("'pack#' || doc_id::VARCHAR")
-    bucket = f"{h} % {BUDGET_BUCKETS}"
-    return f"""
-WITH toks AS (
-  SELECT doc_id, len({dd_tokenize('text')})::BIGINT AS n_tokens,
-         {bucket} AS bucket
-  FROM {table}
-),
-hist AS (
+    return f"{h} % {BUDGET_BUCKETS}"
+
+
+def _dd_pack_selection_sql(budget_tokens: int) -> str:
+    """The bucket-threshold selection SQL over a `toks(doc_id, n_tokens,
+    bucket)` CTE — the DuckDB twin of :func:`_pack_by_counts`, shared by
+    both budget oracles so selection semantics cannot drift between the
+    whitespace and tokenizer-token meters."""
+    return f"""hist AS (
   SELECT bucket, sum(n_tokens) AS btoks FROM toks GROUP BY bucket
 ),
 cum AS (
@@ -149,7 +149,18 @@ cutoff AS (
   SELECT max(bucket) AS max_bucket FROM cum WHERE cum <= {budget_tokens}
 )
 SELECT doc_id, n_tokens, bucket
-FROM toks CROSS JOIN cutoff WHERE bucket <= max_bucket
+FROM toks CROSS JOIN cutoff WHERE bucket <= max_bucket""".strip()
+
+
+def dd_pack_token_budget_sql(budget_tokens: int,
+                             table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({dd_tokenize('text')})::BIGINT AS n_tokens,
+         {dd_pack_bucket_expr()} AS bucket
+  FROM {table}
+),
+{_dd_pack_selection_sql(budget_tokens)}
 """.strip()
 
 
@@ -160,26 +171,14 @@ def dd_pack_bpe_token_budget_sql(budget_tokens: int,
     identical bucket-threshold SQL."""
     from .bpe import dd_bpe_doc_counts_ctes
 
-    h = dd_h64("'pack#' || doc_id::VARCHAR")
-    bucket = f"{h} % {BUDGET_BUCKETS}"
     return f"""
 WITH RECURSIVE
 {dd_bpe_doc_counts_ctes(table)},
 toks AS (
-  SELECT doc_id, n_tokens, {bucket} AS bucket FROM bpe_counts
+  SELECT doc_id, n_tokens, {dd_pack_bucket_expr()} AS bucket
+  FROM bpe_counts
 ),
-hist AS (
-  SELECT bucket, sum(n_tokens) AS btoks FROM toks GROUP BY bucket
-),
-cum AS (
-  SELECT bucket, sum(btoks) OVER (ORDER BY bucket
-    ROWS UNBOUNDED PRECEDING) AS cum FROM hist
-),
-cutoff AS (
-  SELECT max(bucket) AS max_bucket FROM cum WHERE cum <= {budget_tokens}
-)
-SELECT doc_id, n_tokens, bucket
-FROM toks CROSS JOIN cutoff WHERE bucket <= max_bucket
+{_dd_pack_selection_sql(budget_tokens)}
 """.strip()
 
 

@@ -100,17 +100,17 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the frozen IVF cell assignment, shrinking the pair space to
     ~N^1.5/2 — the scale path dedup_embedding_cosine's all-pairs GEMM
     docstring promises; recall vs the exact pair set is pytest-recorded
-    (tests/test_dedup_embedding_ivf.py). Reads the persisted layout's
-    stored assignment (two-column scan) instead of recomputing the
-    O(N x nlist) crossJoin — the nprobe curve's r11 pattern."""
+    (tests/test_dedup_embedding_ivf.py). Reads the persisted layout
+    frame directly — (vec_id, embedding, cell) are co-located on disk,
+    so no assignment crossJoin and no embeddings re-join (the nprobe
+    curve's r11 pattern, taken one step further)."""
     from ..index.ivf_layout import ensure_ivf_layout
 
     emb = _emb(spark, sf_dir)
     out_dir = ensure_ivf_layout(spark, emb, sf_dir)
     return dedup.dedup_embedding_ivf(
-        emb,
-        assign=spark.read.parquet(out_dir).select(
-            F.col("vec_id").alias("c_id"), "cell"),
+        emb, cells=spark.read.parquet(out_dir)
+        .select("vec_id", "embedding", "cell"),
     )
 
 
