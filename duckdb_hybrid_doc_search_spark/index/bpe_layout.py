@@ -103,9 +103,18 @@ def ensure_bpe_fts_layout(spark: SparkSession, docs: DataFrame,
     )
     out_dir = os.path.join(warehouse_root("bpe_fts_layout", root), key)
     memo_key = (spark.sparkContext.applicationId, out_dir)
-    if memo_key in _OPEN:
-        return _OPEN[memo_key]
     done = os.path.join(out_dir, "corpus_stats", "_SUCCESS")
+    # memo hits re-stat the completion marker (one driver stat — cheap)
+    # so an externally cleaned warehouse rebuilds instead of serving a
+    # handle whose files vanished (r11 ADVICE: the fts_layout/bm25 memos
+    # sweep vanished dirs; this one returned the stale handle). Stale
+    # keys are swept alongside, mirroring the _SCORED_PROBE_MEMO sweep.
+    if memo_key in _OPEN and os.path.exists(done):
+        return _OPEN[memo_key]
+    for k in list(_OPEN):
+        if k[0] != spark.sparkContext.applicationId or not os.path.isdir(
+                k[1]):
+            _OPEN.pop(k, None)
     if not os.path.exists(done):
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)

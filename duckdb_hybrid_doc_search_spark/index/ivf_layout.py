@@ -67,6 +67,32 @@ def write_ivf_partitioned(emb: DataFrame, out_dir: str,
     if nlist is None:
         nlist = derive_nlist(emb.count())
     if isinstance(centroids, DataFrame):
+        # appends waive the centroid_pred slot guard for every
+        # non-'sample' source on the grounds that its cent_ids are
+        # SYNTHETIC slot ids (0..nlist-1), never data vec_ids. 'kmeans'
+        # guarantees that by construction; a caller-supplied frozen set
+        # must PROVE it at write time (r11 ADVICE: freezing the
+        # id-stride sample — whose cent_ids ARE data vec_ids — and then
+        # appending one of those ids would silently corrupt cell
+        # membership instead of raising). One bounded 1-row aggregate,
+        # paid once per build.
+        stats = centroids.agg(
+            F.min("cent_id").alias("lo"), F.max("cent_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cent_id").alias("nd"),
+        ).collect()[0]
+        if (stats["n"] == 0 or stats["lo"] < 0 or stats["hi"] >= nlist
+                or stats["n"] != stats["nd"]):
+            raise ValueError(
+                f"frozen centroid table must use synthetic slot ids "
+                f"0..{nlist - 1} (distinct, in range) — got "
+                f"min={stats['lo']} max={stats['hi']} n={stats['n']} "
+                f"distinct={stats['nd']}. Data-vec_id centroid sets "
+                "(e.g. a frozen id-stride sample) are refused: appends "
+                "waive the slot guard for 'frozen' layouts, so a data "
+                "id doubling as a cent_id would corrupt cell "
+                "membership on the first append that reuses it."
+            )
         cent, source = centroids, "frozen"
     elif centroids == "kmeans":
         from ..operators.knn import kmeans_centroids
@@ -196,6 +222,69 @@ def ensure_ivf_trained_layout(spark: SparkSession, emb: DataFrame,
         if os.path.exists(out_dir):  # partial prior attempt: start clean
             shutil.rmtree(out_dir)
         write_ivf_partitioned(emb, out_dir, centroids="kmeans")
+    return out_dir
+
+
+def write_ivf_multiprobe(emb: DataFrame, out_dir: str,
+                         nlist: int | None = None, p: int = 2) -> None:
+    """The MULTI-PROBE cell assignment persisted for cell-bucketed
+    dedup (r11 VERDICT #2): (vec_id, embedding, cell) with each vector
+    in its top-``p`` cells, partitioned by cell on disk. Single-probe
+    assignment loses near-dup pairs whose members straddle a cell
+    boundary; storing each vector in its p nearest cells recovers them
+    while the within-cell pair space stays ~p^2 * N^1.5 / 2 — the
+    standard multi-probe trade, paid once at write time (storage is p
+    rows per vector; the dedup query is one co-located three-column
+    scan with no assignment crossJoin). Same frozen id-stride centroid
+    set as write_ivf_partitioned's 'sample' source, so the DuckDB
+    oracle reproduces the assignment exactly."""
+    from ..operators.knn import (assign_to_centroids, centroid_pred,
+                                 derive_nlist)
+
+    if nlist is None:
+        nlist = derive_nlist(emb.count())
+    cent = emb.where(centroid_pred("vec_id", nlist)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    assign = assign_to_centroids(
+        emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec")),
+        cent, p=p,
+    )
+    emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
+        "vec_id", "embedding", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+    cent.write.mode("overwrite").parquet(_centroid_dir(out_dir))
+    with open(_meta_path(out_dir), "w") as f:
+        from ..operators.knn import CENTROID_MOD
+
+        json.dump({"nlist": nlist, "centroid_mod": CENTROID_MOD,
+                   "centroid_source": "sample", "multiprobe_p": p}, f)
+    with open(os.path.join(out_dir, LAYOUT_DONE), "w"):
+        pass
+
+
+def ensure_ivf_multiprobe_layout(spark: SparkSession, emb: DataFrame,
+                                 sf_dir: str, root: str | None = None,
+                                 p: int = 2) -> str:
+    """Build (once) the multi-probe dedup assignment layout for sf_dir —
+    same cache-key discipline as ensure_ivf_layout, keyed additionally
+    by ``p`` (a different probe width is a different artifact)."""
+    from .fingerprint import layout_fingerprint, warehouse_root
+
+    root = warehouse_root("ivf_multiprobe_layout", root)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{LAYOUT_FORMAT}-p{p}"
+        f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
+    )
+    out_dir = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
+        import shutil
+
+        if os.path.exists(out_dir):  # partial prior attempt: start clean
+            shutil.rmtree(out_dir)
+        write_ivf_multiprobe(emb, out_dir, p=p)
     return out_dir
 
 

@@ -546,32 +546,50 @@ SELECT doc_id, ({combine}) AS simhash FROM bit_sums
 """.strip()
 
 
+DEDUP_IVF_NPROBE = 2  # write-time multi-probe width (r11 VERDICT #2)
+
+
 def dedup_embedding_ivf(emb: DataFrame,
-                        cells: DataFrame | None = None) -> DataFrame:
+                        cells: DataFrame | None = None,
+                        nprobe: int = DEDUP_IVF_NPROBE) -> DataFrame:
     """Cell-BUCKETED embedding near-dups >= COSINE_DUP_THRESHOLD — the
     approximate scale path dedup_embedding_cosine's docstring points at:
     candidate pairs are restricted to vectors sharing an IVF cell
     (operators/knn.ivf_assign — the same frozen derived-nlist centroid
     assignment the ANN layouts persist), so the pair space shrinks from
-    N^2/2 to ~N^2/(2*nlist) = N^1.5/2 at nlist ~ sqrt(N), one shuffle on
-    the cell key, cosine evaluated JVM-side. A true near-dup pair is
-    found iff the cell assignment co-locates it (tests record the recall
-    vs the exact block-GEMM pair set); misses are the documented price
-    of bucketing, exactly SemDeDup's trade.
+    N^2/2 to ~nprobe^2 * N^2/(2*nlist) = ~nprobe^2 * N^1.5/2 at
+    nlist ~ sqrt(N), one shuffle on the cell key, cosine evaluated
+    JVM-side. Each vector lives in its top-``nprobe`` cells (r12:
+    multi-probe assignment — single-probe lost near-dup pairs straddling
+    a cell boundary, recall 0.41 at sf0.01; top-2 recovers most of
+    them), so a pair co-located in MORE than one shared cell would be
+    emitted once per cell — the final distinct collapses those (cos_sim
+    is deterministic per pair, so distinct on all three columns is
+    exact). A true near-dup pair is found iff some probe cell co-locates
+    it (tests record the recall vs the exact block-GEMM pair set);
+    remaining misses are the documented price of bucketing, exactly
+    SemDeDup's trade.
 
     Output: vec_a, vec_b, cos_sim (vec_a < vec_b) — the same contract as
     dedup_embedding_cosine, so downstream survivorship/components
     consume either.
     """
-    from .knn import ivf_assign
+    from .knn import assign_to_centroids, centroid_pred, derive_nlist
 
     if cells is None:
         # in-plan assignment (oracle-exact); the registered query passes
-        # the persisted layout frame instead — its (vec_id, embedding,
-        # cell) are already CO-LOCATED on disk, so the probe is one
-        # three-column scan with no assignment crossJoin and no re-join
-        # of the embeddings table
-        _, assign = ivf_assign(emb)
+        # the persisted multiprobe layout frame instead — its (vec_id,
+        # embedding, cell) rows are already CO-LOCATED on disk, so the
+        # probe is one three-column scan with no assignment crossJoin
+        # and no re-join of the embeddings table
+        nlist = derive_nlist(emb.count())
+        cent = emb.where(centroid_pred("vec_id", nlist)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cvec"))
+        assign = assign_to_centroids(
+            emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec")),
+            cent, p=nprobe)
         cells = emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
             "vec_id", "embedding", "cell"
         )
@@ -588,12 +606,16 @@ def dedup_embedding_ivf(emb: DataFrame,
                     SCORE_ROUND).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        .distinct()
     )
 
 
-def dd_dedup_embedding_ivf_sql(table: str = "embeddings") -> str:
-    """Oracle twin: the dd_ivf_topk_sql assignment CTEs + a within-cell
-    self-join at the shared threshold."""
+def dd_dedup_embedding_ivf_sql(table: str = "embeddings",
+                               nprobe: int = DEDUP_IVF_NPROBE) -> str:
+    """Oracle twin: the dd_ivf_topk_sql assignment CTEs (rn <= nprobe —
+    the multi-probe widening) + a within-cell self-join at the shared
+    threshold, DISTINCT collapsing pairs co-located in two shared
+    cells."""
     from .knn import dd_centroid_pred
 
     csim = dd_cosine_similarity("e.c_vec", "c.cvec")
@@ -610,13 +632,13 @@ assign AS (
            row_number() OVER (PARTITION BY e.c_id
              ORDER BY round({csim}, {SCORE_ROUND}) DESC, c.cent_id ASC) AS rn
     FROM e CROSS JOIN cent c
-  ) WHERE rn = 1
+  ) WHERE rn <= {nprobe}
 ),
 cells AS (
   SELECT a.c_id AS vec_id, e2.c_vec AS embedding, a.cell
   FROM assign a JOIN e e2 ON e2.c_id = a.c_id
 )
-SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
        round({cs}, {SCORE_ROUND}) AS cos_sim
 FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
 WHERE round({cs}, {SCORE_ROUND}) >= {COSINE_DUP_THRESHOLD}

@@ -125,13 +125,23 @@ def dd_centroid_pred(id_col: str, table: str = "embeddings") -> str:
             f"AND {id_col} < {CENTROID_MOD} * {dd_nlist_scalar(table)}")
 
 
-def assign_to_centroids(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+def assign_to_centroids(vecs: DataFrame, cent: DataFrame,
+                        p: int = 1) -> DataFrame:
     """(c_id, cell): nearest-centroid assignment by cosine, tie -> lower
     centroid id. `vecs` has (c_id, c_vec); `cent` has (cent_id, cvec) and
     is broadcast. The SINGLE source of the assignment rule — build-time
     assignment (ivf_assign) and incremental appends
     (index/ivf_layout.append_ivf_vectors) must use the same rounding and
-    tie-break or appended cells drift from built cells."""
+    tie-break or appended cells drift from built cells.
+
+    ``p`` > 1 keeps each vector's top-p cells (one row per cell) — the
+    MULTI-PROBE assignment the cell-bucketed dedup layout persists
+    (r11 VERDICT #2: single-probe assignment loses near-dup pairs at
+    cell boundaries; top-2 assignment recovers most of them at a
+    bounded p^2 pair-space factor). The rank-1 row of a p>1 call is
+    identical to the p=1 call by construction (same window, same
+    tie-break), so probe layouts and dedup layouts never disagree on a
+    vector's primary cell."""
     sims = vecs.crossJoin(F.broadcast(cent)).select(
         "c_id",
         "cent_id",
@@ -141,7 +151,7 @@ def assign_to_centroids(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     w = Window.partitionBy("c_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     return (
         sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= p)
         .select("c_id", F.col("cent_id").alias("cell"))
     )
 
@@ -1916,12 +1926,24 @@ def kmeans_centroids(emb: DataFrame, k: int | None = None,
 
 def ivf_kmeans_recall(emb: DataFrame, k: int, n_queries: int = 10,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      tcent: DataFrame | None = None,
+                      tassign: DataFrame | None = None) -> DataFrame:
     """Per-query recall@k of the IVF probe with TRAINED centroids vs
     with the deterministic id-sample, side by side against the exact
     cosine top-k — the diagnostic that shows the centroid source is a
     pluggable quality knob on an unchanged probe plan (the claim the
     deterministic sample's docstrings make; this row records it).
+
+    ``tcent``/``tassign`` (r12, r11 VERDICT #4): callers holding a
+    WRITTEN trained layout pass its frozen centroid table and stored
+    (c_id, cell) assignment instead of retraining Lloyd in-plan per
+    execution — the registered bench row was re-paying the write-time
+    training cost (9.85s driver) on every run even though
+    ensure_ivf_trained_layout persists the identical centroid set
+    (identity pytest-pinned: the trainer is deterministic). Left None,
+    both are computed in-plan — the seam-proving form the unit tests
+    exercise.
 
     Rows-only by design: the kmeans iteration is a float loop whose
     assignment boundaries can flip across engines (same reason
@@ -1929,13 +1951,15 @@ def ivf_kmeans_recall(emb: DataFrame, k: int, n_queries: int = 10,
     oracled _ivf_probe_topk plan. Output: q_id, recall_kmeans,
     recall_sample.
     """
-    tcent = kmeans_centroids(emb, None, KMEANS_IVF_ITERS,
-                             id_col, vec_col)
-    tassign = assign_to_centroids(
-        emb.select(F.col(id_col).alias("c_id"),
-                   F.col(vec_col).alias("c_vec")),
-        tcent,
-    )
+    if tcent is None:
+        tcent = kmeans_centroids(emb, None, KMEANS_IVF_ITERS,
+                                 id_col, vec_col)
+    if tassign is None:
+        tassign = assign_to_centroids(
+            emb.select(F.col(id_col).alias("c_id"),
+                       F.col(vec_col).alias("c_vec")),
+            tcent,
+        )
     trained = _ivf_probe_topk(emb, tcent, tassign, k, n_queries,
                               id_col, vec_col).select("q_id", "c_id")
     sampled = ivf_topk(emb, k, n_queries, id_col, vec_col).select(

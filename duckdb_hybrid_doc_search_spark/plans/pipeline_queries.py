@@ -96,18 +96,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_ivf", oracle=dedup.dd_dedup_embedding_ivf_sql())
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-bucketed embedding near-dup pairs (r11): candidates only
-    within the frozen IVF cell assignment, shrinking the pair space to
-    ~N^1.5/2 — the scale path dedup_embedding_cosine's all-pairs GEMM
-    docstring promises; recall vs the exact pair set is pytest-recorded
-    (tests/test_dedup_embedding_ivf.py). Reads the persisted layout
-    frame directly — (vec_id, embedding, cell) are co-located on disk,
-    so no assignment crossJoin and no embeddings re-join (the nprobe
-    curve's r11 pattern, taken one step further)."""
-    from ..index.ivf_layout import ensure_ivf_layout
+    """Cell-bucketed embedding near-dup pairs (r11; r12 multi-probe):
+    candidates only within the frozen IVF cell assignment, each vector
+    stored in its top-2 cells (index/ivf_layout.write_ivf_multiprobe —
+    r11 VERDICT #2: single-probe recall was 0.41 at sf0.01, losing
+    boundary pairs), shrinking the pair space to ~p^2 * N^1.5/2 — still
+    never all-pairs; recall vs the exact pair set is pytest-recorded
+    (tests/test_dedup_embedding_ivf.py). Reads the persisted multiprobe
+    layout frame directly — (vec_id, embedding, cell) are co-located on
+    disk, so no assignment crossJoin and no embeddings re-join (the
+    nprobe curve's r11 pattern, taken one step further)."""
+    from ..index.ivf_layout import ensure_ivf_multiprobe_layout
 
     emb = _emb(spark, sf_dir)
-    out_dir = ensure_ivf_layout(spark, emb, sf_dir)
+    out_dir = ensure_ivf_multiprobe_layout(spark, emb, sf_dir)
     return dedup.dedup_embedding_ivf(
         emb, cells=spark.read.parquet(out_dir)
         .select("vec_id", "embedding", "cell"),
@@ -500,10 +502,25 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic id-sample, side by side vs exact — proof that the
     centroid source is a pluggable seam on an unchanged probe plan
     (rows-only: the float Lloyd loop is not cross-engine SQL-stable;
-    the probe plan itself is the oracled ivf_topk shape). Training runs
-    when the callable is invoked (executes_on_build)."""
-    return knn.ivf_kmeans_recall(_emb(spark, sf_dir), ANN_K,
-                                 ANN_N_QUERIES)
+    the probe plan itself is the oracled ivf_topk shape). r12 (r11
+    VERDICT #4): the trained centroids AND their stored (c_id, cell)
+    assignment are read from the WRITTEN trained layout instead of
+    retraining Lloyd in-plan per bench execution — the persisted set is
+    identical by the trainer's determinism
+    (tests/test_ivf_layout.py pins kmeans_centroids(emb) ==
+    read_layout_centroids(trained_dir) row-for-row), so this row now
+    measures the probe seam, not a redundant 10-second re-train; the
+    in-plan training form stays exercised by the unit suite."""
+    from ..index.ivf_layout import (ensure_ivf_trained_layout,
+                                    read_layout_centroids)
+
+    emb = _emb(spark, sf_dir)
+    trained_dir = ensure_ivf_trained_layout(spark, emb, sf_dir)
+    tcent = read_layout_centroids(spark, trained_dir)
+    tassign = spark.read.parquet(trained_dir).select(
+        F.col("vec_id").alias("c_id"), "cell")
+    return knn.ivf_kmeans_recall(emb, ANN_K, ANN_N_QUERIES,
+                                 tcent=tcent, tassign=tassign)
 
 
 @register("ann_ivf_trained_recall", oracle=None,

@@ -187,6 +187,11 @@ RECHECK: dict[str, int] = {
     # changed for both layout-probe queries
     "ann_ivf_topk": 11,
     "ann_ivf_append_probe": 11,
+    # r12 (r11 VERDICT #2): dedup_embedding_ivf widened to top-2
+    # multi-probe cell assignment (written layout + oracle rn <= 2 +
+    # DISTINCT) — the result SET genuinely grows (boundary pairs
+    # recovered), so the r11 green row no longer covers it
+    "dedup_embedding_ivf": 12,
 }
 
 

@@ -78,7 +78,7 @@ HAVING count(*) > 0
 
 def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int, *,
                  dstore: str, fstore: str, sink: str, ledger: str,
-                 manifest: str, fold_every: int | None = None) -> None:
+                 manifest: str, fold_every: int | None = None) -> bool:
     """One micro-batch of the composed loop — module-level so the
     redelivery contract is directly testable. AT-LEAST-ONCE SAFE as a
     whole: the decisions slice is written once and REUSED on redelivery
@@ -87,7 +87,13 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int, *,
     silently drop them from the index — r10 review finding); with the
     slice durable, every downstream step is idempotent — the signature
     append cleans its own append id, the FTS append runs skip_existing,
-    and manifest/ledger overwrites reproduce identical content."""
+    and manifest/ledger overwrites reproduce identical content.
+
+    Returns True iff the fold maintenance job fired this batch — the
+    pricing hook tools/scale_probe.py's INGESTLOOP uses to label fold
+    batches from OBSERVED firings instead of inferring them from batch
+    timings (r11 ADVICE: empty micro-batches skip whole and shift
+    segment counts, so a hardcoded "two largest = folds" mislabels)."""
     import os
 
     from ..index.dedup_layout import append_dedup_signatures
@@ -100,8 +106,9 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int, *,
         # append an all-zero ledger row (meaningless) and an empty
         # decisions slice. Skipping whole-batch keeps redelivery safe:
         # an empty batch redelivered is still empty, still skipped.
-        return
+        return False
 
+    folded = False
     caches: list = []
     try:
         slice_dir = f"{sink}/batch-{batch_id}"
@@ -145,6 +152,7 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int, *,
             >= fold_every
         ):
             fold_fts_segments(spark, fstore)
+            folded = True
         row = (
             decided.agg(
                 F.count(F.lit(1)).alias("n_arrived"),
@@ -174,6 +182,7 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int, *,
         )
         row.write.mode("overwrite").parquet(
             f"{ledger}/batch-{batch_id}")
+        return folded
     finally:
         for c in caches:
             c.unpersist()
@@ -184,7 +193,8 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
                          fold_every: int | None = None,
                          trigger_files: int | None = None,
                          run_root: str | None = None,
-                         batch_times: dict | None = None) -> DataFrame:
+                         batch_times: dict | None = None,
+                         fold_batches: set | None = None) -> DataFrame:
     """Drive the composed ingestion loop over the bounded documents
     stream (arriving slice: doc_id % BATCH_MOD == 0, the incremental
     dedup family's split) and return the per-batch ledger.
@@ -195,7 +205,10 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
     dir (both stores + sinks) to the caller for post-run inspection;
     ``batch_times`` (if given) is filled with batch_id -> wall seconds
     of the foreachBatch body — the per-batch pricing hook
-    tools/scale_probe.py's INGESTLOOP section records.
+    tools/scale_probe.py's INGESTLOOP section records; ``fold_batches``
+    (if given) collects the batch_ids where the fold maintenance job
+    actually FIRED (r11 ADVICE: the pricing narrative must label fold
+    batches from observed firings, not timing heuristics).
     """
     import os
     import shutil
@@ -228,10 +241,12 @@ def run_streaming_ingest(spark: SparkSession, sf_dir: str,
 
     def ingest_slice(bdf: DataFrame, batch_id: int) -> None:
         t0 = time.perf_counter()
-        ingest_batch(spark, bdf.where(is_batch), batch_id,
-                     dstore=dstore, fstore=fstore, sink=sink,
-                     ledger=ledger, manifest=manifest,
-                     fold_every=fold_every)
+        folded = ingest_batch(spark, bdf.where(is_batch), batch_id,
+                              dstore=dstore, fstore=fstore, sink=sink,
+                              ledger=ledger, manifest=manifest,
+                              fold_every=fold_every)
+        if folded and fold_batches is not None:
+            fold_batches.add(batch_id)
         if batch_times is not None:
             batch_times[batch_id] = time.perf_counter() - t0
 

@@ -373,3 +373,47 @@ def test_bpe_query_matched_terms_rate(spark, sf_dir):
         wrate = (sum(t in word_df for t in wterms) / len(wterms))
         brate = (sum(t in bpe_df for t in bterms) / len(bterms))
         assert brate >= wrate, (q, wrate, brate)
+
+
+def test_bpe_fts_layout_memo_survives_external_clean(spark, sf_dir,
+                                                     tmp_path):
+    """The opened-layout memo must re-stat the completion marker on hit
+    (r11 ADVICE): an externally cleaned warehouse rebuilds instead of
+    serving a cached handle whose files vanished (which would surface as
+    FileNotFound at action time)."""
+    import shutil
+
+    from duckdb_hybrid_doc_search_spark.index.bpe_layout import (
+        ensure_bpe_fts_layout)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "bpefts_root")
+    idx1 = ensure_bpe_fts_layout(spark, docs, sf_dir, root=root)
+    n1 = idx1["corpus_stats"].collect()[0]["n_docs"]
+    # simulate an external warehouse clean between probes
+    shutil.rmtree(root)
+    idx2 = ensure_bpe_fts_layout(spark, docs, sf_dir, root=root)
+    n2 = idx2["corpus_stats"].collect()[0]["n_docs"]  # would raise before
+    assert n1 == n2
+
+
+def test_train_256_merges_matches_reference_on_sf(spark, sf_dir):
+    """BPE past toy merges (r11 VERDICT #5): the distributed trainer at
+    256 merges still equals the pure-Python Sennrich reference
+    merge-for-merge on the sf corpus — the driver-loop-over-aggregates
+    architecture is merge-count-independent (each merge is one pair
+    histogram aggregate over the folding word vocabulary; n_merges only
+    lengthens the loop). The driver oracle stays at 16 merges (its
+    unrolled MATERIALIZED-CTE trainer grows one stage per merge — 256
+    stages is unreasonable SQL); THIS pin is the 256-merge gate. The
+    trainer may exhaust the corpus's pair vocabulary before 256 merges
+    (fixture corpora are small) — the reference stops at the same
+    point, so exact list equality still covers the early-stop rule."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected, _ = ref_learn(_word_freqs(spark, sf_dir), 256)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.bpe_train(docs, 256).collect()
+    ]
+    assert len(got) > bpe.BPE_MERGES  # genuinely past the toy scale
+    assert got == expected

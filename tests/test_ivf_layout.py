@@ -310,3 +310,74 @@ def test_trained_layout_append_equivalence(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, ivf_frozen_layout_topk(
         spark, full_dir, queries, 10).collect()))
     assert got == want
+
+
+def test_frozen_layout_refuses_data_vec_id_centroids(spark, sf_dir,
+                                                     tmp_path):
+    """Write-time guard (r11 ADVICE): appends waive the centroid-slot
+    guard for 'frozen' layouts on the promise that frozen cent_ids are
+    synthetic slot ids 0..nlist-1. A caller freezing the id-stride
+    SAMPLE (cent_ids are data vec_ids) must be refused at write time —
+    otherwise the first append reusing one of those ids silently
+    corrupts cell membership instead of raising."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        write_ivf_partitioned)
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        centroid_pred, derive_nlist)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nlist = derive_nlist(emb.count())
+    # the id-stride sample, frozen by a (wrong) caller: cent_ids are
+    # data vec_ids (0, 50, 100, ... >= nlist for any realistic corpus)
+    sampled = emb.where(centroid_pred("vec_id", nlist)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"))
+    with pytest.raises(ValueError, match="synthetic slot ids"):
+        write_ivf_partitioned(emb, str(tmp_path / "bad"), nlist=nlist,
+                              centroids=sampled)
+    # a synthetic frozen set (the kmeans shape) still writes fine
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        kmeans_centroids)
+
+    good = kmeans_centroids(emb, k=nlist).localCheckpoint(eager=True)
+    out = str(tmp_path / "good")
+    write_ivf_partitioned(emb, out, nlist=nlist, centroids=good)
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        read_layout_meta)
+
+    assert read_layout_meta(out)["centroid_source"] == "frozen"
+
+
+def test_trained_layout_centroids_equal_inplan_trainer(spark, sf_dir,
+                                                       tmp_path):
+    """The consolidation contract (r11 VERDICT #4): the written trained
+    layout persists EXACTLY the in-plan Lloyd trainer's centroid set
+    (the trainer is deterministic — fixed init, fixed iteration count,
+    SCORE_ROUND rounding), so ann_ivf_kmeans_recall may serve its
+    trained side from the layout instead of retraining per execution,
+    and the recall diagnostic is unchanged row-for-row."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        read_layout_centroids, write_ivf_partitioned)
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        assign_to_centroids, ivf_kmeans_recall, kmeans_centroids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tdir = str(tmp_path / "trained")
+    write_ivf_partitioned(emb, tdir, centroids="kmeans")
+
+    persisted = sorted(
+        (r.cent_id, tuple(r.cvec))
+        for r in read_layout_centroids(spark, tdir).collect())
+    fresh = sorted(
+        (r.cent_id, tuple(r.cvec))
+        for r in kmeans_centroids(emb).collect())
+    assert persisted == fresh
+
+    # and the layout-served recall row equals the in-plan-trained row
+    tcent = read_layout_centroids(spark, tdir)
+    tassign = spark.read.parquet(tdir).select(
+        F.col("vec_id").alias("c_id"), "cell")
+    from_layout = [tuple(r) for r in ivf_kmeans_recall(
+        emb, 5, 10, tcent=tcent, tassign=tassign).collect()]
+    in_plan = [tuple(r) for r in ivf_kmeans_recall(emb, 5, 10).collect()]
+    assert from_layout == in_plan

@@ -79,9 +79,11 @@ def test_ingest_multi_batch_with_fold(spark, sf_dir, tmp_path):
     the final index equals a one-shot build over existing ∪ admitted."""
     docs = _docs(spark, sf_dir)
     run_root = str(tmp_path / "ingest3")
+    folds: set = set()
     ledger = run_streaming_ingest(spark, sf_dir, "t_ingest3",
                                   fold_every=2, trigger_files=3,
-                                  run_root=run_root).collect()
+                                  run_root=run_root,
+                                  fold_batches=folds).collect()
     is_batch = F.col("doc_id") % BATCH_MOD == 0
     n_arriving = docs.where(is_batch).count()
 
@@ -90,6 +92,12 @@ def test_ingest_multi_batch_with_fold(spark, sf_dir, tmp_path):
         assert (r["n_exact_dup"] + r["n_near_dup"] + r["n_kept"]
                 == r["n_arrived"])
         assert r["n_indexed"] + r["n_quality_rejected"] == r["n_kept"]
+
+    # fold firings are OBSERVED, not inferred from timings (r11 ADVICE):
+    # the loop reports which batches actually paid the maintenance job,
+    # and every reported batch is a real ledger batch
+    assert folds, "fold_every=2 over 3 shards must fire at least once"
+    assert folds <= {r["batch_id"] for r in ledger}
 
     # every arriving doc decided exactly once across shards
     decided = spark.read.parquet(f"{run_root}/decisions/batch-*")

@@ -604,19 +604,24 @@ def main() -> None:
     ingest_root = tempfile.mkdtemp(prefix="scale_probe_ingest_")
     try:
         times: dict[int, float] = {}
+        folds: set[int] = set()
         t0 = time.perf_counter()
         ledger = run_streaming_ingest(
             spark, f"{ROOT}/sf0.1", query_name="scale_ingest",
             fold_every=4, trigger_files=8,
             run_root=os.path.join(ingest_root, "run"),
-            batch_times=times)
+            batch_times=times, fold_batches=folds)
         rows = {int(r["batch_id"]): r for r in ledger.collect()}
         total = time.perf_counter() - t0
         # flat-line stat: drop batch 0 (first-execution codegen of every
-        # stage's plan shape) and the two fold batches (the two largest
-        # of the rest — the priced maintenance job)
-        steady = sorted(v for b, v in times.items() if b != 0)
-        nonfold = steady[:max(1, len(steady) - 2)]
+        # stage's plan shape) and the OBSERVED fold batches (the priced
+        # maintenance job, reported by the loop itself — r11 ADVICE:
+        # inferring folds as "the two largest timings" mislabels normal
+        # batches whenever empty micro-batches shift segment counts)
+        nonfold = [v for b, v in times.items() if b != 0 and b not in folds]
+        if not nonfold:  # degenerate drive: every batch folded
+            nonfold = [v for b, v in times.items() if b != 0] or [0.0]
+        fold_list = ", ".join(str(b) for b in sorted(folds)) or "none"
         lines += [
             "",
             "## INGESTLOOP — composed ingestion pipeline, 8-batch drive "
@@ -629,12 +634,12 @@ def main() -> None:
             "decides against a signature store that already holds the "
             "previous batches' survivors. Per-batch wall below; the "
             "fold fires on the batches where the running segment count "
-            "reaches 4 (base store starts at 1 segment -> folds on "
-            "batches 2 and 5), so those rows carry the priced "
-            "maintenance job and the rest measure the steady loop.",
+            f"reaches 4 (observed this run on batch(es) {fold_list}), "
+            "so those rows carry the priced maintenance job and the "
+            "rest measure the steady loop.",
             "",
-            "| batch | wall s | arrived | kept | indexed |",
-            "|---|---|---|---|---|",
+            "| batch | wall s | arrived | kept | indexed | fold |",
+            "|---|---|---|---|---|---|",
         ]
         for b in sorted(times):
             r = rows.get(b)
@@ -642,15 +647,16 @@ def main() -> None:
                 f"| {b} | {round(times[b], 3)} | "
                 f"{r['n_arrived'] if r else 0} | "
                 f"{r['n_kept'] if r else 0} | "
-                f"{r['n_indexed'] if r else 0} |")
+                f"{r['n_indexed'] if r else 0} | "
+                f"{'yes' if b in folds else ''} |")
         lines += [
             f"| total (incl. stream machinery) | {round(total, 3)} | "
             f"{sum(r['n_arrived'] for r in rows.values())} | "
             f"{sum(r['n_kept'] for r in rows.values())} | "
-            f"{sum(r['n_indexed'] for r in rows.values())} |",
+            f"{sum(r['n_indexed'] for r in rows.values())} | |",
             "",
             f"Steady batches (excluding batch 0's first-execution "
-            f"codegen and the two fold batches): min "
+            f"codegen and the {len(folds)} observed fold batches): min "
             f"{round(min(nonfold), 3)}s / max {round(max(nonfold), 3)}s "
             "— the flat line the batch-proportional claim predicts. "
             "Most of the per-batch wall is fixed micro-batch machinery "
