@@ -1,0 +1,644 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81 sequential DCT, JFIF).
+
+Makes the most-hit media decode path REAL in this container without new
+dependencies (r11 VERDICT "next" #6: a real corpus is mostly JPEG; the
+magic-byte dispatch raised loudly on FFD8). The format is public
+(ITU-T Recommendation T.81 / ISO 10918-1; JFIF = ITU-T T.871): marker
+segments (SOI, APPn, DQT, SOF0, DHT, DRI, SOS, EOI), canonical Huffman
+tables built from BITS/HUFFVAL lists (T.81 Annex C), entropy-coded DC
+differences + AC run/size pairs (F.1.2), 8x8 dequantized blocks through
+the 2-D inverse DCT (A.3.3), chroma upsampling, and the JFIF YCbCr->RGB
+conversion.
+
+Supported: baseline sequential (SOF0), 8-bit, 1 component (grayscale)
+or 3 components (YCbCr) with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+intervals, byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit
+and hierarchical modes raise loudly — the documented tail.
+
+The encoder exists so fixtures can exercise the full decode chain
+(interleaved MCUs, DC prediction, restart markers, subsampled chroma)
+and so blockwise-constant oracle fixtures are possible: at quality 100
+the scaled Annex-K quantization tables are all ones, and an image that
+is CONSTANT within each 8x8 block (16x16 for subsampled chroma) has
+DC-only DCT blocks whose round-trip is EXACT — which lets a lossy codec
+sit behind the same exact-integer SQL oracles as the lossless PNG/BMP
+fixtures. Deterministic rounding everywhere: the decoder's
+YCbCr->RGB uses floor(x + 0.5) so an oracle can mirror it in SQL.
+
+Per-block Python loops are fine here — the codec targets small
+fixture/thumbnail images; production decode at scale would swap in a C
+codec behind the same ``operators/multimodal.decode_backend`` seam,
+exactly like functions/png.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables (T.81 Annex K — published example tables, the de-facto standard)
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# (BITS list of 16 counts, HUFFVAL list) — T.81 tables K.3-K.6
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# Orthonormal 8-point DCT-II basis: _DCT_M @ block @ _DCT_M.T is the
+# forward transform, _DCT_M.T @ coeff @ _DCT_M the inverse (A.3.3).
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _DCT_M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by the public libjpeg quality curve
+    (jcparam.c jpeg_quality_scaling): q<50 -> 5000/q, else 200-2q;
+    entries floor((base*scale+50)/100) clamped to 1..255. quality=100
+    yields ALL-ONES tables — the lossless-for-DC-only regime the
+    blockwise-constant oracle fixtures rely on."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def _scaled(base):
+        t = (base * scale + 50) // 100
+        return np.clip(t, 1, 255).astype(np.int64)
+    return _scaled(_Q_LUMA), _scaled(_Q_CHROMA)
+
+
+# ---------------------------------------------------------------------------
+# Huffman: canonical code construction (T.81 Annex C)
+
+def _build_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length): canonical assignment, codes of each
+    length consecutive, lengths ascending (C.2)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol — the inverse map the bit-reader walks."""
+    return {(l, c): s for s, (c, l) in _build_codes(bits, huffval).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing (F.1.2.3)
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (F.1.2.3)."""
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos  # byte position in the full stream
+        self._acc = 0
+        self._n = 0
+
+    def _next_byte(self) -> int:
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG: entropy data ran out")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                    return 0xFF
+                # a real marker: the caller should have consumed it
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data")
+            return b
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._acc = self._next_byte()
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_restart(self) -> None:
+        """Drop partial bits and consume an RSTn marker (F.2.1.3.1)."""
+        self._n = 0
+        if (self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+        else:
+            raise ValueError("restart interval: expected RSTn marker")
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy data")
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (F.2.2.1): map t low bits to the signed difference."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    """Magnitude category SSSS (F.1.2.1.2)."""
+    t = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes -> (H, W, C) uint8 array (C=1 gray, 3 RGB).
+
+    Baseline sequential DCT only; raises ValueError on a bad signature
+    or corrupt stream, NotImplementedError on progressive/arithmetic/
+    12-bit modes (the loud documented tail)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG: bad SOI signature")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    planes = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        seg = data[pos + 4:pos + 2 + seglen]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential DCT "
+                "(SOF0) is supported — progressive/arithmetic/lossless/"
+                "hierarchical streams need a full codec library")
+        if marker == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG not supported (CMYK?)")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", seg[6 + 3 * i:9 + 3 * i])
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                dec = _build_decoder(bits, vals)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 0xF] = dec
+                else:
+                    huff_ac[tc_th & 0xF] = dec
+                p += 17 + n
+        elif marker == 0xDB:  # DQT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[pq_tq & 0xF] = np.frombuffer(
+                    seg[p + 1:p + 65], dtype=np.uint8).astype(np.int64)
+                p += 65
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, td_ta = struct.unpack(">BB", seg[1 + 2 * i:3 + 2 * i])
+                scan.append((cs, td_ta >> 4, td_ta & 0xF))
+            planes = _decode_scan(
+                data, pos + 2 + seglen, frame, scan, qt, huff_dc,
+                huff_ac, restart_interval)
+            # baseline single-scan: done after the scan
+            break
+        # APPn / COM / others: skipped
+        pos += 2 + seglen
+    if planes is None:
+        raise ValueError("truncated JPEG: no SOS scan")
+    h, w, comps = frame
+    if len(comps) == 1:
+        return planes[comps[0][0]][:h, :w].reshape(h, w, 1)
+    return _ycbcr_to_rgb(
+        planes[comps[0][0]][:h, :w],
+        planes[comps[1][0]][:h, :w],
+        planes[comps[2][0]][:h, :w],
+    )
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval) -> dict[int, np.ndarray]:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # full-resolution planes, allocated at MCU-padded size
+    planes = {}
+    sub = {}
+    for cid, hs, vs, tq in comps:
+        pw, ph = mcus_x * 8 * hs, mcus_y * 8 * vs
+        planes[cid] = np.zeros((ph, pw), dtype=np.int64)
+        sub[cid] = (hs, vs, tq)
+    td_ta = {cs: (td, ta) for cs, td, ta in scan}
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.align_to_restart()
+                pred = {cid: 0 for cid in pred}
+            for cid, hs, vs, tq in comps:
+                td, ta = td_ta[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        block = _decode_block(
+                            reader, huff_dc[td], huff_ac[ta], qt[tq],
+                            pred, cid)
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+            n_mcu += 1
+    # upsample subsampled components to full MCU-padded resolution by
+    # pixel replication (nearest) — exact for the blockwise-constant
+    # fixture regime, standard-compliant choice otherwise
+    out = {}
+    for cid, (hs, vs, tq) in sub.items():
+        plane = planes[cid]
+        fx, fy = hmax // hs, vmax // vs
+        if fx > 1 or fy > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        out[cid] = plane
+    return out
+
+
+def _decode_block(reader, dc_tab, ac_tab, q, pred, cid) -> np.ndarray:
+    coef = np.zeros(64, dtype=np.int64)
+    t = reader.decode_symbol(dc_tab)
+    diff = _extend(reader.read_bits(t), t)
+    pred[cid] += diff
+    coef[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        coef[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    dq = coef * q
+    block = np.zeros(64, dtype=np.float64)
+    block[ZIGZAG] = dq  # de-zigzag
+    spatial = _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
+    # deterministic half-up rounding so oracles can mirror it
+    return np.clip(np.floor(spatial + 128.0 + 0.5), 0, 255).astype(np.int64)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF (T.871 §7) conversion with floor(x+0.5) rounding — the
+    formula the SQL oracles replicate verbatim."""
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    r = np.floor(y + 1.402 * cr + 0.5)
+    g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+    b = np.floor(y + 1.772 * cb + 0.5)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture generation + round-trip tests)
+
+def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    clip = lambda p: np.clip(np.floor(p + 0.5), 0, 255).astype(np.int64)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def _pad_to(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate to multiples of (bh, bw)."""
+    h, w = plane.shape
+    ph, pw = -(-h // bh) * bh, -(-w // bw) * bw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _subsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-average downsample by (fx, fy) with half-up rounding."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    p = plane[:h - h % fy or None, :w - w % fx or None]
+    p = p.reshape(h // fy, fy, w // fx, fx).astype(np.float64)
+    return np.floor(p.mean(axis=(1, 3)) + 0.5).astype(np.int64)
+
+
+def _encode_plane_blocks(plane: np.ndarray, q: np.ndarray):
+    """Yield zigzagged quantized coefficient arrays block by block
+    (row-major), plane already padded to multiples of 8."""
+    h, w = plane.shape
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            block = plane[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
+            coef = _DCT_M @ block @ _DCT_M.T
+            zz = coef.reshape(64)[ZIGZAG]
+            yield np.floor(zz / q + 0.5).astype(np.int64)
+
+
+def _emit_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                dc_codes, ac_codes) -> int:
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _dht_payload(tc: int, th: int, table) -> bytes:
+    bits, vals = table
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(H, W, 3) RGB or (H, W, 1)/(H, W) gray uint8 -> baseline JFIF
+    bytes. ``subsampling``: '444', '422', or '420' (3-component only).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        return _encode_core([img[:, :, 0].astype(np.int64)], (1, 1),
+                            quality, img.shape[0], img.shape[1],
+                            restart_interval)
+    y, cb, cr = _rgb_to_ycbcr(img)
+    return encode_jpeg_ycbcr(y, cb, cr, quality, subsampling,
+                             restart_interval)
+
+
+def encode_jpeg_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                      quality: int = 90, subsampling: str = "444",
+                      restart_interval: int = 0) -> bytes:
+    """Encode PRE-CONVERTED full-resolution YCbCr planes (int arrays,
+    0..255). Bypassing the RGB->YCbCr rounding lets oracle fixtures be
+    authored directly in the coded color space: with quality=100 and
+    planes constant per block (per chroma tile under subsampling), the
+    DECODED YCbCr is bit-exact, so decoded RGB is the exact
+    floor(x+0.5) conversion formula a SQL oracle can mirror."""
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    fx, fy = factors[subsampling]
+    h, w = y.shape
+    # chroma is subsampled from the MCU-padded luma grid so edge
+    # blocks stay consistent
+    planes = [_pad_to(y.astype(np.int64), 8 * fy, 8 * fx),
+              _subsample(_pad_to(cb.astype(np.int64), 8 * fy, 8 * fx),
+                         fx, fy),
+              _subsample(_pad_to(cr.astype(np.int64), 8 * fy, 8 * fx),
+                         fx, fy)]
+    return _encode_core(planes, (fx, fy), quality, h, w,
+                        restart_interval)
+
+
+def _encode_core(planes: list[np.ndarray], luma_samp: tuple[int, int],
+                 quality: int, h: int, w: int,
+                 restart_interval: int) -> bytes:
+    gray = len(planes) == 1
+    ql, qc = quality_tables(quality)
+    fx, fy = luma_samp
+    samp = [(1, 1)] if gray else [(fx, fy), (1, 1), (1, 1)]
+    qtab = [ql] if gray else [ql, qc, qc]
+    planes = [_pad_to(p, 8, 8) for p in planes]
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, samp[i][0] << 4 | samp[i][1],
+                      0 if i == 0 else 1])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, _DC_LUMA))
+    out += _seg(0xC4, _dht_payload(1, 0, _AC_LUMA))
+    if not gray:
+        out += _seg(0xC4, _dht_payload(0, 1, _DC_CHROMA))
+        out += _seg(0xC4, _dht_payload(1, 1, _AC_CHROMA))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    # interleaved MCU entropy data
+    dc_l = _build_codes(*_DC_LUMA)
+    ac_l = _build_codes(*_AC_LUMA)
+    dc_c = _build_codes(*_DC_CHROMA)
+    ac_c = _build_codes(*_AC_CHROMA)
+    tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component block grids in block units
+    grids = []
+    for i, p in enumerate(planes):
+        bh, bw_ = p.shape[0] // 8, p.shape[1] // 8
+        blocks = list(_encode_plane_blocks(p, qtab[i]))
+        grids.append((blocks, bw_))
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    n_mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.flush()
+                out += writer.out
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            for i in range(ncomp):
+                hs, vs = samp[i]
+                blocks, bw_ = grids[i]
+                for by in range(vs):
+                    for bx in range(hs):
+                        idx = (my * vs + by) * bw_ + (mx * hs + bx)
+                        pred[i] = _emit_block(
+                            writer, blocks[idx], pred[i], *tables[i])
+            n_mcu += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)

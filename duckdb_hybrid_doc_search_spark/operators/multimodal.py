@@ -62,7 +62,9 @@ def _real_decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "real image decode requires Pillow (`PIL.Image.open`) which is not "
         "installed in this container; use decode_backend='fake' (seeded "
-        "stand-in) or 'png_pure' (stdlib PNG codec, functions/png.py)"
+        "stand-in), 'auto_pure' (magic-byte dispatch), or one of the "
+        "stdlib codecs: 'png_pure' (functions/png.py), 'bmp_pure', "
+        "'gif_pure', 'jpeg_pure' (baseline sequential, functions/jpeg.py)"
     )
 
 
@@ -73,7 +75,10 @@ def _decode_image(payload: bytes, backend: str, width: int,
     REAL stdlib PNG decode (functions/png.py — bytes must be a PNG),
     'bmp_pure' = REAL stdlib BMP decode (functions/bmp.py — row
     padding / vertical flip / BGR swizzle, the layout failure class PNG
-    doesn't cover), 'auto_pure' = REAL decode with the codec picked by
+    doesn't cover), 'gif_pure' = REAL stdlib GIF decode (LZW +
+    palettes), 'jpeg_pure' = REAL stdlib baseline-JPEG decode
+    (functions/jpeg.py — Huffman + IDCT + chroma upsampling; r12),
+    'auto_pure' = REAL decode with the codec picked by
     the payload's OWN magic bytes (sniff_image_format — the
     mixed-format ingest shape, where the reader, not the path, decides
     the codec), 'real' = the Pillow slot (raises until the wheel
@@ -94,6 +99,10 @@ def _decode_image(payload: bytes, backend: str, width: int,
         from ..functions.gif import decode_gif
 
         return decode_gif(payload)
+    if backend == "jpeg_pure":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return _real_decode_image(payload)
 
 
@@ -304,6 +313,21 @@ def gif_decode_stats(spark, gif_dir: str) -> DataFrame:
     return _decode_stats(spark, gif_dir, "*.gif", decode_gif)
 
 
+def jpeg_decode_stats(spark, jpeg_dir: str) -> DataFrame:
+    """JPEG twin of :func:`png_decode_stats`: REAL bytes->pixels decode
+    via the stdlib baseline-JPEG codec (functions/jpeg.py — Huffman
+    entropy decoding, dequantized 8x8 IDCT blocks, chroma upsampling,
+    restart markers, JFIF color conversion; ITU-T T.81). JPEG is lossy,
+    but the fixtures are blockwise-CONSTANT at quality 100 (all-ones
+    quant tables, DC-only blocks — see tools/gen_jpeg_fixtures.py), so
+    their round-trip is bit-exact and the oracle recomputes the channel
+    sums from the closed-form block formulas plus the verbatim JFIF
+    floor(x+0.5) conversion, independent of the codec under test."""
+    from ..functions.jpeg import decode_jpeg
+
+    return _decode_stats(spark, jpeg_dir, "*.jpg", decode_jpeg)
+
+
 def gif_frame_stats(spark, gif_dir: str) -> DataFrame:
     """ANIMATED-GIF demux + decode over real container bytes: every
     frame of every *.gif under ``gif_dir`` is composited onto the
@@ -362,6 +386,8 @@ def sniff_image_format(data: bytes) -> str:
         return "bmp"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:2] == b"\xFF\xD8":
+        return "jpeg"
     raise ValueError(f"unrecognized image signature {data[:8]!r}")
 
 
@@ -378,9 +404,11 @@ def mixed_decode_stats(spark, media_dirs: list[str]) -> DataFrame:
     packed per task, one Arrow crossing, scalar rows out)."""
     from ..functions.bmp import decode_bmp
     from ..functions.gif import decode_gif
+    from ..functions.jpeg import decode_jpeg
     from ..functions.png import decode_png
 
-    decoders = {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif}
+    decoders = {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif,
+                "jpeg": decode_jpeg}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -402,7 +430,7 @@ def mixed_decode_stats(spark, media_dirs: list[str]) -> DataFrame:
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{png,bmp,gif}")
+        .option("pathGlobFilter", "*.{png,bmp,gif,jpg}")
         .load(list(media_dirs))
     )
     return (
@@ -490,13 +518,16 @@ def decode_stats_permissive(spark, media_dirs: list[str],
 def _permissive_decoders() -> dict:
     from ..functions.bmp import decode_bmp
     from ..functions.gif import decode_gif
+    from ..functions.jpeg import decode_jpeg
     from ..functions.png import decode_png
 
     # one dispatch table for every format the sniffer can return — a
     # sniffable format missing here would mis-route to another codec
     # and quarantine HEALTHY files as corrupt (r9 review finding: gif
-    # payloads were falling through to decode_bmp)
-    return {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif}
+    # payloads were falling through to decode_bmp; the same rule added
+    # jpeg in r12 when the sniffer learned FFD8)
+    return {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif,
+            "jpeg": decode_jpeg}
 
 
 def _permissive_decode_one(data: bytes):

@@ -131,6 +131,86 @@ def media_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.bmp_decode_stats(spark, str(_BMP_DIR))
 
 
+_JPEG_DIR = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "jpeg"
+
+
+def _jfif_rgb_sql(yf: str, cbf: str, crf: str) -> list[str]:
+    """The decoder's JFIF YCbCr->RGB conversion
+    (functions/jpeg._ycbcr_to_rgb: floor(x+0.5) rounding, clip 0..255)
+    mirrored verbatim in SQL — applied to the fixtures' closed-form
+    block formulas so the oracle recomputes decoded RGB exactly (the
+    q100 blockwise-constant fixtures round-trip YCbCr bit-exactly;
+    tools/gen_jpeg_fixtures.py verifies before writing)."""
+    return [
+        f"least(greatest(floor(({yf}) + 1.402*(({crf}) - 128) + 0.5),"
+        f" 0), 255)",
+        f"least(greatest(floor(({yf}) - 0.344136*(({cbf}) - 128)"
+        f" - 0.714136*(({crf}) - 128) + 0.5), 0), 255)",
+        f"least(greatest(floor(({yf}) + 1.772*(({cbf}) - 128) + 0.5),"
+        f" 0), 255)",
+    ]
+
+
+# Block-value formulas, mirrored from tools/gen_jpeg_fixtures.py
+_JPEG_GRAY = "((x//8)*17 + (y//8)*29 + 3) % 256"
+_JPEG_444_RGB = _jfif_rgb_sql(
+    "((x//8)*13 + (y//8)*7 + 40) % 256",
+    "((x//8)*5 + (y//8)*3 + 90) % 256",
+    "((x//8)*2 + (y//8)*11 + 60) % 256",
+)
+_JPEG_420_RGB = _jfif_rgb_sql(
+    "((x//8)*19 + (y//8)*9 + 35) % 256",
+    "((x//16)*21 + (y//16)*13 + 80) % 256",
+    "((x//16)*7 + (y//16)*23 + 55) % 256",
+)
+
+_JPEG_ORACLE = f"""
+WITH gray AS (
+  SELECT 'gray.jpg' AS file_name, 21 AS width, 13 AS height,
+         1 AS channels,
+         sum({_JPEG_GRAY})::BIGINT AS sum_c0,
+         0::BIGINT AS sum_c1, 0::BIGINT AS sum_c2, 0::BIGINT AS sum_c3
+  FROM generate_series(0, 20) t(x) CROSS JOIN generate_series(0, 12) s(y)
+),
+ycc444 AS (
+  SELECT 'ycc444.jpg', 24, 16, 3,
+         sum({_JPEG_444_RGB[0]})::BIGINT,
+         sum({_JPEG_444_RGB[1]})::BIGINT,
+         sum({_JPEG_444_RGB[2]})::BIGINT,
+         0::BIGINT
+  FROM generate_series(0, 23) t(x) CROSS JOIN generate_series(0, 15) s(y)
+),
+ycc420 AS (
+  SELECT 'ycc420.jpg', 32, 32, 3,
+         sum({_JPEG_420_RGB[0]})::BIGINT,
+         sum({_JPEG_420_RGB[1]})::BIGINT,
+         sum({_JPEG_420_RGB[2]})::BIGINT,
+         0::BIGINT
+  FROM generate_series(0, 31) t(x) CROSS JOIN generate_series(0, 31) s(y)
+)
+SELECT * FROM gray UNION ALL SELECT * FROM ycc444 UNION ALL
+SELECT * FROM ycc420 ORDER BY file_name
+""".strip()
+
+
+@register("media_jpeg_decode_stats", oracle=_JPEG_ORACLE)
+def media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth real bytes->pixels decode row (r11 VERDICT #6 — the last
+    honest media stub a real corpus hits constantly): stdlib baseline
+    JPEG codec (functions/jpeg.py — ITU-T T.81 Huffman + 8x8 IDCT +
+    chroma upsampling + restart markers + JFIF color conversion) over
+    checked-in fixtures. The fixtures are blockwise-constant at
+    quality 100, the regime where a lossy codec round-trips bit-exactly
+    (DC-only blocks, all-ones quant tables), so the oracle recomputes
+    channel sums from the closed-form block formulas and the verbatim
+    floor(x+0.5) JFIF conversion — codec-independent like every media
+    oracle. Partial edge blocks (21x13), 4:4:4, and 4:2:0+RSTn are each
+    covered; progressive/arithmetic streams raise loudly
+    (tests/test_jpeg.py)."""
+    return mm.jpeg_decode_stats(spark, str(_JPEG_DIR))
+
+
 _WAV_DIR = __import__("pathlib").Path(__file__).resolve(
 ).parent.parent.parent / "fixtures" / "wav"
 
@@ -315,6 +395,8 @@ SELECT * FROM (
   SELECT 'bmp' AS format, * FROM ({_BMP_ORACLE})
   UNION ALL
   SELECT 'gif' AS format, * FROM ({_GIF_ORACLE})
+  UNION ALL
+  SELECT 'jpeg' AS format, * FROM ({_JPEG_ORACLE})
 ) ORDER BY file_name
 """.strip()
 
@@ -329,9 +411,12 @@ def media_mixed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula oracles plus the detected format, so a dispatch bug (or a
     codec mix-up) flips the hash. GIF joined the union in r9 (its sums
     compose the index formula through the palette formula — a
-    cross-codec palette leak cannot hide)."""
+    cross-codec palette leak cannot hide). JPEG joined the union in r12
+    (its sums compose the block formulas through the JFIF conversion
+    formula)."""
     return mm.mixed_decode_stats(
-        spark, [str(_PNG_DIR), str(_BMP_DIR), str(_GIF_DIR)]
+        spark, [str(_PNG_DIR), str(_BMP_DIR), str(_GIF_DIR),
+                str(_JPEG_DIR)]
     )
 
 
@@ -513,13 +598,14 @@ def media_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mixed_media(spark: SparkSession) -> DataFrame:
-    """Every PNG and BMP fixture as ONE media table (media_id = file
-    name, codec meta 'auto') — the mixed-format corpus the auto_pure
-    decode seam dispatches by magic bytes."""
+    """Every PNG, BMP, and JPEG fixture as ONE media table (media_id =
+    file name, codec meta 'auto') — the mixed-format corpus the
+    auto_pure decode seam dispatches by magic bytes (JPEG joined in
+    r12 when the stdlib baseline codec landed)."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{png,bmp}")
-        .load([str(_PNG_DIR), str(_BMP_DIR)])
+        .option("pathGlobFilter", "*.{png,bmp,jpg}")
+        .load([str(_PNG_DIR), str(_BMP_DIR), str(_JPEG_DIR)])
     )
     return files.select(
         F.regexp_extract("path", "([^/]+)$", 1).alias("media_id"),
@@ -556,6 +642,14 @@ _IMAGE_FEAT_ORACLE = (
         _png_feat_cte("rgba_up.bmp", 6, 3,
                       ["(x*14 + y*6) % 256", "(x*3 + y*13 + 22) % 256",
                        "(x*10 + y + 66) % 256"]),
+        # JPEG fixtures (r12): blockwise-constant q100 decode is
+        # bit-exact, pixel formulas = block formulas through the JFIF
+        # conversion (the _jfif_rgb_sql mirror); gray replicates 3x
+        # like gray.png
+        _png_feat_cte("gray.jpg", 21, 13,
+                      [_JPEG_GRAY, _JPEG_GRAY, _JPEG_GRAY]),
+        _png_feat_cte("ycc444.jpg", 24, 16, _JPEG_444_RGB),
+        _png_feat_cte("ycc420.jpg", 32, 32, _JPEG_420_RGB),
     ])
     + "\n) ORDER BY file_name, dim_idx"
 )
@@ -619,6 +713,11 @@ _IMAGE_RESIZE_ORACLE = (
         _resize_cte("rgba_up.bmp", 6, 3,
                     ["(x*14 + y*6) % 256", "(x*3 + y*13 + 22) % 256",
                      "(x*10 + y + 66) % 256"]),
+        # JPEG fixtures (r12): same exactness argument as the feature
+        # oracle — nearest-neighbor source indices hit bit-exact pixels
+        _resize_cte("gray.jpg", 21, 13, [_JPEG_GRAY]),
+        _resize_cte("ycc444.jpg", 24, 16, _JPEG_444_RGB),
+        _resize_cte("ycc420.jpg", 32, 32, _JPEG_420_RGB),
     ])
     + "\n) ORDER BY file_name"
 )

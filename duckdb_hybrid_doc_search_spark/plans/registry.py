@@ -192,6 +192,13 @@ RECHECK: dict[str, int] = {
     # DISTINCT) — the result SET genuinely grows (boundary pairs
     # recovered), so the r11 green row no longer covers it
     "dedup_embedding_ivf": 12,
+    # r12 (r11 VERDICT #6): the stdlib baseline JPEG codec landed —
+    # the three JPEG fixtures joined the mixed-format corpus, so all
+    # three mixed rows' result sets grow (new fixture rows + new
+    # oracle CTEs)
+    "media_image_features": 12,
+    "media_resize_images": 12,
+    "media_mixed_decode_stats": 12,
 }
 
 
