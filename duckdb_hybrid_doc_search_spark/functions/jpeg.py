@@ -329,6 +329,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # spec-valid baseline streams MAY split components
+                # across several scans; this decoder handles the
+                # interleaved single-scan form every mainstream encoder
+                # emits — fail loudly, not with a KeyError mid-MCU
+                raise NotImplementedError(
+                    f"non-interleaved JPEG scan ({ns} of "
+                    f"{len(frame[2])} components): only single-scan "
+                    "interleaved baseline streams are supported")
             scan = []
             for i in range(ns):
                 cs, td_ta = struct.unpack(">BB", seg[1 + 2 * i:3 + 2 * i])
@@ -344,7 +353,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("truncated JPEG: no SOS scan")
     h, w, comps = frame
     if len(comps) == 1:
-        return planes[comps[0][0]][:h, :w].reshape(h, w, 1)
+        # uint8 like every sibling codec (the color path casts inside
+        # _ycbcr_to_rgb); int64 here would make downstream .tobytes()
+        # payloads 8x the W*H*C contract (review-confirmed)
+        return (planes[comps[0][0]][:h, :w]
+                .reshape(h, w, 1).astype(np.uint8))
     return _ycbcr_to_rgb(
         planes[comps[0][0]][:h, :w],
         planes[comps[1][0]][:h, :w],
@@ -472,14 +485,20 @@ def _subsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
 
 def _encode_plane_blocks(plane: np.ndarray, q: np.ndarray):
     """Yield zigzagged quantized coefficient arrays block by block
-    (row-major), plane already padded to multiples of 8."""
+    (row-major), plane already padded to multiples of 8. ``q`` is in
+    NATURAL order; the coefficients are zigzagged first, so each must
+    divide by q[ZIGZAG[k]] — quantizing zigzag coefficients by the
+    natural-order table mis-scales every AC coefficient at quality<100
+    (review-confirmed: max round-trip error 38 vs 4 at q50; invisible
+    at q100 where the table is all ones)."""
     h, w = plane.shape
+    qz = q[ZIGZAG].astype(np.float64)
     for y0 in range(0, h, 8):
         for x0 in range(0, w, 8):
             block = plane[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
             coef = _DCT_M @ block @ _DCT_M.T
             zz = coef.reshape(64)[ZIGZAG]
-            yield np.floor(zz / q + 0.5).astype(np.int64)
+            yield np.floor(zz / qz + 0.5).astype(np.int64)
 
 
 def _emit_block(bw: _BitWriter, zz: np.ndarray, pred: int,

@@ -67,6 +67,13 @@ def write_ivf_partitioned(emb: DataFrame, out_dir: str,
     if nlist is None:
         nlist = derive_nlist(emb.count())
     if isinstance(centroids, DataFrame):
+        # pin the caller's frame first: the guard below plus the
+        # assignment crossJoin plus the centroid write would otherwise
+        # re-execute its lineage three times — a full Lloyd retrain per
+        # pass when the caller hands kmeans_centroids(emb) uncached
+        # (r12 review finding). The table is ~sqrt(N) rows; eager
+        # localCheckpoint is a bounded write-time cost.
+        centroids = centroids.localCheckpoint(eager=True)
         # appends waive the centroid_pred slot guard for every
         # non-'sample' source on the grounds that its cent_ids are
         # SYNTHETIC slot ids (0..nlist-1), never data vec_ids. 'kmeans'
@@ -238,19 +245,13 @@ def write_ivf_multiprobe(emb: DataFrame, out_dir: str,
     scan with no assignment crossJoin). Same frozen id-stride centroid
     set as write_ivf_partitioned's 'sample' source, so the DuckDB
     oracle reproduces the assignment exactly."""
-    from ..operators.knn import (assign_to_centroids, centroid_pred,
-                                 derive_nlist)
+    from ..operators.knn import derive_nlist, ivf_assign
 
     if nlist is None:
         nlist = derive_nlist(emb.count())
-    cent = emb.where(centroid_pred("vec_id", nlist)).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
-    assign = assign_to_centroids(
-        emb.select(F.col("vec_id").alias("c_id"),
-                   F.col("embedding").alias("c_vec")),
-        cent, p=p,
-    )
+    # the single-source sample-centroid rule (knn.ivf_assign), widened
+    # to top-p rows per vector
+    cent, assign = ivf_assign(emb, nlist=nlist, p=p)
     emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
         "vec_id", "embedding", "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
@@ -460,6 +461,19 @@ def append_ivf_vectors(spark: SparkSession, out_dir: str,
     # (the corpus has grown since; a bigger nlist would wrongly admit
     # ids that were centroid slots, a smaller one wrongly reject)
     meta = read_layout_meta(out_dir)
+    if meta.get("multiprobe_p"):
+        # this append writes ONE row per vector (rank-1 cell); a
+        # multiprobe layout stores top-p rows per vector, so appending
+        # here would silently break the top-p invariant — exactly the
+        # boundary-pair loss the multiprobe layout exists to prevent
+        # (r12 review finding)
+        raise ValueError(
+            f"layout at {out_dir} is a multiprobe dedup layout "
+            f"(p={meta['multiprobe_p']}): append_ivf_vectors writes "
+            "single-probe rows and would corrupt the top-p cell "
+            "invariant. Rebuild via ensure_ivf_multiprobe_layout "
+            "(the fingerprint key rebuilds on corpus change)."
+        )
     nlist = meta["nlist"]
     if meta.get("centroid_source", "sample") == "sample":
         # slot guard applies ONLY to the id-stride sample, whose

@@ -574,22 +574,16 @@ def dedup_embedding_ivf(emb: DataFrame,
     dedup_embedding_cosine, so downstream survivorship/components
     consume either.
     """
-    from .knn import assign_to_centroids, centroid_pred, derive_nlist
+    from .knn import ivf_assign
 
     if cells is None:
-        # in-plan assignment (oracle-exact); the registered query passes
-        # the persisted multiprobe layout frame instead — its (vec_id,
-        # embedding, cell) rows are already CO-LOCATED on disk, so the
-        # probe is one three-column scan with no assignment crossJoin
-        # and no re-join of the embeddings table
-        nlist = derive_nlist(emb.count())
-        cent = emb.where(centroid_pred("vec_id", nlist)).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cvec"))
-        assign = assign_to_centroids(
-            emb.select(F.col("vec_id").alias("c_id"),
-                       F.col("embedding").alias("c_vec")),
-            cent, p=nprobe)
+        # in-plan assignment (oracle-exact, via the single-source
+        # ivf_assign rule); the registered query passes the persisted
+        # multiprobe layout frame instead — its (vec_id, embedding,
+        # cell) rows are already CO-LOCATED on disk, so the probe is
+        # one three-column scan with no assignment crossJoin and no
+        # re-join of the embeddings table
+        _, assign = ivf_assign(emb, p=nprobe)
         cells = emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
             "vec_id", "embedding", "cell"
         )

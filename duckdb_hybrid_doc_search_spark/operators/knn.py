@@ -158,7 +158,8 @@ def assign_to_centroids(vecs: DataFrame, cent: DataFrame,
 
 def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding",
-               nlist: int | None = None) -> tuple[DataFrame, DataFrame]:
+               nlist: int | None = None,
+               p: int = 1) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) for the IVF index.
 
     Centroids are a deterministic subsample (centroid_pred — every
@@ -169,8 +170,13 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
     a PARTIAL frame (the append-layout 80% base) must pass the
     full-corpus nlist explicitly or append equivalence breaks. Every
     vector is assigned to its nearest centroid by cosine (tie -> lower
-    centroid id). The centroid set is ~sqrt(N) rows and broadcast;
-    assignment is one scan."""
+    centroid id); ``p`` > 1 keeps the top-p cells per vector (the
+    multi-probe dedup assignment — see assign_to_centroids). The
+    centroid set is ~sqrt(N) rows and broadcast; assignment is one
+    scan. THE single source of the sample-centroid derivation — the
+    dedup bucketing and the written layouts must not re-implement it
+    (r12 review: drift between copies silently corrupts cell
+    membership)."""
     if nlist is None:
         nlist = derive_nlist(emb.count())
     cent = emb.where(centroid_pred(id_col, nlist)).select(
@@ -179,6 +185,7 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
     assign = assign_to_centroids(
         emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
         cent,
+        p=p,
     )
     return cent, assign
 

@@ -381,3 +381,21 @@ def test_trained_layout_centroids_equal_inplan_trainer(spark, sf_dir,
         emb, 5, 10, tcent=tcent, tassign=tassign).collect()]
     in_plan = [tuple(r) for r in ivf_kmeans_recall(emb, 5, 10).collect()]
     assert from_layout == in_plan
+
+
+def test_append_refuses_multiprobe_layouts(spark, sf_dir, tmp_path):
+    """r12 review finding (fixed): append_ivf_vectors writes ONE
+    (rank-1) row per vector, so appending into a multiprobe dedup
+    layout would silently break the top-p invariant — it must refuse
+    loudly instead."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        append_ivf_vectors, write_ivf_multiprobe)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path / "mp")
+    # base split keeps centroid-modulus ids (% 50 == 0 implies % 7 == 0
+    # only at multiples of 350) so the sampled centroid set is non-empty
+    write_ivf_multiprobe(emb.where(F.col("vec_id") % 7 != 0), out, p=2)
+    with pytest.raises(ValueError, match="multiprobe"):
+        append_ivf_vectors(spark, out,
+                           emb.where(F.col("vec_id") % 7 == 0))

@@ -209,3 +209,40 @@ def test_permissive_path_handles_jpeg(spark, tmp_path):
     assert rows["ok.jpg"] == ("jpeg", "ok", 8, 8, 1, 9 * 64)
     assert rows["prog.jpg"][:2] == ("jpeg", "corrupt")
     assert rows["junk.dat"] == ("unknown", "unrecognized", 0, 0, 0, 0)
+
+
+def test_gray_decode_returns_uint8():
+    """The decoded-array contract is uint8 like every sibling codec —
+    int64 would 8x-inflate downstream .tobytes() payloads (r12 review
+    finding, fixed)."""
+    img = np.full((8, 8), 7, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert dec.dtype == np.uint8
+
+
+def test_quantization_order_roundtrip_at_q50():
+    """r12 review finding (fixed): the encoder quantized ZIGZAG-ordered
+    coefficients with the NATURAL-order table, mis-scaling every AC
+    coefficient at quality<100 (max round-trip error 38 on this stripe
+    image; 4 with the ordering fixed). Pin the fixed bound."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[:, ::2] = 200  # vertical stripes: strong high-frequency AC
+    dec = decode_jpeg(encode_jpeg(img, quality=50))[:, :, 0]
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 6, err.max()
+
+
+def test_non_interleaved_scan_raises_not_implemented():
+    """A spec-valid baseline stream MAY carry one component per scan;
+    this decoder supports the interleaved single-scan form and must
+    fail LOUDLY on the rest (r12 review: was a bare KeyError mid-MCU)."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90))
+    i = data.find(b"\xFF\xDA")
+    assert i > 0
+    # replace the 3-component SOS (len 12: ns=3 + 3 pairs + 3 trailer)
+    # with a 1-component one (len 8: ns=1 + 1 pair + 3 trailer)
+    new_sos = b"\xFF\xDA\x00\x08\x01\x01\x00\x00\x3F\x00"
+    spliced = bytes(data[:i]) + new_sos + bytes(data[i + 14:])
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(spliced)
