@@ -30,7 +30,7 @@ from pyspark.sql import types as T  # noqa: E402
 
 ROOT = os.environ.get("SPARK_GRAFT_SF_ROOT", "/root/testdata")
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", f"{ROOT}/sf0.1")
-N_QUERIES = 32
+N_QUERIES = int(os.environ.get("BATCH_PRICE_N", "32"))
 
 
 def build_doc_table_index(spark, sf_dir: str, out_dir: str) -> None:
@@ -137,7 +137,8 @@ def main() -> None:
         "search() asserted in-run (and in "
         "tests/test_batch_and_skew.py).",
         "",
-        "| mode | 32 x search() | 1 x search_batch(32) | amortization |",
+        f"| mode | {N_QUERIES} x search() | 1 x "
+        f"search_batch({N_QUERIES}) | amortization |",
         "|---|---|---|---|",
     ]
     for rerank, (s, b) in results.items():
