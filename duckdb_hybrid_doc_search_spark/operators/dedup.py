@@ -725,6 +725,114 @@ def dedup_components(docs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+def dedup_components_star(docs: DataFrame, max_iter: int = 50,
+                          pairs: DataFrame | None = None) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the extreme-scale path dedup_components'
+    docstring points at, same API and the same min-id labels.
+
+    Why it scales past the label-propagation loop: each round is two
+    edge-set transforms (a per-node min aggregate + one join), the
+    state is the EDGE SET itself (never a separate label table being
+    unioned three ways), the edge count never grows beyond O(E), and
+    the paper proves O(log n) rounds to a fixpoint where every
+    component is a star centered on its min id. Label propagation with
+    pointer jumping matches the round bound but carries a
+    3-way-unioned label table per round; here the per-round plan is
+    strictly two aggregates over edges — the shape that holds when the
+    pair graph itself is billions of edges.
+
+    large-star: orient every edge both ways, m(u) = min(N(u) ∪ {u});
+    connect every LARGER neighbor of u to m(u).
+    small-star: orient edges to the larger endpoint, m(u) = min of u's
+    smaller neighbors (∪ {u}); connect u and its smaller neighbors to
+    m(u). Fixpoint = disjoint stars; labels read straight off the
+    edges. Convergence is detected with a bounded (count, hash-sum)
+    signature — nothing but 2-value rows cross the driver.
+
+    Output: doc_id, component_id — equal row-for-row to
+    dedup_components (pinned in tests/test_dedup_strategies.py).
+    ``pairs`` injects an explicit (doc_a, doc_b) edge frame instead of
+    the LSH candidate graph — the testing seam for adversarial shapes
+    (long chains, stars, bridges) the LSH graph of a real corpus never
+    produces on demand.
+    """
+    if pairs is None:
+        pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.least("doc_a", "doc_b").alias("src"),
+                     F.greatest("doc_a", "doc_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = pairs.sparkSession
+    if edges.isEmpty():
+        return spark.createDataFrame(
+            [], "doc_id long, component_id long")
+
+    def _sig(e: DataFrame) -> tuple:
+        row = (
+            e.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n"),
+                 # decimal(38,0): a long sum of 64-bit hashes overflows
+                 # under ANSI mode on the first few million edges
+                 F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
+                 .alias("h"))
+            .collect()[0]
+        )
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m"))
+        return (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        d = e.select(F.greatest("src", "dst").alias("u"),
+                     F.least("src", "dst").alias("v")).distinct()
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            d.join(mins, "u")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .unionByName(
+                mins.select(F.col("u").alias("src"),
+                            F.col("m").alias("dst")))
+            .distinct()
+        )
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        # lineage discipline: same rule as dedup_components — each
+        # round materializes, or Catalyst re-analysis goes exponential
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint = stars (u -> component min m): every non-root node has
+    # exactly one star edge; roots appear only as dst
+    stars = edges.select(F.greatest("src", "dst").alias("doc_id"),
+                         F.least("src", "dst").alias("component_id"))
+    roots = stars.select(
+        F.col("component_id").alias("doc_id"),
+        F.col("component_id").alias("component_id"),
+    ).distinct()
+    return stars.unionByName(roots).distinct()
+
+
 def dd_dedup_components_sql(table: str = "documents") -> str:
     """Recursive-CTE transitive closure: min reachable id per node —
     exactly the fixpoint the Spark propagation converges to."""

@@ -163,6 +163,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(_docs(spark, sf_dir))
 
 
+@register("dedup_components_star", oracle=dedup.dd_dedup_components_sql())
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., SoCC 2014) — the extreme-scale twin
+    dedup_components' docstring promises (r12): state is the edge set
+    itself (two per-node min aggregates per round, no 3-way-unioned
+    label table), O(log n) rounds, min-id labels. Same recursive-CTE
+    oracle as dedup_components — the two algorithms converge to the
+    identical fixpoint (also pinned directly in
+    tests/test_dedup_strategies.py, incl. adversarial chain/star/bridge
+    graphs via the injectable pair seam)."""
+    return dedup.dedup_components_star(_docs(spark, sf_dir))
+
+
 # --- corpus curation ---------------------------------------------------------
 
 

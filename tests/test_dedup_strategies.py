@@ -279,3 +279,56 @@ def test_semdedup_kmeans_cells_diagnostic(spark, sf_dir):
     for col in ("n_cells", "n_vecs", "n_dropped"):
         assert out["delta"][col] == out["kmeans"][col] - out["stride"][col]
     assert out["delta"]["n_vecs"] == 0
+
+
+def test_components_star_equals_label_propagation(spark, sf_dir):
+    """The large-star/small-star scale path (dedup_components_star)
+    converges to the identical min-id fixpoint as the label-propagation
+    form on the real LSH candidate graph."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(tuple(r) for r in dedup.dedup_components(docs).collect())
+    got = sorted(tuple(r)
+                 for r in dedup.dedup_components_star(docs).collect())
+    assert got == want
+
+
+@pytest.mark.parametrize("name,edges", [
+    # a 12-node path: worst diameter-to-size ratio (propagation's
+    # pointer jumping and the star rounds both need O(log n) rounds)
+    ("chain", [(i, i + 1) for i in range(11)]),
+    # a star already centered on its max id (rounds must re-center it
+    # on the MIN id)
+    ("inverted_star", [(11, i) for i in range(11)]),
+    # two dense cliques joined by one bridge edge
+    ("bridged_cliques",
+     [(a, b) for a in range(4) for b in range(a + 1, 4)]
+     + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+     + [(3, 10)]),
+    # disjoint pairs + an isolated triangle
+    ("mixed", [(0, 1), (5, 6), (20, 21), (30, 31), (31, 32), (30, 32)]),
+])
+def test_components_star_on_adversarial_graphs(spark, name, edges):
+    """The injectable pair seam: graph shapes the LSH candidate graph
+    of a real corpus never produces on demand. Expected labels = min id
+    reachable, computed by an independent in-test union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((n, find(n)) for n in parent)
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = sorted(
+        tuple(r)
+        for r in dedup.dedup_components_star(None, pairs=pairs).collect()
+    )
+    assert got == want, name
