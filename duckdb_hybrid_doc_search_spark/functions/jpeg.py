@@ -274,12 +274,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (h, w, [(cid, hs, vs, tq)])
     restart_interval = 0
     planes = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # B.1.1.2: a marker may be preceded by any number of 0xFF fill
+        # bytes — skip them before reading the marker id (r12 ADVICE:
+        # treating a fill byte as the id misparses seglen from whatever
+        # follows and quarantines a spec-legal stream as corrupt)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn: standalone markers with NO length field
+            # (B.1.1.3) — unpacking seglen from the following bytes
+            # would misparse the rest of the header
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: marker segment ran out")
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         seg = data[pos + 4:pos + 2 + seglen]
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -498,7 +514,14 @@ def _encode_plane_blocks(plane: np.ndarray, q: np.ndarray):
             block = plane[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
             coef = _DCT_M @ block @ _DCT_M.T
             zz = coef.reshape(64)[ZIGZAG]
-            yield np.floor(zz / qz + 0.5).astype(np.int64)
+            q = np.floor(zz / qz + 0.5).astype(np.int64)
+            # baseline caps AC magnitudes at 1023 (Annex-K AC tables
+            # define sizes 1..10 only): extreme content at quality=100
+            # can quantize to |1024| (category 11), which would KeyError
+            # in the symbol lookup (r12 ADVICE) — clamp AC, never DC
+            # (DC legitimately spans ±1024 and its table has size 11)
+            q[1:] = np.clip(q[1:], -1023, 1023)
+            yield q
 
 
 def _emit_block(bw: _BitWriter, zz: np.ndarray, pred: int,

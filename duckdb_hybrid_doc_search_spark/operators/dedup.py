@@ -749,7 +749,14 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
     smaller neighbors (∪ {u}); connect u and its smaller neighbors to
     m(u). Fixpoint = disjoint stars; labels read straight off the
     edges. Convergence is detected with a bounded (count, hash-sum)
-    signature — nothing but 2-value rows cross the driver.
+    signature — nothing but 2-value rows cross the driver — and then
+    CONFIRMED with an exact multiset identity check (one bounded
+    exceptAll over the pair graph), so a hash-sum collision between two
+    different edge sets can never silently read labels off a
+    non-fixpoint state; exhausting ``max_iter`` without a verified
+    fixpoint raises instead of returning unverified labels (both r12
+    ADVICE findings — the star extraction below is only valid at the
+    proven fixpoint).
 
     Output: doc_id, component_id — equal row-for-row to
     dedup_components (pinned in tests/test_dedup_strategies.py).
@@ -814,14 +821,35 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
         )
 
     sig = _sig(edges)
+    converged = False
     for _ in range(max_iter):
         # lineage discipline: same rule as dedup_components — each
         # round materializes, or Catalyst re-analysis goes exponential
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        new_sig = _sig(edges)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _sig(new_edges)
         if new_sig == sig:
-            break
+            # signature equality is necessary, not sufficient (equal
+            # count + colliding hash sums is astronomically unlikely
+            # but would be a SILENT wrong answer): confirm the fixpoint
+            # exactly — equal counts + empty one-direction exceptAll
+            # means the distinct edge multisets are identical. Note
+            # both frames are _small_star outputs, so row orientation
+            # matches; the first round can never signature-match the
+            # (src<dst)-oriented input for the same reason.
+            if new_edges.exceptAll(edges).isEmpty():
+                edges = new_edges
+                converged = True
+                break
         sig = new_sig
+        edges = new_edges
+    if not converged:
+        raise ValueError(
+            f"dedup_components_star did not reach a verified fixpoint "
+            f"in {max_iter} rounds: the star extraction is only valid "
+            "at the proven fixpoint, so returning labels here would be "
+            "a silent wrong answer. The paper bounds rounds at "
+            "O(log n) — raise max_iter for a genuinely deeper graph."
+        )
     # fixpoint = stars (u -> component min m): every non-root node has
     # exactly one star edge; roots appear only as dst
     stars = edges.select(F.greatest("src", "dst").alias("doc_id"),

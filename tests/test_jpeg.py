@@ -232,6 +232,32 @@ def test_quantization_order_roundtrip_at_q50():
     assert err.max() <= 6, err.max()
 
 
+def test_fill_bytes_and_tem_marker_are_skipped():
+    """B.1.1.2/B.1.1.3: markers may be preceded by 0xFF fill bytes, and
+    TEM (0xFF01) / RSTn are standalone (no length field). A spec-legal
+    stream carrying both must decode identically, not quarantine as
+    corrupt (r12 ADVICE)."""
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    data = encode_jpeg(img.astype(np.uint8), quality=100)
+    i = data.find(b"\xFF\xDB")  # before the first DQT
+    assert i > 0
+    padded = data[:i] + b"\xFF\x01" + b"\xFF\xFF\xFF" + data[i + 1:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+
+def test_extreme_checkerboard_ac_is_clamped_not_keyerror():
+    """A full-amplitude checkerboard at quality=100 quantizes its
+    highest-frequency AC coefficient to magnitude 1024 (category 11),
+    which the Annex-K AC tables (sizes 1..10) cannot code — the encoder
+    must clamp to ±1023 (baseline's AC cap), not KeyError (r12 ADVICE).
+    The one-step clamp keeps the round-trip error tiny."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = (255 * ((xx + yy) % 2)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))[:, :, 0]
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 2, err.max()
+
+
 def test_non_interleaved_scan_raises_not_implemented():
     """A spec-valid baseline stream MAY carry one component per scan;
     this decoder supports the interleaved single-scan form and must
