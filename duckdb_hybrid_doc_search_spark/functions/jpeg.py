@@ -10,10 +10,16 @@ differences + AC run/size pairs (F.1.2), 8x8 dequantized blocks through
 the 2-D inverse DCT (A.3.3), chroma upsampling, and the JFIF YCbCr->RGB
 conversion.
 
-Supported: baseline sequential (SOF0), 8-bit, 1 component (grayscale)
-or 3 components (YCbCr) with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
-intervals, byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit
-and hierarchical modes raise loudly — the documented tail.
+Supported: baseline sequential (SOF0) AND progressive (SOF2, r12
+VERDICT #1 — most real-web JPEGs are progressive), 8-bit, 1 component
+(grayscale) or 3 components (YCbCr) with 4:4:4 / 4:2:2 / 4:2:0
+sampling, restart intervals, byte stuffing. Progressive covers the full
+T.81 Annex G Huffman scheme: spectral selection (per-band AC scans,
+interleaved or per-component DC scans), successive approximation
+(point-transformed first scans + one-bit refinement scans with the
+G.1.2.3 correction-bit protocol), and EOB run coding (EOBn symbols).
+Arithmetic coding, 12-bit and hierarchical modes raise loudly — the
+documented tail.
 
 The encoder exists so fixtures can exercise the full decode chain
 (interleaved MCUs, DC prediction, restart markers, subsampled chroma)
@@ -262,9 +268,10 @@ def _category(v: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes -> (H, W, C) uint8 array (C=1 gray, 3 RGB).
 
-    Baseline sequential DCT only; raises ValueError on a bad signature
-    or corrupt stream, NotImplementedError on progressive/arithmetic/
-    12-bit modes (the loud documented tail)."""
+    Baseline sequential (SOF0) and progressive (SOF2) Huffman DCT;
+    raises ValueError on a bad signature or corrupt stream,
+    NotImplementedError on arithmetic/12-bit/lossless/hierarchical
+    modes (the loud documented tail)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG: bad SOI signature")
     pos = 2
@@ -272,6 +279,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None  # cid -> (by, bx, 64) zigzag
     restart_interval = 0
     planes = None
     while pos + 2 <= len(data):
@@ -298,13 +307,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG: marker segment ran out")
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         seg = data[pos + 4:pos + 2 + seglen]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential DCT "
-                "(SOF0) is supported — progressive/arithmetic/lossless/"
-                "hierarchical streams need a full codec library")
-        if marker == 0xC0:  # SOF0
+                f"JPEG SOF{marker - 0xC0}: only Huffman sequential "
+                "(SOF0) and Huffman progressive (SOF2) DCT are "
+                "supported — arithmetic/lossless/hierarchical streams "
+                "need a full codec library")
+        if marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -343,8 +354,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, td_ta = struct.unpack(">BB", seg[1 + 2 * i:3 + 2 * i])
+                scan.append((cs, td_ta >> 4, td_ta & 0xF))
+            if progressive:
+                ss, se, ah_al = seg[1 + 2 * ns:4 + 2 * ns]
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = _decode_progressive_scan(
+                    data, pos + 2 + seglen, frame, scan, coefs,
+                    huff_dc, huff_ac, restart_interval,
+                    ss, se, ah_al >> 4, ah_al & 0xF)
+                continue  # more scans (or EOI) follow
             if ns != len(frame[2]):
                 # spec-valid baseline streams MAY split components
                 # across several scans; this decoder handles the
@@ -354,10 +378,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     f"non-interleaved JPEG scan ({ns} of "
                     f"{len(frame[2])} components): only single-scan "
                     "interleaved baseline streams are supported")
-            scan = []
-            for i in range(ns):
-                cs, td_ta = struct.unpack(">BB", seg[1 + 2 * i:3 + 2 * i])
-                scan.append((cs, td_ta >> 4, td_ta & 0xF))
             planes = _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qt, huff_dc,
                 huff_ac, restart_interval)
@@ -365,6 +385,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
         # APPn / COM / others: skipped
         pos += 2 + seglen
+    if progressive and coefs is not None:
+        planes = _reconstruct_progressive(frame, coefs, qt)
     if planes is None:
         raise ValueError("truncated JPEG: no SOS scan")
     h, w, comps = frame
@@ -448,11 +470,16 @@ def _decode_block(reader, dc_tab, ac_tab, q, pred, cid) -> np.ndarray:
             raise ValueError("AC run past end of block")
         coef[k] = _extend(reader.read_bits(s), s)
         k += 1
-    dq = coef * q
+    return _idct_to_pixels(coef * q)
+
+
+def _idct_to_pixels(dq: np.ndarray) -> np.ndarray:
+    """Dequantized ZIGZAG-order coefficients -> 8x8 pixel block
+    (level-shifted, deterministic half-up rounding so oracles can
+    mirror it) — shared by the baseline and progressive paths."""
     block = np.zeros(64, dtype=np.float64)
     block[ZIGZAG] = dq  # de-zigzag
     spatial = _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
-    # deterministic half-up rounding so oracles can mirror it
     return np.clip(np.floor(spatial + 128.0 + 0.5), 0, 255).astype(np.int64)
 
 
@@ -466,6 +493,239 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
     b = np.floor(y + 1.772 * cb + 0.5)
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G, Huffman)
+#
+# A progressive stream distributes each block's 64 coefficients across
+# MANY scans: spectral selection addresses a zigzag band [Ss, Se] per
+# scan, successive approximation sends the high-order bits first (point
+# transform Al) and then one refinement bit per coefficient per later
+# scan (Ah = Al+1). Decoding therefore buffers DEQUANTIZED-ORDER
+# coefficients per block across scans and runs the IDCT once at the
+# end — the coefficient-buffer architecture every progressive decoder
+# uses (libjpeg's jdphuff/jdcoefct split; re-derived here from the
+# published spec flow, G.1.2.1-G.1.2.3).
+
+
+def _frame_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _ni_dims(h: int, w: int, hs: int, vs: int,
+             hmax: int, vmax: int) -> tuple[int, int]:
+    """Block grid of one component in NON-INTERLEAVED scan order
+    (A.2.2): ceil over the component's own downsampled dimensions —
+    smaller than the MCU-padded grid whenever the image width/height
+    is not an MCU multiple."""
+    cw = -(-(w * hs) // hmax)
+    ch = -(-(h * vs) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _alloc_coefs(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient buffers at MCU-PADDED block dims
+    (interleaved DC scans cover the padded grid), ZIGZAG index order
+    (scans address zigzag positions Ss..Se directly)."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    return {
+        cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+        for cid, hs, vs, tq in frame[2]
+    }
+
+
+def _decode_progressive_scan(data, pos, frame, scan, coefs, huff_dc,
+                             huff_ac, restart_interval,
+                             ss, se, ah, al) -> int:
+    """Decode ONE progressive scan into the coefficient buffers;
+    returns the byte position just past the scan's entropy data."""
+    h, w, comps = frame
+    byid = {c[0]: c for c in comps}
+    for cs, _, _ in scan:
+        if cs not in byid:
+            raise ValueError(f"scan references unknown component {cs}")
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "invalid progressive scan: DC and AC coefficients may "
+                "not share a scan (Ss=0 requires Se=0)")
+    elif len(scan) != 1:
+        raise ValueError(
+            "invalid progressive scan: AC scans must be "
+            "non-interleaved (one component per scan)")
+    elif not (ss <= se <= 63):
+        raise ValueError(f"invalid spectral band [{ss}, {se}]")
+
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    # MCU sequence: interleaved scans walk frame MCUs (each carrying
+    # hs*vs blocks per scan component); a non-interleaved scan's "MCU"
+    # is one block, row-major over the component's own block grid
+    if len(scan) == 1:
+        cs0 = scan[0][0]
+        _, hs, vs, _ = byid[cs0]
+        nby, nbx = _ni_dims(h, w, hs, vs, hmax, vmax)
+        n_mcus = nby * nbx
+
+        def mcu_blocks(n):
+            return [(cs0, n // nbx, n % nbx)]
+    else:
+        n_mcus = mcus_x * mcus_y
+        layout = []
+        for cs, _, _ in scan:
+            _, hs, vs, _ = byid[cs]
+            layout.append((cs, hs, vs))
+
+        def mcu_blocks(n):
+            my, mx = n // mcus_x, n % mcus_x
+            out = []
+            for cs, hs, vs in layout:
+                for by in range(vs):
+                    for bx in range(hs):
+                        out.append((cs, my * vs + by, mx * hs + bx))
+            return out
+
+    td_ta = {cs: (td, ta) for cs, td, ta in scan}
+    reader = _BitReader(data, pos)
+    pred = {cs: 0 for cs, _, _ in scan}
+    eobrun = 0
+    for n in range(n_mcus):
+        if restart_interval and n and n % restart_interval == 0:
+            reader.align_to_restart()
+            pred = {k: 0 for k in pred}
+            eobrun = 0
+        for cs, by, bx in mcu_blocks(n):
+            cf = coefs[byid[cs][0]][by, bx]
+            if ss == 0:
+                td = td_ta[cs][0]
+                if ah == 0:  # DC first scan (G.1.2.1)
+                    t = reader.decode_symbol(huff_dc[td])
+                    pred[cs] += _extend(reader.read_bits(t), t)
+                    cf[0] = pred[cs] << al
+                elif reader.read_bit():  # DC refinement: 1 raw bit
+                    # |= in two's complement: the first scan's
+                    # arithmetic-shift truncation left bit `al` clear,
+                    # so this sets it for negatives too
+                    cf[0] |= 1 << al
+            else:
+                ta = td_ta[cs][1]
+                if ah == 0:
+                    eobrun = _ac_first(reader, huff_ac[ta], cf,
+                                       ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, huff_ac[ta], cf,
+                                        ss, se, al, eobrun)
+    return reader.pos
+
+
+def _ac_first(reader, ac_tab, cf, ss, se, al, eobrun) -> int:
+    """AC first scan for one block (G.1.2.2): run/size symbols with
+    point transform Al, plus EOBn symbols coding a run of
+    end-of-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1  # whole block is inside an EOB run
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: run includes this block
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        cf[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, ac_tab, cf, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (G.1.2.3): newly-nonzero
+    coefficients arrive as run/1 symbols with a sign bit; every
+    ALREADY-nonzero coefficient passed along the way contributes one
+    positionally-interleaved correction bit (1 = increase magnitude
+    by 2^Al). Zero runs count only zero-HISTORY positions."""
+    p1 = 1 << al
+
+    def correct(k):  # one correction bit for a nonzero-history coef
+        if reader.read_bit() and not (abs(int(cf[k])) & p1):
+            cf[k] += p1 if cf[k] > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # EOB-band tail below finishes this block
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement symbol with size != 1")
+                val = p1 if reader.read_bit() else -p1
+            # advance over r zero-history coefficients, emitting
+            # correction bits for nonzero-history ones along the way
+            while k <= se:
+                if cf[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                cf[k] = val
+            k += 1
+    if eobrun > 0:
+        # EOB band: the rest of this block (and the next eobrun-1
+        # whole blocks) carries only correction bits
+        while k <= se:
+            if cf[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> dict[int, np.ndarray]:
+    """Coefficient buffers -> full-resolution planes: dequantize +
+    IDCT every block once, then replicate subsampled chroma — the
+    same output contract as the baseline _decode_scan."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        cf = coefs[cid]
+        q = qt[tq]
+        pby, pbx = cf.shape[:2]
+        plane = np.zeros((pby * 8, pbx * 8), dtype=np.int64)
+        for by in range(pby):
+            for bx in range(pbx):
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _idct_to_pixels(cf[by, bx].astype(np.int64) * q))
+        fx, fy = hmax // hs, vmax // vs
+        if fx > 1 or fy > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        out[cid] = plane
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -683,4 +943,308 @@ def _encode_core(planes: list[np.ndarray], luma_samp: tuple[int, int],
     writer.flush()
     out += writer.out
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G) — fixture generation + round-trip
+# tests against the baseline path: both encoders quantize identically,
+# and progressive entropy coding is LOSSLESS over the quantized
+# coefficients, so decode(progressive(img)) == decode(baseline(img))
+# exactly, at every quality — the property tests/test_jpeg_progressive.py
+# pins across qualities, subsamplings, shapes, and restart intervals.
+
+# AC table for progressive scans: the Annex-K baseline AC tables lack
+# the EOBn symbols (n=1..14) progressive EOB-run coding needs, so the
+# encoder declares one FLAT canonical table instead — all 255 symbols
+# 0x00..0xFE at code length 8 (Kraft 255/256; the all-ones code stays
+# unused, as T.81 recommends). Deliberately not compression-optimal:
+# fixtures and tests need determinism and full symbol coverage, not
+# small files.
+_AC_FLAT = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(255)),
+)
+
+#: EOB-run cap: EOBn codes runs up to 2^15 - 1 (G.1.2.2).
+_MAX_EOBRUN = 0x7FFF
+
+
+def _progressive_scans(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """The scan script: (component indices, Ss, Se, Ah, Al) per scan.
+    Covers every Annex-G decode path — interleaved DC first scan at
+    Al=1, per-band AC first scans (spectral selection), the DC
+    refinement bit, and AC refinement scans (successive approximation
+    with correction bits / EOB runs)."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),    # DC first, high-order bits
+            ([0], 1, 5, 0, 1),    # AC band 1 first
+            ([0], 6, 63, 0, 1),   # AC band 2 first
+            ([0], 0, 0, 1, 0),    # DC refinement
+            ([0], 1, 63, 1, 0),   # AC refinement, full band
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),  # DC first, interleaved
+        ([0], 1, 5, 0, 1),        # luma AC band 1
+        ([0], 6, 63, 0, 1),       # luma AC band 2
+        ([1], 1, 63, 0, 1),       # chroma AC
+        ([2], 1, 63, 0, 1),
+        ([0, 1, 2], 0, 0, 1, 0),  # DC refinement
+        ([0], 1, 63, 1, 0),       # AC refinements
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+    ]
+
+
+class _EobState:
+    """EOB-run accumulator shared across blocks of one AC scan: the run
+    count plus the correction bits riding it (G.1.2.3's BE buffer)."""
+
+    def __init__(self, bw: _BitWriter, ac_codes) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.run = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.run > 0:
+            nb = self.run.bit_length() - 1
+            code, length = self.ac[nb << 4]  # EOBn symbol
+            self.bw.write(code, length)
+            if nb:
+                self.bw.write(self.run - (1 << nb), nb)
+            for b in self.pending:
+                self.bw.write(b, 1)
+            self.run = 0
+            self.pending = []
+
+
+def _emit_ac_first_block(bw, zz, ss, se, al, ac_codes, eob: _EobState):
+    """One block of an AC first scan (the encoder mirror of _ac_first):
+    magnitudes point-transformed by Al (magnitude shift, not
+    arithmetic), trailing zeros folded into the cross-block EOB run."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        eob.flush()
+        while r > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            r -= 16
+        s = _category(t)
+        code, length = ac_codes[(r << 4) | s]
+        bw.write(code, length)
+        bw.write(t if v > 0 else ((1 << s) - 1 - t), s)
+        r = 0
+    if r > 0:
+        eob.run += 1
+        if eob.run == _MAX_EOBRUN:
+            eob.flush()
+
+
+def _emit_ac_refine_block(bw, zz, ss, se, al, ac_codes, eob: _EobState):
+    """One block of an AC refinement scan (the encoder mirror of
+    _ac_refine, i.e. G.1.2.3): newly-nonzero coefficients (magnitude
+    bit Al is the first set bit) as run/1 + sign; history coefficients
+    contribute buffered correction bits; zero runs count zero-history
+    positions only; trailing content folds into the EOB run."""
+    ab = [abs(int(zz[k])) >> al for k in range(64)]
+    last_new = ss - 1
+    for k in range(ss, se + 1):
+        if ab[k] == 1:
+            last_new = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = ab[k]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs only while a later NEW coefficient still needs them —
+        # past last_new the run folds into the EOB run instead
+        while r > 15 and k <= last_new:
+            eob.flush()
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: correction bit, run continues
+            br.append(t & 1)
+            continue
+        eob.flush()
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eob.run += 1
+        eob.pending.extend(br)
+        if eob.run == _MAX_EOBRUN or len(eob.pending) > 937:
+            # 937 = libjpeg's MAX_CORR_BITS safety margin analogue:
+            # bound driver-side buffering per EOB run
+            eob.flush()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """(H, W, 3) RGB or (H, W, 1)/(H, W) gray uint8 -> PROGRESSIVE
+    (SOF2) JFIF bytes, using the fixed Annex-G scan script of
+    :func:`_progressive_scans`. Quantization is identical to
+    :func:`encode_jpeg`, so the decoded image matches the baseline
+    encoding bit-for-bit."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        return _encode_progressive_core(
+            [img[:, :, 0].astype(np.int64)], (1, 1), quality,
+            img.shape[0], img.shape[1], restart_interval)
+    y, cb, cr = _rgb_to_ycbcr(img)
+    return encode_jpeg_progressive_ycbcr(y, cb, cr, quality, subsampling,
+                                         restart_interval)
+
+
+def encode_jpeg_progressive_ycbcr(y, cb, cr, quality: int = 90,
+                                  subsampling: str = "444",
+                                  restart_interval: int = 0) -> bytes:
+    """Progressive twin of :func:`encode_jpeg_ycbcr` — same
+    pre-converted-YCbCr fixture contract (q100 blockwise-constant
+    planes decode bit-exactly, so the SQL oracles mirror the same
+    closed forms for progressive fixtures as for baseline ones)."""
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    fx, fy = factors[subsampling]
+    h, w = y.shape
+    planes = [_pad_to(y.astype(np.int64), 8 * fy, 8 * fx),
+              _subsample(_pad_to(cb.astype(np.int64), 8 * fy, 8 * fx),
+                         fx, fy),
+              _subsample(_pad_to(cr.astype(np.int64), 8 * fy, 8 * fx),
+                         fx, fy)]
+    return _encode_progressive_core(planes, (fx, fy), quality, h, w,
+                                    restart_interval)
+
+
+def _encode_progressive_core(planes, luma_samp, quality, h, w,
+                             restart_interval) -> bytes:
+    gray = len(planes) == 1
+    ql, qc = quality_tables(quality)
+    fx, fy = luma_samp
+    samp = [(1, 1)] if gray else [(fx, fy), (1, 1), (1, 1)]
+    qtab = [ql] if gray else [ql, qc, qc]
+    planes = [_pad_to(p, 8, 8) for p in planes]
+    ncomp = len(planes)
+
+    # headers: identical to baseline except the SOF marker and the AC
+    # table (the flat EOBn-capable one)
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, samp[i][0] << 4 | samp[i][1],
+                      0 if i == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    out += _seg(0xC4, _dht_payload(0, 0, _DC_LUMA))
+    out += _seg(0xC4, _dht_payload(1, 0, _AC_FLAT))
+    if not gray:
+        out += _seg(0xC4, _dht_payload(0, 1, _DC_CHROMA))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    # quantized zigzag blocks per component, indexed [by, bx, k]
+    grids = []
+    for i, p in enumerate(planes):
+        bh, bw_ = p.shape[0] // 8, p.shape[1] // 8
+        grids.append(np.stack(
+            list(_encode_plane_blocks(p, qtab[i]))).reshape(bh, bw_, 64))
+
+    dc_codes = [_build_codes(*(_DC_LUMA if i == 0 else _DC_CHROMA))
+                for i in range(ncomp)]
+    ac_codes = _build_codes(*_AC_FLAT)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    for comp_ids, ss, se, ah, al in _progressive_scans(ncomp):
+        sos = bytes([len(comp_ids)])
+        for i in comp_ids:
+            td = 0 if i == 0 else 1
+            sos += bytes([i + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+
+        # MCU walk: frame MCUs when interleaved, the component's own
+        # non-interleaved block grid otherwise (mirrors the decoder)
+        if len(comp_ids) == 1:
+            ci = comp_ids[0]
+            hs, vs = samp[ci]
+            nby, nbx = _ni_dims(h, w, hs, vs, hmax, vmax)
+            mcus = [[(ci, n // nbx, n % nbx)]
+                    for n in range(nby * nbx)]
+        else:
+            mcus = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for ci in comp_ids:
+                        hs, vs = samp[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blocks.append(
+                                    (ci, my * vs + by, mx * hs + bx))
+                    mcus.append(blocks)
+
+        bw = _BitWriter()
+        eob = _EobState(bw, ac_codes)
+        pred = [0] * ncomp
+        rst = 0
+        for n, blocks in enumerate(mcus):
+            if restart_interval and n and n % restart_interval == 0:
+                eob.flush()
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                eob = _EobState(bw, ac_codes)
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            for ci, by, bx in blocks:
+                zz = grids[ci][by, bx]
+                if ss == 0:
+                    t = int(zz[0]) >> al  # arithmetic shift (G.1.2.1)
+                    if ah == 0:
+                        diff = t - pred[ci]
+                        pred[ci] = t
+                        s = _category(diff)
+                        code, length = dc_codes[ci][s]
+                        bw.write(code, length)
+                        if s:
+                            bw.write(diff if diff >= 0
+                                     else diff + (1 << s) - 1, s)
+                    else:
+                        bw.write(t & 1, 1)  # DC refinement bit
+                elif ah == 0:
+                    _emit_ac_first_block(bw, zz, ss, se, al, ac_codes,
+                                         eob)
+                else:
+                    _emit_ac_refine_block(bw, zz, ss, se, al, ac_codes,
+                                          eob)
+        eob.flush()
+        bw.flush()
+        out += bw.out
+    out += b"\xFF\xD9"
     return bytes(out)

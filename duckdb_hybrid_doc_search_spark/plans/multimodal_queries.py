@@ -211,6 +211,73 @@ def media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.jpeg_decode_stats(spark, str(_JPEG_DIR))
 
 
+_JPEG_PROG_DIR = __import__("pathlib").Path(__file__).resolve(
+).parent.parent.parent / "fixtures" / "jpeg_prog"
+
+# Block-value formulas mirrored from tools/gen_jpeg_prog_fixtures.py —
+# the q100 blockwise-constant exactness regime holds through the
+# progressive scan script because progressive entropy coding is
+# lossless over the quantized coefficients.
+_JPEG_PROG_GRAY = "((x//8)*23 + (y//8)*31 + 5) % 256"
+_JPEG_PROG_444_RGB = _jfif_rgb_sql(
+    "((x//8)*11 + (y//8)*17 + 50) % 256",
+    "((x//8)*7 + (y//8)*5 + 85) % 256",
+    "((x//8)*3 + (y//8)*13 + 70) % 256",
+)
+_JPEG_PROG_420_RGB = _jfif_rgb_sql(
+    "((x//8)*15 + (y//8)*7 + 45) % 256",
+    "((x//16)*19 + (y//16)*11 + 75) % 256",
+    "((x//16)*9 + (y//16)*21 + 65) % 256",
+)
+
+_JPEG_PROG_ORACLE = f"""
+WITH gray AS (
+  SELECT 'gray_prog.jpg' AS file_name, 21 AS width, 13 AS height,
+         1 AS channels,
+         sum({_JPEG_PROG_GRAY})::BIGINT AS sum_c0,
+         0::BIGINT AS sum_c1, 0::BIGINT AS sum_c2, 0::BIGINT AS sum_c3
+  FROM generate_series(0, 20) t(x) CROSS JOIN generate_series(0, 12) s(y)
+),
+ycc444 AS (
+  SELECT 'ycc444_prog.jpg', 24, 16, 3,
+         sum({_JPEG_PROG_444_RGB[0]})::BIGINT,
+         sum({_JPEG_PROG_444_RGB[1]})::BIGINT,
+         sum({_JPEG_PROG_444_RGB[2]})::BIGINT,
+         0::BIGINT
+  FROM generate_series(0, 23) t(x) CROSS JOIN generate_series(0, 15) s(y)
+),
+ycc420 AS (
+  SELECT 'ycc420_prog.jpg', 32, 32, 3,
+         sum({_JPEG_PROG_420_RGB[0]})::BIGINT,
+         sum({_JPEG_PROG_420_RGB[1]})::BIGINT,
+         sum({_JPEG_PROG_420_RGB[2]})::BIGINT,
+         0::BIGINT
+  FROM generate_series(0, 31) t(x) CROSS JOIN generate_series(0, 31) s(y)
+)
+SELECT * FROM gray UNION ALL SELECT * FROM ycc444 UNION ALL
+SELECT * FROM ycc420 ORDER BY file_name
+""".strip()
+
+
+@register("media_jpeg_progressive_stats", oracle=_JPEG_PROG_ORACLE)
+def media_jpeg_progressive_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) bytes->pixels decode row (r12 VERDICT #1 —
+    most real-web JPEGs are progressive, and the dispatch used to raise
+    at the SOF2 marker): the full T.81 Annex-G Huffman scheme —
+    spectral selection, successive approximation with the G.1.2.3
+    correction-bit protocol, EOB run coding, interleaved DC /
+    non-interleaved AC scan ordering, per-scan restart markers — over
+    checked-in SOF2 fixtures (tools/gen_jpeg_prog_fixtures.py). The
+    q100 blockwise-constant trick carries over unchanged (progressive
+    entropy coding is lossless over the quantized coefficients), so the
+    oracle recomputes channel sums from the closed-form block formulas
+    + the verbatim JFIF conversion, codec-independent. The multi-scan
+    equality vs the baseline path is pinned across random content in
+    tests/test_jpeg_progressive.py."""
+    return mm.jpeg_decode_stats(spark, str(_JPEG_PROG_DIR))
+
+
 _WAV_DIR = __import__("pathlib").Path(__file__).resolve(
 ).parent.parent.parent / "fixtures" / "wav"
 

@@ -160,15 +160,16 @@ def test_bad_signature_raises():
         decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
 
 
-def test_progressive_raises_not_implemented():
-    """Swap SOF0 (FFC0) for SOF2 (FFC2) in a valid stream: the
-    documented loud tail, not silent garbage."""
+def test_lossless_sof_raises_not_implemented():
+    """Swap SOF0 (FFC0) for SOF3 (lossless) in a valid stream: the
+    documented loud tail, not silent garbage. (SOF2 progressive is
+    REAL since r13 — tests/test_jpeg_progressive.py.)"""
     img = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(encode_jpeg(img, quality=90))
     i = data.find(b"\xFF\xC0")
     assert i > 0
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    data[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(data))
 
 
@@ -188,9 +189,13 @@ def test_unknown_subsampling_raises():
 def test_permissive_path_handles_jpeg(spark, tmp_path):
     """The quarantine ingest (decode_stats_permissive) routes sniffed
     JPEG payloads to the JPEG codec (the r9 gif-fell-through-to-bmp
-    finding, re-applied at r12): a healthy fixture is an 'ok' row with
-    exact pixel facts, a progressive stream is 'corrupt'
-    (NotImplementedError captured as data), junk stays 'unrecognized'."""
+    finding, re-applied at r12): healthy baseline AND progressive
+    fixtures are 'ok' rows with exact pixel facts (SOF2 decode is real
+    since r13), a stream whose SOF marker lies about its scan script is
+    'corrupt' (ValueError captured as data), junk stays
+    'unrecognized'."""
+    from duckdb_hybrid_doc_search_spark.functions.jpeg import (
+        encode_jpeg_progressive)
     from duckdb_hybrid_doc_search_spark.operators.multimodal import (
         decode_stats_permissive)
 
@@ -199,15 +204,18 @@ def test_permissive_path_handles_jpeg(spark, tmp_path):
     img = np.full((8, 8), 9, dtype=np.uint8)
     good = encode_jpeg(img, quality=100)
     (d / "ok.jpg").write_bytes(good)
-    prog = bytearray(good)
-    i = prog.find(b"\xFF\xC0")
-    prog[i + 1] = 0xC2
-    (d / "prog.jpg").write_bytes(bytes(prog))
+    (d / "prog_ok.jpg").write_bytes(
+        encode_jpeg_progressive(img, quality=100))
+    bad = bytearray(good)
+    i = bad.find(b"\xFF\xC0")
+    bad[i + 1] = 0xC2  # SOF2 over a baseline scan script: corrupt
+    (d / "bad.jpg").write_bytes(bytes(bad))
     (d / "junk.dat").write_bytes(b"JUNKJUNKJUNK")
     rows = {r["file_name"]: tuple(r)[1:] for r in
             decode_stats_permissive(spark, [str(d)]).collect()}
     assert rows["ok.jpg"] == ("jpeg", "ok", 8, 8, 1, 9 * 64)
-    assert rows["prog.jpg"][:2] == ("jpeg", "corrupt")
+    assert rows["prog_ok.jpg"] == ("jpeg", "ok", 8, 8, 1, 9 * 64)
+    assert rows["bad.jpg"][:2] == ("jpeg", "corrupt")
     assert rows["junk.dat"] == ("unknown", "unrecognized", 0, 0, 0, 0)
 
 
