@@ -17,7 +17,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.bpe import BPE_MERGES, MERGES_SCHEMA, bpe_train
+from ..operators.bpe import (BPE_MERGES, BPE_TRAIN_BATCH,
+                             MERGES_SCHEMA, bpe_train)
 
 BPE_DONE = "_BPE_DONE"
 
@@ -26,7 +27,9 @@ def write_bpe_merges(docs: DataFrame, out_dir: str,
                      n_merges: int = BPE_MERGES) -> None:
     """Train on `docs` and persist the merge table (rank-ordered, one
     file — it is n_merges rows) plus build meta; sentinel lands last."""
-    merges = bpe_train(docs, n_merges)
+    # batch mode: pinned merge-for-merge equal to sequential
+    # (tests/test_bpe.py), ~2-3x fewer driver rounds at build time
+    merges = bpe_train(docs, n_merges, batch=BPE_TRAIN_BATCH)
     merges.repartition(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "merges"))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -178,7 +181,7 @@ def ensure_bpe_segment_layout(spark: SparkSession, docs: DataFrame,
         shutil.rmtree(out_dir)
     is_new = F.col("doc_id") % SEG_SPLIT_MOD == SEG_SPLIT_REM
     base = docs.where(~is_new)
-    merges = bpe_train(base, n_merges)
+    merges = bpe_train(base, n_merges, batch=BPE_TRAIN_BATCH)
     mrows = sorted(merges.collect(), key=lambda r: r["rank"])
 
     def index_fn(d):  # the frozen-merges analyzer

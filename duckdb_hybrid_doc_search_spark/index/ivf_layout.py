@@ -289,6 +289,146 @@ def ensure_ivf_multiprobe_layout(spark: SparkSession, emb: DataFrame,
     return out_dir
 
 
+def append_multiprobe_vectors(spark: SparkSession, out_dir: str,
+                              new_emb: DataFrame,
+                              skip_existing: bool = False) -> None:
+    """Incremental maintenance for the MULTI-PROBE dedup layout (r12
+    VERDICT #2: write_ivf_multiprobe was overwrite-only, so an ingest
+    loop wanting embedding-level near-dup decisions against a growing
+    corpus had to rebuild): assign arriving vectors to their top-p
+    cells against the layout's FROZEN centroid table and append the p
+    rows per vector to their cell partitions — the top-p invariant is
+    preserved because append assignment and build assignment share one
+    rule (knn.assign_to_centroids with the layout's persisted ``p``),
+    so base+append equals a one-shot build row-for-row
+    (tests/test_dedup_embedding_ivf.py pins it, and the registered
+    ``dedup_embedding_ivf_append_probe`` gates it against the same
+    one-shot oracle every driver rotation).
+
+    Contract mirrors :func:`append_ivf_vectors` one function up: the
+    frozen-nlist/frozen-centroid rule, the sample-source slot guard
+    (centroid_pred ids are centroid slots, not appendable members), the
+    pruned disjointness check (a redelivered identical vector lands in
+    its original p cells, so scanning only the batch's target cells
+    catches duplicate-row corruption exactly), and the
+    ``skip_existing`` at-least-once redelivery contract. A NON-
+    multiprobe layout is refused — its probes expect one row per
+    vector, and a p-row append would corrupt them the same way a
+    1-row append corrupts the multiprobe invariant."""
+    from ..operators.knn import assign_to_centroids
+
+    if new_emb.isEmpty():
+        return
+    meta = read_layout_meta(out_dir)
+    p = meta.get("multiprobe_p")
+    if not p:
+        raise ValueError(
+            f"layout at {out_dir} is a single-probe layout: "
+            "append_multiprobe_vectors writes top-p rows per vector "
+            "and would corrupt its one-row-per-vector invariant. Use "
+            "append_ivf_vectors for single-probe layouts."
+        )
+    nlist = meta["nlist"]
+    if meta.get("centroid_source", "sample") == "sample":
+        n_cent_ids = new_emb.where(centroid_pred("vec_id", nlist)).count()
+        if n_cent_ids:
+            raise ValueError(
+                f"append batch contains {n_cent_ids} vec_id(s) matching "
+                "centroid_pred: those ids are centroid slots under the "
+                "frozen-centroid contract — appending them as plain "
+                "members would make the assignment rule treat them as "
+                "centroids of nonexistent cells. Rebuild the layout to "
+                "re-center instead."
+            )
+    cdir = _centroid_dir(out_dir)
+    if not os.path.exists(cdir):
+        raise ValueError(
+            f"layout at {out_dir} has no _centroids side table — its "
+            "build-time centroid set cannot be reconstructed "
+            "consistently with existing cell membership. Rebuild via "
+            "write_ivf_multiprobe before appending."
+        )
+    cent = spark.read.parquet(cdir)
+    assign = assign_to_centroids(
+        new_emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec")),
+        cent, p=p,
+    )
+    batch = new_emb.join(
+        assign, new_emb["vec_id"] == assign["c_id"]
+    ).select("vec_id", "embedding", "cell")
+    target_cells = sorted(
+        r.cell for r in assign.select("cell").distinct().collect()
+    )
+    dup_ids = (
+        probe_cells(spark, out_dir, target_cells)
+        .select("vec_id")
+        .join(F.broadcast(new_emb.select("vec_id")), "vec_id")
+        .distinct()  # an existing vector matches in up to p cells
+    )
+    if skip_existing:
+        dup_local = dup_ids.localCheckpoint(eager=True)
+        batch = batch.join(
+            F.broadcast(dup_local),
+            batch["vec_id"] == dup_local["vec_id"],
+            "left_anti",
+        )
+        if batch.isEmpty():
+            return
+    else:
+        n_dup = dup_ids.count()
+        if n_dup:
+            raise ValueError(
+                f"append batch overlaps the layout on {n_dup} vec_id(s): "
+                "appending an existing id writes duplicate rows into its "
+                "p cell partitions and the dedup probe would emit "
+                "duplicate pairs. Append batches must carry NEW vec_ids "
+                "only (or pass skip_existing=True, the streaming "
+                "redelivery contract)."
+            )
+    batch.write.mode("append").partitionBy("cell").parquet(out_dir)
+
+
+def ensure_ivf_multiprobe_append_layout(spark: SparkSession,
+                                        emb: DataFrame, sf_dir: str,
+                                        root: str | None = None,
+                                        p: int = 2) -> str:
+    """Build (once) a multiprobe dedup layout that REACHED its final
+    state through incremental maintenance: base build over ~80% of the
+    vectors (nlist and the centroid set derived from the FULL corpus,
+    the append-equivalence rule), the remaining ~20% (non-centroid ids
+    with vec_id % 5 == 3) appended via
+    :func:`append_multiprobe_vectors`. Probing it is how the registered
+    ``dedup_embedding_ivf_append_probe`` query earns its driver row:
+    frozen-centroid append equivalence means the dedup pair set must
+    hash-match the one-shot oracle over the full table."""
+    import shutil
+
+    from .fingerprint import layout_fingerprint, warehouse_root
+
+    root = warehouse_root("ivf_multiprobe_append_layout", root)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{LAYOUT_FORMAT}-p{p}"
+        f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
+    )
+    out_dir = os.path.join(root, key)
+    sentinel = os.path.join(out_dir, "_APPEND_DONE")
+    if os.path.exists(sentinel):
+        return out_dir
+    if os.path.exists(out_dir):  # partial prior attempt: start clean
+        shutil.rmtree(out_dir)
+    nlist = derive_nlist(emb.count())
+    is_new = (~centroid_pred("vec_id", nlist)) & (
+        F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM
+    )
+    write_ivf_multiprobe(emb.where(~is_new), out_dir, nlist=nlist, p=p)
+    append_multiprobe_vectors(spark, out_dir, emb.where(is_new))
+    with open(sentinel, "w"):
+        pass
+    return out_dir
+
+
 def read_layout_centroids(spark: SparkSession, out_dir: str) -> DataFrame:
     """The layout's FROZEN (cent_id, cvec) centroid table — the build's
     set, whatever its source; probes and appends share it so cell

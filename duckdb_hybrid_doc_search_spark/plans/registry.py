@@ -199,6 +199,15 @@ RECHECK: dict[str, int] = {
     "media_image_features": 12,
     "media_resize_images": 12,
     "media_mixed_decode_stats": 12,
+    # r13 (r12 VERDICT #4): the BPE trainer applies batches of
+    # provably non-interacting merges per pass (bpe._select_merge_batch)
+    # — merge table pinned identical to sequential at 256 merges, but
+    # the executed path changed
+    "text_bpe_train": 13,
+    # r13 (r12 ADVICE): dedup_components_star confirms its fixpoint
+    # with an exact exceptAll identity check — value-identical, one
+    # extra bounded join in the executed path
+    "dedup_components_star": 13,
 }
 
 

@@ -417,3 +417,43 @@ def test_train_256_merges_matches_reference_on_sf(spark, sf_dir):
     ]
     assert len(got) > bpe.BPE_MERGES  # genuinely past the toy scale
     assert got == expected
+
+
+def test_batched_train_equals_sequential_at_256(spark, sf_dir):
+    """r12 VERDICT #4: batching mutually non-interacting merges per
+    training pass (bpe_train(batch=8)) preserves EXACT Sennrich
+    semantics — the merge table (ranks, pairs, counts, early stop)
+    equals the sequential trainer's at 256 merges on the sf corpus,
+    while paying ~batch-fold fewer driver round-trips (the measured
+    0.20-0.25s/merge driver-bound cost that makes a 32k vocabulary
+    hours at batch=1)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seq = [tuple(r) for r in bpe.bpe_train(docs, 256).collect()]
+    bat = [tuple(r) for r in
+           bpe.bpe_train(docs, 256, batch=bpe.BPE_TRAIN_BATCH).collect()]
+    assert len(seq) > bpe.BPE_MERGES
+    assert bat == seq
+
+
+def test_batched_train_equals_sequential_on_adversarial_corpora(spark):
+    """Corpora built to make naive batching WRONG: chained pairs where
+    merging the top pair creates a new pair that outranks the old #2
+    ('xab' repeated: after (a,b), (x,ab) must be merge #2 — the strict
+    c_next truncation forces a fallback to singles), ties at the batch
+    boundary, and heavy symbol sharing."""
+    corpora = [
+        ["xab " * 50, "ya " * 10],          # created pair outranks #2
+        ["ab " * 30 + "cd " * 30, "ce " * 29],  # tie at the boundary
+        ["aaaa " * 20, "aaab " * 19, "bbbb " * 18],  # shared symbols
+        ["abcdefgh " * 9, "ij kl mn op " * 7],  # genuinely batchable
+    ]
+    for i, texts in enumerate(corpora):
+        docs = spark.createDataFrame(
+            [(j, t, "en", "s") for j, t in enumerate(texts)],
+            ["doc_id", "text", "lang", "source"],
+        )
+        for batch in (3, 8):
+            seq = [tuple(r) for r in bpe.bpe_train(docs, 24).collect()]
+            bat = [tuple(r) for r in
+                   bpe.bpe_train(docs, 24, batch=batch).collect()]
+            assert bat == seq, (i, batch)

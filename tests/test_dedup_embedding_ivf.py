@@ -1,8 +1,12 @@
 """Cell-bucketed embedding near-dup (dedup_embedding_ivf): subset-of-
-exact property, recall recorded, and oracle parity is covered by
-tests/test_oracle_parity.py like every registered query."""
+exact property, recall recorded, the multiprobe layout's APPEND path
+(base+append == one-shot, r12 VERDICT #2), and oracle parity is covered
+by tests/test_oracle_parity.py like every registered query."""
 
 from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
 
 from duckdb_hybrid_doc_search_spark.operators import dedup
 
@@ -82,3 +86,76 @@ def test_multiprobe_recall_on_clustered_corpus(spark):
     assert len(exact) > 100, len(exact)  # clusters genuinely dense
     recall = len(multi) / len(exact)
     assert recall >= 0.9, (len(multi), len(exact), recall)
+
+
+# --- multiprobe append path (r12 VERDICT #2) ---------------------------------
+
+
+def test_multiprobe_append_equals_one_shot(spark, sf_dir, tmp_path):
+    """The append-equivalence contract: a layout built over ~80% of the
+    vectors and grown to 100% via append_multiprobe_vectors must equal
+    a one-shot write_ivf_multiprobe over the full table ROW FOR ROW
+    (same frozen nlist + centroid set + top-p assignment rule), and the
+    dedup probe over either must emit the identical pair set."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        APPEND_SPLIT_MOD, APPEND_SPLIT_REM, append_multiprobe_vectors,
+        write_ivf_multiprobe)
+    from duckdb_hybrid_doc_search_spark.operators.knn import (
+        centroid_pred, derive_nlist)
+
+    emb = _emb(spark, sf_dir)
+    one_shot = str(tmp_path / "one_shot")
+    grown = str(tmp_path / "grown")
+    write_ivf_multiprobe(emb, one_shot, p=2)
+
+    nlist = derive_nlist(emb.count())
+    is_new = (~centroid_pred("vec_id", nlist)) & (
+        F.col("vec_id") % APPEND_SPLIT_MOD == APPEND_SPLIT_REM
+    )
+    write_ivf_multiprobe(emb.where(~is_new), grown, nlist=nlist, p=2)
+    append_multiprobe_vectors(spark, grown, emb.where(is_new))
+
+    cols = ["vec_id", "cell"]
+    a = sorted(map(tuple, spark.read.parquet(one_shot)
+                   .select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(grown)
+                   .select(*cols).collect()))
+    assert a == b and len(a) > 0
+    pairs = lambda d: sorted(  # noqa: E731
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup.dedup_embedding_ivf(
+            emb, cells=spark.read.parquet(d)
+            .select("vec_id", "embedding", "cell")).collect())
+    assert pairs(grown) == pairs(one_shot)
+
+
+def test_multiprobe_append_contracts(spark, sf_dir, tmp_path):
+    """The refusal/redelivery surface: single-probe layouts refused,
+    centroid-slot ids refused, overlapping batches refused, and
+    skip_existing turns an at-least-once redelivery into a no-op."""
+    from duckdb_hybrid_doc_search_spark.index.ivf_layout import (
+        append_multiprobe_vectors, write_ivf_multiprobe,
+        write_ivf_partitioned)
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 7 != 3)
+    batch = emb.where(F.col("vec_id") % 7 == 3).where(
+        F.col("vec_id") % 50 != 0)  # no centroid-slot ids
+
+    single = str(tmp_path / "single")
+    write_ivf_partitioned(emb, single)
+    with pytest.raises(ValueError, match="single-probe"):
+        append_multiprobe_vectors(spark, single, batch)
+
+    multi = str(tmp_path / "multi")
+    write_ivf_multiprobe(base, multi, p=2)
+    with pytest.raises(ValueError, match="centroid_pred"):
+        append_multiprobe_vectors(
+            spark, multi, emb.where(F.col("vec_id") == 0))
+    append_multiprobe_vectors(spark, multi, batch)
+    n_after = spark.read.parquet(multi).count()
+    with pytest.raises(ValueError, match="overlaps"):
+        append_multiprobe_vectors(spark, multi, batch)
+    # redelivery of the SAME batch with skip_existing: no new rows
+    append_multiprobe_vectors(spark, multi, batch, skip_existing=True)
+    assert spark.read.parquet(multi).count() == n_after
