@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import DEDUP_IVF_NPROBE
 from ..operators.knn import NPROBE, centroid_pred, derive_nlist, ivf_assign
 
 # Encode-semantics version token in the cache key (see ivfpq_layout).
@@ -233,7 +234,7 @@ def ensure_ivf_trained_layout(spark: SparkSession, emb: DataFrame,
 
 
 def write_ivf_multiprobe(emb: DataFrame, out_dir: str,
-                         nlist: int | None = None, p: int = 2) -> None:
+                         nlist: int | None = None, p: int = DEDUP_IVF_NPROBE) -> None:
     """The MULTI-PROBE cell assignment persisted for cell-bucketed
     dedup (r11 VERDICT #2): (vec_id, embedding, cell) with each vector
     in its top-``p`` cells, partitioned by cell on disk. Single-probe
@@ -267,7 +268,7 @@ def write_ivf_multiprobe(emb: DataFrame, out_dir: str,
 
 def ensure_ivf_multiprobe_layout(spark: SparkSession, emb: DataFrame,
                                  sf_dir: str, root: str | None = None,
-                                 p: int = 2) -> str:
+                                 p: int = DEDUP_IVF_NPROBE) -> str:
     """Build (once) the multi-probe dedup assignment layout for sf_dir —
     same cache-key discipline as ensure_ivf_layout, keyed additionally
     by ``p`` (a different probe width is a different artifact)."""
@@ -392,7 +393,7 @@ def append_multiprobe_vectors(spark: SparkSession, out_dir: str,
 def ensure_ivf_multiprobe_append_layout(spark: SparkSession,
                                         emb: DataFrame, sf_dir: str,
                                         root: str | None = None,
-                                        p: int = 2) -> str:
+                                        p: int = DEDUP_IVF_NPROBE) -> str:
     """Build (once) a multiprobe dedup layout that REACHED its final
     state through incremental maintenance: base build over ~80% of the
     vectors (nlist and the centroid set derived from the FULL corpus,

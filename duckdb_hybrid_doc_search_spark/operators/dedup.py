@@ -546,7 +546,15 @@ SELECT doc_id, ({combine}) AS simhash FROM bit_sums
 """.strip()
 
 
-DEDUP_IVF_NPROBE = 2  # write-time multi-probe width (r11 VERDICT #2)
+# Write-time multi-probe width (r11 VERDICT #2; widened r13 per r12
+# VERDICT #5). Priced at sf0.01/sf0.001 vs the exact pair set
+# (PERF_NOTES r13): p=1 0.41/0.26, p=2 0.71/0.64, p=3 0.92/0.92,
+# p=4 1.00/1.00. p=3 is the operating point: it clears the >=0.8
+# recall bar SemDeDup-class production sweeps want, at pair-space
+# ~(3/2)^2 = 2.25x over p=2 — still ~p^2*N^1.5/2, never all-pairs;
+# p=4's exactness on these corpora is a small-N artifact (pair space
+# keeps growing p^2 while recall saturates).
+DEDUP_IVF_NPROBE = 3
 
 
 def dedup_embedding_ivf(emb: DataFrame,
@@ -559,10 +567,11 @@ def dedup_embedding_ivf(emb: DataFrame,
     assignment the ANN layouts persist), so the pair space shrinks from
     N^2/2 to ~nprobe^2 * N^2/(2*nlist) = ~nprobe^2 * N^1.5/2 at
     nlist ~ sqrt(N), one shuffle on the cell key, cosine evaluated
-    JVM-side. Each vector lives in its top-``nprobe`` cells (r12:
-    multi-probe assignment — single-probe lost near-dup pairs straddling
-    a cell boundary, recall 0.41 at sf0.01; top-2 recovers most of
-    them), so a pair co-located in MORE than one shared cell would be
+    JVM-side. Each vector lives in its top-``nprobe`` cells (multi-probe
+    assignment, r12; widened to top-3 in r13 — single-probe lost
+    near-dup pairs straddling a cell boundary at recall 0.41 at sf0.01,
+    top-2 reached 0.71, top-3 reaches 0.92, the >=0.8 production bar;
+    price table in PERF_NOTES), so a pair co-located in MORE than one shared cell would be
     emitted once per cell — the final distinct collapses those (cos_sim
     is deterministic per pair, so distinct on all three columns is
     exact). A true near-dup pair is found iff some probe cell co-locates

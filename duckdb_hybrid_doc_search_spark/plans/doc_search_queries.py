@@ -226,6 +226,24 @@ def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_batch",
+    oracle=engine.dd_hybrid_search_batch_sql(BATCH_QUERIES, TOP_K),
+)
+def hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL hybrid lifecycle for a 5-query batch in one plan (r12
+    VERDICT #7: the measured 3.5-4.9x batch amortization had no
+    driver-gated row): batched term-pruned BM25 probe + one broadcast
+    query-vector scan + composite-key fusion + per-query windowed
+    threshold/top-k. Oracle = UNION ALL of the per-query
+    hybrid_search_fused oracles keyed by query_id, so batch==singles is
+    hash-gated by the driver every rotation, not just by pytest."""
+    return engine.hybrid_search_batch(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), BATCH_QUERIES, TOP_K,
+        index=_fts_index(spark, sf_dir),
+    )
+
+
+@register(
     "search_snippets",
     oracle=results.dd_bm25_snippets_sql(QTERMS, TOP_K),
 )

@@ -96,13 +96,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_ivf", oracle=dedup.dd_dedup_embedding_ivf_sql())
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-bucketed embedding near-dup pairs (r11; r12 multi-probe):
+    """Cell-bucketed embedding near-dup pairs (r11; multi-probe r12,
+    widened to top-3 in r13 per the r12 VERDICT #5 price sweep):
     candidates only within the frozen IVF cell assignment, each vector
-    stored in its top-2 cells (index/ivf_layout.write_ivf_multiprobe —
-    r11 VERDICT #2: single-probe recall was 0.41 at sf0.01, losing
-    boundary pairs), shrinking the pair space to ~p^2 * N^1.5/2 — still
-    never all-pairs; recall vs the exact pair set is pytest-recorded
-    (tests/test_dedup_embedding_ivf.py). Reads the persisted multiprobe
+    stored in its top-DEDUP_IVF_NPROBE cells
+    (index/ivf_layout.write_ivf_multiprobe — recall vs the exact pair
+    set 0.41 single-probe, 0.71 top-2, 0.92 top-3 at sf0.01; the >=0.8
+    bar production SemDeDup sweeps want), pair space ~p^2 * N^1.5/2 —
+    still never all-pairs; the price table lives in PERF_NOTES and the
+    recall pins in tests/test_dedup_embedding_ivf.py. Reads the persisted multiprobe
     layout frame directly — (vec_id, embedding, cell) are co-located on
     disk, so no assignment crossJoin and no embeddings re-join (the
     nprobe curve's r11 pattern, taken one step further)."""
@@ -121,7 +123,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_ivf_append_probe(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """Append-path twin of dedup_embedding_ivf (r12 VERDICT #2: the
-    multiprobe layout was build-once): the top-2 cell layout it probes
+    multiprobe layout was build-once): the top-3 cell layout it probes
     REACHED its final state through incremental maintenance — base
     build over ~80% of the vectors, the rest appended via
     append_multiprobe_vectors against the frozen centroid set. Frozen-

@@ -208,6 +208,11 @@ RECHECK: dict[str, int] = {
     # with an exact exceptAll identity check — value-identical, one
     # extra bounded join in the executed path
     "dedup_components_star": 13,
+    # r13 (r12 VERDICT #5): multi-probe width widened 2 -> 3
+    # (DEDUP_IVF_NPROBE) after the recall/cost sweep — recall 0.71 ->
+    # 0.92 at sf0.01; the result SET genuinely grows, so the r12 green
+    # row no longer covers it (oracle mirrors with rn <= 3)
+    "dedup_embedding_ivf": 13,
 }
 
 

@@ -297,6 +297,92 @@ ORDER BY score DESC, m.doc_id ASC LIMIT {top_k}
 """.strip()
 
 
+def hybrid_search_batch(docs: DataFrame, embeddings: DataFrame,
+                        queries: list[str],
+                        top_k: int = TOP_K_DEFAULT,
+                        threshold: float = SCORE_THRESHOLD,
+                        index: dict[str, DataFrame] | None = None
+                        ) -> DataFrame:
+    """A whole query batch through the FULL hybrid lifecycle in ONE
+    plan — no driver-side fusion loop (unlike DocSearchEngine.
+    search_batch, whose per-query rerank forces collects): the FTS
+    side is one term-pruned postings probe scoring every query
+    (operators/bm25.bm25_batch_topk_from_index), the VSS side one
+    broadcast of the query-vector batch against the embeddings scan,
+    fusion a composite-key full-outer join, fetch one broadcast join
+    against documents, and the per-query threshold + top-k a single
+    window. Per-query results equal hybrid_search(query) exactly (same
+    fusion/threshold/tie-break constants, same lit-vector double
+    precision) — the UNION-of-singles oracle hash-gates that equality
+    on every driver rotation, not just in pytest (r12 VERDICT #7: the
+    3.5-4.9x batch amortization lived only in PERF_NOTES).
+
+    Output: query_id, doc_id, score, fts_score, vss_score + display
+    columns, <= top_k rows per query."""
+    from pyspark.sql import Window
+
+    from ..operators.bm25 import bm25_batch_topk_from_index
+
+    spark = docs.sparkSession
+    if index is None:
+        index = build_fts_index(docs)
+    fts = bm25_batch_topk_from_index(index, queries, top_k).select(
+        "query_id", "doc_id", F.col("score").alias("fts_score")
+    )
+    # double-precision vectors: lit_vector builds double literals, so a
+    # float column here would diverge from the single-query plan in the
+    # last rounded digit
+    qvecs = spark.createDataFrame(
+        [(qi, hash_embed_text(q)) for qi, q in enumerate(queries)],
+        "query_id int, q_vec array<double>",
+    )
+    pair = embeddings.crossJoin(F.broadcast(qvecs)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_distance(F.col("embedding"), F.col("q_vec")),
+                SCORE_ROUND).alias("vss_score"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.asc("vss_score"), F.asc("doc_id"))
+    vss = (
+        pair.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "doc_id", "vss_score")
+    )
+    fused = fts.join(vss, ["query_id", "doc_id"], "full_outer").withColumn(
+        "score",
+        F.round(fuse_scores(F.col("fts_score"), F.col("vss_score")),
+                SCORE_ROUND),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        F.broadcast(fused).join(docs, "doc_id", "inner")
+        .where(F.col("score") > F.lit(threshold))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "doc_id", "score", "fts_score", "vss_score",
+                *DISPLAY_COLS)
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def dd_hybrid_search_batch_sql(queries: list[str],
+                               top_k: int = TOP_K_DEFAULT,
+                               threshold: float = SCORE_THRESHOLD) -> str:
+    """Oracle for :func:`hybrid_search_batch`: the UNION ALL of the
+    per-query single-search oracles keyed by query id — batch == the
+    singles, hash-gated by the driver (one oracle builder per query via
+    dd_hybrid_search_sql, so batch fusion semantics cannot silently
+    diverge from the single path)."""
+    parts = [
+        f"SELECT {qi} AS query_id, * FROM (\n"
+        f"{dd_hybrid_search_sql(q, top_k, rerank=False, threshold=threshold)}\n)"
+        for qi, q in enumerate(queries)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def hybrid_search_filtered(docs: DataFrame, embeddings: DataFrame,
                            query: str, lang: str,
                            top_k: int = TOP_K_DEFAULT,

@@ -27,7 +27,7 @@ def test_ivf_pairs_are_a_subset_of_exact_with_recorded_recall(spark, sf_dir):
     }
     multi = {
         (r.vec_a, r.vec_b): r.cos_sim
-        for r in dedup.dedup_embedding_ivf(emb).collect()  # nprobe=2
+        for r in dedup.dedup_embedding_ivf(emb).collect()  # nprobe=3 (r13)
     }
     # every bucketed pair is a true pair with the identical score (the
     # bucketing only prunes candidates, never invents or rescores) —
@@ -36,25 +36,25 @@ def test_ivf_pairs_are_a_subset_of_exact_with_recorded_recall(spark, sf_dir):
         for pair, sim in bucketed.items():
             assert pair in exact and exact[pair] == sim, pair
     # multi-probe is a strict widening: every single-probe pair is a
-    # multi-probe pair (rank-1 cells are a subset of rank<=2 cells)
+    # multi-probe pair (rank-1 cells are a subset of rank<=p cells)
     assert set(single) <= set(multi)
     assert exact, "exact pair set empty: threshold/corpus drifted"
     # Recorded recall (SemDeDup's trade, measured not hoped). On THIS
     # corpus the vectors are uniform-random, the worst case for any
     # bucketing: near-dup pairs are random coincidences with no cluster
-    # structure to exploit. Measured: single-probe 17/66 = 0.258 at
-    # sf0.001, 24/59 = 0.407 at sf0.01; top-2 multi-probe (r11 VERDICT
-    # #2) recovers boundary pairs — a pair is found if ANY of the 2x2
-    # cell combinations collide — lifting recall to 42/66 = 0.636 at
-    # sf0.001 and 42/59 = 0.712 at sf0.01. Real embedding corpora
-    # cluster (that is why near-dups EXIST there), putting true pairs
-    # in shared cells far more often. The pins guard collapse, not the
+    # structure to exploit. Measured (PERF_NOTES r13 price table):
+    # single-probe 0.258 at sf0.001 / 0.407 at sf0.01; top-2 0.636 /
+    # 0.712; top-3 (the r13 operating point, r12 VERDICT #5) 0.924 /
+    # 0.915 — clearing the >=0.8 bar SemDeDup-class production sweeps
+    # want, at pair space ~p^2*N^1.5/2. Real embedding corpora cluster
+    # (that is why near-dups EXIST there), putting true pairs in shared
+    # cells far more often. The pins guard collapse, not the
     # uniform-case level.
     r1 = len(single) / len(exact)
     r2 = len(multi) / len(exact)
     assert r1 > 0.15, (len(single), len(exact))
     assert r2 >= r1, (r2, r1)
-    assert r2 > 0.5, (len(multi), len(exact))
+    assert r2 > 0.8, (len(multi), len(exact))
 
 
 def test_multiprobe_recall_on_clustered_corpus(spark):
