@@ -83,17 +83,126 @@ def write_zordered(df: DataFrame, out_dir: str, col_a: str, col_b: str,
     )
 
 
+def _int_div(x: Column, m: Column) -> Column:
+    """Exact integer division of non-negative longs, expression-level:
+    (x - x % m) / m — the numerator is an exact multiple, so the double
+    division is exact below 2^53 and an external SQL oracle can mirror
+    it with plain `//`. (pyspark's Column API has no div operator.)"""
+    return ((x - x % m) / m).cast("long")
+
+
+def zvalue_exact(a: Column, b: Column, bits: int,
+                 a_max: int, b_max: int) -> Column:
+    """:func:`zvalue` with INTEGER-division domain scaling — every
+    intermediate is exact integer arithmetic, so a SQL oracle reproduces
+    the value bit-for-bit (the float-scaled zvalue is fine for layout
+    quality but its floor(x*c/m) sits on a double-rounding surface no
+    oracle should have to chase)."""
+    hi = F.lit((1 << bits) - 1)
+
+    def scaled(c: Column, cmax: int) -> Column:
+        c = c.cast("long")
+        if cmax > 0:
+            c = _int_div(c * F.lit(1 << bits), F.lit(cmax + 1))
+        return F.least(F.greatest(c, F.lit(0)), hi)
+
+    ca, cb = scaled(a, a_max), scaled(b, b_max)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(ca, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(cb, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i)
+        )
+    return z
+
+
+def write_zordered_buckets(df: DataFrame, out_dir: str, col_a: str,
+                           col_b: str, n_files: int,
+                           bits: int = Z_BITS) -> None:
+    """DETERMINISTIC z-order layout: equal-WIDTH z-range buckets instead
+    of sampled range partitions (write_zordered's repartitionByRange
+    draws boundaries from a sample, so which rows share a file varies
+    run to run — the reason lineitem_zorder_prune_stats stayed a
+    rows-only probe for 12 rounds). Bucket f = (z * n_files) div
+    (zmax + 1), all-integer arithmetic; one parquet file per non-empty
+    bucket via repartition-on-bucket + partitionBy (each bucket lands
+    wholly in one task, so each bucket dir gets exactly one file).
+    Every file's (col_a, col_b) footer-stats box is then a PURE
+    FUNCTION of the table — which is what lets a DuckDB oracle
+    recompute the skipped-file counts the probe measures from real
+    footers. Equal-width buckets trade balanced file sizes for
+    determinism; the pruning geometry (tight curve rectangles) is the
+    same."""
+    row = df.agg(
+        F.max(F.col(col_a).cast("long")).alias("a"),
+        F.max(F.col(col_b).cast("long")).alias("b"),
+    ).collect()[0]
+    a_max, b_max = int(row["a"] or 0), int(row["b"] or 0)
+    z = df.withColumn(
+        "__z", zvalue_exact(F.col(col_a), F.col(col_b), bits, a_max, b_max)
+    )
+    zmax = int(z.agg(F.max("__z")).collect()[0][0] or 0)
+    (
+        z.withColumn(
+            "__zb", _int_div(F.col("__z") * F.lit(n_files),
+                             F.lit(zmax + 1)))
+        .repartition(n_files, "__zb")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").partitionBy("__zb").parquet(out_dir)
+    )
+
+
+def write_sorted_buckets(df: DataFrame, out_dir: str, col: str,
+                         n_files: int) -> None:
+    """Deterministic single-column baseline for the z-order comparison:
+    equal-width value buckets on ``col`` (f = (v * n_files) div
+    (vmax + 1)), one file per non-empty bucket — the same
+    oracle-derivable contract as write_zordered_buckets."""
+    vmax = int(df.agg(
+        F.max(F.col(col).cast("long"))).collect()[0][0] or 0)
+    (
+        df.withColumn(
+            "__zb", _int_div(F.col(col).cast("long") * F.lit(n_files),
+                             F.lit(vmax + 1)))
+        .repartition(n_files, "__zb")
+        .sortWithinPartitions(col)
+        .write.mode("overwrite").partitionBy("__zb").parquet(out_dir)
+    )
+
+
+def skipped_files(out_dir: str, col_a: str, col_b: str,
+                  a_range: tuple[int, int],
+                  b_range: tuple[int, int]) -> tuple[int, int]:
+    """(total data files, files a stats-based reader SKIPS for the query
+    box) from real parquet footers — integer facts, no float parity
+    surface."""
+    stats = file_stats(out_dir, col_a, col_b)
+    skipped = sum(
+        1 for _, mina, maxa, minb, maxb in stats
+        if maxa < a_range[0] or mina > a_range[1]
+        or maxb < b_range[0] or minb > b_range[1]
+    )
+    return len(stats), skipped
+
+
 def file_stats(out_dir: str, col_a: str,
                col_b: str) -> list[tuple[str, int, int, int, int]]:
     """(file, min_a, max_a, min_b, max_b) per data file from parquet
-    footers — what a stats-based reader prunes with."""
+    footers — what a stats-based reader prunes with. Walks partitioned
+    (subdirectory) layouts too."""
     import pyarrow.parquet as pq
 
+    paths = []
+    for root, _dirs, files in os.walk(out_dir):
+        for name in files:
+            if name.endswith(".parquet"):
+                paths.append(os.path.join(root, name))
     rows = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(out_dir, name)).metadata
+    for path in sorted(paths):
+        name = os.path.relpath(path, out_dir)
+        md = pq.ParquetFile(path).metadata
         mins_a, maxs_a, mins_b, maxs_b = [], [], [], []
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)

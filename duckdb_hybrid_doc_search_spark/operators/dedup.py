@@ -661,11 +661,16 @@ WHERE round({cs}, {SCORE_ROUND}) >= {COSINE_DUP_THRESHOLD}
 # --- duplicate-group resolution (connected components) -----------------------
 
 
-def dedup_components(docs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dedup_components(docs: DataFrame, max_iter: int = 25,
+                     pairs: DataFrame | None = None,
+                     stats: dict | None = None) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: connected components
     over the minhash-LSH candidate graph, by iterative min-label
     propagation (the keep-one-per-group primitive every dedup pipeline
-    ends with).
+    ends with). ``pairs`` injects an explicit (doc_a, doc_b) edge frame
+    (the crossover-probe seam, same as dedup_components_star's);
+    ``stats`` when passed receives {"rounds": n} for the measurement
+    tools — n only ever crosses the driver as this one scalar.
 
     Each iteration is one join + min-aggregate — the Pregel message
     pattern on DataFrames; the loop exits as soon as no label improves.
@@ -677,7 +682,8 @@ def dedup_components(docs: DataFrame, max_iter: int = 25) -> DataFrame:
     Output: doc_id, component_id (= min doc_id reachable), for every doc
     that appears in at least one near-dup pair.
     """
-    pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -700,7 +706,9 @@ def dedup_components(docs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "label")
@@ -729,13 +737,16 @@ def dedup_components(docs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if improved == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
 
 
 def dedup_components_star(docs: DataFrame, max_iter: int = 50,
-                          pairs: DataFrame | None = None) -> DataFrame:
+                          pairs: DataFrame | None = None,
+                          stats: dict | None = None) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC 2014) — the extreme-scale path dedup_components'
@@ -831,7 +842,9 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
 
     sig = _sig(edges)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # lineage discipline: same rule as dedup_components — each
         # round materializes, or Catalyst re-analysis goes exponential
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
@@ -859,6 +872,8 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
             "a silent wrong answer. The paper bounds rounds at "
             "O(log n) — raise max_iter for a genuinely deeper graph."
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixpoint = stars (u -> component min m): every non-root node has
     # exactly one star edge; roots appear only as dst
     stars = edges.select(F.greatest("src", "dst").alias("doc_id"),

@@ -17,14 +17,80 @@ from pyspark.sql import functions as F
 
 from ..index.catalog import load_table
 from ..index.fingerprint import layout_fingerprint
-from ..index.maintenance import (compact_parquet_dir, pruned_fraction,
-                                 write_zordered)
+from ..index.maintenance import (Z_BITS, compact_parquet_dir,
+                                 skipped_files, write_sorted_buckets,
+                                 write_zordered_buckets)
 from .registry import register
 
 ZO_FILES = 16
 UNBOUNDED = (0, 1 << 40)
 ZO_PART_BOX = (10, 20)  # narrow l_partkey probe (suppkey unconstrained)
 ZO_SUPP_BOX = (1, 3)    # narrow l_suppkey probe (partkey unconstrained)
+
+
+def _dd_zorder_oracle() -> str:
+    """Formula oracle for lineitem_zorder_prune_stats (r12 VERDICT #8 —
+    the last perpetual no_oracle probe slot): the deterministic bucket
+    layouts (index/maintenance.write_zordered_buckets /
+    write_sorted_buckets) make every file's (partkey, suppkey) stats
+    box a pure function of the table — integer-division domain scaling,
+    bit interleave, equal-width bucket id — so DuckDB recomputes the
+    exact per-file boxes and counts which ones a stats-based reader
+    skips for each probe box. The Spark side measures the SAME counts
+    from REAL parquet footers; the hash match proves layout writer +
+    footer stats + formula agree end to end."""
+    nb = 1 << Z_BITS
+    zterms = " | ".join(
+        f"(((sa >> {i}) & 1) << {2 * i + 1}) | "
+        f"(((sb >> {i}) & 1) << {2 * i})"
+        for i in range(Z_BITS)
+    )
+    palo, pahi = ZO_PART_BOX
+    sblo, sbhi = ZO_SUPP_BOX
+    return f"""
+WITH dom AS (
+  SELECT max(l_partkey)::BIGINT AS am, max(l_suppkey)::BIGINT AS bm
+  FROM lineitem
+),
+s AS (
+  SELECT l_partkey::BIGINT AS a, l_suppkey::BIGINT AS b,
+         (l_partkey::BIGINT * {nb}) // (am + 1) AS sa,
+         (l_suppkey::BIGINT * {nb}) // (bm + 1) AS sb
+  FROM lineitem CROSS JOIN dom
+),
+z AS (SELECT a, b, ({zterms})::BIGINT AS zv FROM s),
+zm AS (SELECT max(zv) AS zmax FROM z),
+zb AS (
+  SELECT (zv * {ZO_FILES}) // (zmax + 1) AS f, a, b
+  FROM z CROSS JOIN zm
+),
+zboxes AS (
+  SELECT f, min(a) AS mina, max(a) AS maxa,
+         min(b) AS minb, max(b) AS maxb
+  FROM zb GROUP BY f
+),
+sk AS (
+  SELECT (l_suppkey::BIGINT * {ZO_FILES}) // (bm + 1) AS f,
+         l_partkey::BIGINT AS a, l_suppkey::BIGINT AS b
+  FROM lineitem CROSS JOIN dom
+),
+sboxes AS (
+  SELECT f, min(a) AS mina, max(a) AS maxa,
+         min(b) AS minb, max(b) AS maxb
+  FROM sk GROUP BY f
+)
+SELECT
+  (SELECT count(*) FROM zboxes)::INT AS z_files,
+  (SELECT count(*) FROM zboxes
+   WHERE maxa < {palo} OR mina > {pahi})::INT AS z_skipped_partkey,
+  (SELECT count(*) FROM zboxes
+   WHERE maxb < {sblo} OR minb > {sbhi})::INT AS z_skipped_suppkey,
+  (SELECT count(*) FROM sboxes)::INT AS sorted_files,
+  (SELECT count(*) FROM sboxes
+   WHERE maxa < {palo} OR mina > {pahi})::INT AS sorted_skipped_partkey,
+  (SELECT count(*) FROM sboxes
+   WHERE maxb < {sblo} OR minb > {sbhi})::INT AS sorted_skipped_suppkey
+""".strip()
 
 
 def _scratch_root() -> str:
@@ -52,48 +118,50 @@ def _gc_stale_siblings(stem: str, keep: str) -> None:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
-@register("lineitem_zorder_prune_stats", oracle=None, bench=True)
+@register("lineitem_zorder_prune_stats", oracle=_dd_zorder_oracle(),
+          bench=True)
 def lineitem_zorder_prune_stats(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Measured file-skipping of the z-ordered layout vs a single-column
-    (suppkey) sort, from real parquet footers, for TWO probes: one narrow
-    on partkey, one narrow on suppkey. The suppkey-sorted layout prunes
-    only its own column's probe; z-order prunes BOTH — that asymmetry is
-    the entire point of multi-dimensional clustering, recorded as
-    `zorder_gain_partkey` (built once per corpus fingerprint)."""
+    (suppkey) bucket sort, from REAL parquet footers, for TWO probes:
+    one narrow on partkey, one narrow on suppkey. The suppkey layout
+    prunes only its own column's probe; z-order prunes BOTH — the
+    asymmetry multi-dimensional clustering exists for. ORACLED since
+    r13 (r12 VERDICT #8, the recipe of the r9 layout upgrades): the
+    layouts are the DETERMINISTIC equal-width bucket forms
+    (index/maintenance.write_zordered_buckets — all-integer scaling,
+    interleave, and bucket arithmetic; one file per non-empty bucket),
+    so every file's stats box is a pure function of the table and the
+    DuckDB oracle recomputes the skipped-file counts the Spark side
+    reads from physical footers. Integer facts only — no float parity
+    surface. Built once per corpus fingerprint."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
     fp = layout_fingerprint(li, "l_partkey", "l_suppkey")
     sf = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    zdir = os.path.join(_scratch_root(), f"{sf}-zorder-{fp}")
-    sdir = os.path.join(_scratch_root(), f"{sf}-sortb-{fp}")
+    zdir = os.path.join(_scratch_root(), f"{sf}-zorderd-{fp}")
+    sdir = os.path.join(_scratch_root(), f"{sf}-sortbd-{fp}")
     if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
-        write_zordered(li, zdir, "l_partkey", "l_suppkey", ZO_FILES)
-        _gc_stale_siblings(f"{sf}-zorder", os.path.basename(zdir))
+        write_zordered_buckets(li, zdir, "l_partkey", "l_suppkey",
+                               ZO_FILES)
+        _gc_stale_siblings(f"{sf}-zorderd", os.path.basename(zdir))
     if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
-        (
-            li.repartitionByRange(ZO_FILES, "l_suppkey")
-            .sortWithinPartitions("l_suppkey")
-            .write.mode("overwrite").parquet(sdir)
-        )
-        _gc_stale_siblings(f"{sf}-sortb", os.path.basename(sdir))
-    zp = pruned_fraction(zdir, "l_partkey", "l_suppkey",
-                         ZO_PART_BOX, UNBOUNDED)
-    sp = pruned_fraction(sdir, "l_partkey", "l_suppkey",
-                         ZO_PART_BOX, UNBOUNDED)
-    zs = pruned_fraction(zdir, "l_partkey", "l_suppkey",
-                         UNBOUNDED, ZO_SUPP_BOX)
-    ss = pruned_fraction(sdir, "l_partkey", "l_suppkey",
-                         UNBOUNDED, ZO_SUPP_BOX)
+        write_sorted_buckets(li, sdir, "l_suppkey", ZO_FILES)
+        _gc_stale_siblings(f"{sf}-sortbd", os.path.basename(sdir))
+    zn, zskip_p = skipped_files(zdir, "l_partkey", "l_suppkey",
+                                ZO_PART_BOX, UNBOUNDED)
+    _, zskip_s = skipped_files(zdir, "l_partkey", "l_suppkey",
+                               UNBOUNDED, ZO_SUPP_BOX)
+    sn, sskip_p = skipped_files(sdir, "l_partkey", "l_suppkey",
+                                ZO_PART_BOX, UNBOUNDED)
+    _, sskip_s = skipped_files(sdir, "l_partkey", "l_suppkey",
+                               UNBOUNDED, ZO_SUPP_BOX)
     return spark.createDataFrame(
-        [(ZO_FILES,
-          round(zp, 6), round(sp, 6),
-          round(zs, 6), round(ss, 6),
-          round(zp - sp, 6))],
-        "n_files int, z_pruned_partkey_probe double, "
-        "sorted_pruned_partkey_probe double, z_pruned_suppkey_probe double, "
-        "sorted_pruned_suppkey_probe double, zorder_gain_partkey double",
+        [(zn, zskip_p, zskip_s, sn, sskip_p, sskip_s)],
+        "z_files int, z_skipped_partkey int, z_skipped_suppkey int, "
+        "sorted_files int, sorted_skipped_partkey int, "
+        "sorted_skipped_suppkey int",
     )
 
 

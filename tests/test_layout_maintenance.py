@@ -55,6 +55,37 @@ def test_zorder_skips_files_on_both_predicates(spark, sf_dir, tmp_path):
     assert n == li.count()
 
 
+def test_deterministic_zorder_buckets_rebuild_identically(spark, sf_dir,
+                                                          tmp_path):
+    """The r13 oracle-derivable layout contract (r12 VERDICT #8): two
+    independent builds of write_zordered_buckets produce IDENTICAL
+    per-file stats boxes (equal-width integer bucket arithmetic — no
+    sampled range boundaries), rows survive, and the z layout still
+    out-prunes the single-column baseline on the off-column probe."""
+    from duckdb_hybrid_doc_search_spark.index.maintenance import (
+        file_stats, skipped_files, write_sorted_buckets,
+        write_zordered_buckets)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    d1, d2 = str(tmp_path / "z1"), str(tmp_path / "z2")
+    write_zordered_buckets(li, d1, "l_partkey", "l_suppkey", 16)
+    write_zordered_buckets(li, d2, "l_partkey", "l_suppkey", 16)
+    boxes = lambda d: sorted(  # noqa: E731  (drop file names: task ids vary)
+        t[1:] for t in file_stats(d, "l_partkey", "l_suppkey"))
+    assert boxes(d1) == boxes(d2) and len(boxes(d1)) > 1
+    assert spark.read.parquet(d1).count() == li.count()
+
+    sdir = str(tmp_path / "sb")
+    write_sorted_buckets(li, sdir, "l_suppkey", 16)
+    _, z_p = skipped_files(d1, "l_partkey", "l_suppkey",
+                           (10, 20), (0, 1 << 40))
+    _, s_p = skipped_files(sdir, "l_partkey", "l_suppkey",
+                           (10, 20), (0, 1 << 40))
+    assert z_p > s_p, (z_p, s_p)
+
+
 def test_compaction_bounds_file_count(spark, tmp_path):
     path = str(tmp_path / "frag")
     spark.range(100_000).withColumn("v", F.col("id") * 2).repartition(
