@@ -464,6 +464,8 @@ SELECT * FROM (
   SELECT 'gif' AS format, * FROM ({_GIF_ORACLE})
   UNION ALL
   SELECT 'jpeg' AS format, * FROM ({_JPEG_ORACLE})
+  UNION ALL
+  SELECT 'jpeg' AS format, * FROM ({_JPEG_PROG_ORACLE})
 ) ORDER BY file_name
 """.strip()
 
@@ -480,10 +482,12 @@ def media_mixed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose the index formula through the palette formula — a
     cross-codec palette leak cannot hide). JPEG joined the union in r12
     (its sums compose the block formulas through the JFIF conversion
-    formula)."""
+    formula); the PROGRESSIVE (SOF2) fixtures joined in r13 — same
+    magic bytes, same codec entry point, multi-scan coefficient-buffer
+    decode behind it."""
     return mm.mixed_decode_stats(
         spark, [str(_PNG_DIR), str(_BMP_DIR), str(_GIF_DIR),
-                str(_JPEG_DIR)]
+                str(_JPEG_DIR), str(_JPEG_PROG_DIR)]
     )
 
 
@@ -672,7 +676,8 @@ def _mixed_media(spark: SparkSession) -> DataFrame:
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{png,bmp,jpg}")
-        .load([str(_PNG_DIR), str(_BMP_DIR), str(_JPEG_DIR)])
+        .load([str(_PNG_DIR), str(_BMP_DIR), str(_JPEG_DIR),
+               str(_JPEG_PROG_DIR)])
     )
     return files.select(
         F.regexp_extract("path", "([^/]+)$", 1).alias("media_id"),
@@ -717,6 +722,14 @@ _IMAGE_FEAT_ORACLE = (
                       [_JPEG_GRAY, _JPEG_GRAY, _JPEG_GRAY]),
         _png_feat_cte("ycc444.jpg", 24, 16, _JPEG_444_RGB),
         _png_feat_cte("ycc420.jpg", 32, 32, _JPEG_420_RGB),
+        # PROGRESSIVE JPEG fixtures (r13): identical exactness argument
+        # — progressive entropy coding is lossless over quantized
+        # coefficients, so q100 blockwise-constant decodes bit-exactly
+        _png_feat_cte("gray_prog.jpg", 21, 13,
+                      [_JPEG_PROG_GRAY, _JPEG_PROG_GRAY,
+                       _JPEG_PROG_GRAY]),
+        _png_feat_cte("ycc444_prog.jpg", 24, 16, _JPEG_PROG_444_RGB),
+        _png_feat_cte("ycc420_prog.jpg", 32, 32, _JPEG_PROG_420_RGB),
     ])
     + "\n) ORDER BY file_name, dim_idx"
 )
@@ -785,6 +798,10 @@ _IMAGE_RESIZE_ORACLE = (
         _resize_cte("gray.jpg", 21, 13, [_JPEG_GRAY]),
         _resize_cte("ycc444.jpg", 24, 16, _JPEG_444_RGB),
         _resize_cte("ycc420.jpg", 32, 32, _JPEG_420_RGB),
+        # progressive fixtures (r13): same bit-exact decode argument
+        _resize_cte("gray_prog.jpg", 21, 13, [_JPEG_PROG_GRAY]),
+        _resize_cte("ycc444_prog.jpg", 24, 16, _JPEG_PROG_444_RGB),
+        _resize_cte("ycc420_prog.jpg", 32, 32, _JPEG_PROG_420_RGB),
     ])
     + "\n) ORDER BY file_name"
 )

@@ -213,6 +213,12 @@ RECHECK: dict[str, int] = {
     # 0.92 at sf0.01; the result SET genuinely grows, so the r12 green
     # row no longer covers it (oracle mirrors with rn <= 3)
     "dedup_embedding_ivf": 13,
+    # r13: the three PROGRESSIVE JPEG fixtures joined the mixed-format
+    # corpus (SOF2 decode landed), so all three mixed rows' result sets
+    # grow again — same shape as the r12 baseline-JPEG entries
+    "media_image_features": 13,
+    "media_resize_images": 13,
+    "media_mixed_decode_stats": 13,
 }
 
 
