@@ -210,7 +210,9 @@ class _BitReader:
                     return 0xFF
                 # a real marker: the caller should have consumed it
                 raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02X} inside entropy data")
+                    "truncated JPEG: entropy data ran out" if nxt is None
+                    else f"unexpected marker 0xFF{nxt:02X} inside "
+                         "entropy data")
             return b
 
     def read_bit(self) -> int:
@@ -271,7 +273,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     Baseline sequential (SOF0) and progressive (SOF2) Huffman DCT;
     raises ValueError on a bad signature or corrupt stream,
     NotImplementedError on arithmetic/12-bit/lossless/hierarchical
-    modes (the loud documented tail)."""
+    modes (the loud documented tail). Internal faults a hostile stream
+    can trigger (undeclared table ids, short segments, out-of-range
+    indices) are translated to ValueError so the permissive-ingest
+    quarantine sees ONE corrupt-data exception type, never a raw
+    KeyError escaping mid-MCU (tests/test_jpeg_fuzz.py sweeps seeded
+    byte flips over both modes)."""
+    try:
+        return _decode_jpeg(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (KeyError, IndexError, struct.error, ZeroDivisionError,
+            OverflowError) as ex:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG: bad SOI signature")
     pos = 2
@@ -453,6 +471,10 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
 def _decode_block(reader, dc_tab, ac_tab, q, pred, cid) -> np.ndarray:
     coef = np.zeros(64, dtype=np.int64)
     t = reader.decode_symbol(dc_tab)
+    if t > 16:  # DC magnitude category caps at 11 (F.1.2.1.1); a
+        # corrupt stream can alias an AC table here and decode t=254,
+        # turning read_bits into a multi-KB consume + integer blowup
+        raise ValueError(f"invalid DC magnitude category {t}")
     diff = _extend(reader.read_bits(t), t)
     pred[cid] += diff
     coef[0] = pred[cid]
@@ -605,6 +627,9 @@ def _decode_progressive_scan(data, pos, frame, scan, coefs, huff_dc,
                 td = td_ta[cs][0]
                 if ah == 0:  # DC first scan (G.1.2.1)
                     t = reader.decode_symbol(huff_dc[td])
+                    if t > 16:  # see _decode_block's category guard
+                        raise ValueError(
+                            f"invalid DC magnitude category {t}")
                     pred[cs] += _extend(reader.read_bits(t), t)
                     cf[0] = pred[cs] << al
                 elif reader.read_bit():  # DC refinement: 1 raw bit
