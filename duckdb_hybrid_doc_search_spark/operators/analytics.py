@@ -1339,3 +1339,97 @@ SELECT digit, n,
 FROM counts CROSS JOIN tot
 ORDER BY digit
 """.strip()
+
+
+# --- embeddings_covariance ---------------------------------------------------
+
+
+def embeddings_covariance(embeddings: DataFrame) -> DataFrame:
+    """Upper-triangle population covariance of the embedding matrix —
+    the preprocessing statistic whitening/PCA-based curation pipelines
+    (SemDeDup-style) need before any distance is trustworthy on
+    anisotropic embeddings.
+
+    ONE corpus pass: each partition reduces to a single (D x D GEMM +
+    column sums) Arrow batch via mapInPandas — the _pca_step_partials
+    pattern, here emitting D(D+1)/2 upper-triangle partial rows plus
+    the D first-moment partials — and one map-side-combined groupBy
+    finishes cov(i,j) = E[xi xj] - E[xi]E[xj]. Shuffle volume is
+    D(D+1)/2 rows PER PARTITION, independent of N; nothing ever
+    collects. Output: (i, j, cov) for i <= j, rounded to TREND_ROUND —
+    the DuckDB oracle recomputes the identical formula from a double
+    unnest, so the GEMM path is hash-gated like every analytic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    spark = embeddings.sparkSession
+    if first is None:
+        return spark.createDataFrame([], "i int, j int, cov double")
+    dim = int(first["d"])
+    iu = np.triu_indices(dim)
+
+    def partials(batches):
+        G = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += len(X)
+        if n == 0:
+            return
+        yield pd.DataFrame({
+            "i": iu[0].astype("int32"),
+            "j": iu[1].astype("int32"),
+            "sxy": G[iu],
+            "sx": s[iu[0]],
+            "sy": s[iu[1]],
+            "n": np.full(len(iu[0]), n, dtype="int64"),
+        })
+
+    parts = embeddings.select("embedding").mapInPandas(
+        partials, "i int, j int, sxy double, sx double, sy double, n long"
+    )
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),
+             F.sum("sy").alias("sy"), F.sum("n").alias("n"))
+        .select(
+            "i", "j",
+            # + 0.0 collapses IEEE negative zero: near-zero covariances
+            # round to -0.0 on whichever engine drifted negative, and
+            # the driver renders repr() — '-0.0' vs '0.0' flips the hash
+            (F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                TREND_ROUND,
+            ) + F.lit(0.0)).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def dd_embeddings_covariance_sql(table: str = "embeddings") -> str:
+    """Oracle twin of :func:`embeddings_covariance`: the same population
+    formula from a positional double-unnest (0-based indices to match
+    the Spark side)."""
+    return f"""
+WITH flat AS (
+  SELECT i, j,
+         embedding[i + 1]::DOUBLE AS vi, embedding[j + 1]::DOUBLE AS vj
+  FROM {table},
+       unnest(range(0, len(embedding))) a(i),
+       unnest(range(0, len(embedding))) b(j)
+  WHERE i <= j
+)
+SELECT i::INT AS i, j::INT AS j,
+       round(sum(vi * vj) / count(*)
+             - (sum(vi) / count(*)) * (sum(vj) / count(*)),
+             {TREND_ROUND}) + 0.0 AS cov
+FROM flat GROUP BY i, j ORDER BY i, j
+""".strip()

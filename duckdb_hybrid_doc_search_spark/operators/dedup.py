@@ -383,6 +383,14 @@ def dedup_embedding_cosine(emb: DataFrame, num_blocks: int = 8) -> DataFrame:
 
     Output: vec_a, vec_b, cos_sim (vec_a < vec_b).
     """
+    return _embedding_pairs_gemm(emb, num_blocks, COSINE_DUP_THRESHOLD)
+
+
+def _embedding_pairs_gemm(emb: DataFrame, num_blocks: int,
+                          threshold: float) -> DataFrame:
+    """The blocked-GEMM pair machinery behind dedup_embedding_cosine
+    and dedup_embedding_whitened — one body so the block routing and
+    the rounding cannot drift between the raw and whitened forms."""
     import numpy as np
     import pandas as pd
 
@@ -431,7 +439,7 @@ def dedup_embedding_cosine(emb: DataFrame, num_blocks: int = 8) -> DataFrame:
         a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
         b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
         sims = np.round(a_mat @ b_mat.T, SCORE_ROUND)
-        mask = sims >= COSINE_DUP_THRESHOLD
+        mask = sims >= threshold
         if bi == bj:
             mask &= a_ids[:, None] < b_ids[None, :]
         ai, bix = np.nonzero(mask)
@@ -655,6 +663,94 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({cs}, {SCORE_ROUND}) AS cos_sim
 FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
 WHERE round({cs}, {SCORE_ROUND}) >= {COSINE_DUP_THRESHOLD}
+""".strip()
+
+
+#: near-dup threshold on WHITENED cosine. Raw cosine on all-positive
+#: embedding data is inflated by the common mean direction (anisotropy:
+#: every pair of uniform-[0,1] vectors scores ~0.75, so the raw 0.4
+#: threshold is meaningless there and COSINE_DUP_THRESHOLD only works
+#: because the synthetic corpus is centered); after per-dimension
+#: standardization, cosine is ~N(0, 1/D), so a fixed threshold has a
+#: stable sigma meaning — 0.4 is 3.2 sigma at D=64, sized so the
+#: whitened pair set (50 at sf0.01) matches the raw set's scale (59).
+WHITEN_DUP_THRESHOLD = 0.4
+
+
+def whiten_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) with each dimension standardized:
+    z_j = (x_j - mu_j) / sd_j over the corpus — DIAGONAL whitening, the
+    anisotropy correction semantic-dedup pipelines apply before
+    trusting cosine (common-direction energy otherwise dominates every
+    similarity; see embeddings_covariance for the full matrix). One
+    bounded stats aggregate (2D scalars to the driver, rounded to
+    SCORE_ROUND so the SQL oracle's independently-summed moments agree
+    at the digits that matter), then a JVM-side array rebuild — no
+    Python in the N-row path. A zero-variance dimension standardizes
+    with sd 1 (its centered value is 0 everywhere, mirrored in SQL)."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return emb.select("vec_id", "embedding")
+    dim = int(first["d"])
+    aggs = []
+    for j in range(dim):
+        c = F.col("embedding").getItem(j).cast("double")
+        aggs.append(F.round(F.avg(c), SCORE_ROUND).alias(f"m{j}"))
+        aggs.append(F.round(F.stddev_pop(c), SCORE_ROUND).alias(f"s{j}"))
+    row = emb.agg(*aggs).first()
+    mu = [float(row[f"m{j}"]) for j in range(dim)]
+    sd = [float(row[f"s{j}"]) or 1.0 for j in range(dim)]
+    z = F.array(*[
+        (F.col("embedding").getItem(j).cast("double") - F.lit(mu[j]))
+        / F.lit(sd[j])
+        for j in range(dim)
+    ])
+    return emb.select("vec_id", z.alias("embedding"))
+
+
+def dedup_embedding_whitened(emb: DataFrame,
+                             num_blocks: int = 8) -> DataFrame:
+    """Embedding near-dups >= WHITEN_DUP_THRESHOLD on the diagonally
+    WHITENED vectors — dedup_embedding_cosine's exact blocked-GEMM
+    machinery over whiten_embeddings' output (same pair contract:
+    vec_a < vec_b, cos_sim), so downstream survivorship/components
+    consume it unchanged. The scale shape is identical (one stats
+    aggregate + the O(N*B) block shuffle); what changes is WHICH pairs
+    clear the bar: anisotropic common-direction energy no longer
+    manufactures similarity."""
+    z = whiten_embeddings(emb)
+    return _embedding_pairs_gemm(z, num_blocks, WHITEN_DUP_THRESHOLD)
+
+
+def dd_dedup_embedding_whitened_sql(table: str = "embeddings") -> str:
+    """Oracle twin: per-dimension moments as scalars (rounded at the
+    same digit as the Spark side), list_transform standardization, the
+    shared cosine formula, the whitened threshold."""
+    cs = dd_cosine_similarity("a.embedding", "b.embedding")
+    return f"""
+WITH stats AS (
+  SELECT i, round(avg(v), {SCORE_ROUND}) AS mu,
+         round(stddev_pop(v), {SCORE_ROUND}) AS sd
+  FROM (SELECT i, embedding[i + 1]::DOUBLE AS v
+        FROM {table}, unnest(range(0, len(embedding))) t(i))
+  GROUP BY i
+),
+sarr AS (
+  SELECT list(mu ORDER BY i) AS mu,
+         list(CASE WHEN sd = 0 THEN 1.0 ELSE sd END ORDER BY i) AS sd
+  FROM stats
+),
+z AS (
+  SELECT vec_id,
+         list_transform(range(1, len(embedding) + 1),
+                        k -> (embedding[k]::DOUBLE - mu[k]) / sd[k])
+           AS embedding
+  FROM {table} CROSS JOIN sarr
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cs}, {SCORE_ROUND}) AS cos_sim
+FROM z a JOIN z b ON a.vec_id < b.vec_id
+WHERE round({cs}, {SCORE_ROUND}) >= {WHITEN_DUP_THRESHOLD}
 """.strip()
 
 

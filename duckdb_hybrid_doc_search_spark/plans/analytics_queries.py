@@ -125,6 +125,20 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.embeddings_pca_power(_t(spark, sf_dir, "embeddings"))
 
 
+@register("embeddings_covariance",
+          oracle=analytics.dd_embeddings_covariance_sql())
+def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the embedding matrix in
+    ONE corpus pass (per-partition Arrow GEMM partials + a map-side-
+    combined groupBy; shuffle volume D(D+1)/2 rows per partition,
+    independent of N) — the whitening/PCA preprocessing statistic
+    semantic-curation pipelines need, and the ORACLED anchor the
+    rows-only embeddings_pca_power sits on: the covariance the power
+    iteration implicitly multiplies by is hash-gated here against a
+    double-unnest DuckDB recomputation."""
+    return analytics.embeddings_covariance(_t(spark, sf_dir, "embeddings"))
+
+
 @register("events_user_churn_buckets",
           oracle=analytics.dd_events_user_churn_buckets_sql())
 def events_user_churn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

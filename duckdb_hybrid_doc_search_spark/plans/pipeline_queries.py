@@ -94,6 +94,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
+@register("dedup_embedding_whitened",
+          oracle=dedup.dd_dedup_embedding_whitened_sql())
+def dedup_embedding_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on diagonally-WHITENED vectors (per-dimension
+    standardization — the anisotropy correction semantic dedup applies
+    before trusting cosine: common-direction energy otherwise
+    manufactures similarity between unrelated documents). Same exact
+    blocked-GEMM machinery and pair contract as dedup_embedding_cosine;
+    one bounded 2D-scalar stats aggregate in front. Threshold 0.4 is
+    3.2 sigma of the whitened-cosine null at D=64 (see
+    WHITEN_DUP_THRESHOLD)."""
+    return dedup.dedup_embedding_whitened(_emb(spark, sf_dir))
+
+
 @register("dedup_embedding_ivf", oracle=dedup.dd_dedup_embedding_ivf_sql())
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed embedding near-dup pairs (r11; multi-probe r12,
