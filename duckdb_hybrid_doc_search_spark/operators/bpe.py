@@ -388,7 +388,8 @@ def bpe_encode_stats(
     word (vocabulary-sized build side, never the corpus).
     """
     if merge_rows is None:
-        merge_rows = bpe_train(docs, n_merges).collect()  # n_merges rows
+        merge_rows = bpe_train(docs, n_merges,
+                               batch=BPE_TRAIN_BATCH).collect()
     spark = docs.sparkSession
     by_lang_word = (
         docs.repartition(spark.sparkContext.defaultParallelism)
