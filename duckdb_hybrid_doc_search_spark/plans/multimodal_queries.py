@@ -206,7 +206,8 @@ def media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel sums from the closed-form block formulas and the verbatim
     floor(x+0.5) JFIF conversion — codec-independent like every media
     oracle. Partial edge blocks (21x13), 4:4:4, and 4:2:0+RSTn are each
-    covered; progressive/arithmetic streams raise loudly
+    covered; progressive streams are REAL since r13 (their own row:
+    media_jpeg_progressive_stats), arithmetic/lossless raise loudly
     (tests/test_jpeg.py)."""
     return mm.jpeg_decode_stats(spark, str(_JPEG_DIR))
 
