@@ -244,6 +244,26 @@ def hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_batch_reranked",
+    oracle=engine.dd_hybrid_search_batch_sql(BATCH_QUERIES, TOP_K,
+                                             rerank=True),
+)
+def hybrid_search_batch_reranked(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The reranked batch: per-query token-overlap rerank applied
+    IN-PLAN over the batched candidates (per-query term sets joined as
+    a broadcast array column — no driver-side fusion loop, unlike
+    DocSearchEngine.search_batch), threshold and top-k after the
+    rerank exactly like the single path. Oracle = UNION ALL of the
+    per-query hybrid_search_reranked oracles, so the batch's rerank
+    ladder is hash-gated against the singles every rotation."""
+    return engine.hybrid_search_batch(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), BATCH_QUERIES, TOP_K,
+        index=_fts_index(spark, sf_dir), rerank=True,
+    )
+
+
+@register(
     "search_snippets",
     oracle=results.dd_bm25_snippets_sql(QTERMS, TOP_K),
 )

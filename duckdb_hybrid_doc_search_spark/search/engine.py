@@ -301,8 +301,8 @@ def hybrid_search_batch(docs: DataFrame, embeddings: DataFrame,
                         queries: list[str],
                         top_k: int = TOP_K_DEFAULT,
                         threshold: float = SCORE_THRESHOLD,
-                        index: dict[str, DataFrame] | None = None
-                        ) -> DataFrame:
+                        index: dict[str, DataFrame] | None = None,
+                        rerank: bool = False) -> DataFrame:
     """A whole query batch through the FULL hybrid lifecycle in ONE
     plan — no driver-side fusion loop (unlike DocSearchEngine.
     search_batch, whose per-query rerank forces collects): the FTS
@@ -354,10 +354,40 @@ def hybrid_search_batch(docs: DataFrame, embeddings: DataFrame,
         F.round(fuse_scores(F.col("fts_score"), F.col("vss_score")),
                 SCORE_ROUND),
     )
+    out = F.broadcast(fused).join(docs, "doc_id", "inner")
+    if rerank:
+        # per-query token-overlap rerank IN-PLAN (the single path's
+        # overlap_rerank_expr with per-query term sets joined in —
+        # unlike DocSearchEngine.search_batch, no driver-side loop):
+        # score <- |distinct_tokens(text[:2048]) ∩ qterms| / |qterms|,
+        # replacing the fused score BEFORE threshold/top-k, exactly as
+        # hybrid_search(rerank=True) orders the steps
+        from ..functions.text import tokenize as text_tokenize
+        from ..models.reranker import RERANK_TRUNCATE_CHARS
+
+        spark = docs.sparkSession
+        qrows = [
+            (qi, sorted(set(tokenize_query(q))))
+            for qi, q in enumerate(queries)
+        ]
+        qdf = spark.createDataFrame(
+            qrows, "query_id int, qterms array<string>")
+        truncated = F.substring(F.col("text"), 1, RERANK_TRUNCATE_CHARS)
+        overlap = F.when(
+            F.size("qterms") > 0,
+            F.size(F.array_intersect(
+                F.array_distinct(text_tokenize(truncated)),
+                F.col("qterms"),
+            )).cast("double") / F.size("qterms").cast("double"),
+        ).otherwise(F.lit(0.0))
+        out = (
+            out.join(F.broadcast(qdf), "query_id")
+            .withColumn("score", F.round(overlap, SCORE_ROUND))
+        )
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
     return (
-        F.broadcast(fused).join(docs, "doc_id", "inner")
+        out
         .where(F.col("score") > F.lit(threshold))
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= top_k)
@@ -369,15 +399,17 @@ def hybrid_search_batch(docs: DataFrame, embeddings: DataFrame,
 
 def dd_hybrid_search_batch_sql(queries: list[str],
                                top_k: int = TOP_K_DEFAULT,
-                               threshold: float = SCORE_THRESHOLD) -> str:
+                               threshold: float = SCORE_THRESHOLD,
+                               rerank: bool = False) -> str:
     """Oracle for :func:`hybrid_search_batch`: the UNION ALL of the
     per-query single-search oracles keyed by query id — batch == the
     singles, hash-gated by the driver (one oracle builder per query via
-    dd_hybrid_search_sql, so batch fusion semantics cannot silently
-    diverge from the single path)."""
+    dd_hybrid_search_sql, so batch fusion — and with ``rerank``, the
+    overlap-rerank ladder — cannot silently diverge from the single
+    path)."""
     parts = [
         f"SELECT {qi} AS query_id, * FROM (\n"
-        f"{dd_hybrid_search_sql(q, top_k, rerank=False, threshold=threshold)}\n)"
+        f"{dd_hybrid_search_sql(q, top_k, rerank=rerank, threshold=threshold)}\n)"
         for qi, q in enumerate(queries)
     ]
     return "\nUNION ALL\n".join(parts)
