@@ -143,27 +143,11 @@ def _band_sigs(sig: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs via banded minhash LSH, with the estimated
-    Jaccard (fraction of agreeing minhashes) filtered at JACCARD_THRESHOLD.
-
-    Output: doc_a, doc_b, est_jaccard.
-    """
-    sig = minhash_signatures(docs).cache()
-    bands = _band_sigs(sig)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+def _lsh_est_filter(cand: DataFrame, sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates -> (doc_a, doc_b, est_jaccard) filtered at
+    JACCARD_THRESHOLD: est is the fraction of agreeing minhashes — shared
+    by the unbounded self-join and the bucket-bounded star emission (the
+    candidate SET is what differs between them, never the scoring)."""
     est = (
         cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
@@ -182,6 +166,100 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
         )
     )
     return est.where(F.col("est_jaccard") >= F.lit(JACCARD_THRESHOLD))
+
+
+def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH, with the estimated
+    Jaccard (fraction of agreeing minhashes) filtered at JACCARD_THRESHOLD.
+
+    Output: doc_a, doc_b, est_jaccard.
+
+    Scale caveat (r13 VERDICT): the band self-join emits ALL pairs within
+    a bucket — O(M²) for a bucket of M docs. Web corpora have
+    boilerplate clusters (empty pages, templates) of millions of
+    near-identical docs; :func:`dedup_minhash_lsh_bounded` is the
+    production form that caps that emission.
+    """
+    sig = minhash_signatures(docs).cache()
+    bands = _band_sigs(sig)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _lsh_est_filter(cand, sig)
+
+
+#: Production bucket cap for bounded LSH: a band bucket of more than this
+#: many docs switches from all-pairs to star emission (every member paired
+#: with the bucket's min doc_id). 64 keeps exact est_jaccard pairing for
+#: every realistic organic bucket while bounding a million-doc boilerplate
+#: cluster to M-1 emitted pairs (the spanning set downstream components /
+#: survivorship actually consume) instead of M(M-1)/2.
+LSH_BUCKET_CAP = 64
+
+
+def dedup_minhash_lsh_bounded(docs: DataFrame,
+                              cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Banded minhash LSH with a HOT-BUCKET BOUND (r13 VERDICT #1 — the
+    one remaining scale hazard): within any (band, sig) bucket of at
+    most ``cap`` docs the emission is the exact all-pairs self-join
+    (identical semantics to :func:`dedup_minhash_lsh`); a LARGER bucket
+    emits star pairs to the bucket's min doc_id instead, making emitted
+    pairs linear in bucket size. A web-scale boilerplate cluster of M
+    near-identical docs (empty pages, templates — the norm in crawled
+    corpora) costs M-1 pairs instead of M²/2.
+
+    The star set is a spanning set of the bucket: every downstream
+    consumer (connected components, survivorship, leakage-safe split)
+    groups docs by pair-graph connectivity, and hub-to-member edges
+    connect exactly the docs all-pairs would — component grouping over
+    a true dup cluster is preserved (pinned on an adversarial M-dup
+    fixture in tests/test_dedup_strategies.py at M x10/x100). The
+    est_jaccard threshold still applies to star pairs — for genuinely
+    near-identical cluster members hub agreement ~= member agreement,
+    and below-threshold hash-collision buckets are dropped either way.
+
+    Output: doc_a, doc_b, est_jaccard — same contract as the unbounded
+    form. One extra aggregate over the bands table (bucket size + hub),
+    same single bucket-key shuffle; no new corpus-scale pass.
+    """
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(docs).cache()
+    bands = _band_sigs(sig)
+    w = Window.partitionBy("band", "sig")
+    bx = bands.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "hub", F.min("doc_id").over(w)
+    )
+    small = bx.where(F.col("bsz") <= F.lit(cap)).select(
+        "band", "sig", "doc_id"
+    )
+    pairs_small = (
+        small.alias("a")
+        .join(
+            small.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    pairs_star = bx.where(
+        (F.col("bsz") > F.lit(cap)) & (F.col("doc_id") != F.col("hub"))
+    ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    cand = pairs_small.unionByName(pairs_star).distinct()
+    return _lsh_est_filter(cand, sig)
 
 
 def dedup_ngram_jaccard(docs: DataFrame,
@@ -499,6 +577,50 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), {SCORE_ROUND}) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sa.seed = sb.seed
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {JACCARD_THRESHOLD}
+""".strip()
+
+
+def dd_dedup_minhash_lsh_bounded_sql(table: str = "documents",
+                                     cap: int = LSH_BUCKET_CAP) -> str:
+    """Oracle twin of :func:`dedup_minhash_lsh_bounded`: same band CTEs,
+    plus per-bucket size/hub; all-pairs for buckets <= cap, star pairs
+    to the hub above; the shared est CTE and threshold."""
+    return f"""
+WITH {dd_doc_shingles_cte(table)},
+{dd_minhash_sig_cte()},
+bands AS (
+  SELECT doc_id, (seed // {MINHASH_ROWS})::INT AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bsig
+  FROM sig GROUP BY doc_id, band
+),
+bstats AS (
+  SELECT band, bsig, count(*)::BIGINT AS bsz, min(doc_id) AS hub
+  FROM bands GROUP BY band, bsig
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                AND a.doc_id < b.doc_id
+    JOIN bstats s ON s.band = a.band AND s.bsig = a.bsig
+    WHERE s.bsz <= {cap}
+    UNION ALL
+    SELECT s.hub AS doc_a, b.doc_id AS doc_b
+    FROM bands b
+    JOIN bstats s ON s.band = b.band AND s.bsig = b.bsig
+    WHERE s.bsz > {cap} AND b.doc_id != s.hub
+  )
 ),
 est AS (
   SELECT c.doc_a, c.doc_b,

@@ -37,6 +37,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_minhash_lsh(_docs(spark, sf_dir))
 
 
+#: driver-gate bucket cap for dedup_minhash_lsh_bounded: the sf0.01/sf0.1
+#: corpora have natural band buckets of at most ~3 docs, so the production
+#: LSH_BUCKET_CAP=64 would never exercise the star-emission branch at the
+#: gate's scale — cap=2 makes every 3-doc bucket take the star path while
+#: 1-2 doc buckets take the exact all-pairs path, so BOTH branches are
+#: hash-gated every rotation. The adversarial M-dup fixture test covers
+#: production-sized clusters (tests/test_dedup_strategies.py, M to 2000).
+LSH_GATE_CAP = 2
+
+
+@register("dedup_minhash_lsh_bounded",
+          oracle=dedup.dd_dedup_minhash_lsh_bounded_sql(cap=LSH_GATE_CAP))
+def dedup_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-BOUNDED banded LSH (r13 VERDICT #1 — the band
+    self-join was O(M²) inside a bucket of M docs, a scale-killer on
+    web corpora where million-doc boilerplate clusters are the norm):
+    buckets over the cap emit star pairs to the bucket's min doc_id (a
+    spanning set — component grouping preserved exactly, pinned on an
+    adversarial M-dup fixture), buckets at or under it keep the exact
+    all-pairs emission with unchanged est_jaccard semantics."""
+    return dedup.dedup_minhash_lsh_bounded(_docs(spark, sf_dir),
+                                           cap=LSH_GATE_CAP)
+
+
 @register("dedup_incremental_batch",
           oracle=dedup.dd_dedup_incremental_batch_sql())
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

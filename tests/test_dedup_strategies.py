@@ -332,3 +332,73 @@ def test_components_star_on_adversarial_graphs(spark, name, edges):
         for r in dedup.dedup_components_star(None, pairs=pairs).collect()
     )
     assert got == want, name
+
+
+# --- bounded LSH (r13 VERDICT #1: hot-bucket O(M^2) emission) ---------------
+
+
+def _components_of(pairs: list[tuple]) -> list[frozenset]:
+    """Union-find over (doc_a, doc_b) pairs — the grouping every
+    downstream consumer derives from the candidate pair set."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, *_ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict = {}
+    for x in list(parent):
+        groups.setdefault(find(x), set()).add(x)
+    return sorted(map(frozenset, groups.values()), key=min)
+
+
+def _boilerplate_corpus(spark, m: int):
+    """m identical boilerplate docs (one giant LSH bucket per band) plus
+    organic docs: a small genuine near-dup pair and unrelated noise."""
+    rows = [(i, "empty page please enable javascript to view this site "
+                "copyright footer terms privacy") for i in range(m)]
+    rows += [
+        (m + 0, "the quick brown fox jumps over the lazy dog again today"),
+        (m + 1, "the quick brown fox jumps over the lazy cat again today"),
+        (m + 2, "completely unrelated content about distributed query engines"),
+        (m + 3, "another standalone document with nothing shared at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("m", [30, 300])
+def test_bounded_lsh_preserves_components_on_mdup_cluster(spark, m):
+    """The adversarial boilerplate cluster: bounded emission must be
+    LINEAR in the cluster size while grouping docs into exactly the
+    same components as the unbounded all-pairs form."""
+    docs = _boilerplate_corpus(spark, m)
+    unbounded = [tuple(r) for r in dedup.dedup_minhash_lsh(docs).collect()]
+    bounded = [
+        tuple(r)
+        for r in dedup.dedup_minhash_lsh_bounded(docs, cap=8).collect()
+    ]
+    # component grouping identical (the downstream-consumed semantics)
+    assert _components_of(bounded) == _components_of(unbounded)
+    # the M-cluster collapses from quadratic to linear emission
+    cluster_unbounded = [p for p in unbounded if p[0] < m and p[1] < m]
+    cluster_bounded = [p for p in bounded if p[0] < m and p[1] < m]
+    assert len(cluster_unbounded) == m * (m - 1) // 2
+    assert len(cluster_bounded) == m - 1
+    # star pairs all anchor at the bucket hub (min doc_id) at est 1.0
+    assert all(p[0] == 0 and p[2] == 1.0 for p in cluster_bounded)
+
+
+def test_bounded_lsh_equals_unbounded_below_cap(spark):
+    """With every bucket at or under the cap, bounded == unbounded row
+    for row — est_jaccard semantics untouched where they matter."""
+    docs = _boilerplate_corpus(spark, 3)
+    unbounded = _rows(dedup.dedup_minhash_lsh(docs))
+    bounded = _rows(dedup.dedup_minhash_lsh_bounded(docs, cap=8))
+    assert bounded == unbounded
