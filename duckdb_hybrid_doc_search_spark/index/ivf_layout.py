@@ -234,7 +234,8 @@ def ensure_ivf_trained_layout(spark: SparkSession, emb: DataFrame,
 
 
 def write_ivf_multiprobe(emb: DataFrame, out_dir: str,
-                         nlist: int | None = None, p: int = DEDUP_IVF_NPROBE) -> None:
+                         nlist: int | None = None, p: int = DEDUP_IVF_NPROBE,
+                         extra_meta: dict | None = None) -> None:
     """The MULTI-PROBE cell assignment persisted for cell-bucketed
     dedup (r11 VERDICT #2): (vec_id, embedding, cell) with each vector
     in its top-``p`` cells, partitioned by cell on disk. Single-probe
@@ -261,7 +262,8 @@ def write_ivf_multiprobe(emb: DataFrame, out_dir: str,
         from ..operators.knn import CENTROID_MOD
 
         json.dump({"nlist": nlist, "centroid_mod": CENTROID_MOD,
-                   "centroid_source": "sample", "multiprobe_p": p}, f)
+                   "centroid_source": "sample", "multiprobe_p": p,
+                   **(extra_meta or {})}, f)
     with open(os.path.join(out_dir, LAYOUT_DONE), "w"):
         pass
 
@@ -287,6 +289,44 @@ def ensure_ivf_multiprobe_layout(spark: SparkSession, emb: DataFrame,
         if os.path.exists(out_dir):  # partial prior attempt: start clean
             shutil.rmtree(out_dir)
         write_ivf_multiprobe(emb, out_dir, p=p)
+    return out_dir
+
+
+def ensure_ivf_multiprobe_whitened_layout(spark: SparkSession,
+                                          emb: DataFrame, sf_dir: str,
+                                          root: str | None = None,
+                                          p: int = DEDUP_IVF_NPROBE) -> str:
+    """The WHITENED multiprobe dedup layout (r13 VERDICT #2: the 100 TB
+    dedup path bucketed RAW anisotropic cosine while the whitening
+    correction lived only in the exact diagnostic — common-direction
+    energy distorts both the centroids and the threshold): standardize
+    per dimension first (operators/dedup.whiten_stats — one bounded
+    Arrow-partials pass), then build the same top-p cell layout OVER
+    the z-vectors. The moments are FROZEN IN THE LAYOUT META
+    (whiten_mu / whiten_sd) exactly like the frozen centroid contract,
+    so a future append whitens arriving vectors against the build-time
+    statistics instead of silently re-deriving drifted ones."""
+    from ..operators.dedup import apply_whitening, whiten_stats
+    from .fingerprint import layout_fingerprint, warehouse_root
+
+    root = warehouse_root("ivf_multiprobe_whitened_layout", root)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'default'}"
+        f"-{LAYOUT_FORMAT}-p{p}"
+        f"-{layout_fingerprint(emb, 'vec_id', 'embedding')}"
+    )
+    out_dir = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out_dir, LAYOUT_DONE)):
+        import shutil
+
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        mu, sd = whiten_stats(emb)
+        z = apply_whitening(emb, mu, sd)
+        write_ivf_multiprobe(z, out_dir, p=p,
+                             extra_meta={"whitened": True,
+                                         "whiten_mu": mu,
+                                         "whiten_sd": sd})
     return out_dir
 
 

@@ -156,6 +156,29 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_embedding_ivf_whitened",
+          oracle=dedup.dd_dedup_embedding_ivf_whitened_sql())
+def dedup_embedding_ivf_whitened(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The whitening correction ON the 100 TB dedup path (r13 VERDICT
+    #2 — dedup_embedding_whitened was exact-GEMM-only while the scale
+    path bucketed raw anisotropic cosine): per-dimension standardize
+    first (moments frozen in the layout meta, the centroid-contract
+    pattern), then the same top-DEDUP_IVF_NPROBE multiprobe cell layout
+    over z-vectors, within-cell pairs at WHITEN_DUP_THRESHOLD. Same
+    (vec_a, vec_b, cos_sim) contract; recall vs the exact whitened
+    pair set is in PERF_NOTES next to the raw table."""
+    from ..index.ivf_layout import ensure_ivf_multiprobe_whitened_layout
+
+    emb = _emb(spark, sf_dir)
+    out_dir = ensure_ivf_multiprobe_whitened_layout(spark, emb, sf_dir)
+    return dedup.dedup_embedding_ivf(
+        emb, cells=spark.read.parquet(out_dir)
+        .select("vec_id", "embedding", "cell"),
+        threshold=dedup.WHITEN_DUP_THRESHOLD,
+    )
+
+
 @register("dedup_embedding_ivf_append_probe",
           oracle=dedup.dd_dedup_embedding_ivf_sql())
 def dedup_embedding_ivf_append_probe(spark: SparkSession,

@@ -80,3 +80,36 @@ def test_whitening_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert dedup.dedup_embedding_whitened(empty).count() == 0
     assert analytics.embeddings_covariance(empty).count() == 0
+
+
+def test_whiten_stats_partials_equal_expressions(spark, sf_dir):
+    """r13 VERDICT What's-wrong #4: the Arrow-partials moment pass (D
+    rows per partition) must be VALUE-IDENTICAL to the original
+    2·D-codegen-column aggregate after the shared SCORE_ROUND rounding
+    — same mu, same sd, dimension for dimension."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mu_p, sd_p = dedup.whiten_stats(emb, strategy="partials")
+    mu_e, sd_e = dedup.whiten_stats(emb, strategy="expressions")
+    assert mu_p == mu_e
+    assert sd_p == sd_e
+
+
+def test_whiten_stats_partials_equal_expressions_edge_dims(spark):
+    """Zero-variance and negative-mean dimensions through both moment
+    strategies, plus the unknown-strategy guard."""
+    import pytest as _pytest
+
+    X = np.array([
+        [1.0, -2.0, 5.0],
+        [1.0, -4.0, 5.0],
+        [1.0, -6.0, 5.0],
+        [1.0, -8.0, 5.0],
+    ])
+    df = _emb_df(spark, X)
+    mu_p, sd_p = dedup.whiten_stats(df, strategy="partials")
+    mu_e, sd_e = dedup.whiten_stats(df, strategy="expressions")
+    assert mu_p == mu_e == [1.0, -5.0, 5.0]
+    assert sd_p == sd_e
+    assert sd_p[0] == 1.0 and sd_p[2] == 1.0  # zero-variance -> sd 1
+    with _pytest.raises(ValueError, match="strategy"):
+        dedup.whiten_stats(df, strategy="bogus")
