@@ -29,6 +29,16 @@ def get_spark(app_name: str = "hybrid-doc-search", cpus: int | None = None) -> S
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing keeps parallelismFirst (default), but its 1 MB
+        # minPartitionSize floor collapses small-byte CPU-DENSE shuffles
+        # (pair-cosine joins, per-group Arrow GEMM blocks, per-doc
+        # windows) to ~1 partition — measured single-task post-shuffle
+        # stages across the dedup/ANN families at sf0.1 (r14). A 64 KB
+        # floor lets AQE keep ~defaultParallelism partitions for those
+        # stages; at cluster scale partitions are far above 1 MB and the
+        # floor is inert, so this is scale-adaptive, not a local tune.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
