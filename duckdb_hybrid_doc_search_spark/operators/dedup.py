@@ -2190,6 +2190,17 @@ def dedup_duplicate_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
 
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    # the gram+md5 subtree is the expensive half of this plan: build it
+    # ONCE from a doc_id-spread scan (single-file test inputs are one
+    # task otherwise; at scale the repartition shuffles text once, far
+    # fewer bytes than the exploded grams) and find duplicated hashes
+    # with a count window over h instead of groupBy+self-join — the
+    # join form re-executed the whole gram subtree for its probe side
+    # (2 gram passes + 2 shuffles -> 1 pass + 1 shuffle, r14).
+    spark = docs.sparkSession
+    toks_p = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", tokenize(F.col("text")).alias("t"))
     gs = F.when(
         F.size("t") >= n,
         F.transform(
@@ -2198,16 +2209,16 @@ def dedup_duplicate_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     hg = (
-        toks.select("doc_id", F.posexplode(gs).alias("pos0", "g"))
+        toks_p.select("doc_id", F.posexplode(gs).alias("pos0", "g"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                 h64(F.col("g")).alias("h"))
     )
-    duph = (
-        hg.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    wh = Window.partitionBy("h")
+    dpos = (
+        hg.withColumn("c", F.count(F.lit(1)).over(wh))
         .where(F.col("c") >= 2)
-        .select("h")
+        .select("doc_id", "pos")
     )
-    dpos = hg.join(duph, "h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     with_prev = dpos.withColumn("prev", F.lag("pos").over(w))
     brk = F.when(
@@ -2313,8 +2324,17 @@ def dedup_trim_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
 
     Output per doc: doc_id, n_tokens, n_removed, kept_text.
     """
+    from pyspark.sql import Window
+
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    pos_tok = toks.select(
+    # doc_id-spread twin of the scan for the per-position branches (the
+    # single-file test inputs are one task otherwise; the exchange is
+    # reused by the downstream doc_id-keyed joins/aggregates)
+    spark = docs.sparkSession
+    toks_p = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", tokenize(F.col("text")).alias("t"))
+    pos_tok = toks_p.select(
         "doc_id", F.posexplode("t").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     gs = F.when(
@@ -2324,18 +2344,18 @@ def dedup_trim_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
             lambda i: F.array_join(F.slice("t", i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # ONE gram+md5 pass with a count window over h (the groupBy+join
+    # form re-executed the gram subtree for the probe side — 2 passes
+    # + 2 shuffles -> 1 + 1, r14; same rewrite as dedup_duplicate_spans)
     hg = (
-        toks.select("doc_id", F.posexplode(gs).alias("pos0", "g"))
+        toks_p.select("doc_id", F.posexplode(gs).alias("pos0", "g"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                 h64(F.col("g")).alias("h"))
     )
-    duph = (
-        hg.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("h")
-    )
+    wh = Window.partitionBy("h")
     covered = (
-        hg.join(duph, "h")
+        hg.withColumn("c", F.count(F.lit(1)).over(wh))
+        .where(F.col("c") >= 2)
         .select("doc_id",
                 F.explode(F.sequence(F.col("pos"),
                                      F.col("pos") + (n - 1))).alias("pos"))
