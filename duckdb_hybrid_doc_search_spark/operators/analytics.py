@@ -697,6 +697,54 @@ def _kmeans_assign_arrow(embeddings: DataFrame,
     )
 
 
+def _kmeans_iter_partials(embeddings: DataFrame,
+                          cents: list[tuple[int, list[float]]]) -> list:
+    """One Lloyd iteration's sufficient statistics in ONE stage: the
+    assignment GEMM emits per-batch PARTIALS (cluster_id, n, sum_d2,
+    sum_vec) instead of shipping every (cluster_id, d2, embedding) row
+    back through Arrow for a JVM aggregate with dim avg-expressions —
+    the r14 swap of a 2-stage (map + exchange + 2·dim aggregate) pass
+    for a map-only pass whose output is bounded by K x arrow-batches
+    (the embeddings_covariance partial pattern; guide §2.3 "aggregate
+    before you shuffle" taken to its limit: nothing shuffles). The
+    driver merges the partials — K x dim floats, same bound the
+    centroid loop already holds."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    C = np.array([cents[i][1] for i in order], dtype=np.float64)
+    cids = np.array([cents[i][0] for i in order], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = np.maximum(
+                (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T),
+                0.0,
+            )
+            best = d2.argmin(axis=1)  # first min = lowest cid (cid-sorted)
+            rows = []
+            for idx in np.unique(best):
+                m = best == idx
+                rows.append((
+                    int(cids[idx]),
+                    int(m.sum()),
+                    float(d2[m, idx].sum()),
+                    X[m].sum(axis=0).tolist(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["cluster_id", "n", "sd2", "sums"]
+            )
+
+    return embeddings.select("embedding").mapInPandas(
+        fn, "cluster_id long, n long, sd2 double, sums array<double>"
+    ).collect()
+
+
 def embeddings_kmeans_train(embeddings: DataFrame) -> DataFrame:
     """Full Lloyd's k-means, KMEANS_ITERS iterations: per iteration one
     Arrow-GEMM assignment pass (`_kmeans_assign_arrow`) and one K-row
@@ -723,34 +771,25 @@ def embeddings_kmeans_train(embeddings: DataFrame) -> DataFrame:
     ]
     history = []
     spark = embeddings.sparkSession
-    dim = len(cents[0][1])
     for it in range(KMEANS_ITERS):
-        stats = (
-            _kmeans_assign_arrow(embeddings, cents)
-            .groupBy("cluster_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.round(F.avg("d2"), TREND_ROUND).alias("mean_d2"),
-                F.array(
-                    *[
-                        F.avg(F.col("embedding").getItem(i))
-                        for i in range(dim)
-                    ]
-                ).alias("mean_vec"),
-            )
-            .collect()
-        )
-        for r in sorted(stats, key=lambda r: r["cluster_id"]):
-            history.append(
-                (it, int(r["cluster_id"]), int(r["n"]), float(r["mean_d2"]))
-            )
+        # merge the map-side partials driver-side (K x dim floats — the
+        # bound the loop already holds for the centroids themselves)
+        agg: dict[int, tuple[int, float, list[float]]] = {}
+        for r in _kmeans_iter_partials(embeddings, cents):
+            cid = int(r["cluster_id"])
+            n0, sd0, s0 = agg.get(cid, (0, 0.0, None))
+            sums = list(r["sums"]) if s0 is None else [
+                a + b for a, b in zip(s0, r["sums"])
+            ]
+            agg[cid] = (n0 + int(r["n"]), sd0 + float(r["sd2"]), sums)
+        for cid in sorted(agg):
+            n, sd2, _ = agg[cid]
+            history.append((it, cid, n, float(round(sd2 / n, TREND_ROUND))))
         # empty clusters keep their previous centroid (standard Lloyd fix)
-        new_cents = {
-            int(r["cluster_id"]): [float(x) for x in r["mean_vec"]]
-            for r in stats
-        }
         cents = [
-            (cid, new_cents.get(cid, vec)) for cid, vec in cents
+            (cid, [s / agg[cid][0] for s in agg[cid][2]]
+             if cid in agg else vec)
+            for cid, vec in cents
         ]
     return spark.createDataFrame(
         history, "iteration int, cluster_id long, n long, mean_d2 double"

@@ -1898,7 +1898,7 @@ def kmeans_centroids(emb: DataFrame, k: int | None = None,
     iterations). Centroid coords round to SCORE_ROUND so downstream
     tie-breaks stay stable. Index build cost, paid once at write time.
     """
-    from .analytics import _kmeans_assign_arrow
+    from .analytics import _kmeans_iter_partials
 
     if k is None:
         # same nlist the deterministic sample would use, so the trained
@@ -1909,20 +1909,25 @@ def kmeans_centroids(emb: DataFrame, k: int | None = None,
     )
     cents = [(i, [float(x) for x in r[vec_col]])
              for i, r in enumerate(init)]
-    dim = len(cents[0][1])
     emb_only = emb.select(F.col(vec_col).alias("embedding"))
     for _ in range(iters):
-        stats = (
-            _kmeans_assign_arrow(emb_only, cents)
-            .groupBy("cluster_id")
-            .agg(F.array(*[F.avg(F.col("embedding").getItem(i))
-                           for i in range(dim)]).alias("mean_vec"))
-            .collect()
-        )
-        new = {int(r["cluster_id"]): [float(x) for x in r["mean_vec"]]
-               for r in stats}
+        # map-only partials merged driver-side (k x dim floats) — same
+        # r14 swap as embeddings_kmeans_train: no exchange, no 2·dim
+        # aggregate expressions, no N-row Arrow return per iteration
+        agg: dict[int, tuple[int, list[float]]] = {}
+        for r in _kmeans_iter_partials(emb_only, cents):
+            cid = int(r["cluster_id"])
+            n0, s0 = agg.get(cid, (0, None))
+            sums = list(r["sums"]) if s0 is None else [
+                a + b for a, b in zip(s0, r["sums"])
+            ]
+            agg[cid] = (n0 + int(r["n"]), sums)
         # empty clusters keep their previous centroid (standard Lloyd fix)
-        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+        cents = [
+            (cid, [s / agg[cid][0] for s in agg[cid][1]]
+             if cid in agg else vec)
+            for cid, vec in cents
+        ]
     rounded = [
         (cid, [round(x, SCORE_ROUND) for x in vec]) for cid, vec in cents
     ]
