@@ -15,7 +15,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right double fold of elementwise products.
+
+    ``dim`` (r14): when the caller KNOWS the arrays' static width (PQ
+    subvectors, fixed-dim embedding tables), the fold is emitted as an
+    unrolled codegen expression — `aggregate(zip_with(...))` is a
+    CodegenFallback higher-order function evaluated per row through the
+    interpreted evaluator (measured 6x slower than the unrolled form on
+    a 1M-row projection). The unrolled chain is the SAME float math:
+    0.0 + p0 + p1 + ... left-to-right, bit-identical to the fold. Keep
+    ``dim`` small-ish (subvector widths) — a 64-term chain per dot adds
+    measurable driver-side planning cost to every plan build."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast(
+                "double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -23,12 +40,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_distance(a: Column, b: Column) -> Column:
@@ -40,12 +57,13 @@ def lit_vector(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
-def l2sq(a: Column, b: Column) -> Column:
+def l2sq(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared L2 distance via the dot identity ||a||² - 2a·b + ||b||² —
     three left-to-right folds, so the DuckDB twin (dd_l2sq, same
     identity) is bit-comparable before rounding; an elementwise
-    sum-of-squares would fold in a different order."""
-    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+    sum-of-squares would fold in a different order. ``dim`` unrolls the
+    folds into codegen (see :func:`dot`) — identical float math."""
+    return dot(a, a, dim) - F.lit(2.0) * dot(a, b, dim) + dot(b, b, dim)
 
 
 # --- DuckDB fragments ------------------------------------------------------
