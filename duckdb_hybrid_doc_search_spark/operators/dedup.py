@@ -99,24 +99,37 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, seed, mh): per-seed minhash over distinct shingles."""
+def minhash_signatures_wide(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{MINHASH_NUM-1}): the per-seed minhashes as ONE
+    row per document (r14). The long form exploded every shingle row
+    MINHASH_NUM ways and aggregated (doc_id, seed) keys — 16x the rows
+    through the hash-aggregate and 16x the shuffle keys for the same md5
+    work. Here each shingle row evaluates the same MINHASH_NUM h64
+    expressions as columns and one doc-keyed aggregate carries
+    MINHASH_NUM min accumulators; the per-seed hash input is the
+    identical string (str(seed) + '#' + shingle), so every mh value is
+    bit-equal to the long form's."""
     sh = _doc_shingles(docs)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_NUM - 1))).alias("seed"),
-        F.col("s"),
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(h64(F.concat(F.lit(f"{i}#"), F.col("s")))).alias(f"mh{i}")
+            for i in range(MINHASH_NUM)
+        ]
     )
-    return (
-        seeded.select(
-            "doc_id",
-            "seed",
-            h64(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("s"))).alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh): per-seed minhash over distinct shingles —
+    the long form consumed by the written signature store and the
+    incremental decide path; derived from the wide single-aggregate
+    pass (one doc-keyed shuffle instead of the old 16-way seed explode
+    + (doc_id, seed) aggregate), then unpacked with a posexplode whose
+    pos IS the seed. Values bit-equal to the r13 form."""
+    return minhash_signatures_wide(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{i}") for i in range(MINHASH_NUM)])
+        ).alias("seed", "mh"),
     )
 
 
@@ -140,6 +153,40 @@ def _band_sigs(sig: DataFrame) -> DataFrame:
                 )
             ).alias("sig")
         )
+    )
+
+
+def _band_sigs_wide(sigw: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) computed from the WIDE signature table as a
+    pure projection (r14): band b's key is md5 over that band's seeds'
+    minhashes joined by ',' in seed order — with the seeds as columns,
+    that is a concat_ws over MINHASH_ROWS casts, no groupBy at all. The
+    long-form _band_sigs paid a second doc-keyed shuffle plus a
+    collect_list+array_sort per (doc, band) to recover exactly this seed
+    order. Byte-equal keys: array_sort on (seed, mh) structs orders by
+    the unique seed, and concat_ws(',') over non-null longs matches
+    array_join of their string casts."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * MINHASH_ROWS + j}").cast("string")
+                        for j in range(MINHASH_ROWS)
+                    ],
+                )
+            ).alias("sig"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    return sigw.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bs")
+    ).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
     )
 
 
@@ -168,6 +215,39 @@ def _lsh_est_filter(cand: DataFrame, sig: DataFrame) -> DataFrame:
     return est.where(F.col("est_jaccard") >= F.lit(JACCARD_THRESHOLD))
 
 
+def _lsh_est_filter_wide(cand: DataFrame, sigw: DataFrame) -> DataFrame:
+    """Wide-signature twin of :func:`_lsh_est_filter` (r14): joins ONE
+    row per doc instead of MINHASH_NUM, and the agreement fraction is a
+    codegen'd sum of indicator terms over the seed columns instead of a
+    (doc_a, doc_b) re-aggregation — two joins and zero shuffles where
+    the long form shuffled cand x MINHASH_NUM rows into a groupBy.
+    Float-identical: the long form's avg sums 16 exact 1.0/0.0 doubles
+    and divides by 16; so does this expression, in seed order."""
+    a = sigw.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(MINHASH_NUM)],
+    )
+    b = sigw.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(MINHASH_NUM)],
+    )
+    agree = None
+    for i in range(MINHASH_NUM):
+        term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1.0).otherwise(0.0)
+        agree = term if agree is None else agree + term
+    est = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(MINHASH_NUM)), SCORE_ROUND)
+            .alias("est_jaccard"),
+        )
+    )
+    return est.where(F.col("est_jaccard") >= F.lit(JACCARD_THRESHOLD))
+
+
 def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH, with the estimated
     Jaccard (fraction of agreeing minhashes) filtered at JACCARD_THRESHOLD.
@@ -179,9 +259,15 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     boilerplate clusters (empty pages, templates) of millions of
     near-identical docs; :func:`dedup_minhash_lsh_bounded` is the
     production form that caps that emission.
+
+    r14: built on the WIDE signature table — one doc-keyed aggregate
+    for all 16 minhashes, band keys as a projection, est_jaccard as a
+    codegen'd indicator sum over the seed columns. Bit-identical values
+    (see the _wide helpers); the r13 long forms cost two extra shuffles
+    and a 16x row expansion per query in this family.
     """
-    sig = minhash_signatures(docs).cache()
-    bands = _band_sigs(sig)
+    sig = minhash_signatures_wide(docs).cache()
+    bands = _band_sigs_wide(sig)
     cand = (
         bands.alias("a")
         .join(
@@ -195,7 +281,7 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return _lsh_est_filter(cand, sig)
+    return _lsh_est_filter_wide(cand, sig)
 
 
 #: Production bucket cap for bounded LSH: a band bucket of more than this
@@ -234,8 +320,8 @@ def dedup_minhash_lsh_bounded(docs: DataFrame,
     """
     from pyspark.sql import Window
 
-    sig = minhash_signatures(docs).cache()
-    bands = _band_sigs(sig)
+    sig = minhash_signatures_wide(docs).cache()
+    bands = _band_sigs_wide(sig)
     w = Window.partitionBy("band", "sig")
     bx = bands.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
         "hub", F.min("doc_id").over(w)
@@ -259,7 +345,7 @@ def dedup_minhash_lsh_bounded(docs: DataFrame,
         (F.col("bsz") > F.lit(cap)) & (F.col("doc_id") != F.col("hub"))
     ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     cand = pairs_small.unionByName(pairs_star).distinct()
-    return _lsh_est_filter(cand, sig)
+    return _lsh_est_filter_wide(cand, sig)
 
 
 def dedup_ngram_jaccard(docs: DataFrame,
