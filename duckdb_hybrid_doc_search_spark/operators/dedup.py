@@ -1147,6 +1147,21 @@ def dedup_components(docs: DataFrame, max_iter: int = 25,
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # r14 convergence check: labels are MONOTONE non-increasing per node
+    # (each round takes a min that includes the node's own old label) and
+    # the node set is fixed, so the label sum strictly decreases exactly
+    # when any label improves — one scalar aggregate over the
+    # just-checkpointed table replaces the old per-round
+    # new-vs-old join + count. decimal(38,0): summing billions of 60-bit
+    # ids overflows a long. The per-round repartition(npart) after the
+    # groupBy is gone too: the aggregate already hash-partitions by node
+    # and AQE sizes the partitions, so it was a pure extra exchange.
+    def _label_sum(lb: DataFrame):
+        return lb.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -1166,18 +1181,13 @@ def dedup_components(docs: DataFrame, max_iter: int = 25,
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .repartition(npart, "node")
             .localCheckpoint()
         )
-        improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if improved == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(
@@ -1226,6 +1236,8 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
     (long chains, stars, bridges) the LSH graph of a real corpus never
     produces on demand.
     """
+    from pyspark.sql import Window
+
     if pairs is None:
         pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
     edges = (
@@ -1241,10 +1253,15 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
             [], "doc_id long, component_id long")
 
     def _sig(e: DataFrame) -> tuple:
+        # r14: no .distinct() here — every frame signed is already
+        # row-distinct with a fixed orientation (the initial edges by
+        # construction, every later one a _small_star output ending in
+        # .distinct()), and the least/greatest normalization of a
+        # consistently-oriented distinct set stays distinct, so the old
+        # distinct was a whole extra shuffle per round for nothing.
         row = (
             e.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
-            .distinct()
             .agg(F.count(F.lit(1)).alias("n"),
                  # decimal(38,0): a long sum of 64-bit hashes overflows
                  # under ANSI mode on the first few million edges
@@ -1254,14 +1271,20 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
         )
         return (row["n"], row["h"])
 
+    # r14: both star transforms compute the per-node min with a WINDOW
+    # over the partitioning key instead of groupBy + self-join — one
+    # shuffle of the edge set per transform instead of two (the join
+    # re-shuffled the full symmetric/oriented set a second time). Same
+    # emitted edge set row for row: the window min over a partition IS
+    # the group min attached to every member row.
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        mins = sym.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("m"))
+        w = Window.partitionBy("src")
+        m = F.least(F.min("dst").over(w), F.col("src"))
         return (
-            sym.join(mins, "src")
+            sym.select("src", "dst", m.alias("m"))
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .distinct()
@@ -1270,14 +1293,24 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
     def _small_star(e: DataFrame) -> DataFrame:
         d = e.select(F.greatest("src", "dst").alias("u"),
                      F.least("src", "dst").alias("v")).distinct()
-        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        w = Window.partitionBy("u")
+        dd = d.select("u", "v", F.min("v").over(w).alias("m"))
+        # per row emit (v, m) [the member edge, dropped when v == m]
+        # and (u, m) [the hub edge, deduped by the final distinct] —
+        # exactly the join+union emission of the r13 form
         return (
-            d.join(mins, "u")
-            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            dd.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("src"),
+                                 F.col("m").alias("dst")),
+                        F.struct(F.col("u").alias("src"),
+                                 F.col("m").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
             .where(F.col("src") != F.col("dst"))
-            .unionByName(
-                mins.select(F.col("u").alias("src"),
-                            F.col("m").alias("dst")))
             .distinct()
         )
 
