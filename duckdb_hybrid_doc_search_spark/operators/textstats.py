@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import SCORE_ROUND
+from ..functions.spread import spread
 from ..functions.text import dd_tokenize, tokenize
 
 # Marker stopwords per language for the n-gram-free language-ID heuristic.
@@ -36,6 +37,7 @@ QLEN_SATURATION = 100.0  # n_tokens at which the length component saturates
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token counting: whitespace-ish tokens, distinct tokens,
     average token length, and a BPE-ish subword estimate (chars/4)."""
+    docs = spread(docs)  # scan-CPU-bound projection (r14: 2.0x measured)
     toks = tokenize(F.col("text"))
     return docs.select(
         "doc_id",
@@ -57,6 +59,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     diversity (distinct/total tokens) * 0.4
     + min(1, n_tokens/100) * 0.3
     + alnum-char ratio * 0.3, plus a stopword ratio column."""
+    docs = spread(docs)  # scan-CPU-bound projection (r14: 2.0x measured)
     # EXACT integer arithmetic end-to-end: with d=|distinct|, n=|tokens|,
     # a=|alnum chars|, L=|chars|, the score is the rational
     #   (400*d*L + 3*min(n,100)*n*L + 300*a*n) / (1000*n*L)
@@ -110,6 +113,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 def language_id(docs: DataFrame) -> DataFrame:
     """Marker-stopword-voting language ID: score per language = fraction of
     tokens in that language's marker list; argmax, alphabetical tiebreak."""
+    docs = spread(docs)  # scan-CPU-bound projection (r14: 3.6x measured)
     toks = tokenize(F.col("text"))
     n = F.size(toks)
     scored = docs.select(
@@ -404,7 +408,11 @@ PII_DIGITS_RE = "[0-9]{6,}"
 def redact_pii(docs: DataFrame) -> DataFrame:
     """PII scrubbing: redact email addresses and long digit runs (the
     minimum-viable pass every released training corpus runs), with
-    per-doc redaction counts. Stateless map — no shuffle at any scale."""
+    per-doc redaction counts. Stateless map — no shuffle at any scale
+    (spread is partition-count-conditional: inert once the source's own
+    splits provide parallelism; r14: 2.8x measured on the one-file
+    test input)."""
+    docs = spread(docs)
     emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE)))
     scrubbed1 = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
     digits = F.size(
@@ -1174,6 +1182,7 @@ def readability_scores(docs: DataFrame) -> DataFrame:
     presentation sort; scan-bound at any corpus size. Docs with zero
     tokens drop out (undefined ratio).
     """
+    docs = spread(docs)  # scan-CPU-bound projection (r14: 1.6x measured)
     toks = tokenize(F.col("text"))
     syl = F.aggregate(
         F.transform(
@@ -1253,27 +1262,14 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 
 
-def gopher_quality(docs: DataFrame) -> DataFrame:
-    """The Gopher corpus-quality rule set as per-doc boolean gates, each
-    an EXACT integer comparison (cross-multiplication instead of ratio
-    floats, so the DuckDB twin hashes identically):
-
-    - word count in [50, 100000];
-    - mean word length in [3, 10]  (3n <= total_chars <= 10n);
-    - symbol-to-word ratio <= 0.1 PER SYMBOL (10 * #'#' <= n AND
-      10 * #'...' <= n — Table A1 applies the 0.1 threshold to the hash
-      symbol and the ellipsis each on its own, not pooled);
-    - <= 90% of lines start with a bullet (the paper REMOVES documents
-      with more than 90% bullet lines — a list-formatted doc is fine),
-      <= 30% end with ellipsis;
-    - >= 80% of words contain an alphabetic char  (5a >= 4n);
-    - >= 2 of the 8 required stopwords present.
-
-    Everything is a column expression over one scan — the standard
-    first-pass web-corpus filter at 100 TB is exactly this shape (no
-    joins, no shuffle until the caller aggregates the keep-set).
-    Output: doc_id, n_words, the six flags, gopher_pass.
-    """
+def _gopher_quality_exprs() -> tuple:
+    """(n_words column, ordered {flag name: column}) — the Gopher
+    quality gates as pure expressions over F.col('text'), shared by
+    gopher_quality and the fused one-scan projection in filter_funnel
+    (r14: the funnel previously joined three frames on doc_id; quality
+    and C4 are both narrow per-doc projections of the same scan, so
+    computing them in ONE select removes a whole join and a text
+    scan)."""
     words = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
     lines = F.filter(F.split(F.col("text"), "\n"),
                      lambda l: F.trim(l) != "")
@@ -1316,6 +1312,32 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         "f_alpha_words": F.lit(5) * alpha_words >= F.lit(4) * n,
         "f_stopwords": n_stop >= 2,
     }
+    return n, flags
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """The Gopher corpus-quality rule set as per-doc boolean gates, each
+    an EXACT integer comparison (cross-multiplication instead of ratio
+    floats, so the DuckDB twin hashes identically):
+
+    - word count in [50, 100000];
+    - mean word length in [3, 10]  (3n <= total_chars <= 10n);
+    - symbol-to-word ratio <= 0.1 PER SYMBOL (10 * #'#' <= n AND
+      10 * #'...' <= n — Table A1 applies the 0.1 threshold to the hash
+      symbol and the ellipsis each on its own, not pooled);
+    - <= 90% of lines start with a bullet (the paper REMOVES documents
+      with more than 90% bullet lines — a list-formatted doc is fine),
+      <= 30% end with ellipsis;
+    - >= 80% of words contain an alphabetic char  (5a >= 4n);
+    - >= 2 of the 8 required stopwords present.
+
+    Everything is a column expression over one scan — the standard
+    first-pass web-corpus filter at 100 TB is exactly this shape (no
+    joins, no shuffle until the caller aggregates the keep-set).
+    Output: doc_id, n_words, the six flags, gopher_pass.
+    """
+    docs = spread(docs)  # scan-CPU-bound projection (r14: 3.0x measured)
+    n, flags = _gopher_quality_exprs()
     gopher_pass = None
     for c in flags.values():
         gopher_pass = c if gopher_pass is None else (gopher_pass & c)
@@ -1392,6 +1414,20 @@ C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
 
 
+def _c4_keep_page_expr():
+    """The C4 page gate as a pure expression over F.col('text') —
+    shared by c4_line_filters and filter_funnel's fused projection
+    (the gate needs only the sentence count and the two substring
+    probes, not the per-line exprs)."""
+    n_sent = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[.!?]", ""))
+    ).cast("long")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    return (n_sent >= C4_MIN_SENTENCES) & ~has_lorem & ~has_brace
+
+
 def c4_line_filters(docs: DataFrame) -> DataFrame:
     """The C4 cleaning rules as per-doc counts + gates (all exact
     integers/booleans): a line is KEPT iff it has >= 5 words and ends in
@@ -1401,6 +1437,7 @@ def c4_line_filters(docs: DataFrame) -> DataFrame:
     boilerplate). Single scan, column expressions only — at 100 TB this
     runs fused with ingest. Output: doc_id, n_lines, n_kept_lines,
     n_sentences, has_lorem, has_brace, keep_page."""
+    docs = spread(docs)  # scan-CPU-bound projection (r14 measured)
     lines = F.filter(F.split(F.col("text"), "\n"),
                      lambda l: F.trim(l) != "")
     kept = F.filter(
@@ -1493,13 +1530,22 @@ def filter_funnel(docs: DataFrame) -> DataFrame:
     corpus once per rule to count survivors).
     Output: stage_idx, stage, n_in, n_removed, n_out (exact integers).
     """
+    # r14: quality and C4 are both narrow per-doc projections over the
+    # same text scan — compute all nine scan-side flags in ONE select
+    # (one text scan instead of two, one join on doc_id instead of two;
+    # only the repetition side carries an aggregate). Flag expressions
+    # are the shared helpers gopher_quality / c4_line_filters use, so
+    # the funnel's gates stay definitionally identical to the
+    # stand-alone queries'.
+    _, qflags = _gopher_quality_exprs()
     flags7 = [c for _, c in FUNNEL_STAGES if c.startswith("f_")]
-    j = (
-        gopher_quality(docs).select("doc_id", *flags7)
-        .join(gopher_repetition(docs).select("doc_id", "rep_pass"),
-              "doc_id")
-        .join(c4_line_filters(docs).select("doc_id", "keep_page"),
-              "doc_id")
+    scan_side = spread(docs).select(
+        "doc_id",
+        *[qflags[name].alias(name) for name in flags7],
+        _c4_keep_page_expr().alias("keep_page"),
+    )
+    j = scan_side.join(
+        gopher_repetition(docs).select("doc_id", "rep_pass"), "doc_id"
     )
     depth = None
     for i, (_, col) in enumerate(FUNNEL_STAGES):
