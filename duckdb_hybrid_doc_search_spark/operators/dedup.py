@@ -2108,65 +2108,69 @@ def _semdedup_with_centroids(emb: DataFrame, cent: DataFrame,
                              threshold: float) -> DataFrame:
     """SemDeDup's cell-bounded plan with a PLUGGABLE centroid table
     (cent_id, cvec) — the seam a real k-means fit slots into without
-    changing the plan shape (assignment crossJoin vs a broadcast
-    centroid table, per-vector argmax window, within-cell pair join).
-    ``semdedup`` passes the deterministic sqrt(N) id-stride;
-    ``semdedup_kmeans_cells`` passes Lloyd-trained centroids."""
-    from pyspark.sql import Window
+    changing the plan shape. ``semdedup`` passes the deterministic
+    sqrt(N) id-stride; ``semdedup_kmeans_cells`` passes Lloyd-trained
+    centroids.
 
-    sims = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(cosine_similarity(F.col("embedding"), F.col("cvec")),
-                SCORE_ROUND).alias("csim"),
+    r14 shape: assignment is the shared Arrow-GEMM pass
+    (knn.assign_to_centroids with csim + vector passthrough — the one
+    source of the assignment rule), and the whole within-cell stage —
+    pair similarities, the keep-the-diverse rule, the per-cell counts —
+    is ONE applyInPandas over groupBy(cell) emitting the final per-cell
+    row. The old plan paid a crossJoin+row_number window (N x k rows
+    exchanged and sorted), a localCheckpoint, a within-cell pair join
+    with interpreted HOF cosine per pair, a distinct and a re-join +
+    groupBy: five exchanges and the checkpoint. Now ONE exchange (the
+    cell shuffle) after a map-only GEMM; within a cell the pair pass is
+    a blocked GEMM (row-blocks bound the sim matrix at production cell
+    sizes ~sqrt(N)). Same rounding (SCORE_ROUND before compare), same
+    keep rule, verified value-identical to the old plan at
+    sf0.001/0.01/0.1 and against the unchanged DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from .knn import assign_to_centroids
+
+    assign = assign_to_centroids(
+        emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec")),
+        cent, with_sim=True, keep_vec=True,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"),
-                                             F.asc("cent_id"))
-    assigned = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"),
-                "csim")
-        # three consumers (both pair-join sides + the summary) — cut the
-        # crossJoin+window subtree once instead of recomputing it per
-        # branch (14% at sf0.1; same move as dedup_components). At
-        # 100 TB this trades one materialized (id, vec, cell, csim)
-        # pass for two recomputed assignment scans.
-        .localCheckpoint(eager=False)
+
+    def cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["c_id"].to_numpy()
+        csim = pdf["csim"].to_numpy()
+        X = np.stack(pdf["c_vec"].to_numpy()).astype("float64")
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        bs = 2048  # bounds the sim block at bs x cell_size doubles
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            sims = np.round(Xn[s:e] @ Xn.T, SCORE_ROUND)
+            near = sims >= threshold
+            near[np.arange(e - s), np.arange(s, e)] = False  # self
+            beats = (csim[None, :] < csim[s:e, None]) | (
+                (csim[None, :] == csim[s:e, None])
+                & (ids[None, :] < ids[s:e, None])
+            )
+            dropped[s:e] = (near & beats).any(axis=1)
+        return pd.DataFrame({
+            "cell": [int(pdf["cell"].iloc[0])],
+            "n_vecs": [n],
+            "n_dropped": [int(dropped.sum())],
+        })
+
+    stats = assign.groupBy("cell").applyInPandas(
+        cell_stats, "cell long, n_vecs long, n_dropped long"
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pair_sim = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")),
-        SCORE_ROUND,
-    )
-    beats = (F.col("b.csim") < F.col("a.csim")) | (
-        (F.col("b.csim") == F.col("a.csim"))
-        & (F.col("b.vec_id") < F.col("a.vec_id"))
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .where((pair_sim >= threshold) & beats)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(dropped.withColumn("is_drop", F.lit(1)),
-                      "vec_id", "left")
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.count("is_drop").alias("n_dropped"),
-            F.round(F.count("is_drop") / F.count(F.lit(1)), 6)
-            .alias("drop_ratio"),
-        )
-        .orderBy("cell")
-    )
+    return stats.select(
+        "cell",
+        "n_vecs",
+        "n_dropped",
+        F.round(F.col("n_dropped") / F.col("n_vecs"), 6)
+        .alias("drop_ratio"),
+    ).orderBy("cell")
 
 
 def semdedup_kmeans_cells(emb: DataFrame,

@@ -126,7 +126,8 @@ def dd_centroid_pred(id_col: str, table: str = "embeddings") -> str:
 
 
 def assign_to_centroids(vecs: DataFrame, cent: DataFrame,
-                        p: int = 1) -> DataFrame:
+                        p: int = 1, with_sim: bool = False,
+                        keep_vec: bool = False) -> DataFrame:
     """(c_id, cell): nearest-centroid assignment by cosine, tie -> lower
     centroid id. `vecs` has (c_id, c_vec); `cent` has (cent_id, cvec) and
     is broadcast. The SINGLE source of the assignment rule — build-time
@@ -152,7 +153,12 @@ def assign_to_centroids(vecs: DataFrame, cent: DataFrame,
     bit that matters: csim rounded at SCORE_ROUND, argmax ties to the
     LOWER cent_id (centroids are cid-sorted; first-max / stable
     argsort), pinned value-identical to the window form at sf0.001/
-    0.01/0.1 and re-verified against every downstream oracle."""
+    0.01/0.1 and re-verified against every downstream oracle.
+
+    ``with_sim`` adds the kept cell's rounded cosine as ``csim`` and
+    ``keep_vec`` passes the vector through — the SemDeDup keep rule
+    needs both, and emitting them here keeps the assignment rule in
+    this one function instead of a second crossJoin+window plan."""
     import numpy as np
     import pandas as pd
 
@@ -176,20 +182,33 @@ def assign_to_centroids(vecs: DataFrame, cent: DataFrame,
             )
             if take == 1:
                 best = sims.argmax(axis=1)  # first max = lowest cent_id
-                yield pd.DataFrame({
+                out = {
                     "c_id": pdf["c_id"].to_numpy(),
                     "cell": cids[best],
-                })
+                }
+                if with_sim:
+                    out["csim"] = sims[np.arange(len(best)), best]
             else:
                 idx = np.argsort(-sims, axis=1, kind="stable")[:, :take]
-                yield pd.DataFrame({
+                out = {
                     "c_id": np.repeat(pdf["c_id"].to_numpy(), take),
                     "cell": cids[idx].ravel(),
-                })
+                }
+                if with_sim:
+                    out["csim"] = np.take_along_axis(sims, idx, 1).ravel()
+            if keep_vec:
+                reps = 1 if take == 1 else take
+                vec = pdf["c_vec"]
+                out["c_vec"] = (vec if reps == 1
+                                else vec.repeat(reps).reset_index(drop=True))
+            yield pd.DataFrame(out)
 
-    return vecs.select("c_id", "c_vec").mapInPandas(
-        fn, "c_id long, cell long"
-    )
+    schema = "c_id long, cell long"
+    if with_sim:
+        schema += ", csim double"
+    if keep_vec:
+        schema += ", c_vec array<double>"
+    return vecs.select("c_id", "c_vec").mapInPandas(fn, schema)
 
 
 def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
