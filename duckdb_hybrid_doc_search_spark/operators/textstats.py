@@ -1641,93 +1641,76 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     DUPLICATED n-grams (n=5,10, every occurrence counted), each gated
     against the paper's threshold by integer cross-multiplication.
 
-    Scale shape: ONE posexplode of the word array, one per-doc window
-    pass materializing the next max(n)-1 words via lead() (partitioned
-    by doc — never global), then every rule size's gram is a codegen'd
-    concat_ws over those columns and all sizes explode together into a
-    single (doc_id, n, gram) aggregate. Two doc-keyed shuffles total,
-    zero interpreted higher-order functions in the hot path — the first
-    cut built grams with nested slice+array_join inside transform()
-    (interpreted per element) and measured 9.5x slower at sf0.1 (19.4s
-    -> 2.05s). Gram mass = occurrences * gram character length; the
-    denominator is the raw text length. The "top" gram is the MOST
-    FREQUENT n-gram (max count, per the paper's "fraction of characters
-    in the most common n-gram"), tie-broken deterministically by longer
-    gram — NOT the gram with maximal character mass, which would let a
-    long twice-occurring gram outweigh a short frequent one. Output:
-    doc_id, total_chars, top2/top3/top4_chars, dup5/dup10_chars, the
-    five flags, rep_pass.
+    Scale shape (r14): MAP-ONLY. n-grams never leave their document, so
+    the whole statistic is a per-doc local computation — one Arrow
+    mapInPandas pass counts each size's grams with a hash map per doc
+    and emits the five character masses directly. The r9 shape
+    (posexplode + per-doc lead() window + a (doc_id, n, gram) aggregate
+    + a per-doc aggregate + join back) paid two doc-keyed shuffles and
+    a window sort of ~6 rows PER WORD — at 100 TB that is shuffling the
+    corpus several times over for counts that are per-doc local. Now
+    zero shuffles (spread's scan repartition locally only). Python-side
+    cost is bounded by doc length, grams are counted as word TUPLES
+    (join is injective — words contain no whitespace — so tuple counts
+    equal string counts) and only distinct grams pay the join for their
+    character length. Semantics unchanged and oracle-pinned: same
+    Java-\\s+ split (literally [ \\t\\n\\x0B\\f\\r]+), same most-frequent
+    tie-break (max count, then LONGER gram — not max mass), same
+    every-occurrence dup mass, null text -> null total_chars and null
+    flags exactly as the old left join produced. Flags stay codegen
+    integer cross-multiplication. Output: doc_id, total_chars,
+    top2/top3/top4_chars, dup5/dup10_chars, the five flags, rep_pass.
     """
-    from pyspark.sql import Window
+    import pandas as pd
 
-    words = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
-    sizes = sorted({n for n, _, _, _ in GOPHER_REP_RULES})
-    max_n = max(sizes)
+    top_ns = [n for n, kind, _, _ in GOPHER_REP_RULES if kind == "top"]
+    dup_ns = [n for n, kind, _, _ in GOPHER_REP_RULES if kind == "dup"]
+    mass_cols = [f"{kind}{n}_chars" for n, kind, _, _ in GOPHER_REP_RULES]
 
-    w = docs.select("doc_id", F.posexplode(words).alias("pos", "w0"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("w0")] + [
-        F.lead("w0", j).over(win).alias(f"w{j}") for j in range(1, max_n)
-    ]
-    w2 = w.select("doc_id", *leads)
-    # a gram of size n exists at this position iff the (n-1)-th lead is
-    # non-null (the window ran off the document's end otherwise)
-    gram_structs = [
-        F.when(
-            F.col(f"w{n - 1}").isNotNull(),
-            F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(
-                    " ", *[F.col(f"w{j}") for j in range(n)]
-                ).alias("gram"),
-            ),
-        )
-        for n in sizes
-    ]
-    grams = w2.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.array(*gram_structs), lambda x: x.isNotNull())
-        ).alias("g"),
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    counted = grams.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.length(F.first("gram")).cast("long").alias("glen"),
-    )
-    mass = F.col("cnt") * F.col("glen")
-    # most-frequent gram via max over cnt*2^32 + glen PACKED INTO ONE
-    # LONG: same order as the lexicographic struct(cnt, glen) max (max
-    # count, tie-break longer gram — the gram string itself is moot)
-    # but a primitive long max instead of per-row struct allocation +
-    # field-by-field comparison, which priced the r8 semantic fix at
-    # +46% (r8 VERDICT what's-wrong #1; the packed form bought the time
-    # back, see PERF_NOTES r9). Packing is exact: cnt and glen are each
-    # bounded by the doc's character count, an int (Spark length()), so
-    # both < 2^31 and the key < 2^63.
-    pack = F.col("cnt") * F.lit(1 << 32) + F.col("glen")
-    per_doc = counted.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("n") == n, pack)).alias(f"top{n}_key")
-            for n, kind, _, _ in GOPHER_REP_RULES if kind == "top"
-        ],
-        *[
-            F.sum(
-                F.when((F.col("n") == n) & (F.col("cnt") >= 2), mass)
-            ).alias(f"dup{n}_raw")
-            for n, kind, _, _ in GOPHER_REP_RULES if kind == "dup"
-        ],
-    )
-    base = docs.select(
-        "doc_id", F.length("text").cast("long").alias("total_chars")
-    ).join(per_doc, "doc_id", "left")
+    def doc_stats(batches):
+        import re
+        from collections import Counter
+
+        # Java regex \s — NOT Python \s, which also matches unicode
+        # whitespace and would drift the word split from the SQL form.
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            out = {c: [] for c in
+                   ["doc_id", "total_chars"] + mass_cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(doc_id)
+                if text is None:
+                    out["total_chars"].append(None)
+                    for c in mass_cols:
+                        out[c].append(0)
+                    continue
+                out["total_chars"].append(len(text))
+                w = [t for t in ws.split(text) if t]
+                for n in top_ns:
+                    cnts = Counter(zip(*(w[i:] for i in range(n))))
+                    best = 0
+                    for g, c in cnts.items():
+                        k = (c << 32) + (n - 1) + sum(map(len, g))
+                        if k > best:
+                            best = k
+                    out[f"top{n}_chars"].append(
+                        (best >> 32) * (best & 0xFFFFFFFF))
+                for n in dup_ns:
+                    cnts = Counter(zip(*(w[i:] for i in range(n))))
+                    out[f"dup{n}_chars"].append(sum(
+                        c * ((n - 1) + sum(map(len, g)))
+                        for g, c in cnts.items() if c >= 2))
+            res = pd.DataFrame(out)
+            res["total_chars"] = res["total_chars"].astype("Int64")
+            yield res
+
+    schema = "doc_id long, total_chars long, " + ", ".join(
+        f"{c} long" for c in mass_cols)
+    base = spread(docs.select("doc_id", "text")).mapInPandas(
+        doc_stats, schema)
     cols = {}
     for n, kind, _, _ in GOPHER_REP_RULES:
-        if kind == "top":
-            key = F.col(f"top{n}_key")
-            raw = F.shiftright(key, 32) * (key % F.lit(1 << 32))
-        else:
-            raw = F.col(f"dup{n}_raw")
-        cols[f"{kind}{n}_chars"] = F.coalesce(raw, F.lit(0).cast("long"))
+        cols[f"{kind}{n}_chars"] = F.col(f"{kind}{n}_chars")
     flags = {
         f"f_{kind}{n}": F.lit(lm) * cols[f"{kind}{n}_chars"]
         <= F.lit(rm) * F.col("total_chars")
