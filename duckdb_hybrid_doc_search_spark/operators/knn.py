@@ -538,31 +538,78 @@ def knn_classify_accuracy(emb: DataFrame, k: int, n_queries: int,
     Scale shape: the evaluation query set is the bounded broadcast side;
     the corpus streams once; per-query state after the scan is k rows.
 
+    r14: the N x Q pair materialization (crossJoin + interpreted HOF
+    cosine per pair + a row_number window over ALL pairs) is replaced by
+    one Arrow-GEMM pass with the bounded query set collected to the
+    driver (same rows the broadcast shipped): each scan batch computes
+    its sims block, rounds at SCORE_ROUND (np.round, the pinned
+    assign_to_centroids convention) and emits only its LOCAL top-k per
+    query by the exact global ordering (rounded sim desc, c_id asc) —
+    a superset of the global top-k, so the downstream window over
+    Q x k x n_batches candidate rows selects identical neighbors. The
+    vote and accuracy stages are unchanged.
+
     Output per true label: n, n_correct, accuracy.
     """
-    queries = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col(label_col).alias("q_label"),
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                F.col(label_col).alias("q_label"))
+        .collect(),
+        key=lambda r: r["q_id"],
     )
-    pairs = (
-        emb.select(
-            F.col(id_col).alias("c_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.col(label_col).alias("c_label"),
-        )
-        .crossJoin(F.broadcast(queries))
-        .where(F.col("c_id") != F.col("q_id"))
-        .select(
-            "q_id", "q_label", "c_id", "c_label",
-            F.round(V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
-                    SCORE_ROUND).alias("cos_sim"),
-        )
-    )
+    cand_schema = "q_id long, q_label int, c_id long, c_label int, " \
+                  "cos_sim double"
+    if not qrows:
+        nn = emb.sparkSession.createDataFrame([], cand_schema)
+    else:
+        Qm = np.array([[float(x) for x in r["q_vec"]] for r in qrows],
+                      dtype=np.float64)
+        q_ids = np.array([int(r["q_id"]) for r in qrows], dtype=np.int64)
+        q_labels = np.array([int(r["q_label"]) for r in qrows],
+                            dtype=np.int32)
+        qnorm = np.sqrt((Qm * Qm).sum(axis=1))
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                c_ids = pdf[id_col].to_numpy()
+                c_labels = pdf[label_col].to_numpy()
+                sims = np.round(
+                    (X @ Qm.T)
+                    / (np.sqrt((X * X).sum(axis=1))[:, None]
+                       * qnorm[None, :]),
+                    SCORE_ROUND,
+                )
+                qi, ci = [], []
+                for j in range(len(q_ids)):
+                    keep = np.flatnonzero(c_ids != q_ids[j])
+                    order = np.lexsort(
+                        (c_ids[keep], -sims[keep, j]))[:k]
+                    sel = keep[order]
+                    qi.append(np.full(len(sel), j, dtype=np.int64))
+                    ci.append(sel)
+                qi = np.concatenate(qi)
+                ci = np.concatenate(ci)
+                yield pd.DataFrame({
+                    "q_id": q_ids[qi],
+                    "q_label": q_labels[qi],
+                    "c_id": c_ids[ci],
+                    "c_label": c_labels[ci],
+                    "cos_sim": sims[ci, qi],
+                })
+
+        nn = emb.select(id_col, vec_col, label_col).mapInPandas(
+            fn, cand_schema)
     w_nn = Window.partitionBy("q_id").orderBy(
         F.desc("cos_sim"), F.asc("c_id")
     )
-    nn = pairs.withColumn("rnk", F.row_number().over(w_nn)).where(
+    nn = nn.withColumn("rnk", F.row_number().over(w_nn)).where(
         F.col("rnk") <= k
     )
     votes = nn.groupBy("q_id", "q_label", "c_label").agg(
