@@ -140,7 +140,7 @@ def ivfpq_layout_topk(spark: SparkSession, out_dir: str, emb: DataFrame,
     )
     lut = q_long.join(F.broadcast(cb), "m").select(
         "q_id", "m", "code",
-        F.round(V.l2sq(F.col("sub"), F.col("cw"), dim // m),
+        F.round(V.l2sq(F.col("sub"), F.col("cw")),
                 SCORE_ROUND).alias("d"),
     )
     scored = (
@@ -175,7 +175,7 @@ def pq_layout_topk(spark: SparkSession, out_dir: str, emb: DataFrame,
     )
     lut = q_long.join(F.broadcast(cb), "m").select(
         "q_id", "m", "code",
-        F.round(V.l2sq(F.col("sub"), F.col("cw"), dim // m),
+        F.round(V.l2sq(F.col("sub"), F.col("cw")),
                 SCORE_ROUND).alias("d"),
     )
     scored = (

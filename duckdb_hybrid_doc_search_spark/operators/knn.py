@@ -927,7 +927,7 @@ def pq_encode_with(df: DataFrame, cb: DataFrame, id_col: str = "vec_id",
         df.select(F.col(id_col).alias("vid"), vec_col), "vid",
         vec_col, dim, m,
     )
-    d = F.round(V.l2sq(F.col("sub"), F.col("cw"), dim // m), SCORE_ROUND)
+    d = F.round(V.l2sq(F.col("sub"), F.col("cw")), SCORE_ROUND)
     return (
         corp.join(F.broadcast(cb), "m")
         .select("vid", "m", d.alias("d"), "code")
@@ -973,7 +973,7 @@ def pq_topk(emb: DataFrame, k: int, n_queries: int = 10,
         q_long.join(F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m)),
                     "m")
         .select("q_id", "m", "code",
-                F.round(V.l2sq(F.col("sub"), F.col("cw"), dim // m),
+                F.round(V.l2sq(F.col("sub"), F.col("cw")),
                         SCORE_ROUND).alias("d"))
     )
     scored = (
@@ -1172,7 +1172,7 @@ def ivfpq_topk(emb: DataFrame, k: int, n_queries: int = 10,
         q_long.join(F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m)),
                     "m")
         .select("q_id", "m", "code",
-                F.round(V.l2sq(F.col("sub"), F.col("cw"), dim // m),
+                F.round(V.l2sq(F.col("sub"), F.col("cw")),
                         SCORE_ROUND).alias("d"))
     )
     cand = probes.join(assign, "cell").select("q_id", "c_id")
@@ -1362,7 +1362,7 @@ def ivfpq_residual_topk(emb: DataFrame, k: int, n_queries: int = 10,
         .select(F.col("vid").alias("code"), "rvec"),
         "code", "rvec", dim, m,
     ).select("m", "code", F.col("sub").alias("cw"))
-    d_enc = F.round(V.l2sq(F.col("sub"), F.col("cw"), dim // m), SCORE_ROUND)
+    d_enc = F.round(V.l2sq(F.col("sub"), F.col("cw")), SCORE_ROUND)
     codes = (
         _pq_long(resid, "vid", "rvec", dim, m, extra=("cell",))
         .join(F.broadcast(rcb), "m")
@@ -1390,7 +1390,7 @@ def ivfpq_residual_topk(emb: DataFrame, k: int, n_queries: int = 10,
         _pq_long(probes, "q_id", "q_rvec", dim, m, extra=("cell",))
         .join(F.broadcast(rcb), "m")
         .select("q_id", "cell", "m", "code",
-                F.round(V.l2sq(F.col("sub"), F.col("cw"), dim // m),
+                F.round(V.l2sq(F.col("sub"), F.col("cw")),
                         SCORE_ROUND).alias("d"))
     )
     scored = (
