@@ -46,16 +46,66 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int,
              c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
     """Brute-force top-k neighbors per query row (higher similarity first).
 
-    The queries side is broadcast — at scale it is the bounded side (a batch
-    of probe vectors); the corpus streams. Output: q_id, c_id, cos_sim, rank.
+    The queries side is bounded by contract — at scale it is a batch of
+    probe vectors (the pre-r14 form broadcast it); the corpus streams.
+    Output: q_id, c_id, cos_sim, rank.
+
+    r14: the N x Q pair materialization (crossJoin + interpreted HOF
+    cosine per pair + a row_number window over ALL pairs) is replaced by
+    one Arrow-GEMM pass with the bounded query set collected to the
+    driver (the same rows the broadcast shipped): each scan batch
+    computes its sims block, rounds at SCORE_ROUND (np.round — the
+    pinned assign_to_centroids / knn_classify convention, verified
+    value-identical to the rounded HOF fold across every oracle) and
+    emits only its LOCAL top-k per query by the exact global ordering
+    (rounded sim desc, c_id asc) — a superset of the global top-k, so
+    the unchanged final window selects identical rows. The window now
+    sorts Q x k x n_batches candidate rows instead of N x Q.
     """
-    pairs = corpus.crossJoin(F.broadcast(queries)).select(
-        F.col(q_id),
-        F.col(c_id),
-        F.round(
-            V.cosine_similarity(F.col(q_vec), F.col(c_vec)), SCORE_ROUND
-        ).alias("cos_sim"),
-    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(q_id, queries.schema[q_id].dataType),
+        T.StructField(c_id, corpus.schema[c_id].dataType),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    qrows = sorted(queries.select(q_id, q_vec).collect(), key=lambda r: r[0])
+    if not qrows:
+        pairs = corpus.sparkSession.createDataFrame([], out_schema)
+    else:
+        Qm = np.array([[float(x) for x in r[1]] for r in qrows],
+                      dtype=np.float64)
+        q_ids = np.array([r[0] for r in qrows])
+        qnorm = np.sqrt((Qm * Qm).sum(axis=1))
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[c_vec].tolist(), dtype=np.float64)
+                c_ids = pdf[c_id].to_numpy()
+                sims = np.round(
+                    (X @ Qm.T)
+                    / (np.sqrt((X * X).sum(axis=1))[:, None]
+                       * qnorm[None, :]),
+                    SCORE_ROUND,
+                )
+                qi, ci = [], []
+                for j in range(len(q_ids)):
+                    order = np.lexsort((c_ids, -sims[:, j]))[:k]
+                    qi.append(np.full(len(order), j, dtype=np.int64))
+                    ci.append(order)
+                qi = np.concatenate(qi)
+                ci = np.concatenate(ci)
+                yield pd.DataFrame({
+                    q_id: q_ids[qi],
+                    c_id: c_ids[ci],
+                    "cos_sim": sims[ci, qi],
+                })
+
+        pairs = corpus.select(c_id, c_vec).mapInPandas(fn, out_schema)
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
