@@ -463,12 +463,19 @@ def dsir_importance_weights(docs: DataFrame,
     Laplace smoothing. Downstream pipelines resample by these weights —
     here the weights themselves are the recorded output.
 
-    Scale shape: one token/bigram explode (the same pass the FTS build
-    runs), one groupBy on the bucket id (key space bounded at ``b``
-    buckets — the whole log-ratio model is a b-row broadcast table), then
-    a map-side broadcast join + per-doc sum. No all-pairs, no driver
-    state; at 100 TB the model fit is a b-cardinality combiner-friendly
-    aggregate.
+    Scale shape (r14): TWO token/bigram explode passes instead of four —
+    the model is ONE b-key aggregate carrying both counters (cq and the
+    target-slice cp as a conditional sum; the pre-r14 form ran the
+    explode subtree separately for the raw model, the target model and
+    the totals), and the totals row derives from the b-row model table
+    instead of another corpus pass. Every aggregate over the exploded
+    features keys on the b-bounded bucket id or (doc_id, bkt), so
+    map-side partial aggregation collapses the shuffle regardless of
+    corpus size (measured: chaining the model off the per-doc counts
+    instead re-materializes the doc x bkt exchange and LOSES — the
+    explode recompute is the cheaper side). Counts are integers, so
+    cp/cq/tp/tq — and therefore every log-ratio — are value-identical
+    to the multi-pass form. No all-pairs, no driver state.
 
     Output per doc: doc_id, lang, n_feats, log_importance (round 6).
     """
@@ -491,25 +498,19 @@ def dsir_importance_weights(docs: DataFrame,
     bkt = feats.select(
         "doc_id", "lang", (h64(F.col("g")) % b).alias("bkt")
     )
-    rawc = bkt.groupBy("bkt").agg(F.count(F.lit(1)).alias("cq"))
-    tgtc = (
-        bkt.where(F.col("lang") == target_lang)
-        .groupBy("bkt").agg(F.count(F.lit(1)).alias("cp"))
-    )
-    tot = bkt.agg(
-        F.count(F.lit(1)).alias("tq"),
+    model = bkt.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cq"),
         F.sum(
             F.when(F.col("lang") == target_lang, 1).otherwise(0)
-        ).alias("tp"),
+        ).alias("cp"),
     )
+    tot = model.agg(F.sum("cq").alias("tq"), F.sum("cp").alias("tp"))
     lr = (
-        rawc.join(tgtc, "bkt", "left")
-        .crossJoin(F.broadcast(tot))
+        model.crossJoin(F.broadcast(tot))
         .select(
             "bkt",
             F.round(
-                F.log((F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0))
-                      / (F.col("tp") + F.lit(b)))
+                F.log((F.col("cp") + F.lit(1.0)) / (F.col("tp") + F.lit(b)))
                 - F.log((F.col("cq") + F.lit(1.0))
                         / (F.col("tq") + F.lit(b))),
                 SCORE_ROUND,
