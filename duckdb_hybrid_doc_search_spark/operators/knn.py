@@ -968,24 +968,62 @@ def pq_encode_with(df: DataFrame, cb: DataFrame, id_col: str = "vec_id",
     at build time and read back from the layout's side table rather than
     rederived from the (now larger) corpus. Same math as pq_encode.
 
-    Scale shape: the K x M codebook is broadcast, so encode is one map-
-    side pass over the corpus; the argmin collapses map-side via partial
-    aggregation (min over a (d, code) struct = lexicographic argmin), so
-    shuffle volume is the ENCODED size (M short rows per vector), i.e.
-    the ~dim*4/M-fold compression is realized before the exchange."""
-    corp = _pq_long(
-        df.select(F.col(id_col).alias("vid"), vec_col), "vid",
-        vec_col, dim, m,
-    )
-    d = F.round(V.l2sq(F.col("sub"), F.col("cw")), SCORE_ROUND)
-    return (
-        corp.join(F.broadcast(cb), "m")
-        .select("vid", "m", d.alias("d"), "code")
-        .groupBy("vid", "m")
-        .agg(F.min(F.struct("d", "code")).alias("mn"))
-        .select(F.col("vid").alias("vec_id"), "m",
-                F.col("mn.code").alias("code"))
-    )
+    Scale shape (r14): one Arrow-GEMM map pass over the corpus with the
+    bounded K x M codebook collected to the driver (the same rows the
+    old broadcast shipped) — the N x M x K row materialization of the
+    join + the (vid, m) argmin aggregate's exchange are gone; output IS
+    the encoded size (M short rows per vector), map-only. Same rule to
+    the bit that matters: per-subspace squared-L2 via the same
+    dot-identity, rounded at SCORE_ROUND (np.round — the pinned GEMM
+    convention), argmin ties to the LOWER code (codewords scanned in
+    ascending code order; first-min argmin), pinned value-identical to
+    the join+struct-min form by tests/test_pq.py and every downstream
+    oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sub = dim // m
+    crows = sorted(cb.select("m", "code", "cw").collect(),
+                   key=lambda r: (r["m"], r["code"]))
+    Cm = [np.array([list(map(float, r["cw"])) for r in crows
+                    if r["m"] == mi], dtype=np.float64)
+          for mi in range(m)]
+    codes_m = [np.array([r["code"] for r in crows if r["m"] == mi])
+               for mi in range(m)]
+    css = [(C * C).sum(axis=1) if len(C) else None for C in Cm]
+    out_schema = T.StructType([
+        T.StructField("vec_id", df.schema[id_col].dataType),
+        T.StructField("m", T.IntegerType()),
+        T.StructField("code", cb.schema["code"].dataType),
+    ])
+    if any(len(C) == 0 for C in Cm):
+        # empty codebook subspace: the old inner join emitted nothing
+        return df.sparkSession.createDataFrame([], out_schema)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vids = pdf[id_col].to_numpy()
+            frames = []
+            for mi in range(m):
+                S = X[:, mi * sub:(mi + 1) * sub]
+                d2 = np.round(
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ Cm[mi].T) + css[mi][None, :],
+                    SCORE_ROUND,
+                )
+                best = d2.argmin(axis=1)  # first min = lowest code
+                frames.append(pd.DataFrame({
+                    "vec_id": vids,
+                    "m": np.full(len(vids), mi, dtype=np.int32),
+                    "code": codes_m[mi][best],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(F.col(id_col), vec_col).mapInPandas(fn, out_schema)
 
 
 def pq_encode(emb: DataFrame, id_col: str = "vec_id",
