@@ -1050,28 +1050,91 @@ def pq_topk(emb: DataFrame, k: int, n_queries: int = 10,
 
     Output: q_id, c_id, adc_dist (ascending = nearer), rank — approximate
     by construction; pq_recall records the quality.
+
+    r14: encode and ADC scoring fuse into ONE Arrow-GEMM scan — the
+    query LUT is built on the driver from the bounded codebook and the
+    bounded query batch (the rows the old plan broadcast), each scan
+    batch encodes its vectors, sums its M LUT lookups (per-subspace d
+    rounded at SCORE_ROUND, then the sum re-rounded — the exact oracle
+    formula) and emits only its LOCAL top-k per query by the global
+    ordering (adc asc, c_id asc), a superset of the global top-k; the
+    unchanged final window ranks Q x k x n_batches candidates. The
+    codes-join-LUT exchange, the (q, c) sum aggregate and the full
+    N x Q window are gone; the corpus streams once, map-only.
     """
-    codes = pq_encode(emb, id_col, vec_col, dim, m)
-    q_long = _pq_long(
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sub = dim // m
+    crows = sorted(
+        pq_codebook(emb, id_col, vec_col, dim, m).collect(),
+        key=lambda r: (r["m"], r["code"]),
+    )
+    Cm = [np.array([list(map(float, r["cw"])) for r in crows
+                    if r["m"] == mi], dtype=np.float64)
+          for mi in range(m)]
+    css = [(C * C).sum(axis=1) if len(C) else None for C in Cm]
+    qrows = sorted(
         emb.where(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("q_id"), vec_col),
-        "q_id", vec_col, dim, m,
+        .select(F.col(id_col).alias("q_id"), vec_col).collect(),
+        key=lambda r: r["q_id"],
     )
-    lut = (
-        q_long.join(F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m)),
-                    "m")
-        .select("q_id", "m", "code",
-                F.round(V.l2sq(F.col("sub"), F.col("cw")),
-                        SCORE_ROUND).alias("d"))
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .groupBy("q_id", F.col("vec_id").alias("c_id"))
-        .agg(F.round(F.sum("d"), SCORE_ROUND).alias("adc_dist"))
-    )
+    out_schema = T.StructType([
+        T.StructField("q_id", emb.schema[id_col].dataType),
+        T.StructField("c_id", emb.schema[id_col].dataType),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+    if not qrows or any(len(C) == 0 for C in Cm):
+        pairs = emb.sparkSession.createDataFrame([], out_schema)
+    else:
+        Qm = np.array([[float(x) for x in r[1]] for r in qrows],
+                      dtype=np.float64)
+        q_ids = np.array([r[0] for r in qrows])
+        # (m, K, Q) LUT: round(l2sq(q_sub, cw)) — the oracle's per-
+        # subspace distance table, built once on the driver
+        lut = []
+        for mi in range(m):
+            QS = Qm[:, mi * sub:(mi + 1) * sub]
+            lut.append(np.round(
+                css[mi][:, None] - 2.0 * (Cm[mi] @ QS.T)
+                + (QS * QS).sum(axis=1)[None, :],
+                SCORE_ROUND,
+            ))
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                c_ids = pdf[id_col].to_numpy()
+                adc = np.zeros((len(c_ids), len(q_ids)))
+                for mi in range(m):
+                    S = X[:, mi * sub:(mi + 1) * sub]
+                    d2 = np.round(
+                        (S * S).sum(axis=1)[:, None]
+                        - 2.0 * (S @ Cm[mi].T) + css[mi][None, :],
+                        SCORE_ROUND,
+                    )
+                    adc += lut[mi][d2.argmin(axis=1), :]
+                adc = np.round(adc, SCORE_ROUND)
+                qi, ci = [], []
+                for j in range(len(q_ids)):
+                    order = np.lexsort((c_ids, adc[:, j]))[:k]
+                    qi.append(np.full(len(order), j, dtype=np.int64))
+                    ci.append(order)
+                qi = np.concatenate(qi)
+                ci = np.concatenate(ci)
+                yield pd.DataFrame({
+                    "q_id": q_ids[qi],
+                    "c_id": c_ids[ci],
+                    "adc_dist": adc[ci, qi],
+                })
+
+        pairs = emb.select(id_col, vec_col).mapInPandas(fn, out_schema)
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
