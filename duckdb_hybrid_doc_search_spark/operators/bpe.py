@@ -683,13 +683,21 @@ def bpe_fts_index(docs: DataFrame, merge_rows: list,
     dl=0 docstats row so n_docs matches the word analyzer's."""
     dwc = _doc_word_counts(docs, id_col, text_col)
     vocab = bpe_segment_vocab(dwc.select("word").distinct(), merge_rows)
+    enc = dwc.join(vocab, "word")
     postings = (
-        dwc.join(vocab, "word")
+        enc
         .select(id_col, F.explode("subwords").alias("term"), "wcnt")
         .groupBy("term", id_col)
         .agg(F.sum("wcnt").alias("tf"))
     )
-    dsum = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # dl per doc = sum(tf) over the doc's postings = sum over words of
+    # wcnt * len(subwords) — the bpe_doc_token_counts identity. Deriving
+    # it from `enc` (r14) keeps the docstats branch explode-free: the
+    # full-vocabulary subword explode + (term, doc) + (doc) double
+    # aggregation ran per execution ONLY to recompute this sum, while
+    # every other postings consumer prunes to the query terms.
+    dsum = enc.groupBy(id_col).agg(
+        F.sum(F.col("wcnt") * F.size("subwords")).alias("dl"))
     docstats = (
         docs.select(id_col)
         .join(dsum, id_col, "left")
