@@ -1022,13 +1022,36 @@ def embeddings_pca_power(embeddings: DataFrame) -> DataFrame:
             [], "iteration int, eigenvalue double, cos_prev double"
         )
     dim = int(first["d"])
-    mu = embeddings.agg(
-        *[
-            F.avg(F.col("embedding").getItem(j)).alias(f"m{j}")
-            for j in range(dim)
-        ]
-    ).first()
-    mu_v = [float(mu[f"m{j}"]) for j in range(dim)]
+    # r14: the mean via the same Arrow partial-sum pass the iteration
+    # uses (D rows per partition, merged driver-side) instead of a
+    # D-column codegen avg aggregate — at a production D=1024 the
+    # expression form compiles 1024 aggregate expressions into one
+    # stage (the whiten_stats codegen-width hazard). Output pinned
+    # equal to the expression form at sf0.001/0.01/0.1.
+    import numpy as np
+    import pandas as pd
+
+    def mu_partials(batches):
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            s += X.sum(axis=0)
+            n += len(X)
+        yield pd.DataFrame({
+            "pos": np.arange(dim, dtype=np.int32), "s": s,
+            "n": np.full(dim, n, dtype=np.int64),
+        })
+
+    mu_rows = embeddings.select("embedding").mapInPandas(
+        mu_partials, "pos int, s double, n long").collect()
+    mu_n = sum(r["n"] for r in mu_rows if r["pos"] == 0)
+    mu_sums = [0.0] * dim
+    for r in mu_rows:
+        mu_sums[r["pos"]] += r["s"]
+    mu_v = [s / mu_n for s in mu_sums]
 
     centered = embeddings.select(
         F.array(
