@@ -496,41 +496,92 @@ def matryoshka_recall(emb: DataFrame, k: int, n_queries: int,
     variants are scored per pair.
 
     Output: q_id, recall_at_k (one row per query, 0.0 when disjoint).
+
+    r14: the N x Q pair materialization (crossJoin + two interpreted HOF
+    cosines per pair + two row_number windows over ALL pairs) is
+    replaced by one Arrow-GEMM pass (the knn_join shape): each scan
+    batch scores both metrics and emits its LOCAL top-k per query under
+    EACH ordering (rounded sim desc, c_id asc — supersets of the global
+    top-k sets), the two small windows rank Q x k x n_batches candidate
+    rows, and recall@k = |top-k_full ∩ top-k_trunc| / k — identical to
+    counting pairs with rf <= k AND rt <= k.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     queries = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    pairs = (
-        emb.select(F.col(id_col).alias("c_id"),
-                   F.col(vec_col).alias("c_vec"))
-        .crossJoin(F.broadcast(queries))
+    out_schema = T.StructType([
+        T.StructField("q_id", emb.schema[id_col].dataType),
+        T.StructField("c_id", emb.schema[id_col].dataType),
+        T.StructField("sim", T.DoubleType()),
+        T.StructField("kind", T.StringType()),
+    ])
+    qrows = sorted(queries.collect(), key=lambda r: r["q_id"])
+    if not qrows:
+        cand = emb.sparkSession.createDataFrame([], out_schema)
+    else:
+        Qm = np.array([[float(x) for x in r["q_vec"]] for r in qrows],
+                      dtype=np.float64)
+        q_ids = np.array([r["q_id"] for r in qrows])
+        Qt = Qm[:, :dim]
+        qn_full = np.sqrt((Qm * Qm).sum(axis=1))
+        qn_trunc = np.sqrt((Qt * Qt).sum(axis=1))
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                c_ids = pdf[id_col].to_numpy()
+                Xt = X[:, :dim]
+                sims = {
+                    "f": np.round(
+                        (X @ Qm.T)
+                        / (np.sqrt((X * X).sum(axis=1))[:, None]
+                           * qn_full[None, :]), SCORE_ROUND),
+                    "t": np.round(
+                        (Xt @ Qt.T)
+                        / (np.sqrt((Xt * Xt).sum(axis=1))[:, None]
+                           * qn_trunc[None, :]), SCORE_ROUND),
+                }
+                for kind, sm in sims.items():
+                    qi, ci = [], []
+                    for j in range(len(q_ids)):
+                        order = np.lexsort((c_ids, -sm[:, j]))[:k]
+                        qi.append(np.full(len(order), j, dtype=np.int64))
+                        ci.append(order)
+                    qi = np.concatenate(qi)
+                    ci = np.concatenate(ci)
+                    yield pd.DataFrame({
+                        "q_id": q_ids[qi],
+                        "c_id": c_ids[ci],
+                        "sim": sm[ci, qi],
+                        "kind": kind,
+                    })
+
+        cand = emb.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    topk = {
+        kind: cand.where(F.col("kind") == kind)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("q_id", "c_id")
+        for kind in ("f", "t")
+    }
+    hits = topk["f"].join(topk["t"], ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
         .select(
             "q_id",
-            "c_id",
-            F.round(V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
-                    SCORE_ROUND).alias("cos_full"),
-            F.round(
-                V.cosine_similarity(F.slice("q_vec", 1, dim),
-                                    F.slice("c_vec", 1, dim)),
-                SCORE_ROUND,
-            ).alias("cos_trunc"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / k, 6)
+            .alias("recall_at_k"),
         )
-    )
-    w_full = Window.partitionBy("q_id").orderBy(
-        F.desc("cos_full"), F.asc("c_id")
-    )
-    w_trunc = Window.partitionBy("q_id").orderBy(
-        F.desc("cos_trunc"), F.asc("c_id")
-    )
-    ranked = pairs.select(
-        "q_id",
-        F.row_number().over(w_full).alias("rf"),
-        F.row_number().over(w_trunc).alias("rt"),
-    )
-    hit = F.when((F.col("rf") <= k) & (F.col("rt") <= k), 1).otherwise(0)
-    return (
-        ranked.groupBy("q_id")
-        .agg(F.round(F.sum(hit) / k, 6).alias("recall_at_k"))
         .orderBy("q_id")
     )
 
