@@ -2126,28 +2126,74 @@ def hard_negatives(emb: DataFrame, k: int, n_queries: int,
     excluded by the label inequality itself.
 
     Output: q_id, q_label, c_id, c_label, cos_sim, rank.
+
+    r14: one Arrow-GEMM pass (the knn_join / knn_classify shape) with
+    the bounded query set collected to the driver — each scan batch
+    drops same-label candidates, then emits its LOCAL top-k per query
+    by the exact global ordering (rounded sim desc, c_id asc), a
+    superset of the global top-k; the unchanged final window ranks
+    Q x k x n_batches candidate rows instead of the filtered N x Q
+    pair set.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     queries = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
     )
-    pairs = (
-        emb.select(
-            F.col(id_col).alias("c_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.col(label_col).alias("c_label"),
-        )
-        .crossJoin(F.broadcast(queries))
-        .where(F.col("c_label") != F.col("q_label"))
-        .select(
-            "q_id", "q_label", "c_id", "c_label",
-            F.round(
-                V.cosine_similarity(F.col("q_vec"), F.col("c_vec")),
-                SCORE_ROUND,
-            ).alias("cos_sim"),
-        )
-    )
+    out_schema = T.StructType([
+        T.StructField("q_id", emb.schema[id_col].dataType),
+        T.StructField("q_label", emb.schema[label_col].dataType),
+        T.StructField("c_id", emb.schema[id_col].dataType),
+        T.StructField("c_label", emb.schema[label_col].dataType),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    qrows = sorted(queries.collect(), key=lambda r: r["q_id"])
+    if not qrows:
+        pairs = emb.sparkSession.createDataFrame([], out_schema)
+    else:
+        Qm = np.array([[float(x) for x in r["q_vec"]] for r in qrows],
+                      dtype=np.float64)
+        q_ids = np.array([r["q_id"] for r in qrows])
+        q_labels = np.array([r["q_label"] for r in qrows])
+        qnorm = np.sqrt((Qm * Qm).sum(axis=1))
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                c_ids = pdf[id_col].to_numpy()
+                c_labels = pdf[label_col].to_numpy()
+                sims = np.round(
+                    (X @ Qm.T)
+                    / (np.sqrt((X * X).sum(axis=1))[:, None]
+                       * qnorm[None, :]),
+                    SCORE_ROUND,
+                )
+                qi, ci = [], []
+                for j in range(len(q_ids)):
+                    keep = np.flatnonzero(c_labels != q_labels[j])
+                    order = np.lexsort(
+                        (c_ids[keep], -sims[keep, j]))[:k]
+                    sel = keep[order]
+                    qi.append(np.full(len(sel), j, dtype=np.int64))
+                    ci.append(sel)
+                qi = np.concatenate(qi)
+                ci = np.concatenate(ci)
+                yield pd.DataFrame({
+                    "q_id": q_ids[qi],
+                    "q_label": q_labels[qi],
+                    "c_id": c_ids[ci],
+                    "c_label": c_labels[ci],
+                    "cos_sim": sims[ci, qi],
+                })
+
+        pairs = emb.select(id_col, vec_col, label_col).mapInPandas(
+            fn, out_schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
