@@ -1348,45 +1348,125 @@ def ivfpq_topk(emb: DataFrame, k: int, n_queries: int = 10,
     plan shape.
 
     Output: q_id, c_id, adc_dist, rank (ascending distance).
+
+    r14: the composed probe fuses into ONE Arrow-GEMM scan. Every side
+    table the old plan broadcast is bounded and collects to the driver
+    instead — the ~sqrt(N) centroid sample (probe cells per query are
+    the same top-NPROBE by rounded cosine desc / cent_id asc), the
+    K x M codebook, the query batch (its LUT is built driver-side, the
+    oracle's per-subspace formula verbatim). Each scan batch assigns
+    its vectors (the assign_to_centroids GEMM rule to the bit), encodes
+    them (the pq_encode_with rule), scores candidates whose cell is in
+    a query's probe set, and emits the local top-k per query by the
+    global ordering (adc asc, c_id asc) — a superset of the global
+    top-k, ranked by the unchanged final window over Q x k x n_batches
+    rows. The assignment pass, probe window, candidate join, codes
+    join and (q, c) sum aggregate are gone; the corpus streams once.
     """
-    cent, assign = ivf_assign(emb, id_col, vec_col)
-    codes = pq_encode(emb, id_col, vec_col, dim, m)
-    queries = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sub = dim // m
+    nlist = derive_nlist(emb.count())
+    cent_rows = sorted(
+        emb.where(centroid_pred(id_col, nlist))
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        .collect(),
+        key=lambda r: r["cent_id"],
     )
-    qc = queries.crossJoin(F.broadcast(cent)).select(
-        "q_id", "q_vec", "cent_id",
-        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
-                SCORE_ROUND).alias("qsim"),
+    cb_rows = sorted(
+        pq_codebook(emb, id_col, vec_col, dim, m).collect(),
+        key=lambda r: (r["m"], r["code"]),
     )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= NPROBE)
-        .select("q_id", F.col("cent_id").alias("cell"))
-    )
-    q_long = _pq_long(
+    qrows = sorted(
         emb.where(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("q_id"), vec_col),
-        "q_id", vec_col, dim, m,
+        .select(F.col(id_col).alias("q_id"), vec_col).collect(),
+        key=lambda r: r["q_id"],
     )
-    lut = (
-        q_long.join(F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m)),
-                    "m")
-        .select("q_id", "m", "code",
-                F.round(V.l2sq(F.col("sub"), F.col("cw")),
-                        SCORE_ROUND).alias("d"))
-    )
-    cand = probes.join(assign, "cell").select("q_id", "c_id")
-    scored = (
-        cand.join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
-        .join(F.broadcast(lut), ["q_id", "m", "code"])
-        .groupBy("q_id", "c_id")
-        .agg(F.round(F.sum("d"), SCORE_ROUND).alias("adc_dist"))
-    )
+    out_schema = T.StructType([
+        T.StructField("q_id", emb.schema[id_col].dataType),
+        T.StructField("c_id", emb.schema[id_col].dataType),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+    Cm = [np.array([list(map(float, r["cw"])) for r in cb_rows
+                    if r["m"] == mi], dtype=np.float64)
+          for mi in range(m)]
+    if not qrows or not cent_rows or any(len(C) == 0 for C in Cm):
+        pairs = emb.sparkSession.createDataFrame([], out_schema)
+    else:
+        css = [(C * C).sum(axis=1) for C in Cm]
+        CC = np.array([[float(x) for x in r["cvec"]] for r in cent_rows],
+                      dtype=np.float64)
+        cc_ids = np.array([int(r["cent_id"]) for r in cent_rows],
+                          dtype=np.int64)
+        ccn = np.sqrt((CC * CC).sum(axis=1))
+        Qm = np.array([[float(x) for x in r[1]] for r in qrows],
+                      dtype=np.float64)
+        q_ids = np.array([r[0] for r in qrows])
+        # probe cells per query: top-NPROBE by (rounded qsim desc,
+        # cent_id asc) — the old window's ordering on the same rounded
+        # cosine (stable argsort over cid-ascending centroids)
+        qsims = np.round(
+            (Qm @ CC.T)
+            / (np.sqrt((Qm * Qm).sum(axis=1))[:, None] * ccn[None, :]),
+            SCORE_ROUND,
+        )
+        take = min(NPROBE, len(cc_ids))
+        pidx = np.argsort(-qsims, axis=1, kind="stable")[:, :take]
+        probe_cells = [set(cc_ids[pidx[j]].tolist())
+                       for j in range(len(q_ids))]
+        lut = []
+        for mi in range(m):
+            QS = Qm[:, mi * sub:(mi + 1) * sub]
+            lut.append(np.round(
+                css[mi][:, None] - 2.0 * (Cm[mi] @ QS.T)
+                + (QS * QS).sum(axis=1)[None, :],
+                SCORE_ROUND,
+            ))
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                c_ids = pdf[id_col].to_numpy()
+                cells = cc_ids[np.round(
+                    (X @ CC.T)
+                    / (np.sqrt((X * X).sum(axis=1))[:, None]
+                       * ccn[None, :]),
+                    SCORE_ROUND,
+                ).argmax(axis=1)]  # first max = lowest cent_id
+                adc = np.zeros((len(c_ids), len(q_ids)))
+                for mi in range(m):
+                    S = X[:, mi * sub:(mi + 1) * sub]
+                    d2 = np.round(
+                        (S * S).sum(axis=1)[:, None]
+                        - 2.0 * (S @ Cm[mi].T) + css[mi][None, :],
+                        SCORE_ROUND,
+                    )
+                    adc += lut[mi][d2.argmin(axis=1), :]
+                adc = np.round(adc, SCORE_ROUND)
+                qi, ci = [], []
+                for j in range(len(q_ids)):
+                    keep = np.flatnonzero(
+                        np.isin(cells, list(probe_cells[j])))
+                    order = np.lexsort((c_ids[keep], adc[keep, j]))[:k]
+                    sel = keep[order]
+                    qi.append(np.full(len(sel), j, dtype=np.int64))
+                    ci.append(sel)
+                qi = np.concatenate(qi)
+                ci = np.concatenate(ci)
+                yield pd.DataFrame({
+                    "q_id": q_ids[qi],
+                    "c_id": c_ids[ci],
+                    "adc_dist": adc[ci, qi],
+                })
+
+        pairs = emb.select(id_col, vec_col).mapInPandas(fn, out_schema)
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
