@@ -1626,65 +1626,153 @@ def ivfpq_residual_topk(emb: DataFrame, k: int, n_queries: int = 10,
     residual LUT (q - centroid, n_q x nprobe x M x K rows — still
     broadcast-bounded), because the query's residual differs per cell.
 
-    Same plan shape as ivfpq_topk: broadcast centroid/codebook sides,
-    map-side encode with pre-exchange argmin collapse, pruned candidate
-    set, M-adds ADC scoring. Deterministic codebook (residuals of the
-    PQ_CB_MOD sample) keeps the DuckDB oracle exact.
+    Same shape as ivfpq_topk, fused the same way (r14): the bounded
+    sides — the ~sqrt(N) centroid sample, the deterministic PQ_CB_MOD
+    sample whose residuals form the codebook, the query batch with its
+    per-probed-cell residual LUT — collect to the driver (the rows the
+    old plan broadcast), and ONE Arrow-GEMM scan assigns, computes
+    residuals, encodes and ADC-scores each batch, emitting the local
+    top-k per query (a superset of the global top-k, ranked by the
+    unchanged final window). Every distance is rounded at SCORE_ROUND
+    with the same tie rules as the joined form; the deterministic
+    codebook keeps the DuckDB oracle exact.
     """
-    cent, assign = ivf_assign(emb, id_col, vec_col)
-    resid = (
-        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(assign.withColumnRenamed("c_id", "vid"), "vid")
-        .join(F.broadcast(cent), F.col("cell") == F.col("cent_id"))
-        .select("vid", "cell", _residual(F.col("v"), F.col("cvec"))
-                .alias("rvec"))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sub = dim // m
+    nlist = derive_nlist(emb.count())
+    cent_rows = sorted(
+        emb.where(centroid_pred(id_col, nlist))
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        .collect(),
+        key=lambda r: r["cent_id"],
     )
-    rcb = _pq_long(
-        resid.where(pq_sample_pred("vid"))
-        .select(F.col("vid").alias("code"), "rvec"),
-        "code", "rvec", dim, m,
-    ).select("m", "code", F.col("sub").alias("cw"))
-    d_enc = F.round(V.l2sq(F.col("sub"), F.col("cw")), SCORE_ROUND)
-    codes = (
-        _pq_long(resid, "vid", "rvec", dim, m, extra=("cell",))
-        .join(F.broadcast(rcb), "m")
-        .select("vid", "cell", "m", d_enc.alias("d"), "code")
-        .groupBy("vid", "cell", "m")
-        .agg(F.min(F.struct("d", "code")).alias("mn"))
-        .select("vid", "cell", "m", F.col("mn.code").alias("code"))
+    srows = sorted(
+        emb.where(pq_sample_pred(id_col))
+        .select(F.col(id_col).alias("sid"), vec_col).collect(),
+        key=lambda r: r["sid"],
     )
-    queries = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    qrows = sorted(
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), vec_col).collect(),
+        key=lambda r: r["q_id"],
     )
-    qc = queries.crossJoin(F.broadcast(cent)).select(
-        "q_id", "q_vec", "cent_id", "cvec",
-        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
-                SCORE_ROUND).alias("qsim"),
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= NPROBE)
-        .select("q_id", F.col("cent_id").alias("cell"),
-                _residual(F.col("q_vec"), F.col("cvec")).alias("q_rvec"))
-    )
-    lut = (
-        _pq_long(probes, "q_id", "q_rvec", dim, m, extra=("cell",))
-        .join(F.broadcast(rcb), "m")
-        .select("q_id", "cell", "m", "code",
-                F.round(V.l2sq(F.col("sub"), F.col("cw")),
-                        SCORE_ROUND).alias("d"))
-    )
-    scored = (
-        probes.select("q_id", "cell")
-        .join(codes.withColumnRenamed("vid", "c_id"), "cell")
-        .join(F.broadcast(lut), ["q_id", "cell", "m", "code"])
-        .groupBy("q_id", "c_id")
-        .agg(F.round(F.sum("d"), SCORE_ROUND).alias("adc_dist"))
-    )
+    out_schema = T.StructType([
+        T.StructField("q_id", emb.schema[id_col].dataType),
+        T.StructField("c_id", emb.schema[id_col].dataType),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+    if not qrows or not cent_rows or not srows:
+        pairs = emb.sparkSession.createDataFrame([], out_schema)
+    else:
+        CC = np.array([[float(x) for x in r["cvec"]] for r in cent_rows],
+                      dtype=np.float64)
+        cc_ids = np.array([int(r["cent_id"]) for r in cent_rows],
+                          dtype=np.int64)
+        ccn = np.sqrt((CC * CC).sum(axis=1))
+        cell_pos = {int(c): i for i, c in enumerate(cc_ids)}
+
+        def assign_pos(X):
+            # the assign_to_centroids rule: rounded cosine, first-max
+            # argmax = lowest cent_id
+            return np.round(
+                (X @ CC.T)
+                / (np.sqrt((X * X).sum(axis=1))[:, None] * ccn[None, :]),
+                SCORE_ROUND,
+            ).argmax(axis=1)
+
+        # residual codebook: residuals of the deterministic sample rows
+        # against THEIR OWN cells (bounded rows, the old broadcast side)
+        Sv = np.array([[float(x) for x in r[1]] for r in srows],
+                      dtype=np.float64)
+        Rs = Sv - CC[assign_pos(Sv)]
+        rcb = [Rs[:, mi * sub:(mi + 1) * sub] for mi in range(m)]
+        rss = [(R * R).sum(axis=1) for R in rcb]
+        s_ids = np.array([r[0] for r in srows])
+
+        Qm = np.array([[float(x) for x in r[1]] for r in qrows],
+                      dtype=np.float64)
+        q_ids = np.array([r[0] for r in qrows])
+        # probe cells per query: top-NPROBE by (rounded qsim desc,
+        # cent_id asc), the old window ordering
+        qsims = np.round(
+            (Qm @ CC.T)
+            / (np.sqrt((Qm * Qm).sum(axis=1))[:, None] * ccn[None, :]),
+            SCORE_ROUND,
+        )
+        take = min(NPROBE, len(cc_ids))
+        pidx = np.argsort(-qsims, axis=1, kind="stable")[:, :take]
+        # per (query, probed cell): the residual LUT over the sample
+        # codebook — round(l2sq(q - cvec, cw)) per subspace, the oracle
+        # formula verbatim
+        lut = {}
+        for j in range(len(q_ids)):
+            for p in range(take):
+                cp = int(pidx[j, p])
+                qr = Qm[j] - CC[cp]
+                ent = []
+                for mi in range(m):
+                    qs = qr[mi * sub:(mi + 1) * sub]
+                    ent.append(np.round(
+                        (qs @ qs) - 2.0 * (rcb[mi] @ qs) + rss[mi],
+                        SCORE_ROUND,
+                    ))
+                lut[(j, cp)] = ent
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                c_ids = pdf[id_col].to_numpy()
+                pos = assign_pos(X)
+                R = X - CC[pos]
+                code_idx = np.empty((len(c_ids), m), dtype=np.int64)
+                for mi in range(m):
+                    S = R[:, mi * sub:(mi + 1) * sub]
+                    d2 = np.round(
+                        (S * S).sum(axis=1)[:, None]
+                        - 2.0 * (S @ rcb[mi].T) + rss[mi][None, :],
+                        SCORE_ROUND,
+                    )
+                    code_idx[:, mi] = d2.argmin(axis=1)  # lowest code
+                qi, ci, dv = [], [], []
+                for j in range(len(q_ids)):
+                    sel_rows, sel_adc = [], []
+                    for p in range(take):
+                        cp = int(pidx[j, p])
+                        rows = np.flatnonzero(pos == cp)
+                        if not len(rows):
+                            continue
+                        ent = lut[(j, cp)]
+                        adc = np.zeros(len(rows))
+                        for mi in range(m):
+                            adc += ent[mi][code_idx[rows, mi]]
+                        sel_rows.append(rows)
+                        sel_adc.append(np.round(adc, SCORE_ROUND))
+                    if not sel_rows:
+                        continue
+                    rows = np.concatenate(sel_rows)
+                    adc = np.concatenate(sel_adc)
+                    order = np.lexsort((c_ids[rows], adc))[:k]
+                    qi.append(np.full(len(order), j, dtype=np.int64))
+                    ci.append(rows[order])
+                    dv.append(adc[order])
+                if not qi:
+                    continue
+                qi = np.concatenate(qi)
+                yield pd.DataFrame({
+                    "q_id": q_ids[qi],
+                    "c_id": c_ids[np.concatenate(ci)],
+                    "adc_dist": np.concatenate(dv),
+                })
+
+        pairs = emb.select(id_col, vec_col).mapInPandas(fn, out_schema)
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
