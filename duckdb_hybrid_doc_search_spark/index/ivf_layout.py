@@ -490,34 +490,92 @@ def ivf_frozen_layout_topk(spark: SparkSession, out_dir: str,
     centroid-source-agnostic: sampled, trained, and caller-frozen
     layouts all probe identically). ``queries`` carries (q_id, q_vec).
     Candidates come from the partition-PRUNED cell scan: cost is
-    nprobe/nlist of the layout by construction."""
+    nprobe/nlist of the layout by construction.
+
+    r14: probe selection moves to the driver (the frozen centroid side
+    table is the bounded set the old plan broadcast; per query the top-
+    NPROBE cells by rounded cosine desc / cent_id asc — the old window
+    ordering via stable argsort over cid-sorted centroids) and the
+    pruned cell scan is scored by ONE Arrow-GEMM pass instead of the
+    probes join + interpreted HOF cosine per (query, candidate) + a
+    window over every scored pair: each batch scores the queries whose
+    probe set contains a row's cell and emits its LOCAL top-k per query
+    by the exact global ordering — a superset of the global top-k,
+    ranked by the unchanged final window. Partition pruning is
+    untouched (the scan still reads only the probed cells)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     from ..config import SCORE_ROUND
-    from ..functions import vector as V
 
-    cent = read_layout_centroids(spark, out_dir)
-    qc = queries.crossJoin(F.broadcast(cent)).select(
-        "q_id", "q_vec", "cent_id",
-        F.round(V.cosine_similarity(F.col("q_vec"), F.col("cvec")),
-                SCORE_ROUND).alias("qsim"),
+    cent_rows = sorted(
+        read_layout_centroids(spark, out_dir).collect(),
+        key=lambda r: r["cent_id"],
     )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= NPROBE)
-        .select("q_id", "q_vec", F.col("cent_id").alias("cell"))
-    )
-    probe_cell_ids = sorted(
-        {r.cell for r in probes.select("cell").distinct().collect()}
-    )
-    cand = probes.join(probe_cells(spark, out_dir, probe_cell_ids), "cell")
-    scored = cand.select(
-        "q_id",
-        F.col("vec_id").alias("c_id"),
-        F.round(V.cosine_similarity(F.col("q_vec"), F.col("embedding")),
-                SCORE_ROUND).alias("cos_sim"),
-    )
+    qrows = sorted(queries.collect(), key=lambda r: r["q_id"])
+    out_schema = T.StructType([
+        T.StructField("q_id", queries.schema["q_id"].dataType),
+        T.StructField("c_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    if not qrows or not cent_rows:
+        scored = spark.createDataFrame([], out_schema)
+    else:
+        CC = np.array([[float(x) for x in r["cvec"]] for r in cent_rows],
+                      dtype=np.float64)
+        cc_ids = np.array([int(r["cent_id"]) for r in cent_rows],
+                          dtype=np.int64)
+        ccn = np.sqrt((CC * CC).sum(axis=1))
+        Qm = np.array([[float(x) for x in r["q_vec"]] for r in qrows],
+                      dtype=np.float64)
+        q_ids = np.array([r["q_id"] for r in qrows])
+        qnorm = np.sqrt((Qm * Qm).sum(axis=1))
+        qsims = np.round(
+            (Qm @ CC.T) / (qnorm[:, None] * ccn[None, :]), SCORE_ROUND
+        )
+        take = min(NPROBE, len(cc_ids))
+        pidx = np.argsort(-qsims, axis=1, kind="stable")[:, :take]
+        probe_sets = [set(cc_ids[pidx[j]].tolist())
+                      for j in range(len(q_ids))]
+        probe_cell_ids = sorted(set().union(*probe_sets))
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                c_ids = pdf["vec_id"].to_numpy()
+                cells = pdf["cell"].to_numpy()
+                sims = np.round(
+                    (X @ Qm.T)
+                    / (np.sqrt((X * X).sum(axis=1))[:, None]
+                       * qnorm[None, :]),
+                    SCORE_ROUND,
+                )
+                qi, ci = [], []
+                for j in range(len(q_ids)):
+                    keep = np.flatnonzero(
+                        np.isin(cells, list(probe_sets[j])))
+                    order = np.lexsort(
+                        (c_ids[keep], -sims[keep, j]))[:k]
+                    sel = keep[order]
+                    qi.append(np.full(len(sel), j, dtype=np.int64))
+                    ci.append(sel)
+                qi = np.concatenate(qi)
+                ci = np.concatenate(ci)
+                yield pd.DataFrame({
+                    "q_id": q_ids[qi],
+                    "c_id": c_ids[ci],
+                    "cos_sim": sims[ci, qi],
+                })
+
+        scored = (
+            probe_cells(spark, out_dir, probe_cell_ids)
+            .select("vec_id", "embedding", "cell")
+            .mapInPandas(fn, out_schema)
+        )
     wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wk))
