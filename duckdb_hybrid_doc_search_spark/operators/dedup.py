@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..config import SCORE_ROUND
 from ..functions.hashing import dd_h64, h64
 from ..functions.text import dd_shingles, dd_tokenize, shingles, tokenize
-from ..functions.vector import dd_cosine_similarity, cosine_similarity
+from ..functions.vector import dd_cosine_similarity
 
 SHINGLE_N = 3
 MINHASH_NUM = 16
@@ -813,19 +813,45 @@ def dedup_embedding_ivf(emb: DataFrame,
         cells = emb.join(assign, emb["vec_id"] == assign["c_id"]).select(
             "vec_id", "embedding", "cell"
         )
-    a = cells.select("cell", F.col("vec_id").alias("vec_a"),
-                     F.col("embedding").alias("emb_a"))
-    b = cells.select("cell", F.col("vec_id").alias("vec_b"),
-                     F.col("embedding").alias("emb_b"))
+    # r15: the within-cell pair stage is ONE applyInPandas over
+    # groupBy(cell) — a row-blocked numpy GEMM per cell (the
+    # _embedding_pairs_gemm / _semdedup_with_centroids convention:
+    # L2-normalize rows, np.round at SCORE_ROUND, threshold mask). The
+    # pre-r15 form self-joined the cells frame on cell (two exchanges of
+    # the layout scan) and paid the interpreted CodegenFallback HOF
+    # cosine per candidate pair (~p^2*N^1.5/2 pairs); same pair set,
+    # same rounding, the final distinct still collapses pairs
+    # co-located in more than one shared cell.
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        n = len(ids)
+        bs = 2048  # bounds the sim block at bs x cell_size doubles
+        out_a, out_b, out_s = [], [], []
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            sims = np.round(X[s:e] @ X.T, SCORE_ROUND)
+            mask = (sims >= threshold) & (ids[s:e, None] < ids[None, :])
+            ai, bi = np.nonzero(mask)
+            out_a.append(ids[s:e][ai])
+            out_b.append(ids[bi])
+            out_s.append(sims[ai, bi])
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a) if out_a else
+            np.array([], dtype="int64"),
+            "vec_b": np.concatenate(out_b) if out_b else
+            np.array([], dtype="int64"),
+            "cos_sim": np.concatenate(out_s) if out_s else
+            np.array([], dtype="float64"),
+        })
+
     return (
-        a.join(b, "cell")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b",
-            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")),
-                    SCORE_ROUND).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= F.lit(threshold))
+        cells.groupBy("cell")
+        .applyInPandas(cell_pairs, "vec_a long, vec_b long, cos_sim double")
         .distinct()
     )
 
