@@ -58,29 +58,31 @@ def basket_part_pairs(lineitem: DataFrame) -> DataFrame:
     """Market-basket association: part pairs that co-occur in orders,
     scored by lift = N * supp(a,b) / (supp(a) * supp(b)).
 
-    Plan shape: distinct (orderkey, partkey) -> ONE groupBy(orderkey)
-    into per-order basket arrays -> pairs generated MAP-SIDE from each
-    array (no self-join, no second shuffle of the item table) -> pair
-    hash aggregate -> two joins against the per-item support table ->
-    scalar N broadcast. Baskets larger than BASKET_CAP are excluded
-    from pair generation (documented skew guard; support counts still
-    include them). The identical `items` subplan feeds three consumers
-    — Catalyst's ReuseExchange dedupes its shuffle, so no persist()
-    (the r4 ADVICE storage-leak finding) is needed.
+    Plan shape (r15): ONE groupBy(orderkey) folds lineitem straight into
+    sorted per-order basket arrays (collect_set == distinct + collect_list
+    — the pre-r15 plan paid a separate distinct exchange first), and that
+    single aggregate feeds all three consumers via ReuseExchange: the
+    order count is a one-row count of the baskets (== countDistinct
+    orderkey), per-item supports explode the arrays (== the distinct item
+    table), and pairs are generated MAP-SIDE from each array (no
+    self-join, no second shuffle of the item table) -> pair hash
+    aggregate -> two joins against the per-item support table -> scalar
+    N broadcast. Baskets larger than BASKET_CAP are excluded from pair
+    generation (documented skew guard; support counts still include
+    them). No persist() (the r4 ADVICE storage-leak finding) is needed.
     """
-    items = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
-    n_orders = items.select(
-        F.countDistinct("okey").cast("double").alias("n_orders")
+    baskets_all = lineitem.groupBy(
+        F.col("l_orderkey").alias("okey")
+    ).agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    n_orders = baskets_all.select(
+        F.count(F.lit(1)).cast("double").alias("n_orders")
     )
-    item_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
+    item_cnt = (
+        baskets_all.select(F.explode("parts").alias("pkey"))
+        .groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
-    baskets = (
-        items.groupBy("okey")
-        .agg(F.sort_array(F.collect_list("pkey")).alias("parts"))
-        .where(F.size("parts").between(2, BASKET_CAP))
-    )
+    baskets = baskets_all.where(F.size("parts").between(2, BASKET_CAP))
     # all (a, b) with a < b from the sorted array: element i pairs with
     # every later element (slice is 1-based, so "after i" starts at i+2)
     pair_structs = F.expr(
