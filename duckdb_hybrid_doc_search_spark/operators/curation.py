@@ -18,7 +18,7 @@ DuckDB oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import SCORE_ROUND
@@ -479,9 +479,14 @@ def dsir_importance_weights(docs: DataFrame,
 
     Output per doc: doc_id, lang, n_feats, log_importance (round 6).
     """
+    from ..functions.spread import spread
     from ..functions.text import tokenize
 
-    toks = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("t"))
+    # spread: the tokenize+explode+md5 chain is the critical path and a
+    # single-file scan would run it on one core (r15 measured; no-op at
+    # cluster scale where the source's splits provide the parallelism)
+    toks = spread(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("t"))
     uni = F.when(
         F.size("t") >= 1, F.col("t")
     ).otherwise(F.array().cast("array<string>"))
@@ -504,18 +509,23 @@ def dsir_importance_weights(docs: DataFrame,
             F.when(F.col("lang") == target_lang, 1).otherwise(0)
         ).alias("cp"),
     )
-    tot = model.agg(F.sum("cq").alias("tq"), F.sum("cp").alias("tp"))
-    lr = (
-        model.crossJoin(F.broadcast(tot))
-        .select(
-            "bkt",
-            F.round(
-                F.log((F.col("cp") + F.lit(1.0)) / (F.col("tp") + F.lit(b)))
-                - F.log((F.col("cq") + F.lit(1.0))
-                        / (F.col("tq") + F.lit(b))),
-                SCORE_ROUND,
-            ).alias("lw"),
-        )
+    # r15: tq/tp as a global window over the b-row model table — the
+    # pre-r15 `model.agg(...)` crossJoin re-derived the model from the
+    # corpus (a THIRD tokenize+explode pass: the lr branch carries an
+    # isnotnull(bkt) constraint inferred from the dbkt join, so
+    # ReuseExchange never matched the two model subtrees). The window is
+    # bounded by b (1024 rows on one partition), and the integer sums
+    # are value-identical to the separate aggregate.
+    wall = Window.partitionBy()
+    lr = model.select(
+        "bkt",
+        F.round(
+            F.log((F.col("cp") + F.lit(1.0))
+                  / (F.sum("cp").over(wall) + F.lit(b)))
+            - F.log((F.col("cq") + F.lit(1.0))
+                    / (F.sum("cq").over(wall) + F.lit(b))),
+            SCORE_ROUND,
+        ).alias("lw"),
     )
     dbkt = bkt.groupBy("doc_id", "bkt").agg(F.count(F.lit(1)).alias("c"))
     perdoc = (

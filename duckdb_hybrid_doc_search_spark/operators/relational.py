@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread
+
 MONEY_ROUND = 2
 AVG_ROUND = 6
 
@@ -56,8 +58,13 @@ def tpch_q1(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 pricing summary: scan-filter-partial-agg, one shuffle."""
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # spread: the decimal-cast partial aggregate is the critical path and
+    # a single-file scan runs it on one core (r15; no-op at cluster scale)
     return (
-        lineitem.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF))
+        spread(
+            lineitem.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF)).select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_sum(F.col("l_quantity")).alias("sum_qty"),
@@ -252,7 +259,9 @@ GROUP BY n_name ORDER BY n_name
 
 
 def lineitem_rollup(lineitem: DataFrame) -> DataFrame:
-    """ROLLUP grouping-set aggregation (subtotals + grand total)."""
+    """ROLLUP grouping-set aggregation (subtotals + grand total).
+    (r15: spread() measured a wash here — x3 Expand with one decimal
+    aggregate doesn't amortize the round-robin exchange.)"""
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -427,7 +436,11 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 
 
 def lineitem_cube(lineitem: DataFrame) -> DataFrame:
-    """CUBE grouping sets (all subtotal combinations)."""
+    """CUBE grouping sets (all subtotal combinations). spread: the
+    Expand(x4) + partial aggregate runs over the scan's partitions —
+    one task on a single-file input (r15; no-op at cluster scale)."""
+    lineitem = spread(
+        lineitem.select("l_returnflag", "l_linestatus", "l_extendedprice"))
     return lineitem.cube("l_returnflag", "l_linestatus").agg(
         money_sum(F.col("l_extendedprice")).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
@@ -488,6 +501,9 @@ def lineitem_quantiles(lineitem: DataFrame) -> DataFrame:
     arr = F.expr(
         f"percentile(l_extendedprice, array({', '.join(map(str, pcts))}))"
     )
+    # (r15: spread() was measured here and LOST — the round-robin
+    # exchange of the value column costs more than the single-task
+    # percentile inserts save; see OPTIMIZATION_r15.md)
     agg = lineitem.groupBy("l_returnflag").agg(arr.alias("ps"))
     return agg.select(
         "l_returnflag",
@@ -1166,7 +1182,11 @@ def lineitem_unpivot_measures(lineitem: DataFrame) -> DataFrame:
     """UNPIVOT surface: wide measure columns -> long (measure, value) rows
     via stack() (stays in whole-stage codegen; no shuffle until the agg),
     then per-measure totals."""
-    long = lineitem.select(
+    # spread: the 3x stack + decimal partial aggregate is scan-bound (r15)
+    long = spread(
+        lineitem.select("l_returnflag", "l_quantity", "l_extendedprice",
+                        "l_discount")
+    ).select(
         "l_returnflag",
         F.expr(
             "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
@@ -1236,6 +1256,7 @@ def lineitem_grouping_sets(lineitem: DataFrame) -> DataFrame:
     the flag-only, status-only, and pair subtotals — no grand total, which
     neither rollup nor cube can express alone. Declared via Spark SQL on a
     temp view; Catalyst plans it as one Expand + hash aggregate."""
+    # (r15: spread() measured a wash here, like lineitem_rollup)
     lineitem.createOrReplaceTempView("_li_gs")
     return lineitem.sparkSession.sql(f"""
         SELECT l_returnflag, l_linestatus,

@@ -31,6 +31,12 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "window_unpartitioned": {
         "corpus_pack_token_budget":
             "window rides the token-bucket histogram (<= 1000 rows)",
+        "corpus_dsir_weights":
+            "tq/tp totals window over the b-row hashed model table "
+            "(<= DSIR_BUCKETS = 1024 rows)",
+        "corpus_dsir_resample":
+            "tq/tp totals window over the b-row hashed model table "
+            "(<= DSIR_BUCKETS = 1024 rows)",
         "corpus_perplexity_buckets":
             "distributed_ntile offsets window over the per-partition "
             "counts table (<= shuffle.partitions rows)",
