@@ -1176,18 +1176,24 @@ def dedup_components(docs: DataFrame, max_iter: int = 25,
     # r14 convergence check: labels are MONOTONE non-increasing per node
     # (each round takes a min that includes the node's own old label) and
     # the node set is fixed, so the label sum strictly decreases exactly
-    # when any label improves — one scalar aggregate over the
-    # just-checkpointed table replaces the old per-round
-    # new-vs-old join + count. decimal(38,0): summing billions of 60-bit
+    # when any label improves. decimal(38,0): summing billions of 60-bit
     # ids overflows a long. The per-round repartition(npart) after the
     # groupBy is gone too: the aggregate already hash-partitions by node
     # and AQE sizes the partitions, so it was a pure extra exchange.
-    def _label_sum(lb: DataFrame):
-        return lb.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    # r15: the sum rides the checkpoint job as an OBSERVATION
+    # (CollectMetrics accumulators) instead of a second per-round
+    # aggregate job — one Spark job per round, identical decimal value.
+    from pyspark.sql import Observation
 
-    prev_sum = _label_sum(labels)
+    def _sum_expr():
+        return F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+
+    def _observed_ckpt(lb: DataFrame):
+        obs = Observation()
+        ckpt = lb.observe(obs, _sum_expr()).localCheckpoint()
+        return ckpt, obs.get["s"]
+
+    prev_sum = labels.agg(_sum_expr()).collect()[0]["s"]
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -1207,9 +1213,8 @@ def dedup_components(docs: DataFrame, max_iter: int = 25,
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
-        new_sum = _label_sum(new_labels)
+        new_labels, new_sum = _observed_ckpt(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -1343,12 +1348,28 @@ def dedup_components_star(docs: DataFrame, max_iter: int = 50,
     sig = _sig(edges)
     converged = False
     rounds = 0
+    # r15: the per-round signature rides the checkpoint job as an
+    # OBSERVATION (one Spark job per round instead of ckpt + a separate
+    # signature aggregate); the (count, decimal hash-sum) values are the
+    # exact _sig expressions, and the exceptAll fixpoint CONFIRMATION
+    # below is unchanged.
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         rounds += 1
         # lineage discipline: same rule as dedup_components — each
         # round materializes, or Catalyst re-analysis goes exponential
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        new_sig = _sig(new_edges)
+        obs = Observation()
+        new_edges = _small_star(_large_star(edges)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst"))
+                .cast("decimal(38,0)")
+            ).alias("h"),
+        ).localCheckpoint()
+        row = obs.get
+        new_sig = (row["n"], row["h"])
         if new_sig == sig:
             # signature equality is necessary, not sufficient (equal
             # count + colliding hash sums is astronomically unlikely
@@ -1541,25 +1562,35 @@ def dedup_graph_pagerank(docs: DataFrame) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    from pyspark.sql import Window
+
     edges = sym.localCheckpoint()
     n_edges = edges.count()
     npart = max(1, min(200, n_edges // 100_000 + 1))
     edges = edges.repartition(npart, "src")
 
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"), "deg").localCheckpoint()
+    # degree is loop-invariant: attach it to the edge table ONCE so each
+    # round is a single join + aggregate instead of two joins. r15: the
+    # degree is a window count over the src partitioning (one shuffle of
+    # the edge set instead of groupBy + self-join — the r14 star-rounds
+    # pattern), and the node table derives from the checkpointed
+    # edges_deg instead of its own checkpoint job; the trivial initial
+    # ranks projection is no longer checkpointed either (2 fewer
+    # pre-loop jobs, same values).
+    edges_deg = edges.select(
+        "src", "dst",
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    ).localCheckpoint()
+    nodes = edges_deg.select(
+        F.col("src").alias("node"), "deg"
+    ).distinct()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return docs.sparkSession.createDataFrame(
             [], "doc_id long, rank double, deg long"
         )
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n_nodes).alias("rank")
-    ).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - PR_DAMPING) / n_nodes
-    # degree is loop-invariant: attach it to the edge table ONCE so each
-    # round is a single join + aggregate instead of two joins
-    edges_deg = edges.join(deg, "src").localCheckpoint()
     for it in range(PR_ITERS):
         contrib = (
             edges_deg.join(ranks.select(F.col("node").alias("rn"), "rank"),
