@@ -1027,7 +1027,9 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
         ),
         lambda s: F.concat_ws(" ", s["0"], s["1"]),
     )
-    toked = docs.select(
+    # spread: tokenize+explode is the critical path on a single-file
+    # scan (r15; no-op at cluster scale)
+    toked = spread(docs.select("doc_id", "text")).select(
         "doc_id", tokenize(F.col("text")).alias("toks")
     )
     per_doc = (
@@ -1049,10 +1051,18 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
         toked.select(F.explode(F.col("toks")).alias("term"))
         .agg(F.countDistinct("term").alias("v"))
     )
-    joined = (
-        per_doc.join(big_counts, "bigram")
+    # r15: the prefix join runs on the VOCABULARY-sized model table, not
+    # the per-doc bigram stream — lp depends only on the bigram, so the
+    # stream pays one model join + one doc aggregate instead of two
+    # stream-wide shuffles (x depends on bigram; values unchanged)
+    model = (
+        big_counts
         .withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
         .join(prefix_counts, "x")
+        .select("bigram", "c_xy", "c_x")
+    )
+    joined = (
+        per_doc.join(model, "bigram")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
