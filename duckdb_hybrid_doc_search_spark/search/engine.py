@@ -329,19 +329,53 @@ def hybrid_search_batch(docs: DataFrame, embeddings: DataFrame,
     fts = bm25_batch_topk_from_index(index, queries, top_k).select(
         "query_id", "doc_id", F.col("score").alias("fts_score")
     )
-    # double-precision vectors: lit_vector builds double literals, so a
-    # float column here would diverge from the single-query plan in the
-    # last rounded digit
-    qvecs = spark.createDataFrame(
-        [(qi, hash_embed_text(q)) for qi, q in enumerate(queries)],
-        "query_id int, q_vec array<double>",
-    )
-    pair = embeddings.crossJoin(F.broadcast(qvecs)).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        F.round(cosine_distance(F.col("embedding"), F.col("q_vec")),
-                SCORE_ROUND).alias("vss_score"),
-    )
+    # r15: the VSS side is one Arrow-GEMM scan (the knn_join pattern) —
+    # the pre-r15 crossJoin evaluated the interpreted HOF cosine per
+    # (embedding, query) pair and window-sorted ALL pairs; each scan
+    # batch now emits only its LOCAL top-k per query by the exact global
+    # ordering (rounded distance asc, doc_id asc) — a superset of the
+    # global top-k, so the unchanged window selects identical rows.
+    # Double-precision query vectors, np.round at SCORE_ROUND: the
+    # pinned GEMM convention, verified value-identical across oracles.
+    import numpy as np
+    import pandas as pd
+
+    qv = [hash_embed_text(q) for q in queries]
+    if qv:
+        Qm = np.array(qv, dtype=np.float64)
+        qnorm = np.sqrt((Qm * Qm).sum(axis=1))
+
+        def vss_fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                ids = pdf["vec_id"].to_numpy()
+                dist = np.round(
+                    1.0
+                    - (X @ Qm.T)
+                    / (np.sqrt((X * X).sum(axis=1))[:, None]
+                       * qnorm[None, :]),
+                    SCORE_ROUND,
+                )
+                qi_out, ci_out = [], []
+                for j in range(len(qv)):
+                    order = np.lexsort((ids, dist[:, j]))[:top_k]
+                    qi_out.append(np.full(len(order), j, dtype=np.int32))
+                    ci_out.append(order)
+                qi_out = np.concatenate(qi_out)
+                ci_out = np.concatenate(ci_out)
+                yield pd.DataFrame({
+                    "query_id": qi_out,
+                    "doc_id": ids[ci_out],
+                    "vss_score": dist[ci_out, qi_out],
+                })
+
+        pair = embeddings.select("vec_id", "embedding").mapInPandas(
+            vss_fn, "query_id int, doc_id long, vss_score double")
+    else:
+        pair = spark.createDataFrame(
+            [], "query_id int, doc_id long, vss_score double")
     wv = Window.partitionBy("query_id").orderBy(
         F.asc("vss_score"), F.asc("doc_id"))
     vss = (
