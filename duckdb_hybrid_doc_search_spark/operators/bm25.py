@@ -69,11 +69,6 @@ def build_fts_index(docs: DataFrame, id_col: str = "doc_id",
         "docfreq": docfreq,
         "docstats": docstats,
         "corpus_stats": corpus_stats,
-        # marker (kept LAST so next(iter(values())) still yields
-        # postings): _matched may derive the term-pruned docfreq from
-        # the pruned postings frame instead of this dict's full-vocab
-        # docfreq branch — value-identical, one shared subtree (r15)
-        "derive_docfreq": postings,
     }
 
 
@@ -123,17 +118,13 @@ def _matched(index: dict[str, DataFrame], qterms: list[str]) -> DataFrame:
     if "postings_scored" in index:
         return index["postings_scored"].where(F.col("term").isin(qterms))
     postings = index["postings"].where(F.col("term").isin(qterms))
-    if index.get("derive_docfreq") is not None:
-        # in-plan index dicts (build_fts_index / bpe_fts_index): the
-        # docfreq table's plan branch re-derives the whole postings
-        # subtree (tokenize/segment + explode + aggregate) a second
-        # time per execution; df(t) = count of (term, doc) postings
-        # rows of t, so deriving it from the SAME pruned postings frame
-        # lets ReuseExchange materialize that subtree once (r15).
-        docfreq = postings.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"))
-    else:
-        docfreq = index["docfreq"].where(F.col("term").isin(qterms))
+    # (r15: deriving the pruned docfreq from the pruned postings frame
+    # was tried — one shared subtree instead of the dict's separate
+    # full-vocab docfreq branch — and measured a consistent LOSS at
+    # sf0.1: the broadcast side then DEPENDS on the postings exchange
+    # and serializes a chain the old independent branches overlapped;
+    # reverted, see OPTIMIZATION_r15.md)
+    docfreq = index["docfreq"].where(F.col("term").isin(qterms))
     return (
         postings
         .join(F.broadcast(docfreq), "term")

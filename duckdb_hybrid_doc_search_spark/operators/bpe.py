@@ -706,25 +706,17 @@ def bpe_fts_index(docs: DataFrame, merge_rows: list,
     )
     docfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"))
-    # r15: corpus_stats from (count of docs) x (sum of dsum.dl) instead
-    # of aggregating the docstats JOIN — avg(coalesce(dl, 0)) over all
-    # docs == sum(dl over docs with words) / n_docs exactly (long sum,
-    # one double division), and the n_docs side no longer re-runs the
-    # dwc + vocabulary-segmentation subtree
-    n_docs_df = docs.select(id_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    corpus_stats = n_docs_df.crossJoin(
-        dsum.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
-    ).select(
-        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
+    # (r15: a (count of docs) x (sum of dsum.dl) crossJoin form was
+    # tried here and measured ~0.2s SLOWER at sf0.1 — it added two
+    # stages to the corpus_stats critical chain; reverted)
+    corpus_stats = docstats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     return {
         "postings": postings,
         "docfreq": docfreq,
         "docstats": docstats,
         "corpus_stats": corpus_stats,
-        # marker (kept LAST): see build_fts_index — lets _matched derive
-        # the pruned docfreq from the pruned postings frame (r15)
-        "derive_docfreq": postings,
     }
 
 
