@@ -67,6 +67,12 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "text_zipf_fit":
             "TakeOrdered truncation bounds the sorted set to the "
             "top-1000 head",
+        "corpus_dsir_weights":
+            "tq/tp totals window over the b-row hashed model table "
+            "(<= DSIR_BUCKETS = 1024 rows)",
+        "corpus_dsir_resample":
+            "tq/tp totals window over the b-row hashed model table "
+            "(<= DSIR_BUCKETS = 1024 rows)",
         # only Sort/Window consumers are flagged (see
         # single_partition_sort_lines); each allowlist entry names the
         # bound on what flows through the single partition
